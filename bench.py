@@ -1,0 +1,69 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the queries that exercise the scale-critical plans:
+the 5-way join+agg flagship, the TPC-H Q1 aggregate, the big-window
+running sum, the as-of join, set-dedup, and the top-k. Each timing
+includes full plan execution to a count-style action (foreach noop)
+so results are materialized but not collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gmt_dbt_spark.registry import all_queries  # noqa: E402
+from gmt_dbt_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_revenue_by_region",
+    "agg_group",
+    "agg_having",
+    "win_frame_rows",
+    "join_asof",
+    "set_union_distinct",
+    "topk",
+    "agg_collect",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # Warm the JVM + parquet footer caches once with the cheapest query.
+    queries["topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        # noop sink: full distributed execution, zero driver collect.
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Table access over the parquet warehouse.
+
+The reference registers BigQuery *external tables* over GCS objects
+(`main.py:314-349`); our analogue is unmanaged reads over a warehouse
+directory of parquet files. ``table()`` is the single scan entry
+point every query builder uses, so scan behavior (pushdown-friendly
+plain `spark.read.parquet`) is uniform.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gmt_dbt_spark.session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one warehouse table.
+
+    Plain parquet scan → Catalyst gets filter pushdown + column
+    pruning for free; no caching so each query's plan is honest.
+
+    `events.parquet` stores TIMESTAMP(NANOS), which the Spark parquet
+    reader rejects; with `spark.sql.legacy.parquet.nanosAsLong` (set
+    in session.tune) it arrives as a long we truncate to microseconds
+    — the same truncation DuckDB applies reading TIMESTAMP_NS.
+    """
+    tune(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every warehouse table as a temp view for SQL entry."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

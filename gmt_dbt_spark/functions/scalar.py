@@ -1,0 +1,235 @@
+"""Scalar function families — SURVEY.md §2.H.
+
+Families chosen to cover what the reference's data shapes exercise:
+the sanitize regex (`main.py:220`), Yelp date-string casts,
+comma-joined lists, nested-JSON payloads. All built-in
+`pyspark.sql.functions` — JVM-side, whole-stage-codegen'd; no Python
+in the hot path. Oracle notes: libm functions with unspecified
+rounding (log/exp) are avoided; sqrt/floor/ceil/abs are IEEE-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+SELECT p_partkey,
+       LOWER(p_name) AS name_lower,
+       UPPER(p_brand) AS brand_upper,
+       TRIM(p_type) AS type_trim,
+       regexp_replace(p_type, '[^a-zA-Z0-9_]', '_', 'g') AS type_sanitized,
+       SUBSTRING(p_name, 1, 10) AS name_prefix,
+       LENGTH(p_name) AS name_len,
+       LPAD(CAST(p_size AS VARCHAR), 5, '0') AS size_padded,
+       regexp_extract(p_type, '([A-Z]+)', 1) AS first_word
+FROM part
+""",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family; `type_sanitized` mirrors the reference's
+    identifier-sanitize regex (`main.py:220`, `main.py:287`)."""
+    return table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim("p_type").alias("type_trim"),
+        F.regexp_replace("p_type", "[^a-zA-Z0-9_]", "_").alias("type_sanitized"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 5, "0").alias("size_padded"),
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_word"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       EXTRACT(year FROM o_orderdate) AS yr,
+       EXTRACT(month FROM o_orderdate) AS mo,
+       EXTRACT(isodow FROM o_orderdate) AS iso_dow,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+FROM orders
+""",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family over the Yelp-style date fields.
+
+    `weekday()+1` matches DuckDB's EXTRACT(isodow) (Mon=1..Sun=7);
+    Spark's own `dayofweek` is Sun=1 and would not oracle-match.
+    """
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        (F.weekday("o_orderdate") + 1).cast("bigint").alias("iso_dow"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).cast("bigint").alias("days_to_y2k"),
+        F.date_add(d, 30).alias("due_date"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+SELECT c_custkey,
+       ABS(c_acctbal) AS bal_abs,
+       FLOOR(c_acctbal) AS bal_floor,
+       CEIL(c_acctbal) AS bal_ceil,
+       SQRT(ABS(c_acctbal)) AS bal_sqrt,
+       c_acctbal * c_acctbal AS bal_sq,
+       c_custkey % 7 AS key_mod
+FROM customer
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family restricted to IEEE-exact ops (sqrt is correctly
+    rounded per IEEE-754; log/exp are not and would hash-mismatch)."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.abs("c_acctbal").alias("bal_abs"),
+        F.floor("c_acctbal").alias("bal_floor"),
+        F.ceil("c_acctbal").alias("bal_ceil"),
+        F.sqrt(F.abs("c_acctbal")).alias("bal_sqrt"),
+        (F.col("c_acctbal") * F.col("c_acctbal")).alias("bal_sq"),
+        (F.col("c_custkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "fn_cond",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 150000 THEN 'high'
+            WHEN o_totalprice > 50000  THEN 'mid'
+            ELSE 'low' END AS price_band,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_or_pending,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
+FROM orders
+""",
+)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditionals: CASE WHEN / coalesce / nullif — the MERGE
+    emulation's core expression (SURVEY §2.C `merge_upsert`)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 150000, "high")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias(
+            "status_or_pending"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_urgent"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+SELECT p_partkey,
+       len(string_split(p_name, ' ')) AS n_words,
+       string_split(p_name, ' ')[1] AS first_word,
+       list_contains(string_split(p_type, ' '), 'BRUSHED') AS has_brushed,
+       array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), '|') AS words_sorted
+FROM part
+""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family (the Yelp checkin comma-list shape): split, size,
+    element access, contains, distinct+sort joined to a stable string."""
+    p = table(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.array_contains(F.split(F.col("p_type"), " "), "BRUSHED").alias("has_brushed"),
+        F.array_join(F.array_sort(F.array_distinct(words)), "|").alias("words_sorted"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+SELECT p_partkey, p_brand AS brand_from_map, 2 AS n_keys
+FROM part
+""",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family [ext — MapType absent from the reference's lattice,
+    SURVEY §1.2]: build a map, read back via element_at/map_keys.
+    Oracle is the trivial equivalent (map round-trip is identity)."""
+    p = table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("type"), F.col("p_type"), F.lit("brand"), F.col("p_brand")
+    )
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand_from_map"),
+        F.size(F.map_keys(m).cast("array<string>")).alias("n_keys"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_path,
+       CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_string,
+       props AS raw_json
+FROM events
+""",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family — parity with the reference's JSON-autodetect
+    ingest (`main.py:318-320`): path extraction + typed parse."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_path"),
+        F.get_json_object("props", "$.k").alias("k_string"),
+        F.col("props").alias("raw_json"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+       CAST(o_totalprice AS DECIMAL(18,6)) AS price_dec,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(o_orderkey % 2 AS BOOLEAN) AS odd_key
+FROM orders
+""",
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts across the §1.2 type lattice (the reference's converter
+    `gcp_function.py:169-222` is the spec); decimal target uses scale
+    6 so no double lands on a rounding tie."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("price_dec"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        (F.col("o_orderkey") % 2).cast("boolean").alias("odd_key"),
+    )

@@ -1,0 +1,115 @@
+"""UDF / UDAF / UDTF surface — SURVEY.md §2.I.
+
+The slow path, used deliberately and sparingly: the scalar UDF is an
+Arrow-batched pandas UDF (vectorized; row-at-a-time Python UDFs are
+10-100× slower and banned from the hot path), the grouped UDAF is
+`applyInPandas`. The canonical scalar example is the reference's
+identifier-sanitize routine (`main.py:215-230`) expressed over data.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.registry import query
+
+_SANITIZE_RE = re.compile(r"[^a-zA-Z0-9_]")
+
+
+def sanitize_name(name: str) -> str:
+    """The reference's identifier-sanitize rule (`main.py:215-230`):
+    non-[A-Za-z0-9_] → '_', prefix '_' when the first char is not a
+    letter or underscore."""
+    out = _SANITIZE_RE.sub("_", name)
+    if out and not (out[0].isalpha() or out[0] == "_"):
+        out = "_" + out
+    return out
+
+
+def _sanitize_series(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: sanitize_name(v) if v is not None else None)
+
+
+# returnType as a DataType instance (not a DDL string): executors
+# re-import this module without an active session, and parsing a DDL
+# string requires one.
+sanitize_udf = F.pandas_udf(_sanitize_series, T.StringType())
+
+
+@query(
+    "udf_scalar",
+    oracle="""
+SELECT p_partkey,
+       regexp_replace(p_type, '[^a-zA-Z0-9_]', '_', 'g') AS type_sanitized
+FROM part
+""",
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) pandas UDF applying the sanitize rule to a
+    data column; oracle is the equivalent regexp (p_type values never
+    start with a non-letter, so the prefix branch is a no-op here —
+    it is unit-tested separately in tests/test_sanitize.py)."""
+    p = table(spark, sf_dir, "part")
+    return p.select("p_partkey", sanitize_udf("p_type").alias("type_sanitized"))
+
+
+@query(
+    "udaf_grouped",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       MIN(value) AS v_min,
+       MAX(value) AS v_max,
+       median(value) AS v_median
+FROM events
+GROUP BY event_type
+""",
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregation via applyInPandas: exact median —
+    an agg Spark lacks as an exact builtin ([ext]). Median of doubles
+    is a deterministic selection/interpolation, so it oracle-matches.
+    At scale: one shuffle on the group key; groups stream through
+    Arrow batches."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [int(len(v))],
+                "v_min": [float(v.min())],
+                "v_max": [float(v.max())],
+                "v_median": [float(v.median())],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        stats, "event_type string, n bigint, v_min double, v_max double, v_median double"
+    )
+
+
+@query(
+    "udtf_explode",
+    oracle="""
+SELECT d.doc_id, CAST(u.i - 1 AS BIGINT) AS pos, d.parts[u.i] AS word
+FROM (SELECT doc_id, string_split(text, ' ') AS parts
+      FROM documents WHERE doc_id < 50) d
+CROSS JOIN LATERAL (SELECT unnest(range(1, len(d.parts) + 1)) AS i) u
+""",
+)
+def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table function (1 row → N rows): posexplode over tokenized
+    text — the `explode` side of the UDTF surface (Python UDTFs
+    compile to the same plan shape)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "word")

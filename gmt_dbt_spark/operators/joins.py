@@ -1,0 +1,238 @@
+"""Join operators — SURVEY.md §2.C.
+
+The only join the reference *implements* is the MERGE equi-join
+(`gcp_function.py:73`); the rest is the [surface] a dbt-model host
+needs. Physical strategy is Catalyst/AQE's: dimension sides are
+broadcast (no fact shuffle), fact-fact joins shuffle on the key and
+AQE splits skewed partitions at runtime.
+
+`join_asof` is the [ext] operator Spark lacks natively: implemented
+as the scalable union+window trick (tag both sides, sort within key,
+`last(..., ignorenulls)`) — one shuffle on the key, no range
+cross-product, works at 100 TB where a theta-join would BNL-explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.registry import query
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+""",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join, dimension side broadcast."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer LEFT JOIN orders
+  ON c_custkey = o_custkey AND o_totalprice > 100000
+""",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a join-side predicate (kept in the ON
+    clause, not WHERE — outer semantics preserved)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_totalprice") > 100000)
+    return c.join(o, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+SELECT s_suppkey, s_name, n_name
+FROM nation RIGHT JOIN supplier ON n_nationkey = s_nationkey
+""",
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "nation")
+        .join(
+            table(spark, sf_dir, "supplier"),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+            "right",
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+SELECT c.key AS cust_nation, s.key AS supp_nation, c.n_cust, s.n_supp
+FROM (SELECT c_nationkey AS key, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+FULL OUTER JOIN (SELECT s_nationkey AS key, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+  ON c.key = s.key
+""",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — the decomposition MERGE needs
+    (matched vs not-matched, `gcp_function.py:86-91`)."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ckey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("skey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, F.col("ckey") == F.col("skey"), "full_outer").select(
+        F.col("ckey").alias("cust_nation"),
+        F.col("skey").alias("supp_nation"),
+        "n_cust",
+        "n_supp",
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence (EXISTS ≡ left-semi)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence (NOT EXISTS ≡ left-anti) — the MERGE
+    "WHEN NOT MATCHED" branch (`gcp_function.py:89-91`)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (bounded: 5 regions × 25 nations)."""
+    return (
+        table(spark, sf_dir, "region")
+        .crossJoin(table(spark, sf_dir, "nation"))
+        .select("r_name", "n_name")
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+FROM supplier JOIN customer
+  ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
+""",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join. Keeps an equi component (nationkey) so
+    the plan is a hash/sort-merge join with a residual range filter —
+    the scalable shape — rather than a pure nested-loop
+    cross-product."""
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    cond = (F.col("s_nationkey") == F.col("c_nationkey")) & (
+        F.col("s_acctbal") < F.col("c_acctbal")
+    )
+    return s.join(c, cond).select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+
+
+@query(
+    "join_asof",
+    oracle="""
+SELECT c.event_id AS click_id,
+       c.user_id,
+       c.ts AS click_ts,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each click, the most recent purchase by the
+    same user at-or-before the click ([ext — implied], SURVEY §2.C).
+
+    Scalable plan: tag both sides, union, single shuffle+sort on
+    (user_id, ts), then `last(purchase, ignorenulls)` carries the
+    latest prior purchase forward — O(n log n) per key, no range
+    cross-product. (DuckDB oracle uses its native ASOF JOIN.)
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts"),
+        F.col("event_id").alias("click_id"),
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("bigint").alias("p_event_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.lit(0).alias("is_left"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    unioned = clicks.unionByName(purchases)
+    # Purchases sort before clicks at identical ts (is_left asc) so a
+    # same-instant purchase is visible to the click (ASOF uses <=).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        unioned.withColumn("purchase_id", F.last("p_event_id", ignorenulls=True).over(w))
+        .withColumn("purchase_ts", F.last("p_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_left") == 1)
+        .select(
+            "click_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            "purchase_id",
+            "purchase_ts",
+        )
+    )

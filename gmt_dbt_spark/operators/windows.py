@@ -1,0 +1,130 @@
+"""Window functions — SURVEY.md §2.E.
+
+[surface] for hosting model SQL; also the building blocks for the
+as-of join and dedup-keep-first operators. Every window ORDER BY
+includes a unique tiebreaker key so results are deterministic (a
+peer-ambiguous rank would not oracle-match).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.exprs import DEC, dec2dbl
+from gmt_dbt_spark.registry import query
+
+
+@query(
+    "win_rank",
+    oracle="""
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       ROW_NUMBER()  OVER w AS rn,
+       RANK()        OVER w AS rnk,
+       DENSE_RANK()  OVER w AS drnk,
+       NTILE(4)      OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family: row_number / rank / dense_rank / ntile over a
+    partitioned, deterministically-ordered window."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       LAG(o_orderkey)  OVER w AS prev_order,
+       LEAD(o_orderkey) OVER w AS next_order,
+       date_diff('day',
+                 LAG(o_orderdate) OVER w,
+                 o_orderdate) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic offsets: lag/lead + gap-in-days vs previous order."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("days_since_prev"),
+    )
+
+
+@query(
+    "win_frame_rows",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+         AS running_spend,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+         AS last3_spend
+FROM orders
+""",
+)
+def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames: running total + sliding 3-row total (exact
+    decimal accumulation, deterministic order incl. tiebreaker)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice").cast(DEC)
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        dec2dbl(F.sum(price).over(w.rowsBetween(Window.unboundedPreceding, 0))).alias(
+            "running_spend"
+        ),
+        dec2dbl(F.sum(price).over(w.rowsBetween(-2, 0))).alias("last3_spend"),
+    )
+
+
+@query(
+    "win_frame_range",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+         AS spend_30d
+FROM orders
+""",
+)
+def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a 30-day trailing window keyed on epoch
+    seconds — peers at the same instant are included on both engines
+    by RANGE semantics, so no tiebreaker is needed."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.unix_timestamp("o_orderdate")
+    ).rangeBetween(-2592000, 0)
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        dec2dbl(F.sum(F.col("o_totalprice").cast(DEC)).over(w)).alias("spend_30d"),
+    )

@@ -1,0 +1,65 @@
+"""SparkSession factory + per-session tuning.
+
+Local-mode testing uses ``local[N]``; the same configuration is what
+we would ship on a 1000-executor cluster — AQE on (runtime join
+strategy switch, skew-join splitting, partition coalescing), Arrow
+enabled for the pandas-UDF path, UTC session time zone so results are
+comparable against the DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs we also apply to sessions we did not create
+# (the correctness driver hands us its own SparkSession).
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet carries TIMESTAMP(NANOS); read as long, convert
+    # in catalog.table (Spark has no nanos timestamp type).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable tuning to an existing session.
+
+    Safe to call on a session owned by someone else (the driver);
+    only touches confs that are modifiable at runtime.
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-modifiable in this deployment; keep going
+    return spark
+
+
+def get_spark(app_name: str = "gmt_dbt_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a tuned local SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. Shuffle
+    partitions are sized to the core count — at cluster scale this
+    becomes executor-cores × executors (AQE coalesces down from
+    there), not the 200 default.
+    """
+    n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)
