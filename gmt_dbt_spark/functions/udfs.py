@@ -9,7 +9,6 @@ identifier-sanitize routine (`main.py:215-230`) expressed over data.
 
 from __future__ import annotations
 
-import re
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -18,18 +17,7 @@ from pyspark.sql import types as T
 
 from gmt_dbt_spark.catalog import table
 from gmt_dbt_spark.registry import query
-
-_SANITIZE_RE = re.compile(r"[^a-zA-Z0-9_]")
-
-
-def sanitize_name(name: str) -> str:
-    """The reference's identifier-sanitize rule (`main.py:215-230`):
-    non-[A-Za-z0-9_] → '_', prefix '_' when the first char is not a
-    letter or underscore."""
-    out = _SANITIZE_RE.sub("_", name)
-    if out and not (out[0].isalpha() or out[0] == "_"):
-        out = "_" + out
-    return out
+from gmt_dbt_spark.sources.sanitize import sanitize_name
 
 
 def _sanitize_series(s: pd.Series) -> pd.Series:

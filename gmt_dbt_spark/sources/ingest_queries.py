@@ -1,1 +1,268 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Driver-facing ingestion-parity queries — SURVEY.md §2.A.
+
+These run over the committed fixtures (fixtures/, FIXTURES.md shapes
+mirroring the reference's Yelp NDJSON + climate CSVs). Inference is
+exercised for real, but every output column carries an explicit cast
+on BOTH sides so the hash compare is over pinned types, not over the
+two engines' inference guesses.
+
+Sink queries write under .scratch/ (gitignored) and return the
+read-back; their oracles recompute from the source fixtures, so the
+check also proves the write→read round-trip is lossless.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.registry import query
+from gmt_dbt_spark.sources.readers import scan_csv, scan_json, schema_from_json_file
+from gmt_dbt_spark.sources.sanitize import sanitize_columns
+from gmt_dbt_spark.sources.sinks import StagingTable, sink_ctas, sink_overwrite
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+FIXTURES = os.path.join(REPO, "fixtures")
+SCRATCH = os.path.join(REPO, ".scratch")
+
+
+def _fx(name: str) -> str:
+    return os.path.join(FIXTURES, name)
+
+
+@query(
+    "scan_json_infer",
+    oracle=f"""
+SELECT user_id, business_id, text,
+       CAST(date AS VARCHAR) AS date,
+       CAST(compliment_count AS BIGINT) AS compliment_count
+FROM read_json('{os.path.join(REPO, "fixtures", "yelp_tip.ndjson")}',
+               format='newline_delimited',
+               columns={{'user_id':'VARCHAR','business_id':'VARCHAR','text':'VARCHAR',
+                        'date':'VARCHAR','compliment_count':'BIGINT'}})
+""",
+)
+def scan_json_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDJSON scan with schema autodetect (`main.py:318-320`)."""
+    df = scan_json(spark, _fx("yelp_tip.ndjson"))
+    return df.select(
+        F.col("user_id").cast("string"),
+        F.col("business_id").cast("string"),
+        F.col("text").cast("string"),
+        F.col("date").cast("string"),
+        F.col("compliment_count").cast("bigint"),
+    )
+
+
+@query(
+    "scan_json_multiline",
+    oracle=f"""
+SELECT business_id,
+       city,
+       CAST(stars AS DOUBLE) AS stars,
+       CAST(review_count AS BIGINT) AS review_count
+FROM read_json('{os.path.join(REPO, "fixtures", "yelp_business_array.json")}',
+               format='array',
+               columns={{'business_id':'VARCHAR','city':'VARCHAR',
+                        'stars':'DOUBLE','review_count':'BIGINT'}})
+""",
+)
+def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file JSON array-of-objects scan — the layout the
+    reference detects and rewrites to NDJSON (`main.py:249-252`);
+    Spark reads it natively with multiLine (array → rows implicit)."""
+    df = scan_json(spark, _fx("yelp_business_array.json"))  # autodetects 'array'
+    return df.select(
+        F.col("business_id").cast("string"),
+        F.col("city").cast("string"),
+        F.col("stars").cast("double"),
+        F.col("review_count").cast("bigint"),
+    )
+
+
+@query(
+    "scan_csv_infer",
+    oracle=f"""
+SELECT CAST(date AS VARCHAR) AS date,
+       CAST("precipitation inch" AS VARCHAR) AS precipitation_inch,
+       CAST("precipitation normal inch" AS DOUBLE) AS precipitation_normal_inch
+FROM read_csv('{os.path.join(REPO, "fixtures", "lv_precipitation.csv")}',
+              header=true, all_varchar=true, null_padding=true)
+""",
+)
+def scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV autodetect scan with the reference's edge cases on
+    (`main.py:321-326`): header, quoted embedded newline, jagged
+    short rows (PERMISSIVE null-fill ≙ allow_jagged_rows), and the
+    'T' trace sentinel that forces a string column."""
+    df = scan_csv(spark, _fx("lv_precipitation.csv"))
+    return df.select(
+        F.col("`date`").cast("string").alias("date"),
+        F.col("`precipitation inch`").cast("string").alias("precipitation_inch"),
+        F.col("`precipitation normal inch`")
+        .cast("double")
+        .alias("precipitation_normal_inch"),
+    )
+
+
+@query(
+    "scan_explicit_schema",
+    oracle=f"""
+SELECT user_id, name,
+       CAST(review_count AS BIGINT) AS review_count,
+       yelping_since, elite,
+       CAST(average_stars AS DOUBLE) AS average_stars
+FROM read_json('{os.path.join(REPO, "fixtures", "yelp_user.ndjson")}',
+               format='newline_delimited',
+               columns={{'user_id':'VARCHAR','name':'VARCHAR','review_count':'BIGINT',
+                        'yelping_since':'VARCHAR','friends':'VARCHAR','useful':'BIGINT',
+                        'funny':'BIGINT','cool':'BIGINT','fans':'BIGINT','elite':'VARCHAR',
+                        'average_stars':'DOUBLE','compliment_hot':'BIGINT',
+                        'compliment_more':'BIGINT','compliment_writer':'BIGINT'}})
+""",
+)
+def scan_explicit_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-schema scan: registry schema disables autodetect
+    (`main.py:333-335`; registry contract `gcp_function.py:47-64`)."""
+    schema, keys = schema_from_json_file(_fx("registry.json"), "yelp_user")
+    assert keys == ["user_id"]
+    df = scan_json(spark, _fx("yelp_user.ndjson"), schema=schema)
+    return df.select(
+        "user_id", "name", "review_count", "yelping_since", "elite", "average_stars"
+    )
+
+
+@query(
+    "sanitize_columns",
+    oracle=f"""
+SELECT business_id,
+       highlights,
+       "delivery or takeout" AS delivery_or_takeout,
+       "Grubhub enabled" AS Grubhub_enabled,
+       "Call To Action enabled" AS Call_To_Action_enabled,
+       "Request a Quote Enabled" AS Request_a_Quote_Enabled,
+       "Covid Banner" AS Covid_Banner,
+       "Temporary Closed Until" AS Temporary_Closed_Until,
+       "Virtual Services Offered" AS Virtual_Services_Offered,
+       "1st_case_date" AS _1st_case_date,
+       ("safety measures")."mask required" AS mask_required,
+       ("safety measures")."6ft rule" AS _6ft_rule
+FROM read_json('{os.path.join(REPO, "fixtures", "yelp_covid.ndjson")}',
+               format='newline_delimited',
+               columns={{'business_id':'VARCHAR','highlights':'VARCHAR',
+                        'delivery or takeout':'VARCHAR','Grubhub enabled':'VARCHAR',
+                        'Call To Action enabled':'VARCHAR','Request a Quote Enabled':'VARCHAR',
+                        'Covid Banner':'VARCHAR','Temporary Closed Until':'VARCHAR',
+                        'Virtual Services Offered':'VARCHAR','1st_case_date':'VARCHAR',
+                        'safety measures':'STRUCT("mask required" VARCHAR, "6ft rule" VARCHAR)'}})
+""",
+)
+def sanitize_columns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier sanitization over the dirty-name COVID fixture
+    (FIXTURES.md §6): `[^a-zA-Z0-9_]`→`_`, leading-digit `_` prefix,
+    recursive into the nested struct — `main.py:215-230` semantics as
+    a metadata-only projection."""
+    raw = scan_json(spark, _fx("yelp_covid.ndjson"))
+    clean = sanitize_columns(raw)
+    return clean.select(
+        "business_id",
+        "highlights",
+        "delivery_or_takeout",
+        "Grubhub_enabled",
+        "Call_To_Action_enabled",
+        "Request_a_Quote_Enabled",
+        "Covid_Banner",
+        "Temporary_Closed_Until",
+        "Virtual_Services_Offered",
+        "_1st_case_date",
+        F.col("safety_measures.mask_required").alias("mask_required"),
+        F.col("safety_measures._6ft_rule").alias("_6ft_rule"),
+    )
+
+
+@query(
+    "sink_overwrite",
+    oracle=f"""
+SELECT user_id, business_id,
+       CAST(compliment_count AS BIGINT) AS compliment_count
+FROM read_json('{os.path.join(REPO, "fixtures", "yelp_tip.ndjson")}',
+               format='newline_delimited',
+               columns={{'user_id':'VARCHAR','business_id':'VARCHAR','text':'VARCHAR',
+                        'date':'VARCHAR','compliment_count':'BIGINT'}})
+WHERE compliment_count >= 3
+""",
+)
+def sink_overwrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE_TRUNCATE load (`gcp_function.py:115-131`): write twice
+    to the same path in overwrite mode (the second write IS the
+    observable — truncate, not append), then scan back."""
+    path = os.path.join(SCRATCH, "sink_overwrite")
+    src = scan_json(spark, _fx("yelp_tip.ndjson")).filter(
+        F.col("compliment_count") >= 3
+    )
+    out = src.select(
+        F.col("user_id").cast("string"),
+        F.col("business_id").cast("string"),
+        F.col("compliment_count").cast("bigint"),
+    )
+    sink_overwrite(out, path)
+    sink_overwrite(out, path)  # idempotent truncate-load
+    return spark.read.parquet(path)
+
+
+@query(
+    "sink_ctas",
+    oracle=f"""
+SELECT business_id, city,
+       CAST(stars AS DOUBLE) AS stars,
+       CAST(review_count AS BIGINT) AS review_count
+FROM read_json('{os.path.join(REPO, "fixtures", "yelp_business.ndjson")}',
+               format='newline_delimited',
+               columns={{'business_id':'VARCHAR','city':'VARCHAR','stars':'DOUBLE',
+                        'review_count':'BIGINT','is_open':'BIGINT'}})
+WHERE is_open = 1
+""",
+)
+def sink_ctas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze CTAS — the *intent* of every reference dbt model
+    (`models/yelp/bronze_yelp_academic_dataset_business.sql:5-7`:
+    copy staging into the bronze layer; their embedded-DDL bug is
+    implemented as intent, SURVEY.md §3.2)."""
+    import shutil
+
+    path = os.path.join(SCRATCH, "bronze_yelp_business")
+    shutil.rmtree(path, ignore_errors=True)
+    staged = scan_json(spark, _fx("yelp_business.ndjson"))
+    bronze = staged.filter(F.col("is_open") == 1).select(
+        F.col("business_id").cast("string"),
+        F.col("city").cast("string"),
+        F.col("stars").cast("double"),
+        F.col("review_count").cast("bigint"),
+    )
+    return sink_ctas(spark, bronze, path)
+
+
+@query(
+    "sink_staging_temp",
+    oracle=f"""
+SELECT id, val, updated_at
+FROM read_json('{os.path.join(REPO, "fixtures", "upsert_batch_a.ndjson")}',
+               format='newline_delimited',
+               columns={{'id':'VARCHAR','val':'VARCHAR','updated_at':'VARCHAR'}})
+""",
+)
+def sink_staging_temp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`<table>_temp` staging lifecycle (`gcp_function.py:159-164`,
+    drop at `:112`): stage the batch, consume it into a result table,
+    drop the staging dir, return the consumer's scan — proving the
+    drop happened before the result is read."""
+    schema, _ = schema_from_json_file(_fx("registry.json"), "upsert_target")
+    staging_path = os.path.join(SCRATCH, "upsert_batch_a_temp")
+    result_path = os.path.join(SCRATCH, "staged_result")
+    batch = scan_json(spark, _fx("upsert_batch_a.ndjson"), schema=schema)
+    with StagingTable(spark, batch, staging_path) as staged:
+        staged.write.mode("overwrite").parquet(result_path)
+    assert not os.path.exists(staging_path), "staging table must be dropped"
+    return spark.read.parquet(result_path)

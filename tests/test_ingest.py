@@ -1,0 +1,77 @@
+"""Pipeline tests (SURVEY.md §5.4): sanitize → ingest → bronze CTAS
+round-trip on the Yelp-shape fixtures, schema contract vs registry."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import types as T
+
+from gmt_dbt_spark.sources.readers import (
+    detect_json_layout,
+    find_files,
+    scan_csv,
+    scan_json,
+    schema_from_json_file,
+)
+from gmt_dbt_spark.sources.sinks import StagingTable, sink_ctas, sink_overwrite
+
+FIXTURES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+
+
+def test_detect_json_layout():
+    assert detect_json_layout(f"{FIXTURES}/yelp_tip.ndjson") == "ndjson"
+    assert detect_json_layout(f"{FIXTURES}/yelp_business_array.json") == "array"
+
+
+def test_find_files():
+    files = find_files(FIXTURES, ".csv")
+    assert {os.path.basename(f) for f in files} == {
+        "lv_precipitation.csv",
+        "lv_temperature.csv",
+    }
+
+
+def test_nested_json_inference(spark):
+    df = scan_json(spark, f"{FIXTURES}/yelp_business.ndjson")
+    assert isinstance(df.schema["attributes"].dataType, T.StructType)
+    assert isinstance(df.schema["hours"].dataType, T.StructType)
+    assert df.count() == 1000
+
+
+def test_declared_schema_matches_registry(spark):
+    schema, keys = schema_from_json_file(f"{FIXTURES}/registry.json", "yelp_user")
+    df = scan_json(spark, f"{FIXTURES}/yelp_user.ndjson", schema=schema)
+    assert df.schema == schema
+    assert keys == ["user_id"]
+
+
+def test_csv_jagged_rows_null_filled(spark):
+    df = scan_csv(spark, f"{FIXTURES}/lv_precipitation.csv")
+    jagged = df.filter(df["`precipitation normal inch`"].isNull())
+    assert jagged.count() == 5  # the 5 planted short rows
+
+
+def test_bronze_roundtrip(spark, tmp_path):
+    src = scan_json(spark, f"{FIXTURES}/yelp_tip.ndjson")
+    out = str(tmp_path / "bronze_tip")
+    bronze = sink_ctas(spark, src, out)
+    assert bronze.count() == src.count()
+    assert bronze.schema == src.schema  # lossless round-trip
+
+
+def test_overwrite_truncates(spark, tmp_path):
+    src = scan_json(spark, f"{FIXTURES}/yelp_tip.ndjson")
+    out = str(tmp_path / "t")
+    sink_overwrite(src, out)
+    sink_overwrite(src, out)
+    assert spark.read.parquet(out).count() == src.count()  # not doubled
+
+
+def test_staging_drops(spark, tmp_path):
+    src = scan_json(spark, f"{FIXTURES}/upsert_batch_a.ndjson")
+    p = str(tmp_path / "stage")
+    with StagingTable(spark, src, p) as staged:
+        assert staged.count() == 600
+        assert os.path.exists(p)
+    assert not os.path.exists(p)
