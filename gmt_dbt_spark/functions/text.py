@@ -1,1 +1,239 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Text-analysis operators — SURVEY.md §2.K + training-data pipeline.
+
+Tokenization, term frequency, lexicon sentiment, language-ID
+(stopword-ratio heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and md5 document fingerprinting.
+Everything is built-in `pyspark.sql.functions` (codegen'd, no Python
+in the hot path); every op is oracle-checked against equivalent
+DuckDB SQL. (Pipeline shape follows the EDBT 2016 Spark sentiment
+pipeline in PAPERS.md.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.operators.dedup import normalize_text, tokens_col
+from gmt_dbt_spark.registry import query
+
+# Tiny polarity lexicon over the synthetic corpus vocabulary.
+SENTIMENT_LEXICON: dict[str, int] = {
+    "fast": 2,
+    "slow": -2,
+    "big": 1,
+    "small": -1,
+    "good": 2,
+    "bad": -2,
+    "fresh": 1,
+    "stale": -1,
+}
+
+# Stopword profiles for the lang-ID heuristic.
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "es": ["el", "la", "de", "y", "un"],
+}
+
+_lex_values = ", ".join(f"('{w}', {p})" for w, p in SENTIMENT_LEXICON.items())
+
+# DuckDB twin of tokens_col: split on single space after squeezing
+# runs, drop empties.
+_DUCK_TOKENS = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),"
+    " ' '), t -> t <> '')"
+)
+
+
+@query(
+    "text_tokenize",
+    oracle=f"""
+SELECT doc_id, unnest({_DUCK_TOKENS}) AS token
+FROM documents
+WHERE doc_id < 100
+""",
+)
+def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize/normalize: lower → strip non-alnum → split."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+
+
+@query(
+    "text_tf",
+    oracle=f"""
+SELECT token, COUNT(*) AS tf
+FROM (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents)
+GROUP BY token
+""",
+)
+def text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency: explode + count (partial agg map-side —
+    the word-count plan that scales linearly)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+@query(
+    "text_sentiment",
+    oracle=f"""
+WITH lex(word, polarity) AS (VALUES {_lex_values}),
+     tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents)
+SELECT tok.doc_id,
+       CAST(COALESCE(SUM(lex.polarity), 0) AS BIGINT) AS sentiment_sum,
+       COUNT(lex.word) AS n_hits
+FROM tok LEFT JOIN lex ON tok.token = lex.word
+GROUP BY tok.doc_id
+""",
+)
+def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment: broadcast-join tokens to an in-memory
+    polarity lexicon, integer-sum per doc (exact, order-free)."""
+    d = table(spark, sf_dir, "documents")
+    lex = d.sparkSession.createDataFrame(
+        list(SENTIMENT_LEXICON.items()), "word string, polarity int"
+    )
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+    return (
+        tok.join(F.broadcast(lex), tok.token == lex.word, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.sum("polarity"), F.lit(0)).cast("bigint").alias("sentiment_sum"),
+            F.count("word").alias("n_hits"),
+        )
+    )
+
+
+def _stopword_hits(tokens: Column, words: list[str]) -> Column:
+    """# tokens in the stopword list (JVM-side filter on the array)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_DUCK_TOKENS} AS toks FROM documents),
+     s AS (SELECT doc_id, lang,
+             len(toks) AS n_tok,
+             len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS en_hits,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ein'], x))) AS de_hits,
+             len(list_filter(toks, x -> list_contains(['el','la','de','y','un'], x))) AS es_hits
+           FROM t)
+SELECT doc_id, lang,
+       CASE WHEN en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
+            WHEN de_hits >= es_hits THEN 'de'
+            ELSE 'es' END AS pred_lang,
+       CAST(en_hits + de_hits + es_hits AS BIGINT) AS stopword_hits
+FROM s
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword hit counts,
+    argmax with a fixed preference order (en > de > es on ties)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", tokens_col(F.col("text")).alias("toks"))
+    hits = toks.select(
+        "doc_id",
+        "lang",
+        _stopword_hits(F.col("toks"), LANG_STOPWORDS["en"]).alias("en_hits"),
+        _stopword_hits(F.col("toks"), LANG_STOPWORDS["de"]).alias("de_hits"),
+        _stopword_hits(F.col("toks"), LANG_STOPWORDS["es"]).alias("es_hits"),
+    )
+    return hits.select(
+        "doc_id",
+        "lang",
+        F.when(
+            (F.col("en_hits") >= F.col("de_hits")) & (F.col("en_hits") >= F.col("es_hits")),
+            "en",
+        )
+        .when(F.col("de_hits") >= F.col("es_hits"), "de")
+        .otherwise("es")
+        .alias("pred_lang"),
+        (F.col("en_hits") + F.col("de_hits") + F.col("es_hits"))
+        .cast("bigint")
+        .alias("stopword_hits"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT)
+         AS n_punct,
+       CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x)))
+            AS BIGINT) AS n_stopwords,
+       (len(toks) >= 5 AND length(text) >= 30) AS passes_min_length
+FROM t
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: char/token counts, punctuation count,
+    stopword count, and a min-length gate — the filter columns a
+    pretraining pipeline thresholds on."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "text", tokens_col(F.col("text")).alias("toks"))
+    return t.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[^a-z0-9 ]", "")))
+        .cast("bigint")
+        .alias("n_punct"),
+        _stopword_hits(F.col("toks"), LANG_STOPWORDS["en"]).cast("bigint").alias("n_stopwords"),
+        ((F.size("toks") >= 5) & (F.length("text") >= 30)).alias("passes_min_length"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)
+         AS bpe_ish_tokens
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: naive whitespace split and a BPE-ish
+    pre-tokenizer regex (letters-run | digit | punct) — the cheap
+    estimator for per-doc token budgets."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))) AS fp,
+       md5(text) AS fp_raw
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the normalized text (dedup
+    key robust to punctuation/case) + raw-content md5."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(normalize_text(F.col("text"))).alias("fp"),
+        F.md5("text").alias("fp_raw"),
+    )

@@ -1,1 +1,245 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Deduplication operators — SURVEY.md §2.K / BASELINE north star.
+
+Exact dedup and three near-duplicate families (MinHash-LSH, SimHash,
+n-gram Jaccard), all expressed as plain DataFrame ops so Catalyst
+schedules them — no driver-side loops, no cross join:
+
+  shingle → hash → band → *equi-join on band key* → verify pairs
+
+is the scale architecture: candidate generation is a shuffle on band
+keys (skew-safe via AQE), verification touches only candidates. A
+naive O(n²) similarity join never materializes.
+
+ANSI note: Spark 4 runs ANSI mode (long overflow throws), so the
+universal-hash family keeps every product under 2^46:
+h ∈ [0, 2^31), a,b < 2^15, p = 2^31-1 (Mersenne prime).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.registry import query
+
+# Fixed universal-hash parameters (deterministic across runs/sessions).
+_P = 2_147_483_647  # 2^31 - 1
+_AB = [(13 + 27 * j, 7 + 101 * j) for j in range(12)]  # 12 hash funcs
+_BANDS = 4  # 4 bands × 3 rows — candidates at jaccard ≳ 0.6
+
+
+def normalize_text(c: Column) -> Column:
+    """lower + strip non-alnum + collapse spaces (shared by all text ops)."""
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "))
+
+
+def tokens_col(c: Column) -> Column:
+    return F.split(normalize_text(c), " +")
+
+
+def shingles_col(tokens: Column, n: int = 3) -> Column:
+    """Sliding word n-grams via sequence+transform (JVM-side, no UDF)."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.concat_ws(
+                " ", tokens[i], tokens[i + 1], tokens[i + 2]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", tokens)))
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """id → 12 minhash values over 3-word shingles.
+
+    explode → xxhash64 → 12 universal hashes → groupBy-min: one
+    shuffle on the id, partial min map-side. Signature is 96 bytes/doc
+    regardless of doc size — the constant-space property that makes
+    this the 100 TB dedup plan.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles_col(tokens_col(F.col(text_col)))).alias("__sh"),
+    ).withColumn("__h", F.pmod(F.xxhash64("__sh"), F.lit(_P)))
+    aggs = [
+        F.min(F.pmod(F.col("__h") * a + b, F.lit(_P))).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_AB)
+    ]
+    return sh.groupBy("__id").agg(*aggs)
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash):
+    equi-join candidate generation, never a cross join."""
+    rows_per_band = len(_AB) // _BANDS
+    banded = sig.select(
+        "__id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """Exact token-set Jaccard on candidate pairs only."""
+    toks = df.select(
+        F.col(id_col).alias("__tid"),
+        F.array_distinct(tokens_col(F.col(text_col))).alias("__toks"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    return (
+        pairs.join(a, F.col("id_a") == F.col("a.__tid"))
+        .join(b, F.col("id_b") == F.col("b.__tid"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a.__toks", "b.__toks"))
+            / F.size(F.array_union("a.__toks", "b.__toks")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id IN (
+  SELECT min(doc_id) FROM documents GROUP BY md5(text)
+)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per content fingerprint
+    (md5 of the raw text). Window-free formulation = one groupBy-min
+    + semi-join; both sides shuffle on the 16-byte fingerprint, not
+    the document bodies."""
+    docs = table(spark, sf_dir, "documents")
+    keep = (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "source")
+
+
+@query("dedup_fuzzy")  # rows-only: LSH banding is not tractable oracle SQL
+def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs over `documents`
+    (shingle→minhash→band→bucket-join→exact-jaccard verify),
+    jaccard ≥ 0.6. Deterministic (fixed hash family) but the banding
+    pipeline is not reasonably expressible in oracle SQL → rows-only."""
+    docs = table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text")
+    pairs = lsh_candidates(sig)
+    return verify_jaccard(pairs, docs, "doc_id", "text", 0.6).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r")
+    )
+
+
+@query("dedup_simhash")  # rows-only (bit-manipulation pipeline)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signature from token hashes (sign-sum
+    per bit, JVM-side via shiftright/bit-and), candidates = equal
+    16-bit half (Hamming-distance banding), verified at Hamming ≤ 3
+    via bit_count(xor). All built-in expressions — no UDF."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok")
+    ).withColumn("h", F.pmod(F.xxhash64("tok"), F.lit(1 << 32)))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(32)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*bit_aggs)
+    sim = per_doc.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+            for b in range(32)
+        ).alias("simhash"),
+    )
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                F.col("simhash").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftright("simhash", 16).bitwiseAND(F.lit(0xFFFF)),
+            )
+        ).alias("band", "half"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.half") == F.col("r.half"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= 3)
+
+
+@query("dedup_ngram_jaccard")  # rows-only (same banding pipeline)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-free word-3-gram Jaccard near-dup at ≥ 0.8 — the
+    strict variant of dedup_fuzzy (same LSH candidates, tighter
+    verify), reported with both ids and the exact score."""
+    docs = table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text")
+    pairs = lsh_candidates(sig)
+    toks = docs.select(
+        F.col("doc_id").alias("__tid"),
+        F.array_distinct(shingles_col(tokens_col(F.col("text")))).alias("__toks"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    return (
+        pairs.join(a, F.col("id_a") == F.col("a.__tid"))
+        .join(b, F.col("id_b") == F.col("b.__tid"))
+        .withColumn(
+            "jaccard3",
+            F.size(F.array_intersect("a.__toks", "b.__toks"))
+            / F.size(F.array_union("a.__toks", "b.__toks")),
+        )
+        .filter(F.col("jaccard3") >= 0.8)
+        .select("id_a", "id_b", F.round("jaccard3", 4).alias("jaccard3_r"))
+    )

@@ -1,1 +1,140 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Multimodal columns — SURVEY.md §2.K `multimodal_cols`.
+
+Images/audio/video are opaque `binary` payload columns with a typed
+metadata struct riding alongside (the Dremel nested-columnar pattern,
+PAPERS.md). The Spark-side plumbing — schema, partition-friendly
+batch iteration, Arrow batch shapes through `mapInPandas` — is real
+and tested; the actual codec decode is STUBBED (no image/audio libs
+in this container): `decode_payload(..., stub=True)` produces a
+deterministic fake feature vector, `stub=False` raises
+NotImplementedError where a real decoder (PIL/librosa/ffmpeg) plugs in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.registry import query
+
+N_FEATURES = 8
+
+DECODED_SCHEMA = (
+    "doc_id bigint, mime string, n_bytes bigint, width int, height int, "
+    "features array<float>"
+)
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """documents → multimodal frame: binary payload + metadata struct.
+
+    (In production the payload column is read straight from parquet
+    `binary`; here we derive it from text so fixtures stay textual.)
+    """
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/x-fake").alias("mime"),
+            F.octet_length("text").cast("bigint").alias("n_bytes"),
+            F.md5("text").alias("content_md5"),
+        ).alias("meta"),
+    )
+
+
+def decode_payload(payload: bytes, stub: bool = True) -> dict:
+    """Decode one payload → (width, height, features).
+
+    stub=True: deterministic fake derived from the content digest —
+    exercises every seam (serialization, schema, batching) without a
+    codec. stub=False: plug a real decoder here.
+    """
+    if not stub:
+        raise NotImplementedError(
+            "real media decode needs PIL/librosa/ffmpeg — not in this container"
+        )
+    digest = hashlib.sha256(payload).digest()
+    return {
+        "width": 16 + digest[0] % 64,
+        "height": 16 + digest[1] % 64,
+        "features": [round(b / 255.0, 6) for b in digest[:N_FEATURES]],
+    }
+
+
+def decode_batches(df: DataFrame, stub: bool = True) -> DataFrame:
+    """mapInPandas decode: Arrow batches in, decoded features out.
+
+    Per-partition batch iteration — the decode parallelizes with the
+    scan and never gathers payloads to the driver; at 100 TB this is
+    the pattern for any per-blob CPU work (resize, frame-sample,
+    feature-extract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_payload(p, stub=stub) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "features": [d["features"] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(run, DECODED_SCHEMA)
+
+
+@query(
+    "multimodal_cols",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       (doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text)))
+         AS is_canonical
+FROM documents
+""",
+)
+def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata struct + content-hash dedup flag.
+
+    The payload round-trips through a real `binary` column; n_bytes
+    and content_md5 are computed FROM the binary payload (not the
+    source text), so the oracle match proves the binary path is
+    lossless."""
+    docs = table(spark, sf_dir, "documents")
+    mm = attach_payload(docs)
+    canon = (
+        mm.groupBy(F.md5(F.decode(F.col("payload"), "UTF-8")).alias("fp"))
+        .agg(F.min("doc_id").alias("cid"))
+        .select("cid")
+    )
+    return (
+        mm.join(
+            F.broadcast(canon), mm.doc_id == F.col("cid"), "left"
+        )
+        .select(
+            "doc_id",
+            F.octet_length("payload").cast("bigint").alias("n_bytes"),
+            F.md5(F.decode(F.col("payload"), "UTF-8")).alias("content_md5"),
+            F.col("cid").isNotNull().alias("is_canonical"),
+        )
+    )
+
+
+@query("multimodal_decode")  # rows-only: stubbed decode, no SQL analogue
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode pipeline with the deterministic stub
+    codec: payload → (width, height, feature vector). Schema and
+    batch plumbing are the real article; swap stub=False + a codec
+    for production."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return decode_batches(attach_payload(docs), stub=True)

@@ -1,1 +1,202 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Similarity search over embeddings — SURVEY.md §2.K `sim_topk`.
+
+Brute-force cosine top-k as the exact baseline, plus an LSH-bucketed
+variant (random-hyperplane signatures) as the 100 TB path: candidates
+come from an equi-join on signature buckets, so the pairwise work is
+O(candidates), not O(n·q). Dot products run JVM-side via
+zip_with+aggregate — no Python in the loop.
+
+(Top-k similarity framing follows the EDBT 2020 incremental top-k and
+REPOSE ICDE 2021 distributed top-k lines in PAPERS.md.)
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.registry import query
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors in the demo queries
+TOP_K = 5
+_DIM = 64
+_N_PLANES = 16
+
+
+def hyperplanes(n_planes: int = _N_PLANES, dim: int = _DIM) -> list[list[float]]:
+    """Fixed random hyperplanes (seeded PRNG — deterministic across
+    processes; Python's builtin hash() is salted and must not be used)."""
+    rng = random.Random(4242)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _plane_cols() -> list[Column]:
+    return [F.array(*[F.lit(x) for x in plane]) for plane in hyperplanes()]
+
+
+def _signature(v: DataFrame) -> DataFrame:
+    """16-bit random-hyperplane sign signature per vector."""
+    planes = _plane_cols()
+    return v.select(
+        "vec_id",
+        "vec",
+        sum(
+            (F.when(dot(F.col("vec"), planes[p]) >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+            for p in range(_N_PLANES)
+        ).alias("sig"),
+    )
+
+
+def _banded(sig: DataFrame) -> DataFrame:
+    """Two 8-bit bands per signature (Hamming-style OR-amplification)."""
+    return sig.select(
+        "vec_id",
+        "vec",
+        F.posexplode(
+            F.array(
+                F.col("sig").bitwiseAND(F.lit(0xFF)),
+                F.shiftright("sig", 8).bitwiseAND(F.lit(0xFF)),
+            )
+        ).alias("band", "bkey"),
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (whole-stage codegen'd)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # float[] → double[] once, up front (exact widening).
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "label"
+    )
+
+
+@query(
+    "sim_topk",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+     q AS (SELECT * FROM v WHERE vec_id < {N_QUERIES}),
+     scored AS (
+       SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+              list_cosine_similarity(q.vec, v.vec) AS score
+       FROM q CROSS JOIN v
+       WHERE q.vec_id <> v.vec_id),
+     ranked AS (
+       SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS rank
+       FROM scored)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k: Q query vectors × corpus via a
+    broadcast of the (tiny) query side, per-query window top-k.
+    Output is (query, neighbor, rank) — ids only, because the score's
+    last float ulp is engine-dependent while the ranking is stable.
+    """
+    v = _vecs(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qvec"), F.col("vec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+@query("sim_topk_lsh")  # rows-only: bucketed ANN is approximate by design
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH: 16-bit sign signature per
+    vector (fixed pseudo-random hyperplanes from xxhash64 — no stored
+    model), candidates share a 8-bit band, exact cosine re-rank on
+    candidates only. The scale path: signature build is one pass,
+    candidate join is an equi-join on (band, key)."""
+    v = _vecs(spark, sf_dir)
+    banded = _banded(_signature(v))
+    q = banded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        "band",
+        "bkey",
+    )
+    cand = (
+        banded.join(q, ["band", "bkey"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qvec", F.col("vec_id").alias("neighbor_id"), "vec")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("vec")).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 4).alias("score_r"))
+    )
+
+
+@query("dedup_embed_cosine")  # rows-only (approximate candidate generation)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate detection: LSH-bucketed candidate
+    pairs (shared 8-bit band) verified against a cosine threshold —
+    the embedding-space sibling of dedup_fuzzy. (The synthetic
+    embeddings are i.i.d. random — max pairwise cosine ≈ 0.44 — so
+    the demo threshold 0.35 surfaces the top of the candidate
+    distribution; production near-dup would use ≥ 0.95.)"""
+    v = _vecs(spark, sf_dir)
+    banded = _banded(_signature(v))
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("l.vec").alias("vec_a"),
+            F.col("r.vec_id").alias("id_b"),
+            F.col("r.vec").alias("vec_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") >= 0.35)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
+    )

@@ -1,1 +1,138 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Incremental MERGE upsert — SURVEY.md §2.C `merge_upsert`, §3.3.
+
+The reference string-builds a BigQuery MERGE (`gcp_function.py:67-94`):
+  ON ⋀(T.k = S.k)  — equi-conjunction over `on_condition_columns`
+  WHEN MATCHED     → UPDATE every non-key column from S
+  WHEN NOT MATCHED → INSERT the full row
+and dispatches Create (truncate load) vs Update (stage + merge + drop
+staging) in `final_load_data_into_bigquery` (`gcp_function.py:133-166`).
+
+Because the reference's UPDATE branch sets *every* non-key column,
+"matched" rows are fully replaced by their staging version — so the
+merge is exactly:  (target ANTI-JOIN staging ON keys) ∪ staging.
+That is one shuffle of the target (anti join on the keys, and AQE
+broadcasts the staging side when it is small — the common incremental
+case) and zero wide full-outer coalesce work.
+
+At 100 TB the anti∪union rewrite of the *whole* target is the wrong
+physical plan: `upsert_partitioned` below scopes the rewrite to only
+the partitions the staging batch touches (dynamic partition
+overwrite), so a daily batch rewrites days, not history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.registry import query
+from gmt_dbt_spark.sources.readers import scan_json, schema_from_json_file
+from gmt_dbt_spark.sources.sinks import StagingTable, sink_overwrite
+
+
+def merge_upsert(target: DataFrame, staging: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE T USING S: matched → replace row, not matched → insert.
+
+    Requires staging keys to be unique (BigQuery MERGE errors on
+    duplicate source matches, `gcp_function.py` inherits that
+    contract; call `dedupe_staging` first if unsure).
+    """
+    if not keys:
+        raise ValueError("merge_upsert requires at least one key column")
+    missing = [k for k in keys if k not in target.columns or k not in staging.columns]
+    if missing:
+        raise ValueError(f"key columns missing from inputs: {missing}")
+    kept = target.join(staging, on=keys, how="left_anti")
+    return kept.unionByName(staging.select(*target.columns))
+
+
+def dedupe_staging(staging: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Keep the latest row per key (max order_col) so the merge
+    contract (unique source keys) holds."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (
+        staging.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def final_load(
+    spark: SparkSession,
+    data: DataFrame,
+    target_path: str,
+    staging_path: str,
+    keys: list[str],
+    loading_type: str,
+) -> None:
+    """Create-vs-Update dispatch (`gcp_function.py:133-166`):
+    'Create' → truncate load; 'Update' → stage, merge, drop staging,
+    overwrite target."""
+    if loading_type == "Create":
+        sink_overwrite(data, target_path)
+        return
+    if loading_type != "Update":
+        raise ValueError(f"unknown loading_type: {loading_type!r}")
+    with StagingTable(spark, data, staging_path) as staged:
+        target = spark.read.parquet(target_path)
+        # localCheckpoint materializes the merge and cuts lineage to
+        # target_path so we can overwrite the path we just read.
+        merged = merge_upsert(target, staged, keys).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(target_path)
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    staging: DataFrame,
+    keys: list[str],
+    partition_col: str,
+) -> None:
+    """Partition-scoped upsert for scale (SURVEY.md §7 M3): with
+    `partitionOverwriteMode=dynamic`, only partitions present in the
+    staging batch are rewritten — merge cost is O(touched partitions),
+    not O(target).
+
+    The per-partition merge is still anti∪staging, but the target
+    scan is pruned to the staging batch's partition values first.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    parts = [r[0] for r in staging.select(partition_col).distinct().collect()]
+    target = spark.read.parquet(target_path).filter(F.col(partition_col).isin(parts))
+    merged = merge_upsert(target, staging, keys)
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+
+
+# ---------------------------------------------------------------- driver query
+
+import os  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_FX = os.path.join(REPO, "fixtures")
+
+
+@query(
+    "merge_upsert",
+    oracle=f"""
+WITH t AS (SELECT * FROM read_json('{_FX}/upsert_target.ndjson',
+            format='newline_delimited',
+            columns={{'id':'VARCHAR','val':'VARCHAR','updated_at':'VARCHAR'}})),
+     s AS (SELECT * FROM read_json('{_FX}/upsert_batch_a.ndjson',
+            format='newline_delimited',
+            columns={{'id':'VARCHAR','val':'VARCHAR','updated_at':'VARCHAR'}}))
+SELECT t.id, t.val, t.updated_at FROM t
+WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.id = t.id)
+UNION ALL
+SELECT s.id, s.val, s.updated_at FROM s
+""",
+)
+def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE over the FIXTURES.md §9 pair: 600-row target, 600-row
+    batch (300 update / 300 insert) on key `id` from the registry —
+    the exact matched/not-matched semantics of `gcp_function.py:82-92`."""
+    schema, keys = schema_from_json_file(os.path.join(_FX, "registry.json"), "upsert_target")
+    target = scan_json(spark, os.path.join(_FX, "upsert_target.ndjson"), schema=schema)
+    staging = scan_json(spark, os.path.join(_FX, "upsert_batch_a.ndjson"), schema=schema)
+    return merge_upsert(target, staging, keys)

@@ -1,1 +1,154 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Stateful streaming ops — SURVEY.md §2.J: watermark late-drop,
+streaming dedup, foreachBatch MERGE sink.
+
+`stream_upsert_sink` runs REAL Structured Streaming inside the query:
+a file source replayed with availableNow, `foreachBatch` applying the
+engine's merge_upsert into a parquet target — the streaming mirror of
+the reference's Cloud-Function incremental load
+(`gcp_function.py:96-113`). The final target state is deterministic
+(independent of micro-batch boundaries, because merge is
+key-idempotent), which is what makes it oracle-checkable.
+
+`stream_watermark_late` / `stream_dedup` register their deterministic
+batch equivalents (watermark semantics on a finite input = drop rows
+older than max(ts) − delay; dedup = keep-first per key); their true
+streaming execution — micro-batch order, state store, late-row drop —
+is exercised in tests/test_streaming.py where file arrival order is
+controlled.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.exprs import dsum
+from gmt_dbt_spark.operators.upsert import merge_upsert
+from gmt_dbt_spark.registry import query
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+SCRATCH = os.path.join(REPO, ".scratch")
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+@query(
+    "stream_watermark_late",
+    oracle="""
+WITH hi AS (SELECT max(ts) AS mx FROM events)
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS wstart,
+       COUNT(*) AS n
+FROM events, hi
+WHERE ts > hi.mx - INTERVAL '1 hour'
+GROUP BY 1
+""",
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + late-data drop, batch-equivalent form: with the
+    watermark at max(ts) − 1h, any row at-or-older than that is late
+    and dropped before the 10-minute window aggregation. (True
+    streaming execution with controlled file-arrival order is in
+    tests/test_streaming.py::test_watermark_drops_late_rows.)"""
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    kept = ev.filter(F.col("ts") > F.lit(mx) - F.expr("INTERVAL 1 HOUR"))
+    return (
+        kept.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("wstart"), "n")
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+SELECT event_id, ts, user_id, event_type
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup: keep the first event per event_id — the batch
+    equivalent of `withWatermark + dropDuplicates(["event_id"])`
+    state semantics."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_id").orderBy("ts", "user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+@query(
+    "stream_upsert_sink",
+    oracle="""
+SELECT user_id, max(ts) AS last_seen,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total
+FROM events GROUP BY user_id
+""",
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE: a real Structured Streaming query (file
+    source, availableNow trigger) whose every micro-batch re-upserts
+    the running per-user aggregate into a parquet target via
+    merge_upsert — the streaming mirror of `gcp_function.py:96-113`.
+
+    Complete-mode aggregation means the LAST batch's state equals the
+    full-input aggregate, so the final target is deterministic no
+    matter how the source was micro-batched."""
+    run_dir = os.path.join(SCRATCH, f"stream_upsert_{uuid.uuid4().hex[:8]}")
+    src_dir = os.path.join(run_dir, "src")
+    target_path = os.path.join(run_dir, "target")
+    ckpt = os.path.join(run_dir, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    try:
+        ev = table(spark, sf_dir, "events")
+        # Seed target: all users, empty aggregate state.
+        ev.select("user_id").distinct().select(
+            "user_id",
+            F.lit(None).cast("timestamp").alias("last_seen"),
+            F.lit(0.0).alias("total"),
+        ).write.parquet(target_path)
+        # Source files: two replayed chunks (micro-batch fodder).
+        ev.filter(F.col("event_id") % 2 == 0).toPandas().to_json(
+            os.path.join(src_dir, "part-0.json"), orient="records", lines=True,
+            date_format="iso", date_unit="us",
+        )
+        ev.filter(F.col("event_id") % 2 == 1).toPandas().to_json(
+            os.path.join(src_dir, "part-1.json"), orient="records", lines=True,
+            date_format="iso", date_unit="us",
+        )
+
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(src_dir)
+        agg = stream.groupBy("user_id").agg(
+            F.max("ts").alias("last_seen"), dsum("value").alias("total")
+        )
+
+        def upsert_batch(batch: DataFrame, _epoch: int) -> None:
+            target = batch.sparkSession.read.parquet(target_path)
+            merged = merge_upsert(target, batch, ["user_id"]).localCheckpoint(eager=True)
+            merged.write.mode("overwrite").parquet(target_path)
+
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(upsert_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(target_path)
+        final = spark.createDataFrame(final.collect(), final.schema)  # detach from path
+        return final
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)

@@ -1,0 +1,86 @@
+"""LLM-pipeline operator tests: fuzzy dedup must catch the planted
+duplicates in the yelp_review fixture (2% exact + 2% near, one word
+changed — gen_fixtures.py), similarity search must return its own
+cluster, multimodal plumbing must round-trip through Arrow."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.operators.dedup import (
+    lsh_candidates,
+    minhash_signature,
+    verify_jaccard,
+)
+from gmt_dbt_spark.operators.multimodal import (
+    attach_payload,
+    decode_batches,
+    decode_payload,
+)
+from gmt_dbt_spark.operators.similarity import cosine, dot
+from gmt_dbt_spark.sources.readers import scan_json
+
+FIXTURES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+
+
+@pytest.fixture(scope="module")
+def reviews(spark):
+    return scan_json(spark, f"{FIXTURES}/yelp_review.ndjson").select("review_id", "text")
+
+
+def test_minhash_finds_planted_duplicates(spark, reviews):
+    sig = minhash_signature(reviews, "review_id", "text")
+    pairs = lsh_candidates(sig)
+    verified = verify_jaccard(pairs, reviews, "review_id", "text", 0.6)
+    n = verified.count()
+    # 100 exact + 100 near duplicates planted; exact dups always have
+    # jaccard 1.0 and identical signatures, so well over 100 pairs.
+    assert n >= 100, f"expected >=100 near-dup pairs, got {n}"
+    exact = verified.filter(F.col("jaccard") == 1.0).count()
+    assert exact >= 80  # most exact dups survive banding
+
+
+def test_minhash_signature_deterministic(spark, reviews):
+    sample = reviews.limit(50)
+    a = {r["__id"]: tuple(r[f"mh{j}"] for j in range(12))
+         for r in minhash_signature(sample, "review_id", "text").collect()}
+    b = {r["__id"]: tuple(r[f"mh{j}"] for j in range(12))
+         for r in minhash_signature(sample, "review_id", "text").collect()}
+    assert a == b
+
+
+def test_dot_cosine_exprs(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 2.0], [2.0, 4.0, 4.0])], "a: array<double>, b: array<double>")
+    row = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        cosine(F.col("a"), F.col("b")).alias("c"),
+    ).collect()[0]
+    assert row.d == 18.0
+    assert abs(row.c - 1.0) < 1e-12  # parallel vectors
+
+
+def test_decode_stub_deterministic():
+    one = decode_payload(b"hello")
+    two = decode_payload(b"hello")
+    assert one == two
+    assert len(one["features"]) == 8
+
+
+def test_decode_stub_false_raises():
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"x", stub=False)
+
+
+def test_decode_batches_plumbing(spark, reviews):
+    docs = reviews.limit(20).select(
+        F.monotonically_increasing_id().alias("doc_id"), F.col("text")
+    )
+    out = decode_batches(attach_payload(docs))
+    rows = out.collect()
+    assert len(rows) == 20
+    assert set(out.columns) == {"doc_id", "mime", "n_bytes", "width", "height", "features"}
+    assert all(len(r.features) == 8 for r in rows)
+    assert all(16 <= r.width < 80 for r in rows)

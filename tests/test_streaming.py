@@ -1,0 +1,124 @@
+"""True Structured Streaming tests: the batch-registered window ops
+executed as real streams (file source → memory sink), watermark
+late-row dropping with controlled arrival order, streaming dedup."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+)
+
+
+def _write_events(path: str, rows: list[dict]) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_stream(spark, src_dir, transform, name, batches):
+    """Run a streaming query over `batches` (list of row-lists), writing one
+    file per batch and draining the query between writes so each file is its
+    own micro-batch (deterministic watermark advancement)."""
+    stream = transform(spark.readStream.schema(EVENT_SCHEMA).json(src_dir))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        for i, rows in enumerate(batches):
+            _write_events(f"{src_dir}/{i}.json", rows)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T10:{i % 50:02d}:00", "user_id": i % 3,
+         "event_type": "click", "value": 1.0}
+        for i in range(50)
+    ]
+    # sentinel batch advances the watermark past every 10:xx window so all
+    # of them close and are emitted in append mode
+    sentinel = [{"event_id": 999, "ts": "2024-01-01T12:00:00", "user_id": 0,
+                 "event_type": "click", "value": 1.0}]
+
+    def agg(df):
+        return (
+            df.withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "10 minutes"))
+            .agg(F.count("*").alias("n"))
+        )
+
+    out = _run_stream(spark, src, agg, "tumbling_t", [rows, sentinel])
+    batch = (
+        spark.read.schema(EVENT_SCHEMA)
+        .json(f"{src}/0.json")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted((r.window.start, r.n) for r in out.collect()) == sorted(
+        (r.window.start, r.n) for r in batch.collect()
+    )
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        # batch 0: recent events advance the watermark to 12:00 − 10min
+        [{"event_id": 1, "ts": "2024-01-01T12:00:00", "user_id": 1,
+          "event_type": "click", "value": 1.0}],
+        # batch 1: an event 2 hours late — behind the watermark, dropped
+        [{"event_id": 2, "ts": "2024-01-01T10:00:00", "user_id": 1,
+          "event_type": "click", "value": 1.0},
+         {"event_id": 3, "ts": "2024-01-01T12:01:00", "user_id": 1,
+          "event_type": "click", "value": 1.0}],
+        # batch 2: push event-time past 12:01+10min so windows close
+        [{"event_id": 4, "ts": "2024-01-01T12:30:00", "user_id": 1,
+          "event_type": "click", "value": 1.0}],
+    ]
+
+    def agg(df):
+        return (
+            df.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes"))
+            .agg(F.count("*").alias("n"))
+        )
+
+    out = _run_stream(spark, src, agg, "late_t", batches)
+    got = {r.window.start.isoformat(): r.n for r in out.collect()}
+    # the 10:00 window must NOT appear (its only row arrived late);
+    # the 12:00 window closed with both on-time rows.
+    assert "2024-01-01T10:00:00" not in got
+    assert got.get("2024-01-01T12:00:00") == 2
+
+
+def test_streaming_dedup(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [{"event_id": 7, "ts": "2024-01-01T12:00:00", "user_id": 1,
+          "event_type": "click", "value": 1.0}],
+        [{"event_id": 7, "ts": "2024-01-01T12:00:05", "user_id": 1,
+          "event_type": "click", "value": 1.0},  # duplicate key → dropped
+         {"event_id": 8, "ts": "2024-01-01T12:00:10", "user_id": 1,
+          "event_type": "click", "value": 1.0}],
+    ]
+
+    def dedup(df):
+        return df.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+
+    out = _run_stream(spark, src, dedup, "dedup_t", batches)
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [7, 8]

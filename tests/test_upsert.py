@@ -1,0 +1,98 @@
+"""Upsert property tests (SURVEY.md §5.5): matched/not-matched
+semantics of gcp_function.py:82-92, idempotence, dispatch, and the
+partition-scoped variant."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.operators.upsert import (
+    dedupe_staging,
+    final_load,
+    merge_upsert,
+    upsert_partitioned,
+)
+
+FIXTURES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+
+
+@pytest.fixture
+def target(spark):
+    return spark.createDataFrame(
+        [Row(id=f"k{i}", val=f"old{i}", updated_at="2024-01-01") for i in range(6)]
+    )
+
+
+@pytest.fixture
+def staging(spark):
+    # k3..k5 update, k6..k8 insert
+    return spark.createDataFrame(
+        [Row(id=f"k{i}", val=f"new{i}", updated_at="2024-02-01") for i in range(3, 9)]
+    )
+
+
+def test_matched_and_not_matched(spark, target, staging):
+    got = {r.id: r for r in merge_upsert(target, staging, ["id"]).collect()}
+    assert len(got) == 9
+    assert got["k0"].val == "old0"  # untouched
+    assert got["k3"].val == "new3"  # updated (replaced)
+    assert got["k8"].val == "new8"  # inserted
+    assert got["k3"].updated_at == "2024-02-01"  # ALL non-key cols updated
+
+
+def test_idempotent(spark, target, staging):
+    once = merge_upsert(target, staging, ["id"])
+    twice = merge_upsert(once, staging, ["id"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_missing_key_raises(spark, target, staging):
+    with pytest.raises(ValueError):
+        merge_upsert(target, staging, [])
+    with pytest.raises(ValueError):
+        merge_upsert(target, staging, ["nope"])
+
+
+def test_dedupe_staging_keeps_latest(spark):
+    dup = spark.createDataFrame(
+        [
+            Row(id="a", val="v1", updated_at="2024-01-01"),
+            Row(id="a", val="v2", updated_at="2024-03-01"),
+            Row(id="b", val="v3", updated_at="2024-01-01"),
+        ]
+    )
+    got = {r.id: r.val for r in dedupe_staging(dup, ["id"], "updated_at").collect()}
+    assert got == {"a": "v2", "b": "v3"}
+
+
+def test_final_load_dispatch(spark, target, staging, tmp_path):
+    tpath, spath = str(tmp_path / "target"), str(tmp_path / "staging")
+    final_load(spark, target, tpath, spath, ["id"], "Create")
+    assert spark.read.parquet(tpath).count() == 6
+    final_load(spark, staging, tpath, spath, ["id"], "Update")
+    got = {r.id: r.val for r in spark.read.parquet(tpath).collect()}
+    assert got["k0"] == "old0" and got["k3"] == "new3" and got["k8"] == "new8"
+    assert not os.path.exists(spath)  # staging dropped
+    with pytest.raises(ValueError):
+        final_load(spark, staging, tpath, spath, ["id"], "Upsert")
+
+
+def test_upsert_partitioned_touches_only_batch_partitions(spark, tmp_path):
+    tpath = str(tmp_path / "ptarget")
+    base = spark.createDataFrame(
+        [Row(id=f"k{i}", dt=f"2024-01-0{1 + i % 3}", val="old") for i in range(9)]
+    )
+    base.write.partitionBy("dt").parquet(tpath)
+    batch = spark.createDataFrame(
+        [Row(id="k0", dt="2024-01-01", val="new"), Row(id="x9", dt="2024-01-01", val="new")]
+    )
+    upsert_partitioned(spark, tpath, batch, ["id"], "dt")
+    out = spark.read.parquet(tpath)
+    assert out.count() == 10
+    assert out.filter((F.col("id") == "k0")).collect()[0].val == "new"
+    # untouched partition rows intact
+    assert out.filter(F.col("dt") == "2024-01-02").count() == 3
