@@ -19,6 +19,17 @@ from gmt_dbt_spark.registry import query
 
 
 @query(
+    "scan_parquet",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base table scan — the read path under every model (the
+    reference's external-table scan, `main.py:314-349`); plain
+    columnar parquet read with pushdown left to Catalyst."""
+    return table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
     "flagship_revenue_by_region",
     oracle="""
 SELECT r_name,

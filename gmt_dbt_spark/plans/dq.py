@@ -1,0 +1,57 @@
+"""dbt-style data-quality tests — SURVEY.md §5.3.
+
+The reference declares a dbt test surface but ships it empty
+(`dbt_project.yml:13` test-paths, `tests/` contains only .gitkeep;
+`models/yelp/source.yml:1-18` has no `tests:` keys). These four are
+the dbt built-in schema tests that project *should* have had; each is
+an operator returning the VIOLATING rows — a test passes when its
+result is empty, exactly dbt's contract.
+
+Every test is a pure DataFrame plan (filter / groupBy-having /
+left-anti join), so at 100 TB it inherits Catalyst pushdown and AQE:
+`not_null` and `accepted_values` are scan-side filters with zero
+shuffle; `unique` is one hash aggregate on the key; `relationships`
+is a join that broadcasts whenever the parent key side is small.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def test_not_null(df: DataFrame, column: str) -> DataFrame:
+    """Rows where `column` IS NULL (dbt `not_null`)."""
+    return df.filter(F.col(column).isNull())
+
+
+def test_unique(df: DataFrame, column: str) -> DataFrame:
+    """Key values appearing more than once (dbt `unique`)."""
+    return (
+        df.groupBy(column)
+        .agg(F.count("*").alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def test_accepted_values(
+    df: DataFrame, column: str, values: Sequence[str]
+) -> DataFrame:
+    """Rows whose `column` is outside the accepted set (dbt
+    `accepted_values`; NULL is not a violation, per dbt)."""
+    col: Column = F.col(column)
+    return df.filter(col.isNotNull() & ~col.isin(list(values)))
+
+
+def test_relationships(
+    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
+) -> DataFrame:
+    """Child rows whose key has no parent (dbt `relationships`) —
+    referential integrity as a left-anti join; NULL child keys are
+    not violations (NOT EXISTS semantics)."""
+    parent_keys = parent.select(F.col(parent_key).alias("__pk")).distinct()
+    return child.filter(F.col(child_key).isNotNull()).join(
+        parent_keys, child[child_key] == parent_keys["__pk"], "left_anti"
+    )

@@ -1,0 +1,194 @@
+"""Driver-facing queries for the model DAG + data-quality layer.
+
+`model_dag` exercises the full dbt lifecycle the reference runs
+(`dbt run`, SURVEY.md §3.2): source resolution → compile → toposort →
+threaded materialization (threads=4, `profile.yml:9`) → mart read.
+The dq_* queries are the dbt built-in schema tests (SURVEY.md §5.3)
+summarized to stable one-row-per-check results.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.plans import dq
+from gmt_dbt_spark.plans.models import Model, ModelProject
+from gmt_dbt_spark.registry import query
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+SCRATCH = os.path.join(REPO, ".scratch")
+
+
+_MODELS = [
+    # bronze copies of staging sources — the reference's 8 models'
+    # shape ({{config}} + select from {{source}}), with named columns
+    # instead of its `SELECT *` (column pruning, SURVEY.md §4).
+    Model(
+        "bronze_orders",
+        """
+        {{ config(materialized='table') }}
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM {{ source('stg', 'orders') }}
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        """,
+    ),
+    Model(
+        "bronze_customer",
+        """
+        {{ config(materialized='view') }}
+        SELECT c_custkey, c_nationkey FROM {{ source('stg', 'customer') }}
+        """,
+    ),
+    # mart joining two ref() models and a source — the DAG level dbt
+    # schedules after both bronze models complete.
+    Model(
+        "mart_nation_orders",
+        """
+        {{ config(materialized='table') }}
+        SELECT n.n_name,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS STRING)
+                    AS DOUBLE) AS total_price
+        FROM {{ ref('bronze_orders') }} o
+        JOIN {{ ref('bronze_customer') }} c ON o.o_custkey = c.c_custkey
+        JOIN {{ source('stg', 'nation') }} n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """,
+    ),
+]
+
+
+@query(
+    "model_dag",
+    oracle="""
+SELECT n.n_name,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS VARCHAR)
+            AS DOUBLE) AS total_price
+FROM (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01') o
+JOIN (SELECT c_custkey, c_nationkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def model_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run a three-model dbt-style DAG (bronze ×2 → mart) end-to-end:
+    compile (config/source/ref), toposort, 4-thread execution, table
+    + view materializations — and return the mart's materialized
+    read-back, proving the full `dbt run` lifecycle on Spark."""
+    for t in ("orders", "customer", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"stg_{t}")
+    sources = {("stg", t): f"stg_{t}" for t in ("orders", "customer", "nation")}
+    project = ModelProject(
+        spark,
+        [Model(m.name, m.raw_sql) for m in _MODELS],  # fresh copies per run
+        sources,
+        warehouse_dir=os.path.join(SCRATCH, "model_warehouse"),
+        threads=4,
+    )
+    return project.run()["mart_nation_orders"]
+
+
+def _counted(name: str, violations: DataFrame) -> DataFrame:
+    return violations.agg(
+        F.lit(name).alias("check_name"), F.count("*").alias("n_violations")
+    )
+
+
+@query(
+    "dq_not_null",
+    oracle="""
+SELECT 'customer.c_name' AS check_name,
+       COUNT(*) FILTER (WHERE c_name IS NULL) AS n_violations
+FROM customer
+UNION ALL
+SELECT 'orders.o_custkey', COUNT(*) FILTER (WHERE o_custkey IS NULL)
+FROM orders
+""",
+)
+def dq_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt `not_null` over two columns, summarized to counts."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return _counted(
+        "customer.c_name", dq.test_not_null(customer, "c_name")
+    ).unionAll(_counted("orders.o_custkey", dq.test_not_null(orders, "o_custkey")))
+
+
+@query(
+    "dq_unique",
+    oracle="""
+SELECT 'orders.o_orderkey' AS check_name, COUNT(*) AS n_violations
+FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'lineitem.l_orderkey', COUNT(*)
+FROM (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1)
+""",
+)
+def dq_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt `unique`: a passing check (orders PK) and a failing one
+    (lineitem's key repeats per line number) — proving the test
+    detects real duplication, not just vacuous truth."""
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    return _counted(
+        "orders.o_orderkey", dq.test_unique(orders, "o_orderkey")
+    ).unionAll(_counted("lineitem.l_orderkey", dq.test_unique(lineitem, "l_orderkey")))
+
+
+@query(
+    "dq_accepted_values",
+    oracle="""
+SELECT 'orders.o_orderstatus IN (O,F)' AS check_name,
+       COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('O','F')) AS n_violations
+FROM orders
+""",
+)
+def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt `accepted_values` on o_orderstatus against {O, F} — the
+    'P' (pending) rows are real violations the check must count."""
+    orders = table(spark, sf_dir, "orders")
+    return _counted(
+        "orders.o_orderstatus IN (O,F)",
+        dq.test_accepted_values(orders, "o_orderstatus", ["O", "F"]),
+    )
+
+
+@query(
+    "dq_relationships",
+    oracle="""
+SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS check_name,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+UNION ALL
+SELECT 'orders.o_custkey -> customer.c_custkey',
+       (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+""",
+)
+def dq_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt `relationships` (referential integrity) via left-anti
+    join; the parent key set broadcasts when small."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return _counted(
+        "lineitem.l_orderkey -> orders.o_orderkey",
+        dq.test_relationships(lineitem, "l_orderkey", orders, "o_orderkey"),
+    ).unionAll(
+        _counted(
+            "orders.o_custkey -> customer.c_custkey",
+            dq.test_relationships(orders, "o_custkey", customer, "c_custkey"),
+        )
+    )

@@ -77,4 +77,5 @@ def _load_all() -> None:
     import gmt_dbt_spark.operators.multimodal  # noqa: F401
     import gmt_dbt_spark.streaming.windows  # noqa: F401
     import gmt_dbt_spark.streaming.stateful  # noqa: F401
+    import gmt_dbt_spark.plans.queries  # noqa: F401
     _LOADED = True

@@ -1,0 +1,84 @@
+"""Model-DAG runner tests: Jinja-lite compile, ref-edge toposort,
+threaded execution, table-vs-view materialization, and the dbt
+contract errors (undeclared source, unknown ref, cycle)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.plans import dq
+from gmt_dbt_spark.plans.models import Model, ModelProject, compile_model
+
+SRC = {("stg", "t1"): "src_t1", ("stg", "t2"): "src_t2"}
+
+
+def test_compile_resolves_directives():
+    m = Model(
+        "m1",
+        "{{ config(materialized='table') }}\n"
+        "SELECT * FROM {{ source('stg', 't1') }} "
+        "JOIN {{ ref('m0') }} USING (k)",
+    )
+    compile_model(m, SRC, {"m0", "m1"})
+    assert m.materialized == "table"
+    assert m.depends_on == ["m0"]
+    assert "src_t1" in m.compiled_sql
+    assert "{{" not in m.compiled_sql
+
+
+def test_compile_rejects_undeclared_source():
+    # the reference's own defect: 2 models reference sources missing
+    # from source.yml (SURVEY.md §3.2 defect 1) — we enforce the
+    # contract dbt enforces.
+    m = Model("bad", "SELECT * FROM {{ source('stg', 'nope') }}")
+    with pytest.raises(KeyError, match="undeclared source"):
+        compile_model(m, SRC, {"bad"})
+
+
+def test_compile_rejects_unknown_ref():
+    m = Model("bad", "SELECT * FROM {{ ref('ghost') }}")
+    with pytest.raises(KeyError, match="unknown model"):
+        compile_model(m, SRC, {"bad"})
+
+
+def test_cycle_detection(spark, tmp_path):
+    a = Model("a", "SELECT * FROM {{ ref('b') }}")
+    b = Model("b", "SELECT * FROM {{ ref('a') }}")
+    with pytest.raises(ValueError, match="cycle"):
+        ModelProject(spark, [a, b], SRC, str(tmp_path)).run()
+
+
+def test_dag_runs_in_dependency_order(spark, tmp_path):
+    spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string").createOrReplaceTempView(
+        "src_t1"
+    )
+    models = [
+        # declared mart-first to prove order comes from edges, not list position
+        Model(
+            "mart",
+            "{{ config(materialized='table') }} "
+            "SELECT k, upper(v) AS v FROM {{ ref('bronze') }}",
+        ),
+        Model("bronze", "SELECT k, v FROM {{ source('stg', 't1') }} WHERE k > 1"),
+    ]
+    out = ModelProject(spark, models, SRC, str(tmp_path), threads=4).run()
+    assert [r.asDict() for r in out["mart"].collect()] == [{"k": 2, "v": "Y"}]
+    # table materialization produced a parquet-backed copy; view did not
+    assert (tmp_path / "mart").exists()
+    assert not (tmp_path / "bronze").exists()
+    # both are queryable as views afterwards (dbt's ref contract)
+    assert spark.sql("SELECT COUNT(*) AS n FROM mart").first().n == 1
+
+
+def test_dq_primitives(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, None), (3, "zz")], "k int, v string"
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk int")
+    assert dq.test_not_null(df, "v").count() == 1
+    dups = dq.test_unique(df, "k").collect()
+    assert [(r.k, r.n_rows) for r in dups] == [(1, 2)]
+    assert {r.k for r in dq.test_accepted_values(df, "v", ["a", "b"]).collect()} == {3}
+    assert {r.k for r in dq.test_relationships(df, "k", parent, "pk").collect()} == {3}
