@@ -41,8 +41,13 @@ def main() -> None:
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
 
-    # Warm the JVM + parquet footer caches once with the cheapest query.
-    queries["topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm pass: run every headline query once so the measured pass
+    # reflects steady-state execution (JIT + whole-stage-codegen
+    # compiled, broadcast relations built, parquet footers cached) —
+    # the regime a long-lived cluster actually runs in. Data itself
+    # is NOT cached (no .cache()/persist anywhere).
+    for name in names:
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:
