@@ -1,0 +1,98 @@
+"""Physical-plan guards — the 100 TB contract, pinned in CI.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is
+the one that survives a 1000-executor cluster: filters reach the
+parquet scan, projections prune the read schema, dimension joins
+broadcast instead of shuffling the fact table, windows shuffle once,
+and partitioned writes give partition-pruned reads. A regression that
+keeps results right but de-optimizes the plan fails here.
+"""
+
+from __future__ import annotations
+
+import io
+import contextlib
+import re
+
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.registry import all_queries
+
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def tree_of(plan: str) -> str:
+    """Just the operator tree (each node once), not the detail section."""
+    return plan.split("\n\n(1)")[0]
+
+
+def test_flagship_plan_shape(spark):
+    plan = plan_of(all_queries()["flagship_revenue_by_region"](spark, SF_DIR))
+    # date filter pushed into the orders parquet scan
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate", plan)
+    # lineitem scan pruned to exactly the 3 needed columns
+    assert re.search(
+        r"ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,"
+        r"l_discount:double>",
+        plan,
+    )
+    tree = tree_of(plan)
+    # every join is broadcast — the fact table is never shuffled for a join
+    assert tree.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in tree
+    # exactly one aggregation shuffle (partial/final hash agg pair)
+    assert tree.count("HashAggregate") == 2
+
+
+def test_window_single_shuffle(spark):
+    tree = tree_of(plan_of(all_queries()["win_frame_rows"](spark, SF_DIR)))
+    # one Exchange (hash partition by the window key), one Sort, one Window
+    assert tree.count("Exchange") == 1
+    assert tree.count("Window") == 1
+
+
+def test_projection_prunes_scan(spark):
+    plan = plan_of(all_queries()["project_exprs"](spark, SF_DIR))
+    read = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    # far fewer columns than lineitem's 16
+    assert len(read.split(",")) <= 6
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(all_queries()["topk"](spark, SF_DIR))
+    # sort+limit must plan as TakeOrderedAndProject (no global sort)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dq_relationships_broadcasts_parent(spark):
+    plan = plan_of(all_queries()["dq_relationships"](spark, SF_DIR))
+    # referential check = anti join with broadcast parent key sets
+    assert "BroadcastHashJoin LeftAnti" in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Date-partitioned sink (the 100 TB layout for fact tables) must
+    yield partition-pruned scans: a month filter reads 1 partition."""
+    from gmt_dbt_spark.catalog import table
+    from gmt_dbt_spark.sources.sinks import sink_overwrite
+
+    path = str(tmp_path / "orders_bymonth")
+    orders = table(spark, SF_DIR, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    sink_overwrite(orders, path, partition_by=["o_month"])
+
+    scan = spark.read.parquet(path).filter(F.col("o_month") == "1996-01")
+    plan = plan_of(scan)
+    m = re.search(r"PartitionFilters: \[.*o_month.*=.*1996-01.*\]", plan)
+    assert m, f"expected partition filter in plan:\n{plan}"
+    # pruning is real: the pruned count matches the predicate count
+    expected = orders.filter(F.col("o_month") == "1996-01").count()
+    assert scan.count() == expected > 0
