@@ -1,0 +1,222 @@
+"""Composite SQL-surface queries — SURVEY.md §2 [surface] depth.
+
+dbt models are arbitrary SQL (`dbt_project.yml:11` accepts any model
+file), so hosting the reference's transform layer means hosting the
+full analytic-SQL shapes BigQuery would have executed: CTEs, scalar/
+IN/EXISTS subqueries (Catalyst decorrelates — SURVEY.md §4),
+conditional-aggregation pivots, and multi-join reporting queries
+(TPC-H Q1/Q3 shapes). These run through ``spark.sql`` over registered
+views — the literal path a dbt-style model takes in this engine
+(`plans/models.py` compiles to the same call).
+
+Arithmetic follows the exprs.py contract: double aggregates go
+through exact DECIMAL and the VARCHAR-cast route on both engines so
+the driver's value-hash compares bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.registry import query
+
+_DSUM = "CAST(CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS {str_t}) AS DOUBLE)"
+
+
+def _sql(spark: SparkSession, sf_dir: str, tables: list[str], sql: str) -> DataFrame:
+    for t in tables:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+@query(
+    "sql_cte",
+    oracle="""
+WITH big_orders AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  WHERE o_totalprice > 300000
+),
+cust_counts AS (
+  SELECT o_custkey, COUNT(*) AS n_big FROM big_orders GROUP BY o_custkey
+)
+SELECT n_big, COUNT(*) AS n_custs
+FROM cust_counts GROUP BY n_big
+""",
+)
+def sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained CTEs (the shape every nontrivial dbt model uses)."""
+    return _sql(
+        spark,
+        sf_dir,
+        ["orders"],
+        """
+        WITH big_orders AS (
+          SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          WHERE o_totalprice > 300000
+        ),
+        cust_counts AS (
+          SELECT o_custkey, COUNT(*) AS n_big FROM big_orders GROUP BY o_custkey
+        )
+        SELECT n_big, COUNT(*) AS n_custs
+        FROM cust_counts GROUP BY n_big
+        """,
+    )
+
+
+@query(
+    "sql_subquery_scalar",
+    oracle="""
+SELECT p_brand, COUNT(*) AS n_parts
+FROM part
+WHERE p_retailprice >
+      (SELECT CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(25,6))) AS VARCHAR)
+               AS DOUBLE) / COUNT(p_retailprice)
+       FROM part)
+GROUP BY p_brand
+""",
+)
+def sql_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a predicate (above-average
+    filter) — planned as a one-row broadcast, not a driver collect."""
+    return _sql(
+        spark,
+        sf_dir,
+        ["part"],
+        """
+        SELECT p_brand, COUNT(*) AS n_parts
+        FROM part
+        WHERE p_retailprice >
+              (SELECT CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(25,6))) AS STRING)
+                       AS DOUBLE) / COUNT(p_retailprice)
+               FROM part)
+        GROUP BY p_brand
+        """,
+    )
+
+
+_Q_EXISTS = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_exists_correlated", oracle=_Q_EXISTS)
+def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape) — Catalyst decorrelates to
+    a left-semi join on l_orderkey; no per-row subquery execution."""
+    return _sql(spark, sf_dir, ["orders", "lineitem"], _Q_EXISTS)
+
+
+_Q_IN = """
+SELECT s_nationkey, COUNT(*) AS n_suppliers
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49)
+GROUP BY s_nationkey
+"""
+
+
+@query("sql_in_subquery", oracle=_Q_IN)
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → left-semi join after decorrelation."""
+    return _sql(spark, sf_dir, ["supplier", "lineitem"], _Q_IN)
+
+
+_Q_PIVOT = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+@query("sql_case_pivot", oracle=_Q_PIVOT)
+def sql_case_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation pivot (TPC-H Q12 shape)."""
+    return _sql(spark, sf_dir, ["orders", "lineitem"], _Q_PIVOT)
+
+
+_Q1_BODY = """
+SELECT l_returnflag,
+       l_linestatus,
+       {dsum_qty} AS sum_qty,
+       {dsum_base} AS sum_base_price,
+       {dsum_disc} AS sum_disc_price,
+       {dsum_charge} AS sum_charge,
+       {dsum_qty} / COUNT(l_quantity) AS avg_qty,
+       {dsum_base} / COUNT(l_extendedprice) AS avg_price,
+       {dsum_d} / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q1(str_t: str) -> str:
+    d = {
+        "dsum_qty": _DSUM.format(x="l_quantity", str_t=str_t),
+        "dsum_base": _DSUM.format(x="l_extendedprice", str_t=str_t),
+        "dsum_disc": _DSUM.format(
+            x="CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))",
+            str_t=str_t,
+        ),
+        "dsum_charge": _DSUM.format(
+            x="CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))"
+            " * CAST(1 + l_tax AS DECIMAL(18,6))",
+            str_t=str_t,
+        ),
+        "dsum_d": _DSUM.format(x="l_discount", str_t=str_t),
+    }
+    return _Q1_BODY.format(**d)
+
+
+@query("tpch_q1", oracle=_q1("VARCHAR"))
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the canonical wide-aggregate scan;
+    map-side partial aggregation reduces 6 M rows/SF to 4 groups
+    before the single shuffle."""
+    return _sql(spark, sf_dir, ["lineitem"], _q1("STRING"))
+
+
+_Q3 = """
+SELECT l_orderkey,
+       {dsum_rev} AS revenue,
+       o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def _q3(str_t: str) -> str:
+    return _Q3.format(
+        dsum_rev=_DSUM.format(
+            x="CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))",
+            str_t=str_t,
+        )
+    )
+
+
+@query("tpch_q3", oracle=_q3("VARCHAR"))
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority — selective dim filter broadcast
+    into the fact join, group-sum, deterministic top-10."""
+    return _sql(spark, sf_dir, ["customer", "orders", "lineitem"], _q3("STRING"))
