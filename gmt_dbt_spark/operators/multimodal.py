@@ -138,3 +138,99 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     for production."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return decode_batches(attach_payload(docs), stub=True)
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, width int, height int, target_width int, target_height int, "
+    "resized_bytes bigint"
+)
+
+
+def resize_payload(payload: bytes, target: int, stub: bool = True) -> dict:
+    """Resize one image payload to fit in a target×target box,
+    preserving aspect ratio. Stub codec: dimensions come from the
+    content digest (same fake as decode_payload); the 'resized' byte
+    size scales by pixel ratio — deterministic, codec-free."""
+    if not stub:
+        raise NotImplementedError("real resize needs PIL — not in this container")
+    d = decode_payload(payload, stub=True)
+    w, h = d["width"], d["height"]
+    scale = min(target / w, target / h, 1.0)
+    tw, th = max(1, int(w * scale)), max(1, int(h * scale))
+    return {
+        "width": w,
+        "height": h,
+        "target_width": tw,
+        "target_height": th,
+        "resized_bytes": max(1, int(len(payload) * (tw * th) / (w * h))),
+    }
+
+
+def resize_batches(df: DataFrame, target: int = 32, stub: bool = True) -> DataFrame:
+    """mapInPandas resize: 1 row in → 1 row out per payload; batch
+    shape identical to decode (the production pattern for any
+    per-image transform)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rs = [resize_payload(p, target, stub=stub) for p in pdf["payload"]]
+            out = pd.DataFrame(rs)
+            out.insert(0, "doc_id", pdf["doc_id"].astype("int64").values)
+            yield out
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_ts_ms bigint, frame_hash string"
+
+
+def sample_frames(payload: bytes, every_ms: int, stub: bool = True) -> list[dict]:
+    """Sample frames from a video payload at a fixed interval.
+    Stub codec: duration and per-frame hashes derive deterministically
+    from the content digest; a real ffmpeg probe/extract plugs into
+    the same signature."""
+    if not stub:
+        raise NotImplementedError("real frame sampling needs ffmpeg")
+    digest = hashlib.sha256(payload).digest()
+    duration_ms = 1000 + int.from_bytes(digest[2:4], "big") % 9000
+    frames = []
+    for i, ts in enumerate(range(0, duration_ms, every_ms)):
+        fh = hashlib.sha256(digest + ts.to_bytes(4, "big")).hexdigest()[:16]
+        frames.append({"frame_idx": i, "frame_ts_ms": ts, "frame_hash": fh})
+    return frames
+
+
+def frame_sample_batches(
+    df: DataFrame, every_ms: int = 1000, stub: bool = True
+) -> DataFrame:
+    """mapInPandas frame sampling: 1 payload row in → N frame rows
+    out (table-function shape through the Arrow boundary) — the
+    per-video fan-out pattern for caption/embedding pipelines."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for fr in sample_frames(payload, every_ms, stub=stub):
+                    rows.append({"doc_id": int(doc_id), **fr})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_ts_ms", "frame_hash"]
+            )
+
+    return df.mapInPandas(run, FRAMES_SCHEMA)
+
+
+@query("multimodal_resize")  # rows-only: stubbed codec, no SQL analogue
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize over the binary payload column via
+    mapInPandas (stub codec, real plumbing)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return resize_batches(attach_payload(docs), target=32, stub=True)
+
+
+@query("multimodal_frame_sample")  # rows-only: stubbed codec
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video frame sampling (1 → N rows through mapInPandas),
+    deterministic stub timeline."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return frame_sample_batches(attach_payload(docs), every_ms=1000, stub=True)

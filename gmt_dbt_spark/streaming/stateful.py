@@ -22,7 +22,9 @@ from __future__ import annotations
 import os
 import shutil
 import uuid
+from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -87,6 +89,117 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "ts", "user_id", "event_type")
     )
+
+
+STATE_OUT_SCHEMA = "user_id bigint, n_events bigint, total double, last_ts timestamp"
+
+
+def running_totals_stateful(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per
+    user_id, maintain (n_events, exact decimal total, last event ts)
+    across micro-batches and emit the updated state each batch.
+
+    This is the escape hatch for operators Structured Streaming's
+    built-ins can't express (the reference has no streaming at all —
+    [ext], SURVEY.md §2.J). State is per-key and O(1); at 100 TB of
+    stream history the state store holds |users| rows, not |events|.
+    The exact-integer total (micro-units) keeps the result independent
+    of micro-batch boundaries and reduce order.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, total_micro, last = (
+            state.get if state.exists else (0, 0, None)
+        )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            # sum in integer micro-units: associative + exact (each
+            # per-batch float sum is within 0.5 micro of the decimal
+            # sum, so the rounded increment is exact per batch and
+            # errors cannot accumulate across batches)
+            total_micro += int(round(float(pdf["value"].sum()) * 1e6))
+            mx = pdf["ts"].max()
+            last = mx if last is None or mx > last else last
+        state.update((n, total_micro, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total": [total_micro / 1e6],
+                "last_ts": [last],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=STATE_OUT_SCHEMA,
+        stateStructType="n bigint, total_micro bigint, last_ts timestamp",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "stream_custom_state",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total,
+       MAX(ts) AS last_ts
+FROM events GROUP BY user_id
+""",
+)
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming execution of the applyInPandasWithState
+    operator: events replayed as two files through a file source,
+    per-user running totals maintained in the state store across
+    micro-batches; the last emitted update per user must equal the
+    full-input aggregate no matter how the input was micro-batched."""
+    run_dir = os.path.join(SCRATCH, f"stream_state_{uuid.uuid4().hex[:8]}")
+    src_dir = os.path.join(run_dir, "src")
+    ckpt = os.path.join(run_dir, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    name = f"state_t_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = table(spark, sf_dir, "events")
+        ev.filter(F.col("event_id") % 2 == 0).toPandas().to_json(
+            os.path.join(src_dir, "part-0.json"), orient="records", lines=True,
+            date_format="iso", date_unit="us",
+        )
+        ev.filter(F.col("event_id") % 2 == 1).toPandas().to_json(
+            os.path.join(src_dir, "part-1.json"), orient="records", lines=True,
+            date_format="iso", date_unit="us",
+        )
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src_dir)
+        )
+        q = (
+            running_totals_stateful(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # memory sink in update mode appends every per-batch state
+        # update; n_events strictly grows per user, so the final
+        # state is the max-n_events row — no reliance on row order.
+        final: dict[int, tuple] = {}
+        for r in spark.table(name).collect():
+            cur = final.get(r.user_id)
+            if cur is None or r.n_events > cur[1]:
+                final[r.user_id] = (r.user_id, r.n_events, r.total, r.last_ts)
+        return spark.createDataFrame(list(final.values()), STATE_OUT_SCHEMA)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+        spark.catalog.dropTempView(name)
 
 
 @query(

@@ -19,6 +19,10 @@ from gmt_dbt_spark.operators.multimodal import (
     attach_payload,
     decode_batches,
     decode_payload,
+    frame_sample_batches,
+    resize_batches,
+    resize_payload,
+    sample_frames,
 )
 from gmt_dbt_spark.operators.similarity import cosine, dot
 from gmt_dbt_spark.sources.readers import scan_json
@@ -84,3 +88,46 @@ def test_decode_batches_plumbing(spark, reviews):
     assert set(out.columns) == {"doc_id", "mime", "n_bytes", "width", "height", "features"}
     assert all(len(r.features) == 8 for r in rows)
     assert all(16 <= r.width < 80 for r in rows)
+
+
+def test_resize_preserves_aspect_and_bounds():
+    r = resize_payload(b"some image bytes", target=32)
+    assert max(r["target_width"], r["target_height"]) <= 32
+    # aspect ratio preserved within integer rounding
+    assert abs(
+        r["target_width"] / r["target_height"] - r["width"] / r["height"]
+    ) < 0.2
+    # no upscaling: a payload already smaller than target keeps its dims
+    small = resize_payload(b"some image bytes", target=1024)
+    assert (small["target_width"], small["target_height"]) == (
+        small["width"], small["height"],
+    )
+
+
+def test_resize_batches_plumbing(spark, reviews):
+    docs = reviews.limit(10).select(
+        F.monotonically_increasing_id().alias("doc_id"), F.col("text")
+    )
+    rows = resize_batches(attach_payload(docs), target=32).collect()
+    assert len(rows) == 10
+    assert all(max(r.target_width, r.target_height) <= 32 for r in rows)
+
+
+def test_frame_sampling_deterministic_timeline():
+    frames = sample_frames(b"a video", every_ms=1000)
+    assert frames == sample_frames(b"a video", every_ms=1000)
+    assert [f["frame_idx"] for f in frames] == list(range(len(frames)))
+    assert all(f["frame_ts_ms"] % 1000 == 0 for f in frames)
+    assert 1 <= len(frames) <= 10  # duration stub is 1-10 s
+
+
+def test_frame_sample_batches_fanout(spark, reviews):
+    docs = reviews.limit(5).select(
+        F.monotonically_increasing_id().alias("doc_id"), F.col("text")
+    )
+    out = frame_sample_batches(attach_payload(docs), every_ms=1000).collect()
+    assert len(out) >= 5  # 1 → N fan-out
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
