@@ -141,6 +141,61 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join: when one key carries a pathological
+    share of the left side (beyond what AQE's skew splitting fixes),
+    shard each left row into one of ``n_salts`` sub-keys and
+    replicate the right side across all salts — the hot key's rows
+    spread over n_salts reducers instead of one straggler.
+
+    Left-side columns keep their names; use for fact⋈dim where the
+    dim is too big to broadcast but small enough to replicate ×salts.
+    """
+    salted_l = left.withColumn(
+        "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
+    )
+    salted_r = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    out = salted_l.join(salted_r, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+@query(
+    "join_salted",
+    oracle="""
+SELECT n_name, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def join_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salting pattern exercised end-to-end: orders⋈customer with
+    16-way salt (identical answer to the unsalted join — salting is
+    a pure physical rewrite), then the usual dim rollup."""
+    o = table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    c = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("custkey"), "c_nationkey")
+    )
+    n = table(spark, sf_dir, "nation")
+    joined = join_salted(o, c, key="custkey", n_salts=16)
+    return (
+        joined.join(F.broadcast(n), joined.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
 @query(
     "join_cross",
     oracle="""

@@ -77,6 +77,53 @@ def test_dq_relationships_broadcasts_parent(spark):
     assert "BroadcastHashJoin LeftAnti" in plan
 
 
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketing both sides of a recurring join key pre-shuffles at
+    write time: the join plans with NO Exchange on either side — the
+    amortization strategy for repeated 100 TB fact⋈fact joins."""
+    from gmt_dbt_spark.catalog import table
+
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS bkt_{name}")
+        (
+            table(spark, SF_DIR, name)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / f"bkt_{name}"))
+            .saveAsTable(f"bkt_{name}")
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_orders").join(
+            spark.table("bkt_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        tree = tree_of(plan_of(joined))
+        assert "SortMergeJoin" in tree
+        assert "Exchange" not in tree, f"bucketed join must not shuffle:\n{tree}"
+        # and it still answers correctly
+        n = joined.count()
+        assert n == table(spark, SF_DIR, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("orders", "lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS bkt_{name}")
+
+
+def test_salted_join_matches_unsalted(spark):
+    from gmt_dbt_spark.operators.joins import join_salted
+    from gmt_dbt_spark.catalog import table
+
+    o = table(spark, SF_DIR, "orders").withColumnRenamed("o_custkey", "custkey")
+    c = table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    plain = o.join(c, "custkey").count()
+    salted = join_salted(o, c, key="custkey", n_salts=8).count()
+    assert salted == plain
+
+
 def test_partitioned_write_prunes_partitions(spark, tmp_path):
     """Date-partitioned sink (the 100 TB layout for fact tables) must
     yield partition-pruned scans: a month filter reads 1 partition."""
