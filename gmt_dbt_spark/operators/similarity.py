@@ -169,6 +169,65 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_CENTROIDS = 16
+N_PROBE = 4
+
+
+def ivf_assign(v: DataFrame, centroids: DataFrame, n_lists: int = 1) -> DataFrame:
+    """Assign each vector to its ``n_lists`` most-similar centroids
+    (n_lists=1 → index assignment; n_lists=N_PROBE → query probing).
+    Centroids are broadcast (K vectors), so assignment is one
+    scan-side pass with no shuffle of the corpus."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("__csim").desc(), F.col("cid"))
+    return (
+        v.crossJoin(F.broadcast(centroids))
+        .withColumn("__csim", cosine(F.col("vec"), F.col("cvec")))
+        .withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= n_lists)
+        .drop("cvec", "__csim", "__crank")
+    )
+
+
+@query("sim_topk_ivf")  # rows-only: IVF is approximate by design
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF-Flat: K=16 coarse centroids (deterministic
+    sample of the corpus — production would refine them with a few
+    Lloyd iterations, sampling keeps the demo reproducible), every
+    vector assigned to its nearest centroid's inverted list, queries
+    probe the N_PROBE=4 nearest lists and re-rank exactly inside them.
+    At 100 TB: centroids broadcast, assignment is scan-side, and the
+    probe join is an equi-join on the list id touching N_PROBE/K of
+    the corpus."""
+    v = _vecs(spark, sf_dir)
+    centroids = (
+        v.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(K_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("vec").alias("cvec"))
+    )
+    lists = ivf_assign(v, centroids, n_lists=1)  # (vec_id, vec, label, cid)
+    q = ivf_assign(
+        v.filter(F.col("vec_id") < N_QUERIES), centroids, n_lists=N_PROBE
+    ).select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "cid")
+    cand = (
+        lists.join(q, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qvec", F.col("vec_id").alias("neighbor_id"), "vec")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("vec")).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 4).alias("score_r"))
+    )
+
+
 @query("dedup_embed_cosine")  # rows-only (approximate candidate generation)
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate detection: LSH-bucketed candidate

@@ -66,6 +66,29 @@ def test_dot_cosine_exprs(spark):
     assert abs(row.c - 1.0) < 1e-12  # parallel vectors
 
 
+def test_ivf_structure_and_recall(spark):
+    from gmt_dbt_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    ivf = qs["sim_topk_ivf"](spark, sf).collect()
+    exact = qs["sim_topk"](spark, sf).collect()
+    per_q = {}
+    for r in ivf:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    # ≤ TOP_K ranked rows per query, ranks contiguous from 1
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    assert all(len(v) <= 5 for v in per_q.values())
+    # probing 4/16 lists must find a nonzero share of the true top-k
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    ivf_set = {(r.query_id, r.neighbor_id) for r in ivf}
+    assert len(ivf_set & exact_set) > 0
+    # deterministic across runs
+    again = {(r.query_id, r.neighbor_id, r.rank)
+             for r in qs["sim_topk_ivf"](spark, sf).collect()}
+    assert again == {(r.query_id, r.neighbor_id, r.rank) for r in ivf}
+
+
 def test_decode_stub_deterministic():
     one = decode_payload(b"hello")
     two = decode_payload(b"hello")
