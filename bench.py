@@ -31,6 +31,7 @@ HEADLINE = [
     "set_union_distinct",
     "topk",
     "agg_collect",
+    "pipeline_text_curation",
 ]
 
 

@@ -1,0 +1,92 @@
+"""End-to-end training-data curation pipeline — the composite
+flagship for the LLM-data extensions (SURVEY.md §2.K): one dataflow
+chaining quality gate → exact dedup → per-corpus rollup, entirely in
+built-in expressions.
+
+This is the shape a pretraining data pipeline runs at 100 TB: the
+quality gate is a scan-side filter (pushdown-friendly, no shuffle),
+dedup shuffles 16-byte fingerprints instead of document bodies, and
+the final rollup is a partial-aggregated groupBy on low-cardinality
+keys. Three shuffles total, none carrying full text except the dedup
+semi-join's build side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.functions.text import _DUCK_TOKENS  # DuckDB twin of tokens_col
+from gmt_dbt_spark.operators.dedup import tokens_col
+from gmt_dbt_spark.registry import query
+
+MIN_TOKENS = 5
+MIN_CHARS = 30
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """Keep documents passing the minimum-length gate; attach the
+    token count (computed once, reused downstream)."""
+    t = docs.withColumn("toks", tokens_col(F.col("text")))
+    return t.filter(
+        (F.size("toks") >= MIN_TOKENS) & (F.length("text") >= MIN_CHARS)
+    )
+
+
+def dedup_keep_canonical(docs: DataFrame) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per content fingerprint —
+    fingerprints shuffle, bodies don't."""
+    keep = (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+@query(
+    "pipeline_text_curation",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, text, lang, source,
+         len({_DUCK_TOKENS}) AS n_tokens
+  FROM documents
+),
+gated AS (
+  SELECT * FROM toks WHERE n_tokens >= {MIN_TOKENS} AND length(text) >= {MIN_CHARS}
+),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+),
+deduped AS (
+  SELECT g.* FROM gated g JOIN keep k ON g.doc_id = k.doc_id
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       CAST(CAST(SUM(CAST(length(text) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+         / COUNT(*) AS avg_chars
+FROM deduped
+GROUP BY lang, source
+""",
+)
+def pipeline_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → quality gate → exact dedup → per-(lang, source)
+    corpus statistics: the one-statement curation pipeline a
+    pretraining run executes before tokenization."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    gated = quality_gate(docs).withColumn("n_tokens", F.size("toks"))
+    deduped = dedup_keep_canonical(gated)
+    return deduped.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (
+            F.sum(F.length("text").cast("decimal(25,6)"))
+            .cast("string")
+            .cast("double")
+            / F.count("*")
+        ).alias("avg_chars"),
+    )

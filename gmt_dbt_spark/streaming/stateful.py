@@ -60,8 +60,11 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming execution with controlled file-arrival order is in
     tests/test_streaming.py::test_watermark_drops_late_rows.)"""
     ev = table(spark, sf_dir, "events")
-    mx = ev.agg(F.max("ts")).collect()[0][0]
-    kept = ev.filter(F.col("ts") > F.lit(mx) - F.expr("INTERVAL 1 HOUR"))
+    # watermark as a broadcast scalar subquery — no driver collect
+    mx = ev.agg(F.max("ts").alias("__mx"))
+    kept = ev.crossJoin(F.broadcast(mx)).filter(
+        F.col("ts") > F.col("__mx") - F.expr("INTERVAL 1 HOUR")
+    )
     return (
         kept.groupBy(F.window("ts", "10 minutes").alias("w"))
         .agg(F.count("*").alias("n"))
