@@ -183,6 +183,81 @@ def sanitize_columns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_corrupt_records",
+    oracle=f"""
+SELECT user_id, text, CAST(score AS BIGINT) AS score
+FROM read_json('{os.path.join(REPO, "fixtures", "corrupt_records.ndjson")}',
+               format='newline_delimited', ignore_errors=true,
+               columns={{'user_id':'VARCHAR','text':'VARCHAR','score':'BIGINT'}})
+WHERE user_id IS NOT NULL
+""",
+)
+def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row tolerance: PERMISSIVE JSON scan captures bad
+    lines in `_corrupt_record` instead of failing the job — the
+    engine-side analogue of the reference's JSON-parse error trapping
+    (`main.py:204-212`, which skips whole files on first error; we
+    keep good rows and quarantine bad ones row-wise). The query
+    returns the clean rows; the corrupt-capture count is asserted in
+    tests/test_ingest.py."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("score", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = scan_json(spark, _fx("corrupt_records.ndjson"), schema=schema)
+    return df.filter(F.col("_corrupt_record").isNull()).select(
+        "user_id", "text", "score"
+    )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle=f"""
+SELECT user_id, business_id,
+       CAST(compliment_count AS BIGINT) AS compliment_count,
+       CAST(NULL AS VARCHAR) AS channel
+FROM read_json('{os.path.join(REPO, "fixtures", "yelp_tip.ndjson")}',
+               format='newline_delimited',
+               columns={{'user_id':'VARCHAR','business_id':'VARCHAR','text':'VARCHAR',
+                        'date':'VARCHAR','compliment_count':'BIGINT'}})
+UNION ALL
+SELECT user_id, business_id,
+       CAST(compliment_count AS BIGINT) AS compliment_count,
+       'mobile' AS channel
+FROM read_json('{os.path.join(REPO, "fixtures", "yelp_tip.ndjson")}',
+               format='newline_delimited',
+               columns={{'user_id':'VARCHAR','business_id':'VARCHAR','text':'VARCHAR',
+                        'date':'VARCHAR','compliment_count':'BIGINT'}})
+""",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: batch 1 without, and
+    batch 2 with a new `channel` column; `mergeSchema` unifies them
+    (old rows null-padded) — the capability BigQuery autodetect gives
+    the reference implicitly when source files gain fields."""
+    base = scan_json(spark, _fx("yelp_tip.ndjson")).select(
+        F.col("user_id").cast("string"),
+        F.col("business_id").cast("string"),
+        F.col("compliment_count").cast("bigint"),
+    )
+    path = os.path.join(SCRATCH, "evolving")
+    base.write.mode("overwrite").parquet(os.path.join(path, "batch=1"))
+    base.withColumn("channel", F.lit("mobile")).write.mode("overwrite").parquet(
+        os.path.join(path, "batch=2")
+    )
+    merged = spark.read.option("mergeSchema", True).option(
+        "recursiveFileLookup", True
+    ).parquet(path)
+    return merged.select("user_id", "business_id", "compliment_count", "channel")
+
+
+@query(
     "sink_overwrite",
     oracle=f"""
 SELECT user_id, business_id,

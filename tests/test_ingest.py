@@ -52,6 +52,28 @@ def test_csv_jagged_rows_null_filled(spark):
     assert jagged.count() == 5  # the 5 planted short rows
 
 
+def test_corrupt_records_quarantined(spark):
+    """PERMISSIVE scan: 47 good rows parse, 13 malformed lines land
+    in _corrupt_record (none dropped, job never fails)."""
+    from pyspark.sql import types as T
+    import pyspark.sql.functions as F
+    from gmt_dbt_spark.sources.readers import scan_json
+
+    fx = os.path.join(FIXTURES, "corrupt_records.ndjson")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("score", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = scan_json(spark, fx, schema=schema).cache()
+    assert df.filter(F.col("_corrupt_record").isNull()).count() == 47
+    assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 13
+    df.unpersist()
+
+
 def test_bronze_roundtrip(spark, tmp_path):
     src = scan_json(spark, f"{FIXTURES}/yelp_tip.ndjson")
     out = str(tmp_path / "bronze_tip")

@@ -1,0 +1,64 @@
+"""Property-based tests (hypothesis) for the pure-Python pieces:
+sanitize semantics (ported from the reference `main.py:215-230`,
+`main.py:384-387`) and the Jinja-lite model compiler. No Spark
+session — these run in milliseconds and fuzz the corners example
+tests miss (unicode, leading digits, empty strings, regex metachars).
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gmt_dbt_spark.plans.models import Model, compile_model
+from gmt_dbt_spark.sources.sanitize import sanitize_name, sanitize_table_name
+
+VALID = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+names = st.text(min_size=1, max_size=40)
+
+
+@given(names)
+@settings(max_examples=300)
+def test_sanitize_output_is_valid_identifier(name):
+    out = sanitize_name(name)
+    assert VALID.match(out), f"{name!r} -> {out!r}"
+
+
+@given(names)
+@settings(max_examples=300)
+def test_sanitize_idempotent(name):
+    once = sanitize_name(name)
+    assert sanitize_name(once) == once
+
+
+@given(names)
+@settings(max_examples=300)
+def test_sanitize_table_name_valid_and_idempotent(name):
+    out = sanitize_table_name(name)
+    assert VALID.match(out)
+    assert sanitize_table_name(out) == out
+
+
+@given(names)
+@settings(max_examples=300)
+def test_sanitize_preserves_already_clean(name):
+    # a name that is already a valid identifier must pass through
+    if VALID.match(name):
+        assert sanitize_name(name) == name
+
+
+@given(st.text(alphabet=string.ascii_lowercase + "_", min_size=1, max_size=12))
+@settings(max_examples=100)
+def test_compile_never_leaves_jinja(src_name):
+    m = Model(
+        "m",
+        "{{ config(materialized='view') }} "
+        f"SELECT 1 FROM {{{{ source('s', '{src_name}') }}}}",
+    )
+    compile_model(m, {("s", src_name): f"resolved_{src_name}"}, {"m"})
+    assert "{{" not in m.compiled_sql and "}}" not in m.compiled_sql
+    assert f"resolved_{src_name}" in m.compiled_sql

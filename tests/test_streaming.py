@@ -104,6 +104,45 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert got.get("2024-01-01T12:00:00") == 2
 
 
+def test_session_window_stream(spark, tmp_path):
+    """True streaming session windows: events 5 min apart fuse into
+    one session (gap 10 min); a 30-min silence then a new event opens
+    a second session; a far-future sentinel closes everything."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def ev(i, ts, uid=1):
+        return {"event_id": i, "ts": ts, "user_id": uid,
+                "event_type": "click", "value": 1.0}
+
+    batches = [
+        [ev(1, "2024-01-01T10:00:00"), ev(2, "2024-01-01T10:05:00")],
+        [ev(3, "2024-01-01T10:40:00")],          # > 10 min gap → new session
+        [ev(4, "2024-01-01T13:00:00", uid=99)],  # sentinel advances watermark
+    ]
+
+    def agg(df):
+        return (
+            df.withWatermark("ts", "5 minutes")
+            .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("session_window.start").alias("s"),
+                F.col("session_window.end").alias("e"),
+                "user_id",
+                "n",
+            )
+        )
+
+    out = _run_stream(spark, src, agg, "session_t", batches)
+    rows = {(r.s.isoformat(), r.e.isoformat(), r.n)
+            for r in out.collect() if r.user_id == 1}
+    # session 1: 10:00–10:05 events, extends 10 min past the last event
+    assert ("2024-01-01T10:00:00", "2024-01-01T10:15:00", 2) in rows
+    # session 2: the lone 10:40 event
+    assert ("2024-01-01T10:40:00", "2024-01-01T10:50:00", 1) in rows
+
+
 def test_streaming_dedup(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)
