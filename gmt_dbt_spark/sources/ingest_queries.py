@@ -193,26 +193,20 @@ WHERE user_id IS NOT NULL
 """,
 )
 def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Malformed-row tolerance: PERMISSIVE JSON scan captures bad
-    lines in `_corrupt_record` instead of failing the job — the
-    engine-side analogue of the reference's JSON-parse error trapping
-    (`main.py:204-212`, which skips whole files on first error; we
-    keep good rows and quarantine bad ones row-wise). The query
-    returns the clean rows; the corrupt-capture count is asserted in
-    tests/test_ingest.py."""
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("user_id", T.StringType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("score", T.LongType()),
-            T.StructField("_corrupt_record", T.StringType()),
-        ]
-    )
-    df = scan_json(spark, _fx("corrupt_records.ndjson"), schema=schema)
-    return df.filter(F.col("_corrupt_record").isNull()).select(
-        "user_id", "text", "score"
+    """Malformed-row tolerance — the engine-side analogue of the
+    reference's JSON-parse error trapping (`main.py:204-212`, which
+    skips whole files on first error; we drop or quarantine bad rows
+    row-wise and the job never fails). This query takes the
+    DROPMALFORMED path (clean rows only — safe under any downstream
+    pruning); the PERMISSIVE `_corrupt_record` quarantine variant is
+    exercised in tests/test_ingest.py (it requires a cache before
+    corrupt-only column references, per Spark's documented rule)."""
+    return (
+        spark.read.schema("user_id string, text string, score bigint")
+        .option("mode", "DROPMALFORMED")
+        .json(_fx("corrupt_records.ndjson"))
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "text", "score")
     )
 
 
