@@ -146,6 +146,62 @@ def sql_case_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, ["orders", "lineitem"], _Q_PIVOT)
 
 
+@query(
+    "pivot_wide",
+    oracle="""
+SELECT n_name,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot via `groupBy().pivot()` with explicit value
+    list (no extra distinct-values job; one aggregation pass)."""
+    from pyspark.sql import functions as F
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    joined = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    wide = (
+        joined.groupBy("n_name")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "n_name",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
+@query(
+    "unpivot_long",
+    oracle="""
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+""",
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) via `DataFrame.unpivot` — the
+    inverse reshape, one narrow pass, no shuffle."""
+    return table(spark, sf_dir, "part").unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 _Q1_BODY = """
 SELECT l_returnflag,
        l_linestatus,
