@@ -198,3 +198,27 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("line_numbers"),
         )
     )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal)
+            AS DECIMAL(25,6)) AS VARCHAR) AS median_bal_s,
+       CAST(CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY c_acctbal)
+            AS DECIMAL(25,6)) AS VARCHAR) AS p90_bal_s
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) per group —
+    Spark `percentile` ≡ DuckDB `percentile_cont`. Compared as
+    strings of the 6-dp decimal so the interpolation arithmetic's
+    last-ulp difference can't flip the hash."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", 0.5).cast("decimal(25,6)").cast("string").alias("median_bal_s"),
+        F.percentile("c_acctbal", 0.9).cast("decimal(25,6)").cast("string").alias("p90_bal_s"),
+    )
