@@ -202,6 +202,30 @@ def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q_CORR_SCALAR = """
+SELECT p.p_brand, COUNT(*) AS n_below
+FROM part p
+WHERE p.p_retailprice <
+      (SELECT {dsum} / COUNT(p2.p_retailprice)
+       FROM part p2 WHERE p2.p_brand = p.p_brand)
+GROUP BY p.p_brand
+"""
+
+
+def _q_corr(str_t: str) -> str:
+    return _Q_CORR_SCALAR.format(
+        dsum=_DSUM.format(x="p2.p_retailprice", str_t=str_t)
+    )
+
+
+@query("sql_correlated_scalar", oracle=_q_corr("VARCHAR"))
+def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar aggregate subquery (TPC-H Q17 shape:
+    below-group-average filter) — Catalyst decorrelates it to one
+    aggregate-then-join, not a per-row re-aggregation."""
+    return _sql(spark, sf_dir, ["part"], _q_corr("STRING"))
+
+
 _Q1_BODY = """
 SELECT l_returnflag,
        l_linestatus,
