@@ -27,17 +27,26 @@ _RUNTIME_CONFS = {
 }
 
 
+_TUNED: set[int] = set()
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable tuning to an existing session.
 
     Safe to call on a session owned by someone else (the driver);
-    only touches confs that are modifiable at runtime.
+    only touches confs that are modifiable at runtime. Applied once
+    per session object — table() calls this on every scan, and ~7
+    py4j conf round-trips per scan add up in tight query loops.
     """
+    key = id(spark)
+    if key in _TUNED:
+        return spark
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-modifiable in this deployment; keep going
+    _TUNED.add(key)
     return spark
 
 
