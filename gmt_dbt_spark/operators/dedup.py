@@ -39,7 +39,14 @@ def tokens_col(c: Column) -> Column:
 
 
 def shingles_col(tokens: Column, n: int = 3) -> Column:
-    """Sliding word n-grams via sequence+transform (JVM-side, no UDF)."""
+    """Sliding word n-grams via sequence+transform (JVM-side, no UDF).
+
+    PERF WARNING: every ``tokens[i]`` element access inlines the full
+    tokens expression (CollapseProject cannot dedup it), so passing
+    ``tokens_col(text)`` here costs O(tokens × n) regex evaluations
+    per row. Fine on an already-materialized array column; for
+    shingling straight off a text column use ``shingle_rows`` /
+    ``shingle_sets`` (18× faster at sf0.1)."""
     return F.when(
         F.size(tokens) >= n,
         F.transform(
@@ -51,18 +58,67 @@ def shingles_col(tokens: Column, n: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", tokens)))
 
 
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows via posexplode + lead() — the tokenizing
+    split runs ONCE per document (inside Generate) and shingles
+    assemble from neighboring rows in one window pass.
+
+    Two equivalent-but-slow forms this replaces, both measured at
+    sf0.1: `transform(sequence(...), i -> toks[i]...)` inlines the
+    split into every element access (O(tokens·n) regexes per doc,
+    18×); carrying `size(toks)`/`normalize_text` columns through the
+    explode re-evaluates them per EXPLODED row (50×, CollapseProject
+    puts the projection after Generate). Here the short-doc fallback
+    needs neither: `concat_ws` skips the null leads at the document
+    tail, so position 0 of a short doc already concatenates every
+    token — identical to the whole-text shingle `shingles_col` emits.
+    Keep rows where lead(n-1) is non-null (full n-grams) or pos==0
+    (short-doc fallback)."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("__pos", "__tok"),
+    )
+    w = Window.partitionBy("__id").orderBy("__pos")
+    lead_cols = [
+        F.lead("__tok", i).over(w).alias(f"__l{i}") for i in range(1, n)
+    ]
+    with_leads = tok.select("__id", "__pos", "__tok", *lead_cols)
+    return (
+        with_leads.filter(
+            F.col(f"__l{n-1}").isNotNull() | (F.col("__pos") == 0)
+        )
+        .select(
+            "__id",
+            F.concat_ws(
+                " ", F.col("__tok"), *[F.col(f"__l{i}") for i in range(1, n)]
+            ).alias("__sh"),
+        )
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, distinct-shingle array) via the fast shingle_rows path +
+    collect_set — the verify-stage input for n-gram Jaccard."""
+    return (
+        shingle_rows(df, id_col, text_col, n)
+        .groupBy("__id")
+        .agg(F.collect_set("__sh").alias("__shs"))
+    )
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """id → 12 minhash values over 3-word shingles.
 
-    explode → xxhash64 → 12 universal hashes → groupBy-min: one
+    shingle rows → xxhash64 → 12 universal hashes → groupBy-min: one
     shuffle on the id, partial min map-side. Signature is 96 bytes/doc
     regardless of doc size — the constant-space property that makes
     this the 100 TB dedup plan.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles_col(tokens_col(F.col(text_col)))).alias("__sh"),
-    ).withColumn("__h", F.pmod(F.xxhash64("__sh"), F.lit(_P)))
+    sh = shingle_rows(df, id_col, text_col).withColumn(
+        "__h", F.pmod(F.xxhash64("__sh"), F.lit(_P))
+    )
     aggs = [
         F.min(F.pmod(F.col("__h") * a + b, F.lit(_P))).alias(f"mh{j}")
         for j, (a, b) in enumerate(_AB)
@@ -158,7 +214,9 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard ≥ 0.6. Deterministic (fixed hash family) but the banding
     pipeline is not reasonably expressible in oracle SQL → rows-only."""
     docs = table(spark, sf_dir, "documents")
-    sig = minhash_signature(docs, "doc_id", "text")
+    # materialize the 96-byte/doc signature table once for the
+    # two-sided band join (see dedup_ngram_jaccard)
+    sig = minhash_signature(docs, "doc_id", "text").localCheckpoint(eager=True)
     pairs = lsh_candidates(sig)
     return verify_jaccard(pairs, docs, "doc_id", "text", 0.6).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r")
@@ -225,11 +283,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     strict variant of dedup_fuzzy (same LSH candidates, tighter
     verify), reported with both ids and the exact score."""
     docs = table(spark, sf_dir, "documents")
-    sig = minhash_signature(docs, "doc_id", "text")
+    # 96-byte signatures: materialize once (the band self-join reads
+    # the signature table twice; without this it recomputes the whole
+    # shingle+hash pipeline per side)
+    sig = minhash_signature(docs, "doc_id", "text").localCheckpoint(eager=True)
     pairs = lsh_candidates(sig)
-    toks = docs.select(
-        F.col("doc_id").alias("__tid"),
-        F.array_distinct(shingles_col(tokens_col(F.col("text")))).alias("__toks"),
+    toks = shingle_sets(docs, "doc_id", "text").select(
+        F.col("__id").alias("__tid"), F.col("__shs").alias("__toks")
     )
     a, b = toks.alias("a"), toks.alias("b")
     return (
