@@ -32,6 +32,7 @@ HEADLINE = [
     "topk",
     "agg_collect",
     "pipeline_text_curation",
+    "dedup_fuzzy",
 ]
 
 
