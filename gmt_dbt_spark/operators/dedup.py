@@ -223,6 +223,42 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_fuzzy_ml")  # rows-only (hash-model candidate generation)
+def dedup_fuzzy_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup via the MLlib estimator stack
+    (`HashingTF` over shingles → `MinHashLSH.approxSimilarityJoin`) —
+    the same candidates-then-verify architecture as `dedup_fuzzy`,
+    driven by the fitted-model API (fixed seed → deterministic).
+    Verification re-checks exact token-set Jaccard so the ML distance
+    (Jaccard over hashed features, collision-lossy) never decides
+    membership, only candidacy."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = table(spark, sf_dir, "documents")
+    shingled = shingle_sets(docs, "doc_id", "text").select(
+        F.col("__id").alias("doc_id"), F.col("__shs").alias("shingles")
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(shingled).filter(
+        F.size("shingles") > 0
+    )  # MinHashLSH rejects empty vectors
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=4242)
+    model = lsh.fit(feats)
+    pairs = (
+        model.approxSimilarityJoin(feats, feats, 0.4, distCol="jdist")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+        )
+    )
+    return verify_jaccard(pairs, docs, "doc_id", "text", 0.6).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r")
+    )
+
+
 @query("dedup_simhash")  # rows-only (bit-manipulation pipeline)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 32-bit signature from token hashes (sign-sum

@@ -66,6 +66,20 @@ def test_dot_cosine_exprs(spark):
     assert abs(row.c - 1.0) < 1e-12  # parallel vectors
 
 
+def test_ml_and_custom_minhash_agree(spark):
+    """The MLlib MinHashLSH pipeline and the custom banding pipeline
+    must verify the SAME near-dup pairs (both end in exact-Jaccard
+    verification at 0.6; candidate generation differs but may not
+    change the verified set on the fixed corpus)."""
+    from gmt_dbt_spark.registry import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    a = {(r.id_a, r.id_b) for r in qs["dedup_fuzzy"](spark, sf).collect()}
+    b = {(r.id_a, r.id_b) for r in qs["dedup_fuzzy_ml"](spark, sf).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_ivf_structure_and_recall(spark):
     from gmt_dbt_spark.registry import all_queries
 
