@@ -16,7 +16,7 @@ from hypothesis import strategies as st
 from gmt_dbt_spark.plans.models import Model, compile_model
 from gmt_dbt_spark.sources.sanitize import sanitize_name, sanitize_table_name
 
-VALID = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+VALID = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*\Z")  # \Z: $ would match before a trailing \n
 
 names = st.text(min_size=1, max_size=40)
 
