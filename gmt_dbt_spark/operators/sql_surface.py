@@ -226,6 +226,27 @@ def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, ["part"], _q_corr("STRING"))
 
 
+_Q_NESTED = """
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'p%5%')
+  GROUP BY l_suppkey
+  HAVING SUM(l_quantity) > 100
+)
+ORDER BY s_name
+"""
+
+
+@query("sql_nested_subquery", oracle=_Q_NESTED)
+def sql_nested_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level nested IN subqueries with a HAVING gate (TPC-H Q20
+    shape) — both levels decorrelate to semi-joins around one
+    aggregate; nothing executes per-row."""
+    return _sql(spark, sf_dir, ["supplier", "lineitem", "part"], _Q_NESTED)
+
+
 _Q1_BODY = """
 SELECT l_returnflag,
        l_linestatus,

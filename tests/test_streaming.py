@@ -104,6 +104,31 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert got.get("2024-01-01T12:00:00") == 2
 
 
+def test_sliding_window_stream(spark, tmp_path):
+    """Sliding windows (10 min, sliding by 5): one event at 10:07
+    lands in two overlapping windows; sentinel closes them both."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [{"event_id": 1, "ts": "2024-01-01T10:07:00", "user_id": 1,
+          "event_type": "click", "value": 1.0}],
+        [{"event_id": 2, "ts": "2024-01-01T12:00:00", "user_id": 1,
+          "event_type": "click", "value": 1.0}],
+    ]
+
+    def agg(df):
+        return (
+            df.withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+            .agg(F.count("*").alias("n"))
+        )
+
+    out = _run_stream(spark, src, agg, "sliding_t", batches)
+    starts = sorted(r.window.start.isoformat() for r in out.collect()
+                    if r.window.start.hour == 10)
+    assert starts == ["2024-01-01T10:00:00", "2024-01-01T10:05:00"]
+
+
 def test_session_window_stream(spark, tmp_path):
     """True streaming session windows: events 5 min apart fuse into
     one session (gap 10 min); a 30-min silence then a new event opens
