@@ -231,9 +231,9 @@ SELECT s_name, s_acctbal
 FROM supplier
 WHERE s_suppkey IN (
   SELECT l_suppkey FROM lineitem
-  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'p%5%')
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
   GROUP BY l_suppkey
-  HAVING SUM(l_quantity) > 100
+  HAVING SUM(l_quantity) > 1500
 )
 ORDER BY s_name
 """
