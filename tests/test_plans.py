@@ -143,3 +143,47 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # pruning is real: the pruned count matches the predicate count
     expected = orders.filter(F.col("o_month") == "1996-01").count()
     assert scan.count() == expected > 0
+
+
+def test_tpch_q2_decorrelates_min(spark):
+    """Correlated MIN subquery (Q2 shape) must decorrelate to ONE
+    per-part aggregate joined back — broadcast joins throughout, no
+    sort-merge, no per-row re-execution (which would show as a
+    nested-loop or repeated subtree)."""
+    tree = tree_of(plan_of(all_queries()["tpch_q2"](spark, SF_DIR)))
+    assert "SortMergeJoin" not in tree
+    assert "NestedLoop" not in tree
+    assert tree.count("BroadcastHashJoin") == 3
+
+
+def test_tpch_q16_not_in_is_broadcast_anti(spark):
+    """NOT IN over the tiny blacklist must plan as a broadcast
+    anti-join against lineitem — never a shuffle of the fact side."""
+    tree = tree_of(plan_of(all_queries()["tpch_q16"](spark, SF_DIR)))
+    assert "BroadcastHashJoin LeftAnti" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_tpch_q18_having_in_is_semi_join(spark):
+    """The HAVING-gated IN subquery must reach the plan as a
+    broadcast LEFT SEMI join (post-HAVING key set is small)."""
+    tree = tree_of(plan_of(all_queries()["tpch_q18"](spark, SF_DIR)))
+    assert "BroadcastHashJoin LeftSemi" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_tpch_q19_pushes_disjunctive_filters(spark):
+    """Q19's OR-of-conjunctions: Catalyst must extract each side's
+    common disjuncts and push them into BOTH parquet scans, leaving
+    only the cross-side residual for post-join evaluation."""
+    plan = plan_of(all_queries()["tpch_q19"](spark, SF_DIR))
+    # l_quantity range disjunction pushed into the lineitem scan
+    assert re.search(r"PushedFilters: \[[^\]]*Or\([^\]]*l_quantity", plan)
+    # p_brand/p_size disjunction pushed into the part scan
+    assert re.search(r"PushedFilters: \[[^\]]*Or\([^\]]*p_brand", plan)
+    # lineitem read pruned to the 4 needed columns
+    assert re.search(
+        r"ReadSchema: struct<l_partkey:bigint,l_quantity:double,"
+        r"l_extendedprice:double,l_discount:double>",
+        plan,
+    )
