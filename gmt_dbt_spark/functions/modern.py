@@ -1,0 +1,122 @@
+"""Modern Spark 4.x surface — VARIANT JSON, Python UDTFs, HLL sketches.
+
+The reference's JSON handling is schema-autodetected external tables
+(`main.py:318-320`); Spark 4 adds the VARIANT type (binary
+semi-structured values, shredded access without full schema
+inference) — the idiomatic modern form of the same capability.
+Python UDTFs (Spark 3.5+) are the declarative 1→N row surface beyond
+`explode` (SURVEY.md §2.I `udtf_explode`). HLL sketch aggregates
+(Apache DataSketches, Spark 3.5+) are the mergeable-state form of
+`agg_approx_distinct`: partial sketches combine associatively, so a
+100 TB scan aggregates map-side and re-merges at any rollup level —
+the pattern exact COUNT(DISTINCT) cannot follow without a full
+shuffle of the key set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.registry import query
+
+
+@query(
+    "fn_variant",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+       MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion of the events `props` JSON column:
+    `parse_json` once into a variant, typed `variant_get` extraction,
+    then an exact integer aggregate. At scale the parse happens
+    inside codegen on the scan projection — no Python, no regex, no
+    per-field re-parse (the variant is decoded once per row)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# Module-scope UDTF class: executors re-import this module, so the
+# class must be defined without an active SparkSession (verify
+# SKILL.md gotcha — same rule as the pandas UDFs in udfs.py).
+class _SplitWordsUDTF:
+    """Emit (word, idx) per whitespace token of the input text."""
+
+    def eval(self, text: str):  # noqa: A002 - UDTF protocol
+        for i, w in enumerate((text or "").split(" ")):
+            yield w, i
+
+
+@query(
+    "udtf_python",
+    oracle="""
+SELECT word, COUNT(*) AS n, MIN(idx) AS first_idx
+FROM (
+  SELECT u.word AS word, u.i - 1 AS idx
+  FROM (SELECT text FROM documents WHERE doc_id < 40) d,
+  LATERAL (SELECT UNNEST(string_split(d.text, ' ')) AS word,
+                  generate_subscripts(string_split(d.text, ' '), 1) AS i) u
+)
+GROUP BY word
+""",
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+ `@udtf`) in a LATERAL join: tokenize
+    each document into (word, position) rows, then aggregate per
+    word. The UDTF is the user-extensible 1→N surface; for this
+    particular expansion the built-in `posexplode(split(...))` is the
+    faster JVM path (see text.py) — the point here is hosting
+    arbitrary user table functions, oracle-checked."""
+    from pyspark.sql.functions import udtf
+
+    split_words = udtf(_SplitWordsUDTF, returnType="word string, idx int")
+    spark.udtf.register("split_words_udtf", split_words)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT s.word, COUNT(*) AS n, MIN(s.idx) AS first_idx
+        FROM documents d, LATERAL split_words_udtf(d.text) s
+        WHERE d.doc_id < 40
+        GROUP BY s.word
+        """
+    )
+
+
+@query("agg_hll_sketch")  # rows-only: estimates are sketch-impl-specific
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-event-type HLL sketches
+    of user_id, re-merged with `hll_union_agg` into an ALL rollup —
+    two aggregation levels sharing one scan's partial sketches. This
+    is the 100 TB distinct-count pattern: map-side partials are
+    fixed-size sketch buffers (2^12 registers here), never the key
+    set itself; accuracy is ~2% rel. error (pinned in tests vs exact
+    counts). Rows-only oracle: DataSketches estimates are
+    implementation-specific, so DuckDB cannot reproduce the values."""
+    ev = table(spark, sf_dir, "events")
+    sketches = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    per_type = sketches.select(
+        "event_type", F.expr("hll_sketch_estimate(sk)").alias("approx_users")
+    )
+    overall = sketches.agg(
+        F.lit("ALL").alias("event_type"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users"),
+    )
+    return per_type.unionAll(overall)

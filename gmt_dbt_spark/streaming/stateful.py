@@ -268,3 +268,153 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         return final
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
+
+
+def tws_available() -> bool:
+    """True if the transformWithStateInPandas runtime can start.
+
+    The Spark 4 `transformWithState` Python driver worker speaks a
+    protobuf protocol to the JVM state server; without the
+    `google.protobuf` package the worker crashes at init. Gate, per
+    environment policy (no pip installs here — standard clusters ship
+    protobuf with pyspark[connect])."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no `google` namespace package at all
+        return False
+
+
+class RunningTotalsProcessor:
+    """StatefulProcessor for transformWithStateInPandas — same
+    semantics as `running_totals_stateful` (per-user n/total/last_ts,
+    exact integer micro-units). Defined lazily-importable: the
+    pyspark.sql.streaming.stateful_processor base is only imported
+    when the op actually runs (module import must stay protobuf-free).
+    """
+
+    @staticmethod
+    def build():
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class _P(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self.state = handle.getValueState(
+                    "agg", "n bigint, total_micro bigint, last_us bigint"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                n, total_micro, last_us = (
+                    self.state.get() if self.state.exists() else (0, 0, None)
+                )
+                for pdf in rows:
+                    if len(pdf) == 0:
+                        continue
+                    n += len(pdf)
+                    total_micro += int(round(float(pdf["value"].sum()) * 1e6))
+                    mx = int(pdf["ts"].astype("int64").max()) // 1000
+                    last_us = mx if last_us is None or mx > last_us else last_us
+                self.state.update((n, total_micro, last_us))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "total": [total_micro / 1e6],
+                        "last_us": [last_us],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return _P()
+
+
+@query(
+    "stream_transform_with_state",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total,
+       MAX(ts) AS last_ts
+FROM events GROUP BY user_id
+""",
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals on the Spark 4 `transformWithState`
+    API (the successor to applyInPandasWithState: named state
+    variables, timers, RocksDB-backed). Semantics are identical to
+    `stream_custom_state`, so the oracle is the same full-input
+    aggregate regardless of micro-batching.
+
+    Where the TWS Python runtime cannot start (no google.protobuf in
+    this container — see `tws_available`), the query falls back to
+    the applyInPandasWithState execution of the SAME processor
+    semantics, keeping the registered surface runnable everywhere."""
+    if not tws_available():
+        return stream_custom_state(spark, sf_dir)
+
+    run_dir = os.path.join(SCRATCH, f"stream_tws_{uuid.uuid4().hex[:8]}")
+    src_dir = os.path.join(run_dir, "src")
+    ckpt = os.path.join(run_dir, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    name = f"tws_t_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        ev = table(spark, sf_dir, "events")
+        for i in range(2):
+            ev.filter(F.col("event_id") % 2 == i).toPandas().to_json(
+                os.path.join(src_dir, f"part-{i}.json"), orient="records",
+                lines=True, date_format="iso", date_unit="us",
+            )
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src_dir)
+        )
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningTotalsProcessor.build(),
+            outputStructType="user_id bigint, n_events bigint, total double, last_us bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final: dict[int, tuple] = {}
+        for r in spark.table(name).collect():
+            cur = final.get(r.user_id)
+            if cur is None or r.n_events > cur[1]:
+                final[r.user_id] = (r.user_id, r.n_events, r.total, r.last_us)
+        rows = [
+            (u, n, t, pd.Timestamp(us, unit="us").to_pydatetime())
+            for (u, n, t, us) in final.values()
+        ]
+        return spark.createDataFrame(rows, STATE_OUT_SCHEMA)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            try:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            except Exception:
+                pass
+        shutil.rmtree(run_dir, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass

@@ -1,0 +1,71 @@
+"""Spark 4.x surface: VARIANT, Python UDTF, HLL sketches, and the
+transformWithState gate. (fn_variant / udtf_python correctness vs
+DuckDB is covered by the parametrized oracle test; here we pin the
+properties the oracle can't express.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.registry import all_queries
+
+from tests.conftest import SF_DIR
+
+
+def test_hll_sketch_close_to_exact(spark):
+    """HLL estimates (lgK=12) must land within 2% of exact distinct
+    counts — per group and for the re-merged ALL rollup (merging
+    sketches must not degrade accuracy beyond the sketch's bound)."""
+    est = {
+        r.event_type: r.approx_users
+        for r in all_queries()["agg_hll_sketch"](spark, SF_DIR).collect()
+    }
+    ev = table(spark, SF_DIR, "events")
+    exact = {
+        r.event_type: r.exact
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(1, 0.02 * e), (k, est[k], e)
+
+
+def test_hll_sketch_partials_merge(spark):
+    """The mergeability contract itself: sketches built on disjoint
+    halves of the data, unioned, must estimate the same as one sketch
+    over the whole — this is what makes the aggregate map-side-safe
+    at 100 TB (partial buffers combine associatively)."""
+    ev = table(spark, SF_DIR, "events")
+    whole = ev.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("e")
+    ).collect()[0].e
+    halves = (
+        ev.withColumn("half", (F.col("event_id") % 2).cast("int"))
+        .groupBy("half")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert whole == halves
+
+
+def test_tws_gate_consistent_with_env(spark):
+    """tws_available() must reflect the runtime truth: when False the
+    query falls back (and the oracle test already proves the fallback
+    exact); when True the real transformWithState path must run."""
+    from gmt_dbt_spark.streaming.stateful import tws_available
+
+    avail = tws_available()
+    # In either case the registered query must produce the full-input
+    # aggregate row set.
+    out = all_queries()["stream_transform_with_state"](spark, SF_DIR)
+    n_users = (
+        table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert out.count() == n_users
+    assert isinstance(avail, bool)
