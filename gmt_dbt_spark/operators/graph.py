@@ -1,0 +1,199 @@
+"""Graph-shaped operators: connected-components dedup clustering and
+the binned interval join.
+
+Near-dup detection (dedup.py) emits PAIRS; a curation pipeline needs
+CLUSTERS — the transitive closure of the pair relation, one canonical
+id per group — because near-duplication chains (A~B, B~C, A≁C) must
+collapse to one kept document. Connected components over the pair
+graph is the standard formulation (the reference has no such operator
+— pure [ext] per BASELINE.json's dedup north star).
+
+Scale design: edges are generated as per-key STARS (min-id hub → each
+member), linear in group size rather than quadratic cliques; the
+component labels converge by iterative min-label propagation over
+shuffled equi-joins — O(diameter) rounds, each a key-partitioned
+join, with `localCheckpoint` truncating the growing lineage (the
+classic Spark iterative-algorithm pitfall). At 100 TB the same loop
+holds because state per round is |V| labels + |E| edges, both
+key-partitioned; for pathological diameters switch to the
+large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — same join primitives.
+
+The interval join turns an O(|L|·|R|) nested-loop time-range join
+into an equi-join on (key, time-bin) with bin width = window length:
+each probe row lands in at most 2 bins, so the join is shuffled hash/
+sort-merge on a compound key — the plan that survives 100 TB, guarded
+in tests against nested-loop regression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.registry import query
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation: every node's component label converges
+    to the smallest node id reachable from it. Returns (id, comp).
+
+    Each round: one equi-join (neighbor labels) + one aggregation
+    (min per node) + one left join (label update) — all shuffles on
+    the node id, so a cluster co-partitions them. Early-exits when a
+    round changes no label; raises if max_iter rounds don't converge
+    (diameter > max_iter ⇒ use large-star/small-star instead).
+    """
+    sym = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+    sym = sym.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
+
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["comp"], F.coalesce(nbr["nbr_comp"], labels["comp"])
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.comp") < F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def _window_key(text_col, start: int, length: int):
+    """md5 over a token window — the cheap deterministic near-dup key
+    (two staggered windows so prefix-sharing docs chain across keys)."""
+    return F.md5(
+        F.concat_ws(" ", F.slice(F.split(text_col, " "), start, length))
+    )
+
+
+def _star_edges(keyed: DataFrame) -> DataFrame:
+    """Per key group: min-id hub → every other member. Linear in
+    group size (a q-member group yields q−1 edges, not q·(q−1)/2) —
+    the property that keeps the edge set shuffle-able when a hot key
+    collects thousands of near-identical documents."""
+    w = Window.partitionBy("k")
+    return (
+        keyed.withColumn("src", F.min("doc_id").over(w))
+        .filter(F.col("src") != F.col("doc_id"))
+        .select("src", F.col("doc_id").alias("dst"))
+    )
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+WITH RECURSIVE
+k1 AS (SELECT doc_id, md5(array_to_string(string_split(text,' ')[1:5],' ')) AS k
+       FROM documents),
+k2 AS (SELECT doc_id, md5(array_to_string(string_split(text,' ')[6:10],' ')) AS k
+       FROM documents),
+e1 AS (SELECT MIN(doc_id) OVER (PARTITION BY k) AS src, doc_id AS dst FROM k1),
+e2 AS (SELECT MIN(doc_id) OVER (PARTITION BY k) AS src, doc_id AS dst FROM k2),
+edges AS (SELECT src, dst FROM e1 WHERE src <> dst
+          UNION SELECT src, dst FROM e2 WHERE src <> dst),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
+)
+SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTER assignment: candidate pairs from two staggered
+    5-token-window keys (star edges per key group), connected
+    components over their union, every document labeled with its
+    component's min doc_id (singletons label themselves). The oracle
+    recomputes the same components via a recursive transitive-closure
+    CTE — proving the iterative Spark loop equals the declarative
+    fixpoint."""
+    docs = table(spark, sf_dir, "documents")
+    k1 = docs.select("doc_id", _window_key(F.col("text"), 1, 5).alias("k"))
+    k2 = docs.select("doc_id", _window_key(F.col("text"), 6, 5).alias("k"))
+    edges = _star_edges(k1).union(_star_edges(k2)).distinct()
+    labels = connected_components(docs.select("doc_id"), edges, id_col="doc_id")
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
+_WINDOW_US = 60 * 60 * 1_000_000  # 60-minute interval, in microseconds
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+SELECT a.event_id, COUNT(b.event_id) AS n_purchases
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') a
+LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL '60 minutes'
+GROUP BY a.event_id
+""",
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join without a nested loop: purchases within 60 min
+    after each click, same user. Both sides bin their timestamp by
+    the window length; a qualifying purchase is always in the click's
+    bin or the next, so the click side expands to 2 candidate bins
+    (explode — bounded 2× blowup) and the join is a plain equi-join
+    on (user_id, bin) + residual range filter. Plan-guarded: no
+    BroadcastNestedLoopJoin at any size. Clicks with no purchase
+    keep a 0 count via the left join."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("u_us"),
+    )
+    # integer division: exact binning (no float rounding at bin edges)
+    c_bin = F.expr(f"t_us div {_WINDOW_US}")
+    c = clicks.withColumn("bin", F.explode(F.array(c_bin, c_bin + F.lit(1))))
+    p = purchases.withColumn("bin", F.expr(f"u_us div {_WINDOW_US}"))
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (c["bin"] == p["bin"])
+        & (F.col("u_us") > F.col("t_us"))
+        & (F.col("u_us") <= F.col("t_us") + F.lit(_WINDOW_US)),
+        "left",
+    )
+    # the explode doubled each click; a click-with-no-match yields two
+    # null rows and a matched purchase appears under exactly one bin,
+    # so grouping by event_id and counting matches is exact.
+    return joined.groupBy("event_id").agg(
+        F.count("p_id").alias("n_purchases")
+    )

@@ -1,0 +1,57 @@
+"""Connected-components clustering + binned interval join.
+(dedup_clusters / join_range_binned value-correctness vs DuckDB is in
+the parametrized oracle test; here we pin transitivity and the plan.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.operators.graph import connected_components
+from gmt_dbt_spark.registry import all_queries
+
+from tests.conftest import SF_DIR
+from tests.test_plans import plan_of, tree_of
+
+
+def test_components_merge_chains(spark):
+    """A~B and B~C (but never A~C directly) must land in ONE
+    component — the transitive property that makes clusters differ
+    from raw pair output. Plus an isolated node and a 4-chain."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "id bigint")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (6, 7), (7, 8)], "src bigint, dst bigint"
+    )
+    got = {
+        r.id: r.comp for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 5, 8: 5}
+
+
+def test_components_direction_irrelevant(spark):
+    """Edges are undirected: a high→low edge must still pull the
+    high node down to the low label."""
+    nodes = spark.createDataFrame([(i,) for i in (10, 20, 30)], "id bigint")
+    edges = spark.createDataFrame([(30, 20), (20, 10)], "src bigint, dst bigint")
+    got = {r.id: r.comp for r in connected_components(nodes, edges).collect()}
+    assert got == {10: 10, 20: 10, 30: 10}
+
+
+def test_dedup_clusters_nontrivial(spark):
+    """The documents corpus must yield at least one multi-document
+    cluster (near-dups exist by construction) and label every doc."""
+    out = all_queries()["dedup_clusters"](spark, SF_DIR)
+    n_docs = out.count()
+    from gmt_dbt_spark.catalog import table
+
+    assert n_docs == table(spark, SF_DIR, "documents").count()
+    sizes = out.groupBy("cluster_id").count()
+    assert sizes.filter(F.col("count") > 1).count() >= 1
+
+
+def test_range_binned_join_no_nested_loop(spark):
+    """The binned interval join must plan as an equi-join on
+    (user, bin) — never a nested-loop/cartesian — at ANY size; this
+    is the whole point of the binning rewrite."""
+    tree = tree_of(plan_of(all_queries()["join_range_binned"](spark, SF_DIR)))
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
