@@ -222,3 +222,21 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("c_acctbal", 0.5).cast("decimal(25,6)").cast("string").alias("median_bal_s"),
         F.percentile("c_acctbal", 0.9).cast("decimal(25,6)").cast("string").alias("p90_bal_s"),
     )
+
+
+@query("agg_approx_percentile")  # rows-only: GK-sketch values are impl-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via `approx_percentile`
+    (Greenwald-Khanna sketch, relative error ≤ 1/accuracy) — the
+    100 TB path where exact `percentile` would buffer every value
+    per group: the GK summary is bounded-size and MERGEABLE, so it
+    partial-aggregates map-side exactly like a sum. Accuracy is
+    pinned against the exact percentile in tests (never drifts more
+    than the sketch bound). Rows-only oracle: sketch outputs are
+    implementation-specific across engines."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -206,3 +206,73 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     against orders, and a substring-derived grouping key — the
     customers-without-orders anti-pattern at its classic worst."""
     return _sql(spark, sf_dir, ["customer", "orders"], _q22("STRING"))
+
+
+# --- Q7: nation-pair trade volume by year ---------------------------------
+_Q7_BODY = """
+SELECT supp_nation, cust_nation, l_year, {rev} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         YEAR(l_shipdate) AS l_year, l_extendedprice, l_discount
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def _q7(str_t: str) -> str:
+    return _Q7_BODY.format(rev=_DSUM.format(x=_REV, str_t=str_t))
+
+
+@query("tpch_q7", oracle=_q7("VARCHAR").replace("YEAR(", "YEAR("))
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: the 6-way join with TWO roles for
+    nation (supplier's and customer's) and a symmetric nation-pair
+    disjunction. nation broadcasts twice under distinct aliases; the
+    pair filter prunes both broadcast sides before the fact join."""
+    return _sql(
+        spark,
+        sf_dir,
+        ["supplier", "lineitem", "orders", "customer", "nation"],
+        _q7("STRING"),
+    )
+
+
+# --- Q10: returned-items customer ranking ---------------------------------
+_Q10_BODY = """
+SELECT c_custkey, c_name, n_name, {rev} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def _q10(str_t: str) -> str:
+    return _Q10_BODY.format(rev=_DSUM.format(x=_REV, str_t=str_t))
+
+
+@query("tpch_q10", oracle=_q10("VARCHAR"))
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-items ranking: quarter + returnflag filters
+    into a 4-way join, per-customer revenue, deterministic top-20
+    (revenue desc, custkey tiebreak → TakeOrderedAndProject, no
+    global sort)."""
+    return _sql(
+        spark, sf_dir, ["customer", "orders", "lineitem", "nation"], _q10("STRING")
+    )

@@ -69,3 +69,29 @@ def test_tws_gate_consistent_with_env(spark):
     )
     assert out.count() == n_users
     assert isinstance(avail, bool)
+
+
+def test_approx_percentile_within_sketch_bound(spark):
+    """GK sketch rank-error guarantee: with accuracy=10000 and n per
+    group well below it, the approx percentile must land inside the
+    [p-1%, p+1%] exact-percentile envelope."""
+    approx = {
+        r.event_type: (r.p50, r.p99)
+        for r in all_queries()["agg_approx_percentile"](spark, SF_DIR).collect()
+    }
+    ev = table(spark, SF_DIR, "events")
+    env = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.49).alias("p50_lo"),
+            F.percentile("value", 0.51).alias("p50_hi"),
+            F.percentile("value", 0.98).alias("p99_lo"),
+            F.percentile("value", 1.00).alias("p99_hi"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(env)
+    for k, (p50, p99) in approx.items():
+        assert env[k].p50_lo <= p50 <= env[k].p50_hi, (k, p50)
+        assert env[k].p99_lo <= p99 <= env[k].p99_hi, (k, p99)
