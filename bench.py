@@ -33,6 +33,10 @@ HEADLINE = [
     "agg_collect",
     "pipeline_text_curation",
     "dedup_fuzzy",
+    "tpch_q18",
+    "tpch_q19",
+    "join_range_binned",
+    "dedup_clusters",
 ]
 
 

@@ -276,3 +276,94 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(
         spark, sf_dir, ["customer", "orders", "lineitem", "nation"], _q10("STRING")
     )
+
+
+# --- Q13: customer order-count distribution -------------------------------
+# The distinctive shape: a LEFT join whose ON clause carries a
+# non-key predicate on the right side (orders filtered in the join,
+# customers always kept), COUNT(nullable) so no-order customers count
+# 0, then a second aggregation over the first's result.
+_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@query("tpch_q13", oracle=_Q13)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer distribution: filtered LEFT join (predicate
+    inside ON — pushed to the orders scan, never dropping customers),
+    COUNT of the nullable side, then a histogram re-aggregation. Two
+    shuffles: custkey, then c_count (tiny)."""
+    return _sql(spark, sf_dir, ["customer", "orders"], _Q13)
+
+
+# --- Q15: top supplier via CTE reused twice -------------------------------
+_Q15_BODY = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {rev} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def _q15(str_t: str) -> str:
+    return _Q15_BODY.format(rev=_DSUM.format(x=_REV, str_t=str_t))
+
+
+@query("tpch_q15", oracle=_q15("VARCHAR"))
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: one CTE consumed TWICE (join input and
+    scalar-MAX subquery). The equality-on-aggregate predicate is safe
+    because both engines compute the revenue through the exact
+    DECIMAL route — identical doubles, identical argmax set."""
+    return _sql(spark, sf_dir, ["supplier", "lineitem"], _q15("STRING"))
+
+
+# --- Q21 shape: EXISTS + NOT EXISTS double-correlation --------------------
+# Classic Q21 (suppliers who kept the order waiting) needs
+# l_receiptdate/l_commitdate which the slim schema lacks; the same
+# plan shape on available columns: in finished multi-supplier orders,
+# find the supplier who was the ONLY one whose items were returned.
+_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders    ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+@query("tpch_q21", oracle=_Q21)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: a semi-join AND an anti-join both correlated
+    on the same fact key, stacked on a 3-way join — the heaviest
+    decorrelation pattern in the classic suite. Catalyst plans both
+    subqueries as joins on l_orderkey (no per-row re-scan);
+    deterministic top-10 via the numwait/s_name total order."""
+    return _sql(spark, sf_dir, ["supplier", "lineitem", "orders"], _Q21)

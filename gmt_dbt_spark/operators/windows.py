@@ -157,3 +157,28 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w_full).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
     )
+
+
+@query(
+    "win_pct_dist",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       percent_rank() OVER w AS pr,
+       cume_dist()    OVER w AS cd
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+)
+def win_pct_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank family: percent_rank ((rank−1)/(n−1)) and
+    cume_dist (peers≤current / n) — each a single exact integer
+    division, so the doubles match the oracle bit-for-bit. The
+    c_custkey tiebreak makes rank assignment total."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
