@@ -1,0 +1,91 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource`).
+
+The reference's ingestion is a hand-rolled discover-files →
+register-external-table loop (`main.py:58-91`, `main.py:314-349`);
+the Spark 4 Python DataSource API is the pluggable, engine-integrated
+form of the same extension point: a user-defined source participates
+in planning (schema, partitions) and executes distributed (one task
+per InputPartition), instead of driver-side imperative registration.
+
+This module ships a deterministic generator source — the pattern for
+wrapping ANY external system (an API pager, a proprietary format, a
+message queue snapshot) as a first-class scan. Everything here must
+import WITHOUT an active SparkSession: executors re-import the module
+to deserialize the reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from gmt_dbt_spark.registry import query
+
+
+class SyntheticEventsDataSource(DataSource):
+    """`format("synthetic_events")`: n deterministic rows computed
+    from the row index alone (i, user_id = i mod 50, value =
+    (i² mod 1000)/10) — reproducible by plain SQL arithmetic, which
+    is what makes the source oracle-checkable end-to-end."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "i bigint, user_id bigint, value double"
+
+    def reader(self, schema) -> "SyntheticEventsReader":
+        return SyntheticEventsReader(self.options)
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 1000))
+        self.num_partitions = int(options.get("partitions", 4))
+
+    def partitions(self) -> list[InputPartition]:
+        # strided split: partition p owns rows p, p+P, p+2P, ... —
+        # balanced regardless of n, no planning-time row ranges.
+        return [InputPartition(p) for p in range(self.num_partitions)]
+
+    def read(self, partition: InputPartition):
+        p = partition.value
+        for i in range(p, self.n, self.num_partitions):
+            yield (i, i % 50, (i * i % 1000) / 10.0)
+
+
+@query(
+    "scan_python_datasource",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM (SELECT range AS i, range % 50 AS user_id,
+             CAST(range * range % 1000 AS DOUBLE) / 10.0 AS value
+      FROM range(0, 5000))
+GROUP BY user_id
+""",
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through the registered custom source (4 partitions → 4
+    parallel tasks), aggregate per user. The oracle recomputes the
+    generator's arithmetic in SQL over `range()` — proving the custom
+    source produces exactly its contract, partition-split included."""
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n", "5000")
+        .option("partitions", "4")
+        .load()
+    )
+    from pyspark.sql import functions as F
+
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .cast("string")
+        .cast("double")
+        .alias("sum_value"),
+    )
