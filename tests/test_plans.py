@@ -187,3 +187,58 @@ def test_tpch_q19_pushes_disjunctive_filters(spark):
         r"l_extendedprice:double,l_discount:double>",
         plan,
     )
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A month-partitioned fact joined to a FILTERED dim must plan a
+    dynamic-pruning subquery on the partition column — at 100 TB this
+    is what turns 'join against 3 selected months' into a 3-partition
+    scan without the user writing the month filter on the fact side."""
+    from gmt_dbt_spark.catalog import table
+
+    orders = table(spark, SF_DIR, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "orders_bymonth")
+    orders.write.partitionBy("o_month").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("1996-03", 1), ("1996-04", 1), ("1996-05", 0)], "m string, flag int"
+    )
+    j = fact.join(dim.filter(F.col("flag") == 1), fact["o_month"] == dim["m"])
+    assert "dynamicpruning" in plan_of(j).lower()
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """With broadcast off (the 100 TB fact⋈fact regime) and a
+    selective build side, Spark must inject a runtime bloom filter
+    (`might_contain`) into the probe scan — rows failing the filter
+    die before the shuffle. Size thresholds are production defaults
+    (10 GB application side); lowered here only to exercise the
+    rewrite at test scale. Results must equal the unfiltered join."""
+    from gmt_dbt_spark.catalog import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, SF_DIR, "lineitem")
+        o = table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        assert "might_contain" in plan_of(j).lower()
+        n_bloom = j.count()
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    # correctness: same count with the default (broadcast) plan
+    li = table(spark, SF_DIR, "lineitem")
+    o = table(spark, SF_DIR, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    assert li.join(o, li["l_orderkey"] == o["o_orderkey"]).count() == n_bloom
