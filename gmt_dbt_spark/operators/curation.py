@@ -90,3 +90,67 @@ def pipeline_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("avg_chars"),
     )
+
+
+_FP5 = "md5(array_to_string(string_split(text, ' ')[1:5], ' '))"
+_EVAL_SRC = "('src0', 'src1', 'src2', 'src3', 'src4')"
+
+
+@query(
+    "dedup_cross_corpus",
+    oracle=f"""
+SELECT t.doc_id, t.source, COUNT(DISTINCT e.doc_id) AS n_eval_matches
+FROM (SELECT doc_id, source, {_FP5} AS k FROM documents
+      WHERE source NOT IN {_EVAL_SRC}) t
+JOIN (SELECT doc_id, {_FP5} AS k FROM documents
+      WHERE source IN {_EVAL_SRC}) e
+  ON t.k = e.k
+GROUP BY t.doc_id, t.source
+""",
+)
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: find TRAIN documents sharing a content
+    fingerprint (first-5-token md5) with any EVAL document — the
+    train/test-overlap check every pretraining pipeline runs before
+    training. The join carries 16-byte fingerprints, never text; the
+    eval side is the small relation and broadcasts. In production the
+    fingerprint set extends to shingled n-grams (the dedup.py MinHash
+    machinery) — same join shape, more keys per doc."""
+    docs = table(spark, sf_dir, "documents")
+    eval_src = ["src0", "src1", "src2", "src3", "src4"]
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)))
+    train = docs.filter(~F.col("source").isin(eval_src)).select(
+        "doc_id", "source", fp.alias("k")
+    )
+    ev = docs.filter(F.col("source").isin(eval_src)).select(
+        F.col("doc_id").alias("eval_id"), fp.alias("k")
+    )
+    return (
+        train.join(F.broadcast(ev), "k")
+        .groupBy("doc_id", "source")
+        .agg(F.countDistinct("eval_id").alias("n_eval_matches"))
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+SELECT doc_id, source
+FROM documents
+WHERE doc_id % 10 <
+      CASE WHEN CAST(SUBSTRING(source, 4) AS INTEGER) % 2 = 0 THEN 2 ELSE 6 END
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: per-corpus sampling rates (20% for
+    even-numbered sources, 60% for odd) applied with a DETERMINISTIC
+    id-based gate — reproducible across runs/partitionings, unlike
+    `df.sample`. A scan-side filter: no shuffle, prunes before any
+    downstream stage. At scale the gate becomes
+    `pmod(xxhash64(id), 100) < rate` for uniformity on arbitrary key
+    distributions — same plan, hash instead of modulo."""
+    docs = table(spark, sf_dir, "documents")
+    rate = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(2)
+    ).otherwise(F.lit(6))
+    return docs.filter(F.col("doc_id") % 10 < rate).select("doc_id", "source")
