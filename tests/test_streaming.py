@@ -186,3 +186,62 @@ def test_streaming_dedup(spark, tmp_path):
     out = _run_stream(spark, src, dedup, "dedup_t", batches)
     ids = sorted(r.event_id for r in out.collect())
     assert ids == [7, 8]
+
+
+def test_checkpoint_recovery_resumes_state(spark, tmp_path):
+    """Kill a stateful streaming query mid-stream, restart it from
+    the SAME checkpoint, feed more data: the restarted query must
+    resume its aggregation state (counts continue, not restart) and
+    never re-emit already-processed input — the exactly-once
+    resumption contract a production pipeline relies on after any
+    executor/driver loss."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def agg_stream(s):
+        return s.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("value").alias("total")
+        )
+
+    def start(name):
+        stream = agg_stream(spark.readStream.schema(EVENT_SCHEMA).json(src))
+        return (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    rows1 = [
+        {"event_id": i, "ts": "2024-01-01T10:00:00", "user_id": i % 2,
+         "event_type": "click", "value": 1.0}
+        for i in range(10)
+    ]
+    q1 = start("ckpt_run1")
+    try:
+        _write_events(f"{src}/0.json", rows1)
+        q1.processAllAvailable()
+        first = {r.user_id: r.n for r in spark.sql("SELECT * FROM ckpt_run1").collect()}
+        assert first == {0: 5, 1: 5}
+    finally:
+        q1.stop()  # simulated failure/shutdown
+
+    rows2 = [
+        {"event_id": 100 + i, "ts": "2024-01-01T10:01:00", "user_id": i % 2,
+         "event_type": "click", "value": 1.0}
+        for i in range(6)
+    ]
+    _write_events(f"{src}/1.json", rows2)  # arrives while "down"
+    q2 = start("ckpt_run2")
+    try:
+        q2.processAllAvailable()
+        resumed = {r.user_id: (r.n, r.total)
+                   for r in spark.sql("SELECT * FROM ckpt_run2").collect()}
+        # state carried over: 5+3 per user, totals accumulated — and
+        # batch 0 was NOT reprocessed (counts would be 10+3 if replayed
+        # on empty state, or doubled if double-counted).
+        assert resumed == {0: (8, 8.0), 1: (8, 8.0)}
+    finally:
+        q2.stop()
