@@ -237,3 +237,34 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(normalize_text(F.col("text"))).alias("fp"),
         F.md5("text").alias("fp_raw"),
     )
+
+
+@query("text_unigram_logprob")  # rows-only: ln() rounding is libm-specific
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality score (the CCNet filtering idea):
+    build a unigram LM from the corpus itself (token → count/total),
+    score each document by its mean negative log-probability — high
+    scores = improbable token mix = filter candidates.
+
+    Scale shape: token counts aggregate to a SMALL vocab relation
+    that broadcasts into the per-token join; the only full-corpus
+    shuffles are the explode-groupBy pair. All arithmetic JVM-side
+    (`F.log`); rows-only oracle because libm ln() rounding is not
+    specified cross-engine."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.count()  # scalar: one job, no per-row driver work
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.avg(F.log(F.col("cnt") / F.lit(float(total)))), 4
+            ).alias("avg_neg_logprob"),
+        )
+    )
+    return scored

@@ -55,3 +55,46 @@ def test_range_binned_join_no_nested_loop(spark):
     tree = tree_of(plan_of(all_queries()["join_range_binned"](spark, SF_DIR)))
     assert "BroadcastNestedLoopJoin" not in tree
     assert "CartesianProduct" not in tree
+
+
+def _union_find_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference implementation: union-find with min-label roots."""
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the smaller id as root so labels are min-ids
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {i: find(i) for i in range(n_nodes)}
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    """The distributed min-label loop must agree with a sequential
+    union-find on arbitrary random graphs (seeded; several shapes:
+    sparse, dense-ish, self-loops, duplicate and reversed edges)."""
+    import random
+
+    rng = random.Random(20260813)
+    for trial in range(6):
+        n = rng.randint(2, 40)
+        m = rng.randint(0, 60)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        expect = _union_find_components(n, edges)
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+        if edges:
+            edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+        else:
+            edf = spark.createDataFrame([], "src bigint, dst bigint")
+        got = {r.id: r.comp for r in connected_components(nodes, edf).collect()}
+        assert got == expect, f"trial {trial}: n={n} edges={edges}"

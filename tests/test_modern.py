@@ -95,3 +95,46 @@ def test_approx_percentile_within_sketch_bound(spark):
     for k, (p50, p99) in approx.items():
         assert env[k].p50_lo <= p50 <= env[k].p50_hi, (k, p50)
         assert env[k].p99_lo <= p99 <= env[k].p99_hi, (k, p99)
+
+
+def test_unigram_logprob_sane(spark):
+    """Unigram LM scores: every doc scored, scores positive/finite,
+    and a doc made of the corpus's rarest tokens must score above one
+    made of its most common tokens (the property the filter uses)."""
+    import math
+
+    out = all_queries()["text_unigram_logprob"](spark, SF_DIR).collect()
+    docs_n = table(spark, SF_DIR, "documents").count()
+    assert len(out) == docs_n
+    assert all(r.avg_neg_logprob > 0 and math.isfinite(r.avg_neg_logprob) for r in out)
+
+    # build common-only vs rare-only synthetic docs from the corpus vocab
+    from gmt_dbt_spark.operators.dedup import tokens_col
+    from pyspark.sql import functions as F
+
+    toks = (
+        table(spark, SF_DIR, "documents")
+        .select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok").count().orderBy(F.col("count").desc())
+    ).collect()
+    common = " ".join([r.tok for r in toks[:5]] * 4)
+    rare = " ".join([r.tok for r in toks[-5:]] * 4)
+    # score them against the SAME corpus LM by appending as new docs
+    base = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(10_000_001, common), (10_000_002, rare)], "doc_id bigint, text string"
+    )
+    union = base.unionByName(extra)
+    # inline the op's logic over the unioned corpus
+    t2 = union.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    vocab = t2.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = t2.count()
+    scores = {
+        r.doc_id: r.s
+        for r in t2.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg((-F.avg(F.log(F.col("cnt") / F.lit(float(total))))).alias("s"))
+        .filter(F.col("doc_id") > 10_000_000)
+        .collect()
+    }
+    assert scores[10_000_002] > scores[10_000_001]
