@@ -23,9 +23,13 @@ model surface on Spark:
   - **materialize**: ``table`` → parquet CTAS into the project's
     warehouse dir + re-registered as a view over the materialized
     copy (dbt `materialized='table'`, `dbt_project.yml:28`);
-    ``view`` → temp view (dbt's default materialization). At cluster
-    scale the parquet write is any Hadoop-FS URI and `partition_by`
-    date keys give downstream partition pruning.
+    ``view`` → temp view (dbt's default materialization);
+    ``incremental`` → first run CTAS, later runs MERGE-on-unique_key
+    via the engine's merge_upsert (dbt's incremental contract fused
+    with the reference's `gcp_function.py` MERGE), with
+    ``{{ this }}`` / ``is_incremental()`` resolved per-run. At
+    cluster scale the parquet write is any Hadoop-FS URI and
+    `partition_by` date keys give downstream partition pruning.
 
 Divergence from the reference, by design (SURVEY.md §3.2): the
 reference models embed their own ``create table .. as`` DDL inside
@@ -47,6 +51,16 @@ _CONFIG_RE = re.compile(r"\{\{\s*config\s*\(([^)]*)\)\s*\}\}")
 _SOURCE_RE = re.compile(r"\{\{\s*source\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}")
 _REF_RE = re.compile(r"\{\{\s*ref\s*\(\s*'([^']+)'\s*\)\s*\}\}")
 _KWARG_RE = re.compile(r"(\w+)\s*=\s*'([^']*)'")
+# Run-time directives (dbt renders per-invocation; we resolve them in
+# _materialize because their value depends on target existence):
+_THIS_RE = re.compile(r"\{\{\s*this\s*\}\}")
+_IS_INCR_RE = re.compile(r"\{\{\s*is_incremental\s*\(\s*\)\s*\}\}")
+# dbt's canonical incremental guard: the whole block is REMOVED on a
+# full load (so `{{ this }}` inside never reaches the analyzer when
+# the target doesn't exist yet) and kept on incremental runs.
+_IF_INCR_RE = re.compile(
+    r"\{%\s*if\s+is_incremental\s*\(\s*\)\s*%\}(.*?)\{%\s*endif\s*%\}", re.S
+)
 
 
 @dataclass
@@ -153,13 +167,47 @@ class ModelProject:
         self.models = {m.name: compile_model(m, sources, names) for m in models}
 
     def _materialize(self, model: Model) -> DataFrame:
-        df = self.spark.sql(model.compiled_sql)
-        if model.materialized == "table":
-            path = os.path.join(self.warehouse_dir, model.name)
+        path = os.path.join(self.warehouse_dir, model.name)
+        sql = model.compiled_sql
+        if model.materialized == "incremental":
+            # dbt's incremental contract: first run = full CTAS; later
+            # runs compute the model (optionally filtered via
+            # is_incremental()/{{ this }}) and MERGE it into the target
+            # on unique_key — our merge_upsert, i.e. the reference's
+            # gcp_function.py MERGE inside the dbt lifecycle.
+            exists = os.path.exists(path)
+            if exists:
+                self.spark.read.parquet(path).createOrReplaceTempView(
+                    f"{model.name}__this"
+                )
+            sql = _IF_INCR_RE.sub(lambda m: m.group(1) if exists else "", sql)
+            sql = _THIS_RE.sub(f"{model.name}__this", sql)
+            sql = _IS_INCR_RE.sub("TRUE" if exists else "FALSE", sql)
+            df = self.spark.sql(sql)
+            if exists:
+                from gmt_dbt_spark.operators.upsert import merge_upsert
+
+                key = model.config.get("unique_key")
+                if not key:
+                    raise ValueError(
+                        f"incremental model '{model.name}' needs unique_key"
+                    )
+                target = self.spark.read.parquet(path)
+                merged = merge_upsert(
+                    target, df.select(*target.columns), [key]
+                ).localCheckpoint(eager=True)
+                merged.write.mode("overwrite").parquet(path)
+            else:
+                df.write.mode("overwrite").parquet(path)
+            df = self.spark.read.parquet(path)
+        elif model.materialized == "table":
+            df = self.spark.sql(sql)
             shutil.rmtree(path, ignore_errors=True)
             df.write.mode("overwrite").parquet(path)
             df = self.spark.read.parquet(path)
-        elif model.materialized != "view":
+        elif model.materialized == "view":
+            df = self.spark.sql(sql)
+        else:
             raise ValueError(
                 f"unsupported materialization '{model.materialized}' "
                 f"for model '{model.name}'"

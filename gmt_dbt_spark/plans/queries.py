@@ -192,3 +192,56 @@ def dq_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
             dq.test_relationships(orders, "o_custkey", customer, "c_custkey"),
         )
     )
+
+
+@query(
+    "model_incremental",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+""",
+)
+def model_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt `materialized='incremental'` lifecycle, two real runs:
+    run 1 full-loads even order keys; run 2's batch carries the odd
+    keys (inserts) plus re-stated %10 keys with doubled totals
+    (updates) — the final target must equal the declarative
+    recompute, proving MERGE-on-unique_key semantics inside the model
+    DAG. Fresh warehouse per invocation (rerun-safe); the result is
+    detached from the scratch path before cleanup."""
+    import shutil
+    import uuid
+
+    orders = table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    wh = os.path.join(SCRATCH, f"model_incr_{uuid.uuid4().hex[:8]}")
+    model_sql = """
+        {{ config(materialized='incremental', unique_key='o_orderkey') }}
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM {{ source('stg', 'orders_batch') }}
+        """
+    try:
+        sources = {("stg", "orders_batch"): "stg_orders_batch"}
+        # run 1: even keys, original values
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            *cols
+        ).createOrReplaceTempView("stg_orders_batch")
+        ModelProject(
+            spark, [Model("incr_orders", model_sql)], sources, warehouse_dir=wh
+        ).run()
+        # run 2: odd keys (new) + %10 keys re-stated with doubled totals
+        batch2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(*cols).unionByName(
+            orders.filter(F.col("o_orderkey") % 10 == 0).select(
+                "o_orderkey", "o_custkey",
+                (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            )
+        )
+        batch2.createOrReplaceTempView("stg_orders_batch")
+        out = ModelProject(
+            spark, [Model("incr_orders", model_sql)], sources, warehouse_dir=wh
+        ).run()["incr_orders"]
+        return spark.createDataFrame(out.collect(), out.schema)  # detach from wh
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

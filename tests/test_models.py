@@ -82,3 +82,46 @@ def test_dq_primitives(spark):
     assert [(r.k, r.n_rows) for r in dups] == [(1, 2)]
     assert {r.k for r in dq.test_accepted_values(df, "v", ["a", "b"]).collect()} == {3}
     assert {r.k for r in dq.test_relationships(df, "k", parent, "pk").collect()} == {3}
+
+
+def test_incremental_model_merge_and_guard(spark, tmp_path):
+    """Incremental materialization: first run full-loads; second run
+    sees is_incremental()=TRUE and `{{ this }}` bound to the current
+    target, loads ONLY rows newer than the target's max id, and
+    merges on unique_key. The guard must actually prune (we feed the
+    full source both times — without the guard run 2 would re-merge
+    everything; with it, only the new rows arrive, which we observe
+    via an updated-in-source row that must NOT change)."""
+    sql = """
+    {{ config(materialized='incremental', unique_key='id') }}
+    SELECT id, val FROM {{ source('s', 'src') }}
+    {% if is_incremental() %}
+    WHERE id > (SELECT MAX(id) FROM {{ this }})
+    {% endif %}
+    """
+    sources = {("s", "src"): "incr_src"}
+    wh = str(tmp_path / "wh")
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, val string"
+    ).createOrReplaceTempView("incr_src")
+    ModelProject(spark, [Model("m", sql)], sources, warehouse_dir=wh).run()
+
+    # source now: row 1 CHANGED (guard must skip it), row 3 new.
+    spark.createDataFrame(
+        [(1, "CHANGED"), (2, "b"), (3, "c")], "id bigint, val string"
+    ).createOrReplaceTempView("incr_src")
+    out = ModelProject(
+        spark, [Model("m", sql)], sources, warehouse_dir=wh
+    ).run()["m"]
+    got = {r.id: r.val for r in out.collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+
+def test_incremental_requires_unique_key(spark, tmp_path):
+    sql = "{{ config(materialized='incremental') }} SELECT 1 AS id"
+    wh = str(tmp_path / "wh2")
+    p = ModelProject(spark, [Model("m2", sql)], {}, warehouse_dir=wh)
+    p.run()  # first run is a plain CTAS — no key needed yet
+    with pytest.raises(Exception, match="unique_key"):
+        ModelProject(spark, [Model("m2", sql)], {}, warehouse_dir=wh).run()
