@@ -125,3 +125,31 @@ def test_incremental_requires_unique_key(spark, tmp_path):
     p.run()  # first run is a plain CTAS — no key needed yet
     with pytest.raises(Exception, match="unique_key"):
         ModelProject(spark, [Model("m2", sql)], {}, warehouse_dir=wh).run()
+
+
+def test_snapshot_idempotent_and_closes_versions(spark):
+    """SCD2 contract: re-applying an unchanged source is a no-op;
+    a changed row closes its previous version at exactly the new
+    version's valid_from; keys never touched stay open."""
+    from gmt_dbt_spark.plans.snapshots import snapshot_apply
+
+    v1 = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-01")],
+        "id bigint, val string, d string",
+    ).select("id", "val", F.to_timestamp("d").alias("updated_at"))
+    hist1 = snapshot_apply(None, v1, "id", "updated_at")
+
+    # idempotence: same source again → identical history
+    hist1b = snapshot_apply(hist1, v1, "id", "updated_at")
+    assert sorted(map(tuple, hist1b.collect())) == sorted(map(tuple, hist1.collect()))
+
+    # change row 1 on 2024-02-01
+    v2 = spark.createDataFrame(
+        [(1, "a2", "2024-02-01")], "id bigint, val string, d string"
+    ).select("id", "val", F.to_timestamp("d").alias("updated_at"))
+    hist2 = snapshot_apply(hist1, v2, "id", "updated_at")
+    rows = {(r.id, r.val): (r.valid_from.isoformat(), r.valid_to.isoformat() if r.valid_to else None)
+            for r in hist2.collect()}
+    assert rows[(1, "a")] == ("2024-01-01T00:00:00", "2024-02-01T00:00:00")
+    assert rows[(1, "a2")] == ("2024-02-01T00:00:00", None)
+    assert rows[(2, "b")][1] is None
