@@ -136,3 +136,86 @@ def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = scan_json(spark, os.path.join(_FX, "upsert_target.ndjson"), schema=schema)
     staging = scan_json(spark, os.path.join(_FX, "upsert_batch_a.ndjson"), schema=schema)
     return merge_upsert(target, staging, keys)
+
+
+def delete_keys_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    keys_df: DataFrame,
+    key: str,
+    partition_col: str,
+) -> None:
+    """Targeted deletion (takedown/opt-out lists, GDPR erasure) at
+    100 TB cost: find only the partitions containing doomed keys,
+    anti-join those partitions against the (broadcast) key list, and
+    dynamically overwrite just them — O(affected partitions), not
+    O(target). The key list is read twice (partition discovery +
+    anti-join); it is takedown-sized, so both are broadcasts."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    target = spark.read.parquet(target_path)
+    affected = [
+        r[0]
+        for r in target.join(F.broadcast(keys_df), key, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return
+    kept = (
+        target.filter(F.col(partition_col).isin(affected))
+        .join(F.broadcast(keys_df), key, "left_anti")
+        .localCheckpoint(eager=True)  # sever lineage before overwrite
+    )
+    kept.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+
+
+@query(
+    "sink_delete_keys",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+         AS total
+FROM orders
+WHERE o_custkey % 97 <> 0
+GROUP BY o_orderstatus
+""",
+)
+def sink_delete_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown round-trip: write orders partitioned by status, erase
+    every order of the opt-out customers (custkey ≡ 0 mod 97) via the
+    partition-scoped delete, aggregate what remains — must equal the
+    declarative NOT-IN recompute. Only partitions holding doomed rows
+    were rewritten (every status partition qualifies here; the
+    partition-pruning behavior itself is pinned in test_upsert)."""
+    import uuid
+
+    from gmt_dbt_spark.catalog import table
+
+    REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    run = os.path.join(REPO, ".scratch", f"takedown_{uuid.uuid4().hex[:8]}")
+    try:
+        orders = table(spark, sf_dir, "orders")
+        orders.write.partitionBy("o_orderstatus").parquet(run)
+        doomed = (
+            orders.filter(F.col("o_custkey") % 97 == 0)
+            .select("o_custkey")
+            .distinct()
+        )
+        delete_keys_partitioned(spark, run, doomed, "o_custkey", "o_orderstatus")
+        out = (
+            spark.read.parquet(run)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+                .cast("string")
+                .cast("double")
+                .alias("total"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # detach from run dir
+    finally:
+        import shutil
+
+        shutil.rmtree(run, ignore_errors=True)

@@ -96,3 +96,37 @@ def test_upsert_partitioned_touches_only_batch_partitions(spark, tmp_path):
     assert out.filter((F.col("id") == "k0")).collect()[0].val == "new"
     # untouched partition rows intact
     assert out.filter(F.col("dt") == "2024-01-02").count() == 3
+
+
+def test_delete_keys_touches_only_affected_partitions(spark, tmp_path):
+    """Erasure must rewrite ONLY partitions containing doomed keys:
+    untouched partition directories keep their exact files (same
+    names, same mtimes), and the doomed keys are gone."""
+    import glob
+    import os
+
+    from gmt_dbt_spark.operators.upsert import delete_keys_partitioned
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(90)], "id bigint, part string"
+    )
+    df.write.partitionBy("part").parquet(path)
+
+    def files_of(p):
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(path, f"part={p}", "*.parquet"))
+        }
+
+    before_b, before_c = files_of("b"), files_of("c")
+    # doomed keys all live in partition 'a' (ids ≡ 0 mod 3)
+    doomed = spark.createDataFrame([(0,), (3,), (9,)], "id bigint")
+    delete_keys_partitioned(spark, path, doomed, "id", "part")
+
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("id").isin(0, 3, 9)).count() == 0
+    assert after.count() == 87
+    # b and c untouched byte-for-byte (same files, same mtimes)
+    assert files_of("b") == before_b
+    assert files_of("c") == before_c
