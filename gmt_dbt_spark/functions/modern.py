@@ -120,3 +120,65 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users"),
     )
     return per_type.unionAll(overall)
+
+
+@query(
+    "fn_collation",
+    oracle="""
+SELECT COUNT(DISTINCT lower(x)) AS n_ci, COUNT(DISTINCT x) AS n_cs
+FROM (VALUES ('Apple'), ('APPLE'), ('apple'), ('Banana'), ('BANANA'),
+             ('cherry')) t(x)
+""",
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: `collate(x, 'UTF8_LCASE')` makes
+    comparison/grouping/distinct case-insensitive WITHOUT rewriting
+    the data (unlike lower(), the original strings survive; the
+    collation travels with the type). Distinct counts under the
+    case-insensitive collation vs binary collation, oracle'd via the
+    lower() equivalence."""
+    return spark.sql(
+        """
+        SELECT COUNT(DISTINCT collate(x, 'UTF8_LCASE')) AS n_ci,
+               COUNT(DISTINCT x) AS n_cs
+        FROM VALUES ('Apple'), ('APPLE'), ('apple'), ('Banana'), ('BANANA'),
+                    ('cherry') t(x)
+        """
+    )
+
+
+@query(
+    "udaf_grouped_arrow",
+    oracle="""
+SELECT user_id, COUNT(*) AS n,
+       SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS total_micro
+FROM events
+GROUP BY user_id
+""",
+)
+def udaf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom aggregate on the Arrow-NATIVE path
+    (`applyInArrow`, Spark 4): zero pandas conversion — the group
+    arrives as a pyarrow.Table, compute runs in Arrow kernels, the
+    result returns as a Table. This is the fastest Python escape
+    hatch (no pandas materialization cost on either boundary);
+    exactness via integer micro-units (floor — identical semantics in
+    both engines), so the oracle matches bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def agg(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        micros = pc.cast(pc.floor(pc.multiply(v, 1_000_000.0)), pa.int64())
+        return pa.table(
+            {
+                "user_id": [t.column("user_id")[0].as_py()],
+                "n": [t.num_rows],
+                "total_micro": [pc.sum(micros).as_py()],
+            }
+        )
+
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    return ev.groupBy("user_id").applyInArrow(
+        agg, schema="user_id bigint, n bigint, total_micro bigint"
+    )

@@ -245,3 +245,39 @@ def model_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)  # detach from wh
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@query(
+    "model_lineage",
+    oracle="""
+SELECT * FROM (VALUES
+  ('bronze_orders',      'source', 'stg.orders'),
+  ('bronze_customer',    'source', 'stg.customer'),
+  ('mart_nation_orders', 'ref',    'bronze_orders'),
+  ('mart_nation_orders', 'ref',    'bronze_customer'),
+  ('mart_nation_orders', 'source', 'stg.nation')
+) t(model, edge_type, upstream)
+""",
+)
+def model_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compile-time lineage (the `dbt docs` dependency graph): every
+    source()/ref() edge of the demo project as (model, edge_type,
+    upstream) rows — extracted from the COMPILED models, so the
+    lineage is exactly what execution will use, not a re-parse."""
+    from gmt_dbt_spark.plans.models import _SOURCE_RE, compile_model
+
+    rows = []
+    names = {m.name for m in _MODELS}
+    for m in _MODELS:
+        fresh = Model(m.name, m.raw_sql)
+        for sm in _SOURCE_RE.finditer(fresh.raw_sql):
+            rows.append((fresh.name, "source", f"{sm.group(1)}.{sm.group(2)}"))
+        compile_model(
+            fresh, {("stg", t): f"stg_{t}" for t in ("orders", "customer", "nation")},
+            names,
+        )
+        for dep in fresh.depends_on:
+            rows.append((fresh.name, "ref", dep))
+    return spark.createDataFrame(
+        rows, "model string, edge_type string, upstream string"
+    )
