@@ -29,6 +29,7 @@ def test_find_files():
     assert {os.path.basename(f) for f in files} == {
         "lv_precipitation.csv",
         "lv_temperature.csv",
+        "seed_lookup.csv",  # dbt seed fixture (plans/snapshots.py)
     }
 
 
