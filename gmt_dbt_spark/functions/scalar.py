@@ -233,3 +233,32 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("order_date"),
         (F.col("o_orderkey") % 2).cast("boolean").alias("odd_key"),
     )
+
+
+@query(
+    "fn_try",
+    oracle="""
+SELECT
+  COUNT(*) AS n,
+  COUNT(TRY_CAST(o_orderpriority AS INTEGER)) AS n_prio_numeric,
+  COUNT(CASE WHEN o_custkey % 100 = 0 THEN NULL
+             ELSE CAST(o_totalprice / (o_custkey % 100) AS DOUBLE) END)
+    AS n_safe_div
+FROM orders
+""",
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family (the ANSI-mode escape hatches,
+    default-on in Spark 4): `try_cast` yields NULL instead of
+    raising on malformed input, `try_divide` NULL on division by
+    zero — the difference between one bad row failing a 100 TB job
+    and one NULL in the output. Counted (not projected) so the oracle
+    compares integers, not error objects."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.expr("try_cast(o_orderpriority AS INT)")).alias("n_prio_numeric"),
+        F.count(
+            F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 100)
+        ).alias("n_safe_div"),
+    )
