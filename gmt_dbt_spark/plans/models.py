@@ -78,18 +78,60 @@ class Model:
         return self.config.get("materialized", "view")
 
 
+# dbt macros: reusable SQL template functions, `{{ macro_name(arg, …) }}`.
+# The reference declares `macro-paths` with an empty dir (`dbt_project.yml:12`);
+# here a macro is a Python callable str×…→str registered per-project (the
+# Jinja-lite analogue of a .sql macro file). Expanded BEFORE source()/ref()
+# so macros may themselves emit those directives.
+MacroFn = "Callable[..., str]"
+_MACRO_RE = re.compile(r"\{\{\s*(\w+)\s*\(([^)]*)\)\s*\}\}")
+_RESERVED_DIRECTIVES = {"config", "source", "ref", "is_incremental"}
+
+
+def expand_macros(sql: str, macros: dict) -> str:
+    """Expand `{{ name(args) }}` for every registered macro; unknown
+    names that aren't built-in directives raise (dbt's behavior for
+    an undefined macro). Args are passed as trimmed strings with
+    surrounding quotes stripped. Expansion repeats so macros can
+    emit other macros (bounded to avoid runaway recursion)."""
+    for _ in range(10):
+        hit = False
+
+        def sub(m: re.Match) -> str:
+            nonlocal hit
+            name = m.group(1)
+            if name in _RESERVED_DIRECTIVES:
+                return m.group(0)
+            if name not in macros:
+                raise KeyError(f"undefined macro '{name}'")
+            hit = True
+            raw = [a.strip() for a in m.group(2).split(",")] if m.group(2).strip() else []
+            args = [a[1:-1] if len(a) >= 2 and a[0] == a[-1] and a[0] in "'\"" else a
+                    for a in raw]
+            return macros[name](*args)
+
+        sql = _MACRO_RE.sub(sub, sql)
+        if not hit:
+            return sql
+    raise RecursionError("macro expansion did not terminate in 10 passes")
+
+
 def compile_model(
-    model: Model, sources: dict[tuple[str, str], str], model_names: set[str]
+    model: Model,
+    sources: dict[tuple[str, str], str],
+    model_names: set[str],
+    macros: dict | None = None,
 ) -> Model:
     """Render the Jinja-lite directives to executable Spark SQL.
 
+    Macros expand first (they may emit further directives);
     config(...) is parsed into ``model.config`` and removed; source()
     resolves via the source mapping (unknown source → error, the same
     contract dbt enforces against source.yml — the reference violates
     it for 2 models, SURVEY.md §3.2 defect 1); ref() resolves to the
     referenced model's registered name and records a DAG edge.
     """
-    sql = model.raw_sql
+    sql = expand_macros(model.raw_sql, macros or {})
     for m in _CONFIG_RE.finditer(sql):
         model.config.update(dict(_KWARG_RE.findall(m.group(1))))
     sql = _CONFIG_RE.sub("", sql)
@@ -157,6 +199,7 @@ class ModelProject:
         sources: dict[tuple[str, str], str],
         warehouse_dir: str,
         threads: int = 4,
+        macros: dict | None = None,
     ):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
@@ -164,7 +207,9 @@ class ModelProject:
         names = {m.name for m in models}
         if len(names) != len(models):
             raise ValueError("duplicate model names")
-        self.models = {m.name: compile_model(m, sources, names) for m in models}
+        self.models = {
+            m.name: compile_model(m, sources, names, macros) for m in models
+        }
 
     def _materialize(self, model: Model) -> DataFrame:
         path = os.path.join(self.warehouse_dir, model.name)

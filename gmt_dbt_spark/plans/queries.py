@@ -281,3 +281,58 @@ def model_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "model string, edge_type string, upstream string"
     )
+
+
+def _macro_money(col: str) -> str:
+    """dbt-style macro: exact-decimal money aggregate (the exprs.py
+    contract as a reusable template — each model stops hand-writing
+    the CAST chain)."""
+    return (
+        f"CAST(CAST(SUM(CAST({col} AS DECIMAL(25,6))) AS STRING) AS DOUBLE)"
+    )
+
+
+def _macro_order_filter(status: str) -> str:
+    return f"o_orderstatus = '{status}'"
+
+
+@query(
+    "model_macro",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+         AS total
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+)
+def model_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt macros in the model compiler (reference declares
+    `macro-paths` with an empty dir): `{{ money(col) }}` expands to
+    the exact-decimal aggregate template and `{{ order_filter(s) }}`
+    to a predicate — compile-time SQL reuse, the dbt facility that
+    keeps a 100-model project consistent."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("stg_orders")
+    project = ModelProject(
+        spark,
+        [
+            Model(
+                "finished_orders",
+                """
+                {{ config(materialized='view') }}
+                SELECT o_orderpriority,
+                       COUNT(*) AS n,
+                       {{ money('o_totalprice') }} AS total
+                FROM {{ source('stg', 'orders') }}
+                WHERE {{ order_filter('F') }}
+                GROUP BY o_orderpriority
+                """,
+            )
+        ],
+        {("stg", "orders"): "stg_orders"},
+        warehouse_dir=os.path.join(SCRATCH, "macro_wh"),
+        macros={"money": _macro_money, "order_filter": _macro_order_filter},
+    )
+    return project.run()["finished_orders"]

@@ -153,3 +153,31 @@ def test_snapshot_idempotent_and_closes_versions(spark):
     assert rows[(1, "a")] == ("2024-01-01T00:00:00", "2024-02-01T00:00:00")
     assert rows[(1, "a2")] == ("2024-02-01T00:00:00", None)
     assert rows[(2, "b")][1] is None
+
+
+def test_macro_expansion_and_unknown_macro(spark):
+    from gmt_dbt_spark.plans.models import expand_macros
+
+    macros = {"upper_of": lambda c: f"upper({c})", "two": lambda: "2"}
+    out = expand_macros(
+        "SELECT {{ upper_of('v') }} FROM t WHERE k > {{ two() }} "
+        "AND {{ is_incremental() }}",
+        macros,
+    )
+    assert out == "SELECT upper(v) FROM t WHERE k > 2 AND {{ is_incremental() }}"
+    with pytest.raises(KeyError, match="undefined macro"):
+        expand_macros("SELECT {{ ghost(1) }}", macros)
+
+
+def test_macro_can_emit_directives(spark, tmp_path):
+    """A macro that expands to a source() directive must compile —
+    macros run before directive resolution (dbt semantics)."""
+    from gmt_dbt_spark.plans.models import Model, ModelProject
+
+    spark.createDataFrame([(1,)], "k int").createOrReplaceTempView("src_t1")
+    m = Model("mm", "SELECT k FROM {{ base_table() }}")
+    out = ModelProject(
+        spark, [m], {("stg", "t1"): "src_t1"}, str(tmp_path),
+        macros={"base_table": lambda: "{{ source('stg', 't1') }}"},
+    ).run()["mm"]
+    assert out.collect()[0].k == 1
