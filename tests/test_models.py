@@ -181,3 +181,58 @@ def test_macro_can_emit_directives(spark, tmp_path):
         macros={"base_table": lambda: "{{ source('stg', 't1') }}"},
     ).run()["mm"]
     assert out.collect()[0].k == 1
+
+
+def test_snapshot_random_sequences_match_declarative(spark):
+    """Property: applying version batches one-at-a-time through
+    snapshot_apply must equal the declarative reconstruction (LEAD
+    over all versions) no matter how versions are grouped into
+    batches. Seeded random keys/timestamps/batch splits."""
+    import random
+
+    from gmt_dbt_spark.plans.snapshots import snapshot_apply
+
+    rng = random.Random(8132026)
+    for _ in range(4):
+        # random version set: key → sorted distinct day offsets
+        versions = []
+        for key in range(rng.randint(1, 6)):
+            days = sorted(rng.sample(range(1, 28), rng.randint(1, 4)))
+            for d in days:
+                versions.append((key, f"v{d}", f"2024-01-{d:02d}"))
+        rng.shuffle(versions)
+        cut = rng.randint(0, len(versions))
+        batches = [versions[:cut], versions[cut:]]
+        # batches must arrive in timestamp order per key (snapshot
+        # contract: sources move forward); sort each batch's rows and
+        # route each key's earlier versions to the earlier batch
+        versions.sort(key=lambda v: v[2])
+        mid = len(versions) // 2
+        batches = [versions[:mid], versions[mid:]]
+
+        hist = None
+        for b in batches:
+            if not b:
+                continue
+            df = spark.createDataFrame(
+                b, "id bigint, val string, d string"
+            ).select("id", "val", F.to_timestamp("d").alias("updated_at"))
+            hist = snapshot_apply(hist, df, "id", "updated_at")
+
+        got = {
+            (r.id, r.valid_from.isoformat()): (
+                r.val, r.valid_to.isoformat() if r.valid_to else None
+            )
+            for r in hist.collect()
+        }
+        # declarative expectation
+        by_key: dict[int, list] = {}
+        for k, v, d in versions:
+            by_key.setdefault(k, []).append((d, v))
+        expect = {}
+        for k, vs in by_key.items():
+            vs.sort()
+            for i, (d, v) in enumerate(vs):
+                nxt = f"{vs[i+1][0]}T00:00:00" if i + 1 < len(vs) else None
+                expect[(k, f"{d}T00:00:00")] = (v, nxt)
+        assert got == expect
