@@ -268,3 +268,59 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored
+
+
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com call 555-000-'
+              || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS text
+  FROM documents WHERE doc_id < 20
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}'))
+         + len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_pii,
+       md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM seeded
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (the privacy pass every pretraining pipeline
+    runs before anything else): regex redaction of emails/phones,
+    entirely in JVM `regexp_replace` (no Python, codegen'd). The
+    corpus is seeded with deterministic synthetic PII so the scrub
+    has real targets; output = per-doc redaction count + scrubbed
+    content hash, both reproduced by the oracle. At 100 TB this is a
+    pure map stage — zero shuffle, bytes never leave the executor."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-000-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return seeded.select(
+        "doc_id",
+        (
+            F.regexp_count(F.col("text"), F.lit(_PII_EMAIL))
+            + F.regexp_count(F.col("text"), F.lit(_PII_PHONE))
+        ).alias("n_pii"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
