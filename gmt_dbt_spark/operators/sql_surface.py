@@ -321,3 +321,41 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shipping priority — selective dim filter broadcast
     into the fact join, group-sum, deterministic top-10."""
     return _sql(spark, sf_dir, ["customer", "orders", "lineitem"], _q3("STRING"))
+
+
+_Q_RCTE_SPARK = """
+WITH RECURSIVE days(d) AS (
+  SELECT DATE'1996-01-01'
+  UNION ALL
+  SELECT date_add(d, 1) FROM days WHERE d < DATE'1996-03-31'
+)
+SELECT d, COUNT(o_orderkey) AS n_orders
+FROM days
+LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+GROUP BY d
+"""
+
+_Q_RCTE_DUCK = """
+WITH RECURSIVE days(d) AS (
+  SELECT DATE '1996-01-01'
+  UNION ALL
+  SELECT d + 1 FROM days WHERE d < DATE '1996-03-31'
+)
+SELECT d, COUNT(o_orderkey) AS n_orders
+FROM days
+LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+GROUP BY d
+"""
+
+
+@query("sql_recursive_cte", oracle=_Q_RCTE_DUCK)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): generate a 91-day calendar spine
+    declaratively, LEFT-join the fact table, and zero-fill gap days —
+    the canonical dense-time-series reporting pattern, previously
+    impossible in Spark SQL without a driver-side range(). Note the
+    engine boundary pinned by probing: only UNION ALL recursion is
+    supported (monotone series), not UNION-distinct — so cyclic-graph
+    closure stays with the iterative operator (operators/graph.py),
+    which is also the right 100 TB plan."""
+    return _sql(spark, sf_dir, ["orders"], _Q_RCTE_SPARK)

@@ -46,6 +46,20 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-modifiable in this deployment; keep going
+    try:
+        # Right-size shuffle parallelism if the session still carries
+        # Spark's default: AQE coalesces most exchanges anyway, but
+        # stateful streaming ops PIN the partition count into their
+        # state store at first checkpoint — 200 state instances on an
+        # 8-core driver session is pure overhead. Never override a
+        # deliberately-set value.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+    except Exception:
+        pass
     _TUNED.add(key)
     return spark
 

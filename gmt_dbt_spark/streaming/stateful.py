@@ -418,3 +418,86 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView(name)
         except Exception:
             pass
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+SELECT a.event_id AS click_id, b.event_id AS purchase_id
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '60 minutes'
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks + an event-time range
+    condition: clicks matched to same-user purchases in the following
+    hour, both sides REAL streams (file replay, two micro-batches).
+    The time-range predicate lets the state store evict rows once the
+    other side's watermark passes them — state is bounded by
+    (watermark delay + join window) × arrival rate, not stream
+    length. Here the delay exceeds the replay's 30-day span so no
+    match is ever evicted mid-replay and the result equals the batch
+    interval join exactly; production tunes the delay to actual
+    lateness (same code, smaller state)."""
+    run_dir = os.path.join(SCRATCH, f"stream_ssj_{uuid.uuid4().hex[:8]}")
+    src_dir = os.path.join(run_dir, "src")
+    ckpt = os.path.join(run_dir, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    name = f"ssj_t_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = table(spark, sf_dir, "events")
+        for i in range(2):
+            ev.filter(F.col("event_id") % 2 == i).toPandas().to_json(
+                os.path.join(src_dir, f"part-{i}.json"), orient="records",
+                lines=True, date_format="iso", date_unit="us",
+            )
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src_dir)
+        )
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "40 days")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "40 days")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 60 MINUTES")),
+            "inner",
+        ).select("click_id", "purchase_id")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name).distinct()  # join emits each match once; defensive
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
