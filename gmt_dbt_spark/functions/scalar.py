@@ -262,3 +262,39 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 100)
         ).alias("n_safe_div"),
     )
+
+
+@query(
+    "fn_higher_order",
+    oracle="""
+SELECT l_orderkey,
+       len(qtys) AS n_lines,
+       len(list_filter(qtys, x -> x >= 40)) AS n_large,
+       list_aggregate(list_transform(qtys, x -> x * 2), 'sum') AS sum_doubled,
+       list_contains(qtys, 50.0) AS has_max
+FROM (SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
+      FROM lineitem GROUP BY l_orderkey)
+""",
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — transform / filter / aggregate
+    / exists with lambdas, all inside codegen (the JVM answer to
+    'I need a loop over this array', where a Python UDF would leave
+    whole-stage codegen). Arrays are sorted first so the fold order
+    is identical on both engines; quantities are small integers in
+    doubles, so the folded sum is exact."""
+    li = table(spark, sf_dir, "lineitem")
+    arrs = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("qtys")
+    )
+    return arrs.select(
+        "l_orderkey",
+        F.size("qtys").alias("n_lines"),
+        F.size(F.filter("qtys", lambda x: x >= 40)).alias("n_large"),
+        F.aggregate(
+            F.transform("qtys", lambda x: x * 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_doubled"),
+        F.array_contains("qtys", 50.0).alias("has_max"),
+    )
