@@ -1,0 +1,355 @@
+"""The remaining TPC-H shapes — completing the 22-query suite.
+
+With this module every TPC-H query number 1-22 has a named
+`queries()` entry (Q1/Q3 in relational demos, Q2/Q7/Q10/Q13-Q16/
+Q18/Q19/Q21/Q22 in sql_surface.py + tpch_more.py, Q4/Q5/Q6/Q8/Q9/
+Q11/Q12/Q17/Q20 here). The reference delegates all SQL to BigQuery
+(`gcp_function.py:108`; dbt models are arbitrary SQL per
+`dbt_project.yml:11`), so hosting the full classic analytic
+catalogue is the [surface] parity bar (SURVEY.md §2 legend).
+
+Slim-schema substitutions (TESTDATA.md has no partsupp table and no
+shipmode/commitdate/receiptdate/container/phone columns):
+- partsupp bridge        → lineitem (part↔supplier observations)
+- ps_supplycost          → 0.5 * p_retailprice
+- l_commitdate<l_receiptdate ("late") → l_shipdate > o_orderdate
+- l_shipmode             → l_returnflag
+- p_container            → p_size
+- phone country code     → c_name serial digits
+
+Arithmetic follows the exprs.py contract: aggregate in DECIMAL
+(exact, order-independent), cast the final value to double through a
+string on BOTH engines; ratios divide two already-exact doubles
+(deterministic IEEE ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.registry import query
+
+_DSUM = "CAST(CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS {str_t}) AS DOUBLE)"
+_REV = (
+    "CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))"
+)
+
+
+def _sql(spark: SparkSession, sf_dir: str, tables: list[str], sql: str) -> DataFrame:
+    for t in tables:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+# --- Q4: order-priority checking (EXISTS semi-join) -----------------------
+# Classic "late delivery" is l_commitdate < l_receiptdate; the slim
+# schema's equivalent observable is "some line shipped after the
+# order date". Counts only — exact on any engine.
+_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+@query("tpch_q4", oracle=_Q4)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking: correlated EXISTS planned as
+    a left semi-join (lineitem side aggregated away — no row
+    multiplication), quarter filter pushed to the orders scan."""
+    return _sql(spark, sf_dir, ["orders", "lineitem"], _Q4)
+
+
+# --- Q5: local-supplier volume (6-way join, nation = both roles) ----------
+_Q5_BODY = """
+SELECT n_name, {rev} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def _q5(str_t: str) -> str:
+    return _Q5_BODY.format(rev=_DSUM.format(x=_REV, str_t=str_t))
+
+
+@query("tpch_q5", oracle=_q5("VARCHAR"))
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: the classic 6-way star join
+    with the c_nationkey = s_nationkey locality predicate folded into
+    the supplier join. region→nation→supplier all broadcast; the
+    region filter prunes the nation broadcast before the fact join,
+    so only ASIA suppliers ever probe lineitem."""
+    return _sql(
+        spark,
+        sf_dir,
+        ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+        _q5("STRING"),
+    )
+
+
+# --- Q6: forecasting-revenue change (pure scan-side aggregate) ------------
+_Q6_BODY = """
+SELECT {rev} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def _q6(str_t: str) -> str:
+    return _Q6_BODY.format(
+        rev=_DSUM.format(
+            x="CAST(l_extendedprice AS DECIMAL(18,6))"
+            " * CAST(l_discount AS DECIMAL(18,6))",
+            str_t=str_t,
+        )
+    )
+
+
+@query("tpch_q6", oracle=_q6("VARCHAR"))
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast-revenue: single-table scan + filter + one
+    aggregate — the purest pushdown test in the suite. All three
+    predicates reach the parquet scan (min/max row-group skipping on
+    l_shipdate); no shuffle beyond the final 1-row reduce."""
+    return _sql(spark, sf_dir, ["lineitem"], _q6("STRING"))
+
+
+# --- Q8: national market share (two-role nation, conditional ratio) -------
+_Q8_BODY = """
+SELECT o_year, {num} / {den} AS mkt_share
+FROM (
+  SELECT YEAR(o_orderdate) AS o_year,
+         {vol} AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA'
+    AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+) all_nations
+GROUP BY o_year
+"""
+
+
+def _q8(str_t: str) -> str:
+    num = _DSUM.format(
+        x="CASE WHEN nation = 'NATION_1' THEN volume"
+        " ELSE CAST(0 AS DECIMAL(18,6)) END",
+        str_t=str_t,
+    )
+    den = _DSUM.format(x="volume", str_t=str_t)
+    return _Q8_BODY.format(num=num, den=den, vol=_REV)
+
+
+@query("tpch_q8", oracle=_q8("VARCHAR"))
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: an 8-way join where nation
+    plays two roles (customer's region gate, supplier's share key)
+    under distinct aliases, then a conditional-sum ratio per year.
+    Both sums ride one aggregation pass; the ratio divides two
+    exact doubles. Note the inner volume stays DECIMAL until the
+    outer aggregate — no intermediate double rounding."""
+    return _sql(
+        spark,
+        sf_dir,
+        ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"],
+        _q8("STRING"),
+    )
+
+
+# --- Q9: product-type profit (expression over two fact-side columns) ------
+# ps_supplycost → 0.5 * p_retailprice (double halving is exact; the
+# product is then fixed to DECIMAL(18,6) before the exact arithmetic).
+_Q9_BODY = """
+SELECT nation, o_year, {profit} AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         YEAR(o_orderdate) AS o_year,
+         {rev} - CAST(p_retailprice * 0.5 AS DECIMAL(18,6))
+               * CAST(l_quantity AS DECIMAL(18,6)) AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%gear%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+def _q9(str_t: str) -> str:
+    return _Q9_BODY.format(
+        profit=_DSUM.format(x="amount", str_t=str_t), rev=_REV
+    )
+
+
+@query("tpch_q9", oracle=_q9("VARCHAR"))
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit: LIKE-filtered part drives a
+    5-way join; profit = revenue − cost·qty computed per line in
+    exact DECIMAL, aggregated by (supplier nation, order year). The
+    '%gear%' contains-filter can't use stats but still prunes part
+    before the join (filter below join in the plan)."""
+    return _sql(
+        spark,
+        sf_dir,
+        ["part", "lineitem", "supplier", "orders", "nation"],
+        _q9("STRING"),
+    )
+
+
+# --- Q11: important stock (scalar-subquery threshold over the same agg) ---
+# partsupp value → observed line revenue per part from one nation's
+# suppliers; HAVING > fraction-of-total via an uncorrelated scalar
+# subquery. Classic Q11 scales its fraction by 1/SF so the result
+# stays non-empty as data grows; the SF-agnostic equivalent here is
+# "parts worth more than 2x the average part" — the threshold adapts
+# through COUNT(DISTINCT l_partkey). All multiplies/divides happen on
+# already-exact doubles (deterministic IEEE ops).
+_Q11_BODY = """
+SELECT l_partkey, {val} AS value
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+GROUP BY l_partkey
+HAVING {val} > (
+  SELECT {total} * 2.0 / COUNT(DISTINCT l_partkey)
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+)
+"""
+
+
+def _q11(str_t: str) -> str:
+    d = _DSUM.format(x=_REV, str_t=str_t)
+    return _Q11_BODY.format(val=d, total=d)
+
+
+@query("tpch_q11", oracle=_q11("VARCHAR"))
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock: per-part value with a HAVING gate
+    against an uncorrelated scalar subquery (0.1% of the national
+    total). The scalar side reduces to one row and broadcasts; both
+    aggregates take the exact-DECIMAL route so the > compare is
+    deterministic across engines."""
+    return _sql(
+        spark, sf_dir, ["lineitem", "supplier", "nation"], _q11("STRING")
+    )
+
+
+# --- Q12: shipping-mode priority classes (conditional counts) -------------
+_Q12 = """
+SELECT l_returnflag AS ship_class,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag IN ('A', 'R')
+  AND l_shipdate > o_orderdate
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+@query("tpch_q12", oracle=_Q12)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping modes (l_returnflag stands in for
+    l_shipmode): two complementary conditional counts in one pass,
+    with an inter-column join predicate (shipped after ordered) that
+    must evaluate post-join while the IN-list and date range push to
+    the lineitem scan. Integer counts — exact everywhere."""
+    return _sql(spark, sf_dir, ["orders", "lineitem"], _Q12)
+
+
+# --- Q17: small-quantity-order revenue (correlated AVG gate) --------------
+# l_quantity is integer-valued (1..50) stored as double, so SUM/AVG
+# are exact in ANY order (every partial sum is an exactly-
+# representable integer double) — the one place a raw double AVG is
+# oracle-safe, and the classic formulation can stay verbatim.
+_Q17_BODY = """
+SELECT {total} / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND p_size = 5
+  AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def _q17(str_t: str) -> str:
+    return _Q17_BODY.format(
+        total=_DSUM.format(x="l_extendedprice", str_t=str_t)
+    )
+
+
+@query("tpch_q17", oracle=_q17("VARCHAR"))
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: the correlated AVG
+    subquery decorrelates into one per-part aggregate joined back
+    (no per-row rescan of lineitem); the brand/size filter prunes
+    part to a handful of keys that then gate BOTH the fact probe and
+    the decorrelated aggregate via the join."""
+    return _sql(spark, sf_dir, ["lineitem", "part"], _q17("STRING"))
+
+
+# --- Q20: potential part promotion (nested IN with grouped HAVING) --------
+_Q20 = """
+SELECT s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey
+    HAVING SUM(l_quantity) > 100
+  )
+"""
+
+
+@query("tpch_q20", oracle=_Q20)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion: the IN subquery is itself
+    a filtered join + grouped HAVING ("suppliers who moved >100 units
+    of small-parts this year") — planned as agg→filter→semi-join,
+    with the tiny qualifying-supplier set broadcast against the
+    nation-filtered supplier dim. SUM(l_quantity) is integer-exact."""
+    return _sql(
+        spark, sf_dir, ["supplier", "nation", "lineitem", "part"], _Q20
+    )

@@ -80,6 +80,7 @@ def _load_all() -> None:
     import gmt_dbt_spark.plans.queries  # noqa: F401
     import gmt_dbt_spark.operators.sql_surface  # noqa: F401
     import gmt_dbt_spark.operators.tpch_more  # noqa: F401
+    import gmt_dbt_spark.operators.tpch_rest  # noqa: F401
     import gmt_dbt_spark.functions.modern  # noqa: F401
     import gmt_dbt_spark.operators.graph  # noqa: F401
     import gmt_dbt_spark.sources.zorder  # noqa: F401

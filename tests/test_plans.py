@@ -242,3 +242,49 @@ def test_runtime_bloom_filter_injection(spark):
     li = table(spark, SF_DIR, "lineitem")
     o = table(spark, SF_DIR, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     assert li.join(o, li["l_orderkey"] == o["o_orderkey"]).count() == n_bloom
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    """Q5's 6-way star join: every dimension side (orders after its
+    date filter, supplier, nation, region) must broadcast — lineitem
+    is never shuffled for a join — and the region filter must prune
+    before the fact probe (filter sits under the broadcast exchange,
+    not above the join)."""
+    plan = plan_of(all_queries()["tpch_q5"](spark, SF_DIR))
+    tree = tree_of(plan)
+    assert "SortMergeJoin" not in tree
+    assert tree.count("BroadcastHashJoin") == 5
+    # o_orderdate range pushed into the orders parquet scan
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate", plan)
+
+
+def test_tpch_q6_full_pushdown_no_shuffle_before_agg(spark):
+    """Q6 is the pushdown acid test: all three predicates reach the
+    lineitem scan as PushedFilters, the read schema holds exactly the
+    4 referenced columns, and the only exchange is the final 1-row
+    aggregate reduce."""
+    plan = plan_of(all_queries()["tpch_q6"](spark, SF_DIR))
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(l_quantity,24", plan)
+    assert re.search(
+        r"ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        r"l_discount:double,l_shipdate:timestamp",
+        plan,
+    )
+    tree = tree_of(plan)
+    assert tree.count("Exchange") == 1  # single-partition final agg only
+    assert "SortMergeJoin" not in tree and "BroadcastHashJoin" not in tree
+
+
+def test_tpch_q17_decorrelates_avg(spark):
+    """Q17's correlated AVG gate must decorrelate into ONE per-part
+    aggregate joined back (no nested loop, no per-row rescan); the
+    brand/size filter must push into the part scan so the handful of
+    qualifying parts gates both the probe and the aggregate."""
+    plan = plan_of(all_queries()["tpch_q17"](spark, SF_DIR))
+    tree = tree_of(plan)
+    assert "NestedLoop" not in tree
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(p_brand,Brand#3", plan)
+    # the decorrelated aggregate appears once (partial+final pair per
+    # agg — 2 aggs total: the AVG and the outer SUM → 4 HashAggregates)
+    assert tree.count("HashAggregate") == 4
