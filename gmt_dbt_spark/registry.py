@@ -88,4 +88,5 @@ def _load_all() -> None:
     import gmt_dbt_spark.sources.pydatasource  # noqa: F401
     import gmt_dbt_spark.plans.snapshots  # noqa: F401
     import gmt_dbt_spark.operators.curation  # noqa: F401
+    import gmt_dbt_spark.operators.stats  # noqa: F401
     _LOADED = True
