@@ -89,4 +89,5 @@ def _load_all() -> None:
     import gmt_dbt_spark.plans.snapshots  # noqa: F401
     import gmt_dbt_spark.operators.curation  # noqa: F401
     import gmt_dbt_spark.operators.stats  # noqa: F401
+    import gmt_dbt_spark.sources.layout  # noqa: F401
     _LOADED = True

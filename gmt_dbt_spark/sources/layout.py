@@ -1,0 +1,130 @@
+"""Physical-layout operators: bucketing and partitioned writes.
+
+The reference configures NO partitioning or clustering anywhere
+(absence: `dbt_project.yml:25-31`, `main.py:314-349` — external
+tables over flat GCS prefixes), which is exactly what stops working
+at 100 TB. These two operators are the Spark-native layout levers:
+
+- ``sink_partitioned``: hive-style `partitionBy` date keys → every
+  downstream date filter becomes directory pruning (zero I/O for
+  excluded partitions). The layout `sink_delete_keys` and the
+  dynamic-overwrite upsert already rely on.
+- ``join_bucketed``: `bucketBy` both sides of a recurring join key →
+  the shuffle happens ONCE at write time; every subsequent join
+  plans with no Exchange on either side. The amortization strategy
+  for repeated fact⋈fact joins (plan pinned in tests/test_plans.py
+  ``test_bucketed_join_eliminates_shuffle``).
+
+Both builders write to a scratch warehouse, read back, and DETACH
+the result (collect + recreate) so cleanup can't invalidate the
+returned DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.registry import query
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+SCRATCH = os.path.join(REPO, ".scratch")
+
+
+@query(
+    "sink_partitioned",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       strftime(o_orderdate, '%Y-%m') AS o_month
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+""",
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-partitioned parquet write, then a partition-pruned
+    read-back of Q1-1996: the filter on the partition column prunes
+    at the DIRECTORY level (PartitionFilters in the plan, pinned in
+    tests), so the three selected months are the only bytes read —
+    the layout that turns a 100 TB fact scan into a per-month one."""
+    path = os.path.join(SCRATCH, f"part_orders_{uuid.uuid4().hex[:8]}")
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    try:
+        (
+            orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_month")
+            .write.mode("overwrite")
+            .partitionBy("o_month")
+            .parquet(path)
+        )
+        out = (
+            spark.read.parquet(path)
+            .filter(F.col("o_month").isin("1996-01", "1996-02", "1996-03"))
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_month")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+         AS sum_qty
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-bucketed fact⋈fact join: both tables bucketed (8
+    buckets) and sorted on the order key at write time, joined with
+    broadcast disabled — the sort-merge join consumes bucket layout
+    directly, NO Exchange on either side (plan pinned in tests).
+    At 100 TB this converts every recurring join on the key into a
+    shuffle-free local merge per bucket."""
+    run = uuid.uuid4().hex[:8]
+    names = {}
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        tbl = f"bktq_{name}_{run}"
+        names[name] = tbl
+        (
+            table(spark, sf_dir, name)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(SCRATCH, tbl))
+            .saveAsTable(tbl)
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = (
+            spark.table(names["orders"])
+            .join(
+                spark.table(names["lineitem"]),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.col("l_quantity").cast("decimal(25,6)"))
+                .cast("string")
+                .cast("double")
+                .alias("sum_qty"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name, tbl in names.items():
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            shutil.rmtree(os.path.join(SCRATCH, tbl), ignore_errors=True)
