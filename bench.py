@@ -47,16 +47,18 @@ def main() -> None:
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
 
-    # Warm pass: run every headline query once so the measured pass
-    # reflects steady-state execution (JIT + whole-stage-codegen
-    # compiled, broadcast relations built, parquet footers cached) —
-    # the regime a long-lived cluster actually runs in. Data itself
-    # is NOT cached (no .cache()/persist anywhere).
-    for name in names:
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-
+    # Per-query warm-then-measure: the warm run gets JIT + whole-stage
+    # codegen compiled, broadcast relations built, and parquet footers
+    # cached; the measured run immediately after reflects steady-state
+    # execution — the regime a long-lived cluster actually runs in.
+    # Measuring right after each query's own warm run (rather than one
+    # global warm pass) keeps heavy neighbours (checkpointing /
+    # pandas-UDF queries) from perturbing another query's timing via
+    # GC and block-manager churn. Data itself is NOT cached
+    # (no .cache()/persist anywhere).
     timings: dict[str, float] = {}
     for name in names:
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         # noop sink: full distributed execution, zero driver collect.
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
