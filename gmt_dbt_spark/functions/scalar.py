@@ -298,3 +298,60 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_doubled"),
         F.array_contains("qtys", 50.0).alias("has_max"),
     )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+SELECT c_custkey,
+       md5(c_name) AS name_md5,
+       sha256(c_name) AS name_sha256,
+       md5(CONCAT(c_name, '|', CAST(c_nationkey AS VARCHAR))) AS row_digest
+FROM customer
+""",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest family — content addressing / change
+    detection (the fingerprint side of dedup_cross_corpus). MD5 and
+    SHA-256 are bit-exact across engines by definition; the row
+    digest is the concat-then-hash change-capture idiom."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+        F.md5(
+            F.concat_ws("|", F.col("c_name"), F.col("c_nationkey").cast("string"))
+        ).alias("row_digest"),
+    )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 4096 AS with_flag,
+       xor(o_orderkey, 21845) AS xored,
+       o_orderkey << 3 AS shifted_up,
+       o_orderkey >> 2 AS shifted_down,
+       bit_count(o_orderkey) AS popcount
+FROM orders
+WHERE o_orderkey < 1000
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family — flag packing, hash mixing, shard routing
+    (the primitives under sink_zorder's Morton interleave and the
+    CMS cell hash). Integer ops: exact everywhere."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 3).alias("shifted_up"),
+        F.shiftright(k, 2).alias("shifted_down"),
+        F.bit_count(k).alias("popcount"),
+    )

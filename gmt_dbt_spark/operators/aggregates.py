@@ -240,3 +240,66 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_median",
+    oracle="""
+SELECT l_returnflag,
+       CAST(median(l_quantity) AS DOUBLE) AS med_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median. Safe to hash-compare because
+    l_quantity is integer-valued (1..50): both engines sort and take
+    the midpoint, and averaging two representable integers is one
+    exact IEEE op. (For arbitrary doubles this would go through the
+    decimal-string route like agg_percentile.)"""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_var_exact",
+    oracle="""
+SELECT l_returnflag,
+       (CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+        - CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+          * CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+          / COUNT(*))
+       / COUNT(*) AS var_pop,
+       sqrt((CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+        - CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+          * CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+          / COUNT(*))
+       / COUNT(*)) AS stddev_pop
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_var_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population variance/stddev via EXACT decimal sums — the
+    single-pass Σx²/Σx/n formulation (no Welford recurrence, whose
+    per-partition merge order makes the last bits nondeterministic).
+    Each decimal sum is order-independent; the remaining ops are a
+    fixed sequence of deterministic IEEE double ops (sqrt is
+    correctly rounded by spec). The same trick makes covariance and
+    correlation hash-stable at any scale."""
+    from gmt_dbt_spark.exprs import dec2dbl
+
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    sum_sq = dec2dbl(F.sum((q * q).cast("decimal(25,6)")))
+    sum_q = dec2dbl(F.sum(q.cast("decimal(25,6)")))
+    n = F.count(F.lit(1))
+    var_pop = (sum_sq - sum_q * sum_q / n) / n
+    return li.groupBy("l_returnflag").agg(
+        var_pop.alias("var_pop"),
+        F.sqrt(var_pop).alias("stddev_pop"),
+    )
