@@ -303,3 +303,54 @@ def agg_var_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         var_pop.alias("var_pop"),
         F.sqrt(var_pop).alias("stddev_pop"),
     )
+
+
+@query(
+    "agg_incremental_rollup",
+    oracle="""
+SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY strftime(o_orderdate, '%Y-%m')
+""",
+)
+def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a monthly rollup kept as
+    MERGEABLE partials (count, decimal sum) is updated with a new
+    batch by aggregating ONLY the batch and combining partials by
+    key — never re-reading history. Simulated here as history
+    (<1999) + batch (>=1999); the merged rollup must equal the
+    full recompute (the oracle). At 100 TB this is the difference
+    between scanning one day and scanning five years. Decimal sums
+    stay exact through the partial->merge path because decimal
+    addition is associative; finalization to double happens once,
+    after the merge."""
+    orders = table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("o_month")
+    cutoff = F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("sum_dec"),
+        )
+
+    history = partials(orders.filter(~cutoff))
+    batch = partials(orders.filter(cutoff))
+    merged = (
+        history.unionByName(batch)
+        .groupBy("o_month")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_dec").alias("sum_dec"),
+        )
+    )
+    from gmt_dbt_spark.exprs import dec2dbl
+
+    return merged.select(
+        "o_month",
+        "n_orders",
+        dec2dbl(F.col("sum_dec")).alias("total_price"),
+    )
