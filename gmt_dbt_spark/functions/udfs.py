@@ -101,3 +101,32 @@ def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
     ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "word")
+
+
+@query(
+    "udf_sql_registered",
+    oracle="""
+SELECT p_partkey,
+       regexp_replace(lower(p_name), '[^a-z0-9_]', '_', 'g') AS slug
+FROM part
+WHERE p_size > 10
+""",
+)
+def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF registered into the SQL namespace (`spark.udf.register`
+    with a pandas UDF, Arrow-batched) and invoked FROM SQL TEXT —
+    the extension path for dbt-style model authors who only write
+    SQL: the function becomes available to every model the way a
+    BigQuery UDF would be for the reference's models
+    (`dbt_project.yml:11` — models are arbitrary SQL)."""
+    import re as _re
+
+    @F.pandas_udf(T.StringType())
+    def _slugify(s: pd.Series) -> pd.Series:
+        return s.str.lower().map(lambda v: _re.sub(r"[^a-z0-9_]", "_", v))
+
+    spark.udf.register("slugify", _slugify)
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        "SELECT p_partkey, slugify(p_name) AS slug FROM part WHERE p_size > 10"
+    )

@@ -154,3 +154,38 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(2)
     ).otherwise(F.lit(6))
     return docs.filter(F.col("doc_id") % 10 < rate).select("doc_id", "source")
+
+
+@query(
+    "text_chunk",
+    oracle="""
+SELECT doc_id,
+       CAST(s.start AS INTEGER) AS chunk_start,
+       substr(text, CAST(s.start AS INTEGER), 200) AS chunk_text,
+       length(substr(text, CAST(s.start AS INTEGER), 200)) AS chunk_len
+FROM documents, LATERAL (SELECT unnest(generate_series(1, n_chars, 150)) AS start) s
+WHERE n_chars > 0
+""",
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap (200-char chunks,
+    150-char stride → 50-char overlap) — the sequence-chunking step
+    every pretraining pipeline runs before tokenization/packing.
+    Pure built-ins: `sequence` generates chunk starts, `posexplode`
+    fans out 1→N, `substring` slices — all codegen'd, the document
+    body is never copied more than the overlap factor. At 100 TB the
+    explode multiplies rows ~n_chars/150× but each output row is
+    bounded (200 chars), so downstream partition sizes stay uniform
+    regardless of input document length skew."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    starts = F.sequence(F.lit(1), F.col("n_chars"), F.lit(150))
+    chunk = F.expr("substring(text, chunk_start, 200)")
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            chunk.alias("chunk_text"),
+            F.length(chunk).alias("chunk_len"),
+        )
+    )

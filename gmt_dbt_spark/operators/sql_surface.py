@@ -359,3 +359,32 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure stays with the iterative operator (operators/graph.py),
     which is also the right 100 TB plan."""
     return _sql(spark, sf_dir, ["orders"], _Q_RCTE_SPARK)
+
+
+
+_Q_REUSE = """
+WITH nation_rollup AS (
+  SELECT c_nationkey,
+         COUNT(*) AS n_cust,
+         CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS {str_t}) AS DOUBLE)
+           AS total_bal
+  FROM customer
+  GROUP BY c_nationkey
+)
+SELECT 'largest' AS band, c_nationkey, n_cust, total_bal FROM nation_rollup
+WHERE n_cust >= (SELECT MAX(n_cust) FROM nation_rollup)
+UNION ALL
+SELECT 'smallest', c_nationkey, n_cust, total_bal FROM nation_rollup
+WHERE n_cust <= (SELECT MIN(n_cust) FROM nation_rollup)
+"""
+
+
+@query("sql_reuse_exchange", oracle=_Q_REUSE.format(str_t="VARCHAR"))
+def sql_reuse_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One aggregate CTE consumed FOUR times (two branch bodies, two
+    scalar extreme subqueries): Spark's exchange-reuse dedups the
+    aggregation shuffle to one physical execution, wiring the other
+    consumers to ReusedExchange nodes (pinned in tests) — the
+    plan-level sharing that keeps multi-consumer CTEs from
+    re-scanning the fact table once per reference at 100 TB."""
+    return _sql(spark, sf_dir, ["customer"], _Q_REUSE.format(str_t="STRING"))

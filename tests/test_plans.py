@@ -288,3 +288,14 @@ def test_tpch_q17_decorrelates_avg(spark):
     # the decorrelated aggregate appears once (partial+final pair per
     # agg — 2 aggs total: the AVG and the outer SUM → 4 HashAggregates)
     assert tree.count("HashAggregate") == 4
+
+
+def test_multi_consumer_cte_reuses_exchange(spark):
+    """The four-times-consumed aggregate CTE must materialize its
+    shuffle once: after execution the adaptive plan wires the other
+    consumers to ReusedExchange/ReusedQueryStage nodes instead of
+    re-scanning and re-aggregating the base table per consumer."""
+    df = all_queries()["sql_reuse_exchange"](spark, SF_DIR)
+    df.collect()  # AQE applies stage reuse at runtime
+    plan = plan_of(df)
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
