@@ -189,3 +189,47 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(chunk).alias("chunk_len"),
         )
     )
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+SELECT source, doc_id, tok,
+       CAST(FLOOR((SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - tok) / 2048.0)
+            AS BIGINT) AS pack_id
+FROM (SELECT source, doc_id,
+             length(text) - length(replace(text, ' ', '')) + 1 AS tok
+      FROM documents)
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget packs
+    (context windows) by contiguous fill — pack_id = exclusive
+    running token total ÷ budget. One window per corpus (PARTITION BY
+    source) keeps the running sum parallel across corpora and
+    deterministic (ORDER BY doc_id), so the packing is reproducible
+    run-to-run — the property a training job needs to resume mid-
+    epoch. Token counts are integer (whitespace proxy), the running
+    sum is exact, and floor of an exact-integer/constant division is
+    deterministic IEEE — hash-stable across engines."""
+    docs = table(spark, sf_dir, "documents")
+    tok = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
+    ).alias("tok")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = docs.select("source", "doc_id", tok)
+    return base.select(
+        "source",
+        "doc_id",
+        "tok",
+        F.floor((F.sum("tok").over(w) - F.col("tok")) / F.lit(2048.0))
+        .cast("bigint")
+        .alias("pack_id"),
+    )
