@@ -388,3 +388,49 @@ def sql_reuse_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-level sharing that keeps multi-consumer CTEs from
     re-scanning the fact table once per reference at 100 TB."""
     return _sql(spark, sf_dir, ["customer"], _Q_REUSE.format(str_t="STRING"))
+
+
+_Q_GBA = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS {str_t}) AS DOUBLE)
+         AS total
+FROM orders
+GROUP BY ALL
+"""
+
+
+@query("sql_group_by_all", oracle=_Q_GBA.format(str_t="VARCHAR"))
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`GROUP BY ALL` (infer grouping keys from the non-aggregate
+    select items) — the modern-SQL ergonomic both Spark and DuckDB
+    ship; one less way for a 40-column rollup model to silently
+    drift from its select list."""
+    return _sql(spark, sf_dir, ["orders"], _Q_GBA.format(str_t="STRING"))
+
+
+_Q_LCA = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_extendedprice AS DECIMAL(18,6))
+         * CAST(1 - l_discount AS DECIMAL(18,6)) AS net,
+       CAST(net * CAST(1 + l_tax AS DECIMAL(18,6)) AS DECIMAL(25,6)) AS gross,
+       CAST(CAST(gross AS {str_t}) AS DOUBLE) AS gross_dbl
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-02-01'
+"""
+
+
+@query(
+    "sql_lateral_alias",
+    oracle="SELECT l_orderkey, l_linenumber, gross_dbl FROM ("
+    + _Q_LCA.format(str_t="VARCHAR")
+    + ")",
+)
+def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases: `net` referenced by `gross`, `gross`
+    by `gross_dbl`, all in ONE select — the expression-pipeline
+    style dbt models use heavily (vs nested subselects). The final
+    projection keeps only the oracle-stable double."""
+    df = _sql(spark, sf_dir, ["lineitem"], _Q_LCA.format(str_t="STRING"))
+    return df.select("l_orderkey", "l_linenumber", "gross_dbl")
