@@ -3,7 +3,9 @@
 The reference configures NO partitioning or clustering anywhere
 (absence: `dbt_project.yml:25-31`, `main.py:314-349` — external
 tables over flat GCS prefixes), which is exactly what stops working
-at 100 TB. These two operators are the Spark-native layout levers:
+at 100 TB. The first two operators are the Spark-native layout
+levers; ``sink_ndjson`` round-trips the reference's interchange
+format as a distributed write:
 
 - ``sink_partitioned``: hive-style `partitionBy` date keys → every
   downstream date filter becomes directory pruning (zero I/O for
@@ -128,3 +130,37 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, tbl in names.items():
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             shutil.rmtree(os.path.join(SCRATCH, tbl), ignore_errors=True)
+
+
+@query(
+    "sink_ndjson",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+FROM orders
+WHERE o_orderkey % 100 = 0
+""",
+)
+def sink_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDJSON sink + scan round-trip — the reference's interchange
+    format: its load jobs ship NEWLINE_DELIMITED_JSON into BigQuery
+    (`gcp_function.py:126`) and its ingest rewrites arrays to NDJSON
+    (`main.py:249-252`). Spark's json writer emits one JSON object
+    per line (the same format), sharded one file per task — a
+    distributed write, not the reference's single-threaded rewrite.
+    Values survive the text round-trip exactly (ints + strings here;
+    timestamps/doubles would need format pinning — documented, not
+    silently lossy)."""
+    path = os.path.join(SCRATCH, f"ndjson_orders_{uuid.uuid4().hex[:8]}")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    try:
+        (
+            table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 100 == 0)
+            .select(*cols)
+            .write.mode("overwrite")
+            .json(path)
+        )
+        out = spark.read.json(path).select(*cols)  # schema re-inferred
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
