@@ -1,0 +1,108 @@
+"""Event-sequence analytics: funnel + retention cohorts.
+
+[surface]/[ext] — the standard product-analytics shapes any
+BigQuery-hosted dbt project runs daily (the reference's models are
+arbitrary SQL, `dbt_project.yml:11`; its events analogue is the Yelp
+checkin/review time series). Both ops are ordered-sequence rollups
+over the driver's `events` table.
+
+Scale shape: each stage is a conditional MIN aggregate keyed by
+user_id — partial-aggregable, one shuffle per stage on the same key
+(co-partitioned, so AQE can reuse the exchange layout); no window
+over the full event stream, no per-user collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.registry import query
+
+
+@query(
+    "events_funnel",
+    oracle="""
+WITH v AS (SELECT user_id, MIN(ts) AS first_view
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS first_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.first_view
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+      GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_then_click,
+       (SELECT COUNT(*) FROM p) AS n_full_funnel
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (view → click → purchase): each
+    stage is the earliest qualifying event strictly AFTER the
+    previous stage's — the order constraint is what distinguishes a
+    funnel from three independent counts. Stages chain as
+    conditional-MIN aggregates joined on user_id; per-stage state is
+    one timestamp per user, never the event list."""
+    ev = table(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame, etype: str, prev_col: str, out_col: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_col))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = stage(v, "click", "first_view", "first_click")
+    p = stage(c, "purchase", "first_click", "first_purchase")
+    return spark.createDataFrame(
+        [(v.count(), c.count(), p.count())],
+        "n_view bigint, n_view_then_click bigint, n_full_funnel bigint",
+    )
+
+
+@query(
+    "events_retention",
+    oracle="""
+WITH cohorts AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+)
+SELECT c.cohort_day,
+       date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_active
+FROM events e
+JOIN cohorts c ON e.user_id = c.user_id
+GROUP BY c.cohort_day, date_diff('day', c.cohort_day, CAST(e.ts AS DATE))
+""",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-seen day,
+    activity counted per (cohort, day-offset) cell. The cohort map
+    is one row per user (small → broadcast against the event
+    stream); the matrix is bounded by days², not events. day_offset
+    as an integer keeps the grouping key engine-neutral."""
+    ev = table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    return (
+        ev.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -90,4 +90,5 @@ def _load_all() -> None:
     import gmt_dbt_spark.operators.curation  # noqa: F401
     import gmt_dbt_spark.operators.stats  # noqa: F401
     import gmt_dbt_spark.sources.layout  # noqa: F401
+    import gmt_dbt_spark.operators.funnel  # noqa: F401
     _LOADED = True
