@@ -336,3 +336,102 @@ def model_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
         macros={"money": _macro_money, "order_filter": _macro_order_filter},
     )
     return project.run()["finished_orders"]
+
+
+@query(
+    "pipeline_reference_e2e",
+    oracle=f"""
+WITH b AS (
+  SELECT business_id, city, state, stars
+  FROM read_json('{os.path.join(REPO, "fixtures", "yelp_business.ndjson")}',
+                 format='newline_delimited',
+                 columns={{'business_id':'VARCHAR','city':'VARCHAR',
+                          'state':'VARCHAR','stars':'DOUBLE'}})
+),
+tips AS (
+  SELECT business_id, COUNT(*) AS n_tips
+  FROM read_json('{os.path.join(REPO, "fixtures", "yelp_tip.ndjson")}',
+                 format='newline_delimited',
+                 columns={{'business_id':'VARCHAR'}})
+  GROUP BY business_id
+)
+SELECT b.state, b.city,
+       COUNT(*) AS n_business,
+       CAST(CAST(SUM(CAST(b.stars AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+         / COUNT(*) AS avg_stars,
+       CAST(SUM(COALESCE(t.n_tips, 0)) AS BIGINT) AS n_tips
+FROM b LEFT JOIN tips t ON b.business_id = t.business_id
+GROUP BY b.state, b.city
+""",
+)
+def pipeline_reference_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE pipeline replayed in one query, on
+    Spark, over the Yelp-shaped fixtures: NDJSON discovery + schema
+    autodetect ingest (`main.py:318-320`) → identifier sanitize
+    (`main.py:215-230`, metadata-only here) → staging views (the
+    STG_Yelp dataset, `main.py:38-55`) → dbt-style DAG of bronze
+    CTAS models with NAMED columns (fixing the reference's
+    `SELECT *`, §3.2) → a mart aggregate over two bronze models.
+    What took the reference a GCS bucket, two BigQuery datasets and
+    a dbt invocation is one lazy Spark DAG: ingest scans feed the
+    CTAS writes, which feed the mart — each stage distributed."""
+    import shutil
+    import uuid
+
+    from gmt_dbt_spark.sources.readers import scan_json
+    from gmt_dbt_spark.sources.sanitize import sanitize_columns
+
+    fx = os.path.join(REPO, "fixtures")
+    for name, view in (
+        ("yelp_business.ndjson", "stg_yelp_business"),
+        ("yelp_tip.ndjson", "stg_yelp_tip"),
+    ):
+        sanitize_columns(scan_json(spark, os.path.join(fx, name))).createOrReplaceTempView(view)
+
+    wh = os.path.join(SCRATCH, f"ref_e2e_{uuid.uuid4().hex[:8]}")
+    models = [
+        Model(
+            "bronze_business",
+            """
+            {{ config(materialized='table') }}
+            SELECT business_id, city, state, stars
+            FROM {{ source('stg', 'yelp_business') }}
+            """,
+        ),
+        Model(
+            "bronze_tip",
+            """
+            {{ config(materialized='view') }}
+            SELECT business_id FROM {{ source('stg', 'yelp_tip') }}
+            """,
+        ),
+        Model(
+            "mart_city_stats",
+            """
+            {{ config(materialized='table') }}
+            WITH tips AS (
+              SELECT business_id, COUNT(*) AS n_tips
+              FROM {{ ref('bronze_tip') }} GROUP BY business_id
+            )
+            SELECT b.state, b.city,
+                   COUNT(*) AS n_business,
+                   CAST(CAST(SUM(CAST(b.stars AS DECIMAL(25,6))) AS STRING)
+                        AS DOUBLE) / COUNT(*) AS avg_stars,
+                   CAST(SUM(COALESCE(t.n_tips, 0)) AS BIGINT) AS n_tips
+            FROM {{ ref('bronze_business') }} b
+            LEFT JOIN tips t ON b.business_id = t.business_id
+            GROUP BY b.state, b.city
+            """,
+        ),
+    ]
+    sources = {
+        ("stg", "yelp_business"): "stg_yelp_business",
+        ("stg", "yelp_tip"): "stg_yelp_tip",
+    }
+    try:
+        out = ModelProject(
+            spark, models, sources, warehouse_dir=wh, threads=4
+        ).run()["mart_city_stats"]
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
