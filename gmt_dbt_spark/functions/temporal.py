@@ -1,0 +1,80 @@
+"""Interval/date arithmetic and deterministic string formatting.
+
+[surface] — the reference's type converter handles TimestampType
+(`gcp_function.py:217-218`) and its Yelp/climate data is daily time
+series, so hosted model SQL leans on date arithmetic; BigQuery's
+DATE_ADD/DATE_TRUNC/LAST_DAY/FORMAT family is the surface mirrored
+here. All expressions are JVM built-ins inside whole-stage codegen —
+no UDFs, nothing leaves the scan-project pipeline, zero shuffles.
+
+Formatting sticks to exactly-specified conversions (integer printf,
+date fields, string pads) — float printf rounds HALF_UP in Java but
+round-half-even in C, so %f never appears in an oracle-compared
+column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.registry import query
+
+
+@query(
+    "fn_interval",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) + 3                              AS due_3d,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)        AS month_start,
+       last_day(CAST(o_orderdate AS DATE))                        AS month_end,
+       CAST(quarter(o_orderdate) AS INTEGER)                      AS qtr,
+       CAST(dayofyear(o_orderdate) AS INTEGER)                    AS doy
+FROM orders
+""",
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic: day offsets, calendar-clamped month
+    adds (Jan 31 + 1 month = Feb 28/29 on both engines), month
+    truncation/end, and calendar field extraction — the BigQuery
+    DATE_ADD/DATE_TRUNC/LAST_DAY surface."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 3).alias("due_3d"),
+        F.add_months(d, 1).alias("next_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("doy"),
+    )
+
+
+@query(
+    "fn_format",
+    oracle="""
+SELECT o_orderkey,
+       printf('P%07d|%s', o_orderkey, o_orderpriority) AS tag,
+       strftime(o_orderdate, '%Y-%m')                  AS ym,
+       lpad(CAST(o_orderkey AS VARCHAR), 12, '0')      AS padded,
+       repeat(o_orderstatus, 3)                        AS tripled,
+       concat_ws('-', o_orderpriority, o_orderstatus)  AS joined
+FROM orders
+""",
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic formatting: C-style printf over integers/strings
+    (exact — no float rounding mode in play), date→pattern rendering,
+    pad/repeat/join. BigQuery FORMAT()/FORMAT_DATE() surface."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.format_string("P%07d|%s", "o_orderkey", "o_orderpriority").alias("tag"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded"),
+        F.repeat("o_orderstatus", 3).alias("tripled"),
+        F.concat_ws("-", "o_orderpriority", "o_orderstatus").alias("joined"),
+    )

@@ -324,3 +324,44 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_pii"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+@query(
+    "text_ngram_tf",
+    oracle=f"""
+WITH t AS (
+  SELECT {_DUCK_TOKENS} AS toks FROM documents WHERE doc_id < 200
+),
+b AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+)
+SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram HAVING COUNT(*) >= 2
+""",
+)
+def text_ngram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram term frequency — the n-gram LM / contamination-check
+    building block. Shape chosen for scale: explode tokens ONCE
+    (each token pays its regex once) and pair neighbours with a
+    lead() window keyed by doc — versus inlining `tokens[i]` in an
+    array transform, which re-evaluates the whole tokenize
+    expression per element (see shingles_col PERF WARNING). One
+    shuffle by doc_id for the window, then the count's own shuffle
+    on the bigram key spreads hot bigrams across reducers."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = d.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = tok.select(
+        F.concat_ws(" ", "token", F.lead("token").over(w)).alias("bigram"),
+        F.lead("token").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    return (
+        pairs.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )

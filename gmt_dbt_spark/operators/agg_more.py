@@ -1,0 +1,210 @@
+"""Aggregate surface depth: boolean/conditional aggregates, exact
+mode, ordered string aggregation, fixed-width histograms, and exact
+correlation/covariance.
+
+[surface] — none appear in the reference's eight `SELECT *` models,
+but dbt models are arbitrary BigQuery SQL (`dbt_project.yml:11`) and
+all of these are BigQuery built-ins (LOGICAL_AND/LOGICAL_OR/COUNTIF,
+APPROX_TOP_COUNT's exact twin, STRING_AGG, and CORR), so hosting the
+model surface requires them.
+
+Scale notes: every op here is a partial-aggregable groupBy — one
+shuffle on the grouping key, map-side combine on. The histogram and
+correlation keep constant per-group state (counters / six decimal
+sums); mode keys the shuffle by (group, value) first so a hot group
+fans out across reducers before the per-group argmax reduces it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.exprs import dec2dbl
+from gmt_dbt_spark.registry import query
+
+
+@query(
+    "agg_bool",
+    oracle="""
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 1000.0)      AS all_over_1k,
+       bool_or(o_orderstatus = 'F')         AS any_finished,
+       count_if(o_totalprice > 150000.0)    AS n_big,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates (BigQuery LOGICAL_AND /
+    LOGICAL_OR / COUNTIF): predicate state is one bit or one counter
+    per group — the cheapest possible partial aggregate."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count_if(F.col("o_totalprice") > 150000.0).alias("n_big"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+)
+SELECT l_returnflag, qty AS mode_qty, n AS n_mode
+FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY n DESC, qty ASC) AS rk FROM c)
+WHERE rk = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode with a pinned tie-break (highest count,
+    then smallest value — engines' built-in mode() leaves ties
+    unspecified, so we write the argmax explicitly). Two-level
+    shape: count by (group, value) — a (group, value)-keyed shuffle
+    that spreads hot groups across reducers — then a per-group
+    row_number over the tiny distinct-value set."""
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("qty").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_returnflag", F.col("qty").alias("mode_qty"), F.col("n").alias("n_mode"))
+    )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered distinct string aggregation (BigQuery STRING_AGG):
+    collect_set gathers the distinct values (set-sized state, not
+    row-sized), array_sort pins the order, concat_ws renders —
+    deterministic regardless of shuffle arrival order."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        ),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       CAST(floor(o_totalprice / 50000.0) AS BIGINT) * CAST(50000.0 AS DOUBLE) AS lo,
+       (CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1) * CAST(50000.0 AS DOUBLE) AS hi,
+       COUNT(*) AS n
+FROM orders
+GROUP BY CAST(floor(o_totalprice / 50000.0) AS BIGINT)
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram in one pass: bucket id is a scalar
+    floor-divide (codegen'd, no UDF), the aggregate is a counter per
+    bucket. Output is bounded by the value range, not the row count
+    — the 100 TB-safe way to eyeball a distribution. floor() and
+    double division are exactly specified by IEEE-754, so bucket
+    edges agree bit-exactly across engines."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("bigint")
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000.0).alias("lo"),
+            ((F.col("bucket") + 1) * 50000.0).alias("hi"),
+            "n",
+        )
+    )
+
+
+# Exact-decimal casts for the correlation moments. DuckDB keeps a
+# decimal product in the operands' storage class (int64 → 18 digits),
+# so operands must be narrow enough that every per-row product fits
+# 18 digits: quantity ≤ 50 → DECIMAL(9,3), price ≤ ~10^5 at 2 dp →
+# DECIMAL(9,2); worst product unscaled is 10^18-safe on both engines,
+# and the SUM accumulates in 38 digits. No precision loss anywhere.
+_DX = "DECIMAL(9,3)"
+_DY = "DECIMAL(9,2)"
+
+
+@query(
+    "agg_corr",
+    oracle=f"""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS {_DX})) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS {_DY})) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(l_quantity AS {_DX}) * CAST(l_quantity AS {_DX}))
+              AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS {_DY}) * CAST(l_extendedprice AS {_DY}))
+              AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(l_quantity AS {_DX}) * CAST(l_extendedprice AS {_DY}))
+              AS VARCHAR) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, sx, sy, sxy,
+       ((n * sxy) - (sx * sy)) / n AS cov_pop_scaled,
+       ((n * sxy) - (sx * sy))
+         / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))) AS corr_xy
+FROM m
+""",
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + covariance from exact decimal moments
+    (n, Σx, Σy, Σx², Σy², Σxy). Built-in corr()/covar_pop() stream
+    Welford updates whose result depends on merge order — a
+    coin-flip under shuffle — so we aggregate the moments exactly in
+    DECIMAL instead (associative, order-free) and evaluate the
+    closed form in doubles. Every double op (*, -, /, sqrt) is
+    correctly-rounded IEEE on identical inputs, and the formula is
+    parenthesized identically on both engines, so the result is
+    bit-exact. Six numbers of state per group — mergeable partials,
+    the 100 TB shape."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(_DX)
+    y = F.col("l_extendedprice").cast(_DY)
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dec2dbl(F.sum(x)).alias("sx"),
+        dec2dbl(F.sum(y)).alias("sy"),
+        dec2dbl(F.sum(x * x)).alias("sxx"),
+        dec2dbl(F.sum(y * y)).alias("syy"),
+        dec2dbl(F.sum(x * y)).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    num = (n * sxy) - (sx * sy)
+    return m.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        (num / n).alias("cov_pop_scaled"),
+        (num / (F.sqrt((n * sxx) - (sx * sx)) * F.sqrt((n * syy) - (sy * sy)))).alias(
+            "corr_xy"
+        ),
+    )

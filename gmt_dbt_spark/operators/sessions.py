@@ -1,0 +1,137 @@
+"""Sessionization + event-transition analytics over the event stream.
+
+[surface]/[ext] — gaps-and-islands sessionization and next-event
+transition matrices are the two canonical clickstream rollups any
+BigQuery-hosted dbt project materializes daily (the reference hosts
+arbitrary model SQL, `dbt_project.yml:11`; its closest analogue is
+the Yelp checkin time series). Batch twins of the §2.J streaming
+surface: `stream_session` assigns windows with a state store, this
+assigns them with one analytic-window pass.
+
+Scale shape: both ops shuffle ONCE on user_id; the window functions
+and the follow-up groupBy reuse that partitioning (no second
+exchange for the session rollup — Catalyst sees the child ordering
+and the aggregate runs partial→final on the windowed output).
+Per-user state is one row of lag/lead lookback, never the event
+list, so a power user with 10M events streams through the window
+operator without materializing anything user-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.registry import query
+
+# A session ends after 30 minutes of inactivity — the industry-default
+# gap, and the same literal `stream_session` passes to session_window.
+SESSION_GAP_S = 1800
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_type,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM o
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       date_diff('second', MIN(ts), MAX(ts)) AS duration_s,
+       count_if(event_type = 'purchase') AS n_purchases
+FROM s GROUP BY user_id, session_seq
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the
+    gap to the previous event exceeds 30 minutes. lag() marks session
+    starts, a running SUM numbers them, and one groupBy rolls each
+    session up — the batch twin of `stream_session` (which the state
+    store computes incrementally). (event_id breaks ts ties so the
+    island numbering is a total order on both engines.)"""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0).alias("is_new"),
+        F.col("event_id"),
+    )
+    sessioned = marked.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("session_seq"),
+    )
+    return sessioned.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "duration_s"
+        ),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+    )
+
+
+@query(
+    "events_transitions",
+    oracle="""
+WITH p AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+n AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM p WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p_next
+FROM n
+""",
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix: per-user ordered event
+    pairs via lead(), counted per (from, to), normalized to a
+    transition probability within each from-state. Output is bounded
+    by |event_types|² regardless of stream size; the probability is
+    one bigint/bigint double division (deterministic, both engines
+    correctly-rounded IEEE)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy("from_type"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n") / total.cast("double")).alias("p_next"),
+    )

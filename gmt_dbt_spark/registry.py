@@ -91,4 +91,7 @@ def _load_all() -> None:
     import gmt_dbt_spark.operators.stats  # noqa: F401
     import gmt_dbt_spark.sources.layout  # noqa: F401
     import gmt_dbt_spark.operators.funnel  # noqa: F401
+    import gmt_dbt_spark.operators.sessions  # noqa: F401
+    import gmt_dbt_spark.operators.agg_more  # noqa: F401
+    import gmt_dbt_spark.functions.temporal  # noqa: F401
     _LOADED = True
