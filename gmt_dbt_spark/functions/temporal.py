@@ -78,3 +78,48 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat("o_orderstatus", 3).alias("tripled"),
         F.concat_ws("-", "o_orderpriority", "o_orderstatus").alias("joined"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         concat('https://', source, '.example.com/docs/', doc_id,
+                '?lang=', lang, '&v=', n_chars) AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^https://([^/]+)', 1)      AS host,
+       regexp_extract(url, '^https://[^/]+([^?]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1)              AS query,
+       regexp_extract(url, '[?&]lang=([^&]*)', 1)      AS lang_param
+FROM u
+""",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (BigQuery NET.HOST / web-crawl curation's
+    canonicalization step): host/path/query/single-param extraction
+    with the built-in parse_url — JVM codegen, no UDF. URLs are
+    seeded deterministically from document columns (the corpus has
+    no URL column); the oracle re-derives the same parts with
+    anchored regexes."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v="),
+        F.col("n_chars"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

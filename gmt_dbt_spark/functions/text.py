@@ -365,3 +365,54 @@ def text_ngram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 2)
     )
+
+
+@query(
+    "text_boilerplate",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(toks) // 4),
+                               i -> array_to_string(toks[4*i+1 : 4*i+4], ' '))) AS win_text
+  FROM t
+)
+SELECT win_text, COUNT(DISTINCT doc_id) AS n_docs
+FROM w GROUP BY win_text HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (the RefinedWeb/C4
+    repeated-paragraph filter, adapted to the period-free corpus):
+    non-overlapping 4-token windows, counted by how many DISTINCT
+    documents contain them — a window shared by ≥2 docs is
+    boilerplate. Non-overlapping windows bound the blow-up at 1× the
+    token count (vs n× for stride-1 shingles); the heavy lifting is
+    two counts keyed by window text, both partial-aggregable. Window
+    reassembly sorts collected (pos, token) structs so shuffle
+    arrival order can't scramble the text."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "token")
+    )
+    wins = (
+        tok.groupBy("doc_id", F.floor(F.col("pos") / 4).alias("win"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("win_text"),
+            F.count("*").alias("n_tok"),
+        )
+        .filter(F.col("n_tok") == 4)
+    )
+    return (
+        wins.groupBy("win_text")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -208,3 +208,32 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_xy"
         ),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct_cust
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via bitmaps (Spark 3.5 bitmap_* family):
+    keys shard into 32k-bit buckets, each (group, bucket) builds a
+    bitmap partial, bitmap_count sums bits per group. Unlike
+    COUNT(DISTINCT)'s plan — which expands and re-shuffles every
+    distinct value — bitmap partials are fixed-size (4 KB/bucket),
+    OR-mergeable in any order, and storable: at 100 TB the daily
+    bitmaps persist and exact cross-day distincts come from
+    bitmap_or_agg over the partials instead of a re-scan. The oracle
+    is plain COUNT(DISTINCT) — same answer, different physics."""
+    o = table(spark, sf_dir, "orders")
+    per_bucket = o.groupBy(
+        "o_orderpriority",
+        F.bitmap_bucket_number(F.col("o_custkey")).alias("bkt"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(F.col("o_custkey"))).alias("bm")
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_distinct_cust")
+    )

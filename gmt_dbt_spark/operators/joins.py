@@ -291,3 +291,41 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_ts",
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+WITH l AS (SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_n FROM orders),
+d AS (SELECT DISTINCT NULLIF(o_orderstatus, 'P') AS status_n,
+             concat('grp_', coalesce(NULLIF(o_orderstatus, 'P'), 'pending')) AS label
+      FROM orders)
+SELECT d.label, COUNT(*) AS n
+FROM l JOIN d ON l.status_n IS NOT DISTINCT FROM d.status_n
+GROUP BY d.label
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of silently dropping — the
+    dimension-with-an-unknown-bucket pattern a plain equi-join gets
+    wrong. Still a hash-joinable equality (null-safe equals keeps
+    broadcast-hash eligibility; no fallback to nested-loop)."""
+    o = table(spark, sf_dir, "orders")
+    status_n = F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_n")
+    left = o.select("o_orderkey", status_n)
+    dim = (
+        o.select(status_n)
+        .distinct()
+        .select(
+            "status_n",
+            F.concat(
+                F.lit("grp_"), F.coalesce(F.col("status_n"), F.lit("pending"))
+            ).alias("label"),
+        )
+    )
+    return (
+        left.join(F.broadcast(dim), left["status_n"].eqNullSafe(dim["status_n"]))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+    )

@@ -135,3 +135,68 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n") / total.cast("double")).alias("p_next"),
     )
+
+
+# events.value is money-like (2 dp, < 10^3), so DECIMAL(9,6) casts are
+# exact and per-row squares stay inside DuckDB's 18-digit product class.
+_DV = "DECIMAL(9,6)"
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(value AS {_DV})) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(value AS {_DV}) * CAST(value AS {_DV}))
+              AS VARCHAR) AS DOUBLE) AS sxx
+  FROM events GROUP BY event_type
+),
+s AS (
+  SELECT event_type, n, (sx / n) AS mean,
+         sqrt((sxx / n) - ((sx / n) * (sx / n))) AS std
+  FROM m
+)
+SELECT e.event_type, s.mean, s.std,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       count_if(abs(e.value - s.mean) > (3.0 * s.std)) AS n_outliers
+FROM events e JOIN s USING (event_type)
+GROUP BY e.event_type, s.mean, s.std
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type: exact decimal
+    moments (n, Σv, Σv²) → mean/σ in correctly-rounded doubles →
+    broadcast the per-type stats back over the stream and count
+    |v − μ| > 3σ. Two passes over events, both partial-aggregable;
+    the stats side is |event_types| rows so the second pass's join
+    is a broadcast — no shuffle of the event stream itself. Same
+    moment discipline as agg_corr: decimal sums are order-free, and
+    every double op afterwards is parenthesized identically on both
+    engines, so the 3σ boundary lands bit-identically."""
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value").cast(_DV)
+    from gmt_dbt_spark.exprs import dec2dbl
+
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        dec2dbl(F.sum(v)).alias("sx"),
+        dec2dbl(F.sum(v * v)).alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    stats = m.select(
+        "event_type",
+        mean.alias("mean"),
+        F.sqrt((F.col("sxx") / F.col("n")) - (mean * mean)).alias("std"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "mean", "std")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_if(
+                F.abs(F.col("value") - F.col("mean")) > (3.0 * F.col("std"))
+            ).alias("n_outliers"),
+        )
+    )
