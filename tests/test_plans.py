@@ -299,3 +299,50 @@ def test_multi_consumer_cte_reuses_exchange(spark):
     df.collect()  # AQE applies stage reuse at runtime
     plan = plan_of(df)
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both analytic windows AND the per-session rollup reuse the one
+    user_id exchange: hash-partitioning by user_id satisfies the
+    (user_id, session_seq) clustering of the final aggregate, so the
+    whole sessionization is scan → 1 shuffle → done at any scale."""
+    plan = plan_of(all_queries()["events_sessionize"](spark, SF_DIR))
+    tree = tree_of(plan)
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Window") == 2
+    # value/props never leave the scan
+    assert "value" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_bitmap_distinct_no_expand(spark):
+    """Exact distinct via bitmap partials must not plan the
+    COUNT(DISTINCT) Expand — two plain aggregate pairs only."""
+    tree = tree_of(plan_of(all_queries()["agg_bitmap_distinct"](spark, SF_DIR)))
+    assert "Expand" not in tree, tree
+    assert tree.count("Exchange") == 2
+
+
+def test_anomaly_stats_join_broadcasts(spark):
+    """The per-type stats rejoin must broadcast — the event stream is
+    never shuffled for the join."""
+    tree = tree_of(plan_of(all_queries()["events_anomaly_zscore"](spark, SF_DIR)))
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_histogram_minimal_plan(spark):
+    """One-pass histogram: partial/final agg around a single exchange,
+    scan pruned to the bucketed column."""
+    plan = plan_of(all_queries()["agg_histogram"](spark, SF_DIR))
+    tree = tree_of(plan)
+    assert tree.count("Exchange") == 1
+    assert tree.count("HashAggregate") == 2
+    assert "struct<o_totalprice:double>" in plan
+
+
+def test_null_safe_join_broadcasts(spark):
+    """Null-safe equality must stay hash-joinable (broadcast), not
+    degrade to nested-loop."""
+    tree = tree_of(plan_of(all_queries()["join_null_safe"](spark, SF_DIR)))
+    assert "BroadcastHashJoin" in tree
+    assert "BroadcastNestedLoopJoin" not in tree
