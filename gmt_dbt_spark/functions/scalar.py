@@ -355,3 +355,45 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 2).alias("shifted_down"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@query(
+    "fn_levenshtein",
+    oracle="""
+WITH s AS (SELECT DISTINCT source FROM documents),
+l AS (SELECT DISTINCT lang FROM documents)
+SELECT a.source AS src_a, b.source AS src_b,
+       levenshtein(a.source, b.source) AS dist,
+       levenshtein(a.source, 'webcrawl') AS dist_web
+FROM s a CROSS JOIN s b
+UNION ALL
+SELECT a.lang, b.lang, levenshtein(a.lang, b.lang), levenshtein(a.lang, 'en')
+FROM l a CROSS JOIN l b
+""",
+)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance (fuzzy key matching / near-dup source names —
+    the string-similarity primitive under record linkage). Computed
+    over the DISTINCT value sets first, so the cross product is
+    |values|² on deduplicated inputs, never rows² — at scale the
+    distinct sets broadcast and the quadratic stays bounded by
+    vocabulary size. Classic Wagner-Fischer on both engines: same
+    integer distances."""
+    d = table(spark, sf_dir, "documents")
+    s = d.select("source").distinct()
+    lang = d.select("lang").distinct()
+    a, b = s.alias("a"), s.alias("b")
+    src = a.crossJoin(b).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.levenshtein(F.col("a.source"), F.col("b.source")).alias("dist"),
+        F.levenshtein(F.col("a.source"), F.lit("webcrawl")).alias("dist_web"),
+    )
+    la, lb = lang.alias("la"), lang.alias("lb")
+    lng = la.crossJoin(lb).select(
+        F.col("la.lang").alias("src_a"),
+        F.col("lb.lang").alias("src_b"),
+        F.levenshtein(F.col("la.lang"), F.col("lb.lang")).alias("dist"),
+        F.levenshtein(F.col("la.lang"), F.lit("en")).alias("dist_web"),
+    )
+    return src.unionAll(lng)

@@ -237,3 +237,38 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderpriority").agg(
         F.sum(F.bitmap_count(F.col("bm"))).alias("n_distinct_cust")
     )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+SELECT o_orderpriority,
+       max_by(o_orderkey,
+              CAST(o_totalprice * 100.0 AS BIGINT) * 10000000000 + o_orderkey)
+         AS top_orderkey,
+       min_by(o_orderkey,
+              CAST(o_totalprice * 100.0 AS BIGINT) * 10000000000 + o_orderkey)
+         AS bottom_orderkey,
+       MAX(o_totalprice) AS top_price
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregates (max_by/min_by — BigQuery's
+    MAX_BY/ARG_MAX family): which order carries the extreme price,
+    in one aggregate pass instead of a window + filter. Ties on
+    price are broken deterministically by packing (price-cents,
+    orderkey) into one bigint ordering key (cents ≤ ~10^8 and
+    orderkey < 10^10 here, so the pack can't overflow or collide);
+    engines' bare max_by leaves ties unspecified. Constant state per
+    group — partial-aggregable, one shuffle."""
+    o = table(spark, sf_dir, "orders")
+    pack = (
+        (F.col("o_totalprice") * 100.0).cast("bigint") * F.lit(10000000000).cast("bigint")
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", pack).alias("top_orderkey"),
+        F.min_by("o_orderkey", pack).alias("bottom_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+    )

@@ -210,6 +210,35 @@ class ModelProject:
         self.models = {
             m.name: compile_model(m, sources, names, macros) for m in models
         }
+        self._inline_ephemerals()
+
+    def _inline_ephemerals(self) -> None:
+        """dbt `materialized='ephemeral'`: the model never becomes a
+        relation — consumers get its compiled SQL spliced in as a CTE
+        (dbt's `__dbt__cte__<name>` rewrite). Processing in topo order
+        lets ephemerals reference other ephemerals; by the time a
+        consumer is rewritten, its ephemeral dependencies are already
+        fully inlined."""
+        for level in _toposort_levels(self.models):
+            for model in level:
+                ctes = []
+                for dep in model.depends_on:
+                    dm = self.models[dep]
+                    if dm.materialized != "ephemeral":
+                        continue
+                    cte = f"__cte__{dep}"
+                    model.compiled_sql = re.sub(
+                        rf"\b{re.escape(dep)}\b", cte, model.compiled_sql
+                    )
+                    ctes.append(f"{cte} AS ({dm.compiled_sql.strip()})")
+                if ctes:
+                    body = model.compiled_sql.strip()
+                    if body[:5].upper() == "WITH ":
+                        model.compiled_sql = (
+                            "WITH " + ", ".join(ctes) + ", " + body[5:]
+                        )
+                    else:
+                        model.compiled_sql = "WITH " + ", ".join(ctes) + " " + body
 
     def _materialize(self, model: Model) -> DataFrame:
         path = os.path.join(self.warehouse_dir, model.name)
@@ -252,6 +281,11 @@ class ModelProject:
             df = self.spark.read.parquet(path)
         elif model.materialized == "view":
             df = self.spark.sql(sql)
+        elif model.materialized == "ephemeral":
+            # Never registered as a relation — consumers already have
+            # this SQL inlined as a CTE (_inline_ephemerals). The
+            # returned frame exists only for inspection.
+            return self.spark.sql(sql)
         else:
             raise ValueError(
                 f"unsupported materialization '{model.materialized}' "

@@ -435,3 +435,108 @@ def pipeline_reference_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@query(
+    "model_ephemeral",
+    oracle="""
+WITH big_orders AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  WHERE o_totalprice > 100000.0
+)
+SELECT c.c_nationkey,
+       COUNT(*) AS n_big,
+       CAST(CAST(SUM(CAST(b.o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+         AS revenue
+FROM big_orders b JOIN customer c ON b.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+""",
+)
+def model_ephemeral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt `materialized='ephemeral'`: the intermediate model never
+    becomes a relation — its compiled SQL is spliced into consumers
+    as a CTE (dbt's `__dbt__cte__` rewrite), so Catalyst optimizes
+    straight through it (filter pushdown crosses the model boundary;
+    nothing is materialized or registered). The mart consumes the
+    ephemeral via {{ ref() }} and is the only table written."""
+    for t in ("orders", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"stg_{t}")
+    models = [
+        Model(
+            "big_orders",
+            """
+            {{ config(materialized='ephemeral') }}
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM {{ source('stg', 'orders') }}
+            WHERE o_totalprice > 100000.0
+            """,
+        ),
+        Model(
+            "mart_big_by_nation",
+            """
+            {{ config(materialized='table') }}
+            SELECT c.c_nationkey,
+                   COUNT(*) AS n_big,
+                   CAST(CAST(SUM(CAST(b.o_totalprice AS DECIMAL(25,6)))
+                        AS STRING) AS DOUBLE) AS revenue
+            FROM {{ ref('big_orders') }} b
+            JOIN {{ source('stg', 'customer') }} c ON b.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey
+            """,
+        ),
+    ]
+    project = ModelProject(
+        spark,
+        models,
+        {("stg", t): f"stg_{t}" for t in ("orders", "customer")},
+        warehouse_dir=os.path.join(SCRATCH, "model_warehouse_eph"),
+        threads=2,
+    )
+    results = project.run()
+    assert "big_orders" not in [
+        t.name for t in spark.catalog.listTables()
+    ], "ephemeral model must not be registered as a relation"
+    return results["mart_big_by_nation"]
+
+
+@query(
+    "dq_freshness",
+    oracle="""
+WITH anchor AS (SELECT MAX(ts) AS now_ts FROM events),
+f AS (
+  SELECT e.event_type,
+         date_diff('second', MAX(e.ts), a.now_ts) AS lag_s
+  FROM events e CROSS JOIN anchor a
+  GROUP BY e.event_type, a.now_ts
+)
+SELECT event_type, lag_s,
+       CASE WHEN lag_s > 3600 THEN 'error'
+            WHEN lag_s > 600 THEN 'warn'
+            ELSE 'pass' END AS status
+FROM f
+""",
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt `source freshness`: age of each source's newest record vs
+    warn_after/error_after thresholds. The reference's source.yml
+    declares no freshness block (`models/yelp/source.yml:1-18`) but
+    the check is standard dbt source config; the wall-clock anchor is
+    pinned to the globally newest event so the result is
+    deterministic. One aggregate per source + a scalar broadcast —
+    no data movement beyond a per-type MAX."""
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("now_ts"))
+    per_type = ev.groupBy("event_type").agg(F.max("ts").alias("max_ts"))
+    lag_s = F.unix_timestamp("now_ts") - F.unix_timestamp("max_ts")
+    return (
+        per_type.crossJoin(F.broadcast(anchor))
+        .select("event_type", lag_s.alias("lag_s"))
+        .select(
+            "event_type",
+            "lag_s",
+            F.when(F.col("lag_s") > 3600, "error")
+            .when(F.col("lag_s") > 600, "warn")
+            .otherwise("pass")
+            .alias("status"),
+        )
+    )
