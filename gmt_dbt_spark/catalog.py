@@ -44,15 +44,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Plain parquet scan → Catalyst gets filter pushdown + column
     pruning for free; no caching so each query's plan is honest.
 
-    `events.parquet` stores TIMESTAMP(NANOS), which the Spark parquet
-    reader rejects; with `spark.sql.legacy.parquet.nanosAsLong` (set
-    in session.tune) it arrives as a long we truncate to microseconds
-    — the same truncation DuckDB applies reading TIMESTAMP_NS.
+    `events.parquet` has shipped with two physical layouts across
+    testdata generations: TIMESTAMP(NANOS) (rejected by the Spark
+    reader; `spark.sql.legacy.parquet.nanosAsLong` in session.tune
+    makes it arrive as a long we truncate to micros — the same
+    truncation DuckDB applies reading TIMESTAMP_NS) and plain
+    timestamp[us] without timezone (arrives as TIMESTAMP_NTZ). Both
+    are normalized to TIMESTAMP here: under the UTC session time zone
+    the NTZ→LTZ cast is value-preserving, and downstream operators
+    (`unix_micros`, watermarks, `window()`) see one stable type.
     """
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

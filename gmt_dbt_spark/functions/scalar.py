@@ -397,3 +397,44 @@ def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(F.col("la.lang"), F.lit("en")).alias("dist_web"),
     )
     return src.unionAll(lng)
+
+
+@query(
+    "fn_array_set",
+    oracle="""
+WITH a AS (
+  SELECT l_orderkey,
+         list_sort(list_distinct(list(l_linenumber))) AS lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       list_sort(list_distinct(list_concat(lines, [1, 2, 3]))) AS u,
+       list_sort(list_distinct(list_filter(lines,
+           x -> list_contains([1, 2, 3], x)))) AS i,
+       list_sort(list_distinct(list_filter(lines,
+           x -> NOT list_contains([1, 2, 3], x)))) AS d,
+       list_has_any(lines, [5, 6, 7]) AS has_high
+FROM a
+""",
+)
+def fn_array_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra — union/intersect/except/overlap — all
+    JVM built-ins inside codegen. Per-order line-number sets vs the
+    literal {1,2,3}; every result array is sorted so the value
+    compare is order-free (Spark's array_union preserves encounter
+    order, DuckDB's list_distinct doesn't — sorting both pins it).
+    The DuckDB twin spells intersect/except as list_filter over
+    list_contains (no native list_intersect in 1.0)."""
+    li = table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_linenumber")).alias("lines")
+    )
+    lit123 = F.array(F.lit(1), F.lit(2), F.lit(3))
+    lit567 = F.array(F.lit(5), F.lit(6), F.lit(7))
+    return base.select(
+        "l_orderkey",
+        F.sort_array(F.array_union("lines", lit123)).alias("u"),
+        F.sort_array(F.array_intersect("lines", lit123)).alias("i"),
+        F.sort_array(F.array_except("lines", lit123)).alias("d"),
+        F.arrays_overlap("lines", lit567).alias("has_high"),
+    )

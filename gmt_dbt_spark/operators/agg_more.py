@@ -272,3 +272,38 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", pack).alias("bottom_orderkey"),
         F.max("o_totalprice").alias("top_price"),
     )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+         AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() flags over a CUBE: the disambiguation bit that
+    tells a NULL grouping key from a rolled-up level — without it a
+    cube over nullable keys is unreadable. One Expand + one hash
+    aggregate, same single shuffle as a plain groupBy (the cube
+    multiplies rows map-side, partial aggregation absorbs them
+    before the exchange)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING)
+                    AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        """
+    )

@@ -434,3 +434,70 @@ def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection keeps only the oracle-stable double."""
     df = _sql(spark, sf_dir, ["lineitem"], _Q_LCA.format(str_t="STRING"))
     return df.select("l_orderkey", "l_linenumber", "gross_dbl")
+
+
+_Q_LATERAL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 2
+) t
+"""
+
+
+@query("sql_lateral_join", oracle=_Q_LATERAL)
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (Spark 4 / SQL:1999): per-nation
+    top-2 customers by balance, the "top-N per group via LATERAL"
+    idiom SQL-only model authors reach for. Catalyst decorrelates
+    the LATERAL limit into a ranked window under the hood — same
+    one-shuffle plan as the explicit row_number() form, so the
+    ergonomic spelling costs nothing at scale. Ties broken by
+    c_name so both engines pick identical rows."""
+    return _sql(spark, sf_dir, ["nation", "customer"], _Q_LATERAL)
+
+
+@query(
+    "sql_udf_sql_body",
+    oracle="""
+SELECT l_returnflag,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * CAST(1 - l_discount AS DECIMAL(18,6))) AS VARCHAR)
+            AS DOUBLE) AS net_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def sql_udf_sql_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-body scalar UDF (Spark 4 `CREATE FUNCTION ... RETURN`):
+    the engine-native extension path for SQL-only authors — the
+    function body is INLINED into the plan by Catalyst (no Python
+    round-trip, stays inside whole-stage codegen), so unlike a
+    row-at-a-time Python UDF it is free at 100 TB. Body does the
+    exact-decimal net-price arithmetic; oracle inlines the same
+    expression."""
+    for t in ["lineitem"]:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_price(ep DOUBLE, d DOUBLE)
+        RETURNS DECIMAL(25,6)
+        RETURN CAST(CAST(ep AS DECIMAL(18,6))
+                    * CAST(1 - d AS DECIMAL(18,6)) AS DECIMAL(25,6))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(CAST(SUM(net_price(l_extendedprice, l_discount)) AS STRING)
+                    AS DOUBLE) AS net_revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )

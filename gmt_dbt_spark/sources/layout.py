@@ -164,3 +164,128 @@ def sink_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "join_dpp",
+    oracle="""
+WITH fact AS (
+  SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m') AS o_month
+  FROM orders
+),
+dim AS (
+  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS d_month,
+         CAST(year(o_orderdate) AS VARCHAR) || '-Q'
+           || CAST(quarter(o_orderdate) AS VARCHAR) AS d_quarter
+  FROM orders
+)
+SELECT f.o_month,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(f.o_totalprice AS DECIMAL(25,6))) AS VARCHAR)
+            AS DOUBLE) AS sum_price
+FROM fact f JOIN dim d ON f.o_month = d.d_month
+WHERE d.d_quarter = '1996-Q1'
+GROUP BY f.o_month
+""",
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is written
+    month-partitioned, the calendar dim carries the quarter; a
+    filter on the DIM side prunes FACT partitions at runtime — the
+    dim's broadcast result is reused as the fact scan's partition
+    filter (dynamicpruning expression in the scan, pinned in
+    tests). The star-schema pattern: at 100 TB the quarter filter
+    never touches the other 9 years of partitions even though the
+    predicate isn't on the fact's own columns."""
+    run = uuid.uuid4().hex[:8]
+    fact_path = os.path.join(SCRATCH, f"dpp_fact_{run}")
+    dim_path = os.path.join(SCRATCH, f"dpp_dim_{run}")
+    orders = table(spark, sf_dir, "orders")
+    try:
+        (
+            orders.select(
+                "o_orderkey",
+                "o_totalprice",
+                F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("o_month")
+            .parquet(fact_path)
+        )
+        (
+            orders.select(
+                F.date_format("o_orderdate", "yyyy-MM").alias("d_month"),
+                F.concat(
+                    F.year("o_orderdate").cast("string"),
+                    F.lit("-Q"),
+                    F.quarter("o_orderdate").cast("string"),
+                ).alias("d_quarter"),
+            )
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(dim_path)
+        )
+        out = dpp_join_plan(spark, fact_path, dim_path)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(fact_path, ignore_errors=True)
+        shutil.rmtree(dim_path, ignore_errors=True)
+
+
+def dpp_join_plan(spark: SparkSession, fact_path: str, dim_path: str) -> DataFrame:
+    """The pruned join itself — split out so the plan-guard test can
+    inspect the exact DataFrame the query materializes."""
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("d_quarter") == "1996-Q1")
+    return (
+        fact.join(dim, fact["o_month"] == dim["d_month"])
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("string")
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "sink_orc",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       l_returnflag, l_linestatus
+FROM lineitem
+WHERE l_orderkey % 50 = 0
+""",
+)
+def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan round-trip: the second columnar format Spark
+    ships natively (footer stats, predicate pushdown, zlib/zstd —
+    same scan-side pruning story as parquet). Ints, strings and
+    doubles survive the binary round-trip bit-exactly; the oracle
+    reads the original parquet, so any encode/decode drift fails the
+    hash. Timestamps are deliberately excluded — ORC's
+    session-timezone rebase semantics differ from parquet's and
+    deserve an explicit policy, not silent inclusion."""
+    path = os.path.join(SCRATCH, f"orc_lineitem_{uuid.uuid4().hex[:8]}")
+    cols = [
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_linestatus",
+    ]
+    try:
+        (
+            table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_orderkey") % 50 == 0)
+            .select(*cols)
+            .write.mode("overwrite")
+            .orc(path)
+        )
+        out = spark.read.orc(path).select(*cols)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

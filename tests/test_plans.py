@@ -346,3 +346,48 @@ def test_null_safe_join_broadcasts(spark):
     tree = tree_of(plan_of(all_queries()["join_null_safe"](spark, SF_DIR)))
     assert "BroadcastHashJoin" in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_dpp_prunes_fact_partitions(spark, tmp_path):
+    """join_dpp's fact scan must carry a dynamicpruning partition
+    filter fed by the dim's broadcast — the runtime star-schema
+    pruning that keeps a quarter-filtered query from scanning every
+    month of a 100 TB fact table."""
+    from gmt_dbt_spark.catalog import table
+    from gmt_dbt_spark.sources.layout import dpp_join_plan
+
+    fact_path = str(tmp_path / "dpp_fact")
+    dim_path = str(tmp_path / "dpp_dim")
+    orders = table(spark, SF_DIR, "orders")
+    (
+        orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("o_month")
+        .parquet(fact_path)
+    )
+    (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("d_month"),
+            F.concat(
+                F.year("o_orderdate").cast("string"),
+                F.lit("-Q"),
+                F.quarter("o_orderdate").cast("string"),
+            ).alias("d_quarter"),
+        )
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    physical = dpp_join_plan(
+        spark, fact_path, dim_path
+    )._jdf.queryExecution().executedPlan().toString()
+    # the fact scan's PARTITION filters must carry the runtime pruning
+    # expression on the partition column (paths get elided in the dump,
+    # so anchor on the column name, which only the fact side has)
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*dynamicpruningexpression\(o_month", physical
+    ), "the dynamic pruning filter must sit on the FACT scan's partition filters"
