@@ -233,3 +233,38 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pack_id"),
     )
+
+
+@query(
+    "pipeline_train_test_split",
+    oracle="""
+SELECT source,
+       CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+            ELSE 'eval' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS sum_chars
+FROM documents
+GROUP BY source, split
+""",
+)
+def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/eval split: the gate is a pure
+    function of doc_id (Knuth multiplicative hash mod 1000), so the
+    split is reproducible run-to-run, computed scan-side with zero
+    shuffles beyond the final per-(source, split) rollup, and never
+    needs a stored assignment table. Exactly the property a 100 TB
+    corpus split needs — any worker can answer "which split is doc
+    X in?" without coordination. Disjointness and coverage pinned in
+    tests."""
+    docs = table(spark, sf_dir, "documents")
+    gate = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    return (
+        docs.withColumn(
+            "split", F.when(gate < 900, F.lit("train")).otherwise(F.lit("eval"))
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

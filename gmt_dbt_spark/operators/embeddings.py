@@ -105,3 +105,149 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qv").alias("q_min"),
         F.array_max("qv").alias("q_max"),
     )
+
+
+@query(
+    "embed_normalize",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS sumsq
+  FROM q
+)
+SELECT vec_id,
+       sqrt(CAST(sumsq AS DOUBLE)) / 1000000.0 AS l2_norm,
+       CAST(list_sum(list_transform(qv,
+           x -> CAST(floor(CAST(x AS DOUBLE) / sqrt(CAST(sumsq AS DOUBLE))
+                           * 1000000.0) AS BIGINT))) AS BIGINT) AS unit_sum_micro
+FROM s
+WHERE sumsq > 0
+""",
+)
+def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization — the prep step before any cosine-space op
+    (then cosine = plain dot product). All lambda algebra inside
+    codegen: components quantized to exact integer micro-units,
+    sum-of-squares in bigint (order-free), norm via IEEE-exact sqrt,
+    and the normalized vector summarized as an exactly-reproducible
+    integer (floor of each unit component × 1e6, summed in bigint).
+    Zero shuffles, zero UDFs, deterministic on both engines."""
+    e = table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000000.0).cast("bigint")
+    )
+    q = e.select("vec_id", qv.alias("qv"))
+    sumsq = F.aggregate(
+        F.transform("qv", lambda x: x * x), F.lit(0).cast("bigint"), lambda a, b: a + b
+    )
+    s = q.select("vec_id", "qv", sumsq.alias("sumsq")).filter(F.col("sumsq") > 0)
+    norm = F.sqrt(F.col("sumsq").cast("double"))
+    unit_sum = F.aggregate(
+        F.transform(
+            "qv",
+            lambda x: F.floor(x.cast("double") / norm * 1000000.0).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
+    return s.select(
+        "vec_id",
+        (norm / 1000000.0).alias("l2_norm"),
+        unit_sum.alias("unit_sum_micro"),
+    )
+
+
+K_CLUSTERS = 4
+KMEANS_ITERS = 3
+
+
+def _micro_vec() -> "F.Column":
+    return F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000000.0).cast("bigint")
+    )
+
+
+def kmeans_assign(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Assign each (vec_id, qv) row to the nearest centroid.
+
+    Distances are exact bigint sums of squared micro-unit deltas;
+    ties break to the lowest cluster index (array_position returns
+    the FIRST minimum) — fully deterministic, no float anywhere.
+    Pure scan-side lambda algebra: the centroid list rides into the
+    plan as a literal (a broadcast in spirit, constant-folded in
+    practice), so assignment costs zero shuffles."""
+    cents = F.array(
+        *[F.array(*[F.lit(int(c)).cast("bigint") for c in cent]) for cent in centroids]
+    )
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with("qv", c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda a, b: a + b,
+        ),
+    )
+    return df.withColumn(
+        "cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+
+
+def kmeans_recompute(assigned: DataFrame, dims: int) -> list[list[int]]:
+    """New centroids = per-(cluster, dim) floor-mean of micro units.
+
+    posexplode → (cluster, dim)-keyed aggregate: the shuffle carries
+    k × dims cells after map-side combine regardless of row count —
+    the mergeable-partials shape that scales to any corpus. Driver
+    receives only k × dims ints (the model, not the data)."""
+    # exact integer FLOOR division (subtract the non-negative pmod
+    # remainder first): plain `/` + cast truncates toward zero, which
+    # disagrees with floor on negative sums by one micro-unit.
+    s, n = F.sum("v"), F.count(F.lit(1))
+    cells = (
+        assigned.select("cluster", F.posexplode("qv").alias("dim", "v"))
+        .groupBy("cluster", "dim")
+        .agg(((s - F.pmod(s, n)) / n).cast("bigint").alias("m"))
+        .collect()
+    )
+    by_cluster: dict[int, list[int]] = {}
+    for r in cells:
+        by_cluster.setdefault(r["cluster"], [0] * dims)[r["dim"]] = r["m"]
+    return [by_cluster[c] for c in sorted(by_cluster)]
+
+
+@query("embed_kmeans")
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding column — Lloyd's algorithm as
+    3 rounds of (constant-folded assignment → k×dims mergeable
+    aggregate). Deterministic end-to-end: init = the K lowest
+    vec_ids' vectors, all arithmetic in exact integer micro-units,
+    ties pinned — the run is bit-reproducible on any cluster
+    topology (float k-means is not: partial-sum order changes
+    centroids). Per-iteration driver traffic is k×dims ints; data
+    never leaves the executors. Rows-only oracle (no SQL twin for
+    the iteration); cluster sizes pinned against a union-find-free
+    numpy reference in tests."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", _micro_vec().alias("qv"))
+    dims = len(q.select("qv").first()["qv"])
+    init = q.orderBy("vec_id").limit(K_CLUSTERS).collect()
+    centroids = [list(r["qv"]) for r in init]
+    for _ in range(KMEANS_ITERS):
+        centroids = kmeans_recompute(kmeans_assign(q, centroids), dims)
+    final = kmeans_assign(q, centroids)
+    cent_norms = {
+        i: float(sum(v * v for v in c)) ** 0.5 / 1e6 for i, c in enumerate(centroids)
+    }
+    norm_map = F.create_map(
+        *[x for i, n in cent_norms.items() for x in (F.lit(i), F.lit(n))]
+    )
+    return final.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("min_vec_id"),
+    ).withColumn("centroid_norm", norm_map[F.col("cluster")])

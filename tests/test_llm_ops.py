@@ -168,3 +168,96 @@ def test_frame_sample_batches_fanout(spark, reviews):
     for r in out:
         per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
     assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
+
+
+def _numpy_micro_kmeans(vecs, k, iters):
+    """Reference Lloyd's in exact integer micro-units (mirrors
+    operators/embeddings.py: floor-quantize, first-min tie-break,
+    floor-mean recompute)."""
+    import math
+
+    import numpy as np
+
+    q = np.floor(vecs.astype(np.float64) * 1e6).astype(np.int64)
+    cents = [q[i].tolist() for i in range(k)]  # rows pre-sorted by vec_id
+
+    def assign(c):
+        d = ((q[:, None, :] - np.asarray(c)[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)  # argmin takes FIRST minimum — same tie rule
+
+    for _ in range(iters):
+        a = assign(cents)
+        # integer floor division — exactly what the engine computes
+        cents = [
+            (q[a == i].sum(axis=0) // int((a == i).sum())).tolist()
+            if (a == i).any()
+            else cents[i]
+            for i in range(k)
+        ]
+    a = assign(cents)
+    return a, [math.sqrt(sum(v * v for v in c)) / 1e6 for c in cents]
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    """embed_kmeans must be bit-reproducible: the distributed integer
+    Lloyd's run equals a single-node numpy re-implementation exactly
+    — cluster sizes, min members, and centroid norms."""
+    import numpy as np
+
+    from gmt_dbt_spark.operators.embeddings import K_CLUSTERS, KMEANS_ITERS
+    from gmt_dbt_spark.registry import all_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    a, norms = _numpy_micro_kmeans(vecs, K_CLUSTERS, KMEANS_ITERS)
+    expected = {
+        int(c): (int((a == c).sum()), int(ids[a == c].min()))
+        for c in range(K_CLUSTERS)
+        if (a == c).any()
+    }
+    got = {
+        r["cluster"]: (r["n_vecs"], r["min_vec_id"], r["centroid_norm"])
+        for r in all_queries()["embed_kmeans"](spark, sf_dir).collect()
+    }
+    assert {c: v[:2] for c, v in got.items()} == expected
+    for c, (_, _, norm) in got.items():
+        assert abs(norm - norms[c]) < 1e-12
+
+
+def test_train_test_split_disjoint_and_total(spark):
+    """The 90/10 split must cover every document exactly once and be
+    reproducible run-to-run (pure function of doc_id)."""
+    from gmt_dbt_spark.registry import all_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    out1 = all_queries()["pipeline_train_test_split"](spark, sf_dir).collect()
+    out2 = all_queries()["pipeline_train_test_split"](spark, sf_dir).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    total = sum(r["n_docs"] for r in out1)
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    assert total == n_docs
+    train = sum(r["n_docs"] for r in out1 if r["split"] == "train")
+    assert 0.8 * n_docs < train < n_docs  # ~90%, never all or none
+
+
+def test_embed_normalize_unit_norm(spark):
+    """Normalized vectors must have micro-unit component sums bounded
+    by dims·1e6 (each |unit component| ≤ 1) and positive norms."""
+    from gmt_dbt_spark.registry import all_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = all_queries()["embed_normalize"](spark, sf_dir).collect()
+    assert rows
+    dims = len(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .first()["embedding"]
+    )
+    for r in rows:
+        assert r["l2_norm"] > 0
+        assert abs(r["unit_sum_micro"]) <= dims * 1_000_000
