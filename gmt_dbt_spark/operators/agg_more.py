@@ -307,3 +307,93 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY CUBE (l_returnflag, l_linestatus)
         """
     )
+
+
+@query(
+    "agg_skew",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(10,2))
+                            * CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(20,4)))
+              AS VARCHAR) AS DOUBLE) AS s2,
+         CAST(CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(10,2))
+                            * CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(20,4))
+                            * CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(30,6)))
+              AS VARCHAR) AS DOUBLE) AS s3,
+         CAST(CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(10,2))
+                            * CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(20,4))
+                            * CAST(CAST(l_quantity AS DECIMAL(10,2))
+                            * CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(20,4))
+                            AS DECIMAL(38,8)))
+              AS VARCHAR) AS DOUBLE) AS s4
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ((s2 / n) - ((s1 / n) * (s1 / n))) AS m2,
+       (((s3 / n) - (((s1 / n) * 3.0) * (s2 / n)))
+         + (((s1 / n) * (s1 / n)) * ((s1 / n) * 2.0))) AS m3,
+       ((((s3 / n) - (((s1 / n) * 3.0) * (s2 / n)))
+         + (((s1 / n) * (s1 / n)) * ((s1 / n) * 2.0)))
+         / (sqrt((s2 / n) - ((s1 / n) * (s1 / n)))
+            * ((s2 / n) - ((s1 / n) * (s1 / n))))) AS skew_pop
+FROM m
+""",
+)
+def agg_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness from exact decimal raw moments (n, Σx,
+    Σx², Σx³, Σx⁴ — five numbers of mergeable state per group, the
+    same order-free pattern as agg_corr; built-in skewness() streams
+    merge-order-dependent updates). Central moments and the skew
+    ratio are evaluated in doubles with an expression tree
+    parenthesized IDENTICALLY in the oracle, so every correctly-
+    rounded IEEE step matches bit-exactly. Σx⁴ rides along (staged
+    decimal widening to DECIMAL(38,8) — exact at 100 TB row counts)
+    to show the kurtosis-ready state even though only skew is
+    reported."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(10,2)")
+    x2 = (x * x).cast("decimal(20,4)")
+    x3 = (x2 * x).cast("decimal(30,6)")
+    x4 = (x2 * x2).cast("decimal(38,8)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dec2dbl(F.sum(x)).alias("s1"),
+        dec2dbl(F.sum(x2)).alias("s2"),
+        dec2dbl(F.sum(x3)).alias("s3"),
+        dec2dbl(F.sum(x4)).alias("s4"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    m2 = (F.col("s2") / n) - (mean * mean)
+    m3 = ((F.col("s3") / n) - ((mean * F.lit(3.0)) * (F.col("s2") / n))) + (
+        (mean * mean) * (mean * F.lit(2.0))
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        m2.alias("m2"),
+        m3.alias("m3"),
+        (m3 / (F.sqrt(m2) * m2)).alias("skew_pop"),
+    )
+
+
+@query("agg_approx_topk")
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches frequent-items heavy hitters (`approx_top_k`,
+    Spark 4): the bounded-memory answer to "top URLs / tokens /
+    event types over 100 TB" — sketch state is O(k), mergeable
+    across partitions, one pass. Rows-only (sketch internals aren't
+    SQL-oracle-able); pytest pins that on small data the sketch's
+    counts EQUAL the exact groupBy counts (no eviction below
+    capacity)."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT t.item AS event_type, t.count AS approx_count
+        FROM (SELECT explode(approx_top_k(event_type, 5)) AS t FROM events)
+        """
+    )

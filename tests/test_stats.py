@@ -94,3 +94,26 @@ def test_observation_metrics_single_job(spark):
     assert (r.n_rows, r.sum_qty, r.min_price, r.max_price) == (
         check.n, check.s, check.lo, check.hi,
     )
+
+
+def test_approx_topk_exact_below_capacity(spark):
+    """With |event_type| far below the sketch capacity, approx_top_k
+    must return the EXACT top-5 counts (no eviction has happened) —
+    the small-data anchor that the sketch plumbing is sound."""
+    from gmt_dbt_spark.registry import all_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r["approx_count"]
+        for r in all_queries()["agg_approx_topk"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"))
+        .limit(5)
+        .collect()
+    }
+    assert got == exact
