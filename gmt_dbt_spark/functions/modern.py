@@ -182,3 +182,121 @@ def udaf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInArrow(
         agg, schema="user_id bigint, n bigint, total_micro bigint"
     )
+
+
+@query(
+    "sql_session_variable",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n_lines,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+         AS sum_qty
+FROM lineitem
+WHERE l_quantity >= 45.0
+GROUP BY l_returnflag
+""",
+)
+def sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 `DECLARE` / `SET VAR`): the
+    parameterization mechanism for SQL-only model authors — dbt-style
+    vars without Jinja string splicing (and without its injection
+    risks). The variable is constant-folded into the plan, so the
+    filter still reaches the parquet scan as a pushed predicate."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql("DECLARE OR REPLACE VARIABLE qty_cut DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR qty_cut = 45.0")
+    return spark.sql(
+        """
+        SELECT l_returnflag, COUNT(*) AS n_lines,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING)
+                    AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_quantity >= qty_cut
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE with USING parameters (Spark 4): the
+    parameterized-SQL entry point — the safe dynamic-SQL surface the
+    reference's string-built MERGE (`gcp_function.py:67-94`) should
+    have used; parameters bind as literals, never as spliced text."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT o_orderpriority, COUNT(*) AS n_orders "
+        "FROM orders WHERE o_orderstatus = ? GROUP BY o_orderpriority' "
+        "USING 'F'"
+    )
+
+
+@query(
+    "fn_xml",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_custkey
+FROM orders
+WHERE o_orderkey % 100 = 0
+""",
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML interchange (Spark 4 `to_xml`/`from_xml`): each order row
+    serialized to an XML fragment and parsed back with a declared
+    schema — the third text interchange format next to JSON and CSV.
+    The oracle is the ORIGINAL columns: any serializer/parser drift
+    (escaping, type coercion, field order) fails the hash. Both
+    directions run inside codegen — no Python."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    xml = o.select(
+        F.to_xml(
+            F.struct("o_orderkey", "o_orderstatus", "o_custkey")
+        ).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "x", "o_orderkey BIGINT, o_orderstatus STRING, o_custkey BIGINT"
+        ).alias("s")
+    )
+    return parsed.select("s.o_orderkey", "s.o_orderstatus", "s.o_custkey")
+
+
+@query(
+    "fn_crypto",
+    oracle="""
+SELECT o_orderkey,
+       o_orderpriority AS roundtrip,
+       16 * (CAST(floor(length(o_orderpriority) / 16) AS INTEGER) + 1)
+         AS cipher_len
+FROM orders
+WHERE o_orderkey % 200 = 0
+""",
+)
+def fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption round-trip (`aes_encrypt`/
+    `aes_decrypt`, ECB for determinism — GCM's random IV would be
+    the production pick but is untestable by value): decrypt∘encrypt
+    must be identity, and the ciphertext length must be the exact
+    PKCS#7 block count — both checked against an oracle that never
+    sees a key. The at-rest column-protection primitive for PII
+    fields moving through a shared warehouse."""
+    key = F.lit("0123456789abcdef")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 200 == 0)
+    enc = o.select(
+        "o_orderkey",
+        F.aes_encrypt(F.col("o_orderpriority"), key, F.lit("ECB")).alias("ct"),
+    )
+    return enc.join(
+        o.select("o_orderkey", "o_orderpriority"), "o_orderkey"
+    ).select(
+        "o_orderkey",
+        F.aes_decrypt(F.col("ct"), key, F.lit("ECB")).cast("string").alias("roundtrip"),
+        F.length("ct").cast("int").alias("cipher_len"),
+    )
