@@ -65,17 +65,51 @@ _IF_INCR_RE = re.compile(
 
 @dataclass
 class Model:
-    """One dbt-style model: name + Jinja-lite SQL + parsed config."""
+    """One dbt-style model: name + Jinja-lite SQL + parsed config.
+
+    A **Python model** (dbt ≥1.3: a `def model(dbt, session)` function
+    returning a DataFrame) sets ``python_fn`` instead of ``raw_sql``;
+    its `dbt.ref()` / `dbt.source()` calls are discovered statically
+    from the function source — the same static-extraction contract
+    real dbt applies to Python models via AST parse."""
 
     name: str
-    raw_sql: str
+    raw_sql: str = ""
     config: dict[str, str] = field(default_factory=dict)
     depends_on: list[str] = field(default_factory=list)  # ref() edges
     compiled_sql: str = ""
+    python_fn: object | None = None  # Callable[[DbtShim, SparkSession], DataFrame]
 
     @property
     def materialized(self) -> str:
-        return self.config.get("materialized", "view")
+        # dbt restricts Python models to table/incremental; table here
+        default = "table" if self.python_fn is not None else "view"
+        return self.config.get("materialized", default)
+
+
+# Static dependency extraction for Python models (dbt AST-parses; a
+# regex over the source is the same contract for our surface).
+_PY_REF_RE = re.compile(r"dbt\s*\.\s*ref\s*\(\s*['\"]([^'\"]+)['\"]\s*\)")
+_PY_SOURCE_RE = re.compile(
+    r"dbt\s*\.\s*source\s*\(\s*['\"]([^'\"]+)['\"]\s*,\s*['\"]([^'\"]+)['\"]\s*\)"
+)
+
+
+class DbtShim:
+    """The `dbt` object handed to a Python model at run time —
+    `ref`/`source` return DataFrames over the already-materialized
+    upstream relations (toposort guarantees they exist)."""
+
+    def __init__(self, spark: SparkSession, sources: dict, config: dict):
+        self._spark = spark
+        self._sources = sources
+        self.config = dict(config)
+
+    def ref(self, name: str) -> DataFrame:
+        return self._spark.table(name)
+
+    def source(self, schema: str, tbl: str) -> DataFrame:
+        return self._spark.table(self._sources[(schema, tbl)])
 
 
 # dbt macros: reusable SQL template functions, `{{ macro_name(arg, …) }}`.
@@ -131,6 +165,30 @@ def compile_model(
     it for 2 models, SURVEY.md §3.2 defect 1); ref() resolves to the
     referenced model's registered name and records a DAG edge.
     """
+    if model.python_fn is not None:
+        import inspect
+
+        src = inspect.getsource(model.python_fn)
+        deps = []
+        for ref in _PY_REF_RE.findall(src):
+            if ref not in model_names:
+                raise KeyError(
+                    f"python model '{model.name}' references unknown model '{ref}'"
+                )
+            deps.append(ref)
+        for s_schema, s_table in _PY_SOURCE_RE.findall(src):
+            if (s_schema, s_table) not in sources:
+                raise KeyError(
+                    f"python model '{model.name}' references undeclared "
+                    f"source {(s_schema, s_table)}"
+                )
+        model.depends_on = deps
+        if model.materialized == "ephemeral":
+            raise ValueError(
+                f"python model '{model.name}' cannot be ephemeral (dbt contract)"
+            )
+        return model
+
     sql = expand_macros(model.raw_sql, macros or {})
     for m in _CONFIG_RE.finditer(sql):
         model.config.update(dict(_KWARG_RE.findall(m.group(1))))
@@ -204,6 +262,7 @@ class ModelProject:
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         self.threads = threads
+        self._sources = dict(sources)
         names = {m.name for m in models}
         if len(names) != len(models):
             raise ValueError("duplicate model names")
@@ -226,6 +285,11 @@ class ModelProject:
                     dm = self.models[dep]
                     if dm.materialized != "ephemeral":
                         continue
+                    if model.python_fn is not None:
+                        raise ValueError(
+                            f"python model '{model.name}' cannot ref() "
+                            f"ephemeral model '{dep}' (dbt contract)"
+                        )
                     cte = f"__cte__{dep}"
                     model.compiled_sql = re.sub(
                         rf"\b{re.escape(dep)}\b", cte, model.compiled_sql
@@ -243,6 +307,18 @@ class ModelProject:
     def _materialize(self, model: Model) -> DataFrame:
         path = os.path.join(self.warehouse_dir, model.name)
         sql = model.compiled_sql
+        if model.python_fn is not None:
+            # dbt Python model: the function builds a DataFrame from
+            # dbt.ref()/dbt.source(); always materialized (dbt allows
+            # table/incremental only — table here), so downstream SQL
+            # models consume it like any other relation.
+            dbt = DbtShim(self.spark, self._sources, model.config)
+            df = model.python_fn(dbt, self.spark)
+            shutil.rmtree(path, ignore_errors=True)
+            df.write.mode("overwrite").parquet(path)
+            df = self.spark.read.parquet(path)
+            df.createOrReplaceTempView(model.name)
+            return df
         if model.materialized == "incremental":
             # dbt's incremental contract: first run = full CTAS; later
             # runs compute the model (optionally filtered via

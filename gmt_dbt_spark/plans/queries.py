@@ -540,3 +540,84 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+def _py_customer_stats(dbt, session) -> DataFrame:
+    """The Python model body for `model_python` — dbt ≥1.3 contract:
+    `def model(dbt, session)` returning a DataFrame. Built from
+    dbt.ref()/dbt.source() DataFrames with ordinary Spark ops (NOT
+    pandas — the frame stays distributed; dbt on Spark behaves the
+    same way), so the 100 TB story is identical to a SQL model."""
+    o = dbt.ref("bronze_orders_py")
+    c = dbt.source("stg", "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("string")
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@query(
+    "model_python",
+    oracle="""
+SELECT c.c_nationkey,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS VARCHAR)
+            AS DOUBLE) AS total_price,
+       COUNT(*) * 2 AS doubled
+FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderstatus = 'O') o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+""",
+)
+def model_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt PYTHON model inside the DAG runner: SQL bronze → Python
+    model (DataFrame-building function, deps discovered statically
+    from its dbt.ref()/dbt.source() calls — dbt's AST-extraction
+    contract) → SQL mart consuming the Python model via ref(). The
+    Python model materializes as a table like dbt requires, so the
+    downstream SQL model reads an ordinary relation."""
+    for t in ("orders", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"stg_{t}")
+    sources = {("stg", t): f"stg_{t}" for t in ("orders", "customer")}
+    models = [
+        Model(
+            "bronze_orders_py",
+            """
+            {{ config(materialized='table') }}
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM {{ source('stg', 'orders') }}
+            WHERE o_orderstatus = 'O'
+            """,
+        ),
+        Model("customer_stats_py", python_fn=_py_customer_stats),
+        Model(
+            "mart_from_python",
+            """
+            {{ config(materialized='view') }}
+            SELECT c_nationkey, n_orders, total_price, n_orders * 2 AS doubled
+            FROM {{ ref('customer_stats_py') }}
+            """,
+        ),
+    ]
+    project = ModelProject(
+        spark,
+        models,
+        sources,
+        warehouse_dir=os.path.join(SCRATCH, f"model_py_{os.getpid()}"),
+        threads=4,
+    )
+    try:
+        out = project.run()["mart_from_python"]
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(os.path.join(SCRATCH, f"model_py_{os.getpid()}"), ignore_errors=True)

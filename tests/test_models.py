@@ -236,3 +236,53 @@ def test_snapshot_random_sequences_match_declarative(spark):
                 nxt = f"{vs[i+1][0]}T00:00:00" if i + 1 < len(vs) else None
                 expect[(k, f"{d}T00:00:00")] = (v, nxt)
         assert got == expect
+
+
+def test_python_model_static_dep_extraction():
+    """Python-model deps must be discovered statically from
+    dbt.ref()/dbt.source() calls (dbt's AST contract) — before any
+    execution."""
+    from gmt_dbt_spark.plans.models import Model, compile_model
+
+    def pymodel(dbt, session):
+        a = dbt.ref("upstream_a")
+        b = dbt.source("stg", "orders")
+        return a.join(b, "k")
+
+    m = compile_model(
+        Model("pm", python_fn=pymodel),
+        sources={("stg", "orders"): "stg_orders"},
+        model_names={"pm", "upstream_a"},
+    )
+    assert m.depends_on == ["upstream_a"]
+    assert m.materialized == "table"  # python default
+
+
+def test_python_model_unknown_ref_rejected():
+    from gmt_dbt_spark.plans.models import Model, compile_model
+
+    def pymodel(dbt, session):
+        return dbt.ref("nope")
+
+    try:
+        compile_model(Model("pm", python_fn=pymodel), {}, {"pm"})
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
+
+
+def test_python_model_cannot_be_ephemeral():
+    from gmt_dbt_spark.plans.models import Model, compile_model
+
+    def pymodel(dbt, session):
+        return dbt.ref("pm2")
+
+    try:
+        compile_model(
+            Model("pm", config={"materialized": "ephemeral"}, python_fn=pymodel),
+            {},
+            {"pm", "pm2"},
+        )
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
