@@ -329,3 +329,114 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+SELECT c.event_id AS click_id,
+       c.user_id,
+       CASE WHEN p.ts >= c.ts - INTERVAL '30 minutes'
+            THEN p.event_id ELSE NULL END AS purchase_id,
+       CASE WHEN p.ts >= c.ts - INTERVAL '30 minutes'
+            THEN CAST(date_diff('second', p.ts, c.ts) AS BIGINT)
+            ELSE NULL END AS gap_seconds
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE (pandas merge_asof semantics):
+    nearest prior purchase, but only if within 30 minutes — stale
+    matches become NULL instead of silently joining. Same union +
+    single-shuffle window plan as join_asof; the tolerance is one
+    post-window predicate, costing nothing. The pattern for
+    sensor/trade enrichment where "latest known value" has a
+    freshness contract."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("bigint").alias("p_event_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.lit(0).alias("is_left"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        clicks.unionByName(purchases)
+        .withColumn("m_id", F.last("p_event_id", ignorenulls=True).over(w))
+        .withColumn("m_ts", F.last("p_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_left") == 1)
+    )
+    fresh = F.col("m_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+    gap = (F.unix_seconds("ts") - F.unix_seconds("m_ts")).cast("bigint")
+    return matched.select(
+        "click_id",
+        "user_id",
+        F.when(fresh, F.col("m_id")).alias("purchase_id"),
+        F.when(fresh, gap).alias("gap_seconds"),
+    )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+SELECT c.event_id AS click_id,
+       c.user_id,
+       p.event_id AS next_purchase_id,
+       p.ts AS next_purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts >= c.ts
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: the first purchase at-or-after each click
+    (time-to-conversion, next-reading enrichment). Mirror plan of
+    join_asof with the window reversed — current row to unbounded
+    FOLLOWING, `first(..., ignorenulls)` — still one shuffle on the
+    key. Clicks sort before purchases at identical ts so a
+    same-instant purchase stays visible (ASOF >= contract)."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("bigint").alias("p_event_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.lit(2).alias("is_left"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_left"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("next_purchase_id", F.first("p_event_id", ignorenulls=True).over(w))
+        .withColumn("next_purchase_ts", F.first("p_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_left") == 1)
+        .select("click_id", "user_id", "next_purchase_id", "next_purchase_ts")
+    )

@@ -182,3 +182,37 @@ def win_pct_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@query(
+    "win_named_window",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER() OVER w AS rn,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER wf
+            AS VARCHAR) AS DOUBLE) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def win_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause (SQL:2003): one window spec shared by
+    several functions — both the readability idiom dbt models use
+    and a single-shuffle guarantee (same spec → same Exchange+Sort,
+    reused). The frame extension `(w ROWS BETWEEN ...)` refines the
+    shared spec per-function."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER w AS rn,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER wf
+                    AS STRING) AS DOUBLE) AS running_total
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    )
