@@ -289,3 +289,42 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "sink_csv",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+FROM customer
+WHERE c_custkey % 25 = 0
+""",
+)
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + scan round-trip with an explicit read-back schema —
+    the reference's other interchange format (its climate inputs are
+    CSV, `main.py:67-73`, loaded with header/jagged-row tolerance
+    `main.py:321-326`). The write is sharded one file per task;
+    the read-back declares the schema (no re-inference drift) and
+    must hash-match the original parquet values. Ints and strings
+    only: CSV text round-trips them exactly; doubles/timestamps need
+    format pinning and get it in sink_ndjson's docstring caveat."""
+    path = os.path.join(SCRATCH, f"csv_customer_{uuid.uuid4().hex[:8]}")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    try:
+        (
+            table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") % 25 == 0)
+            .select(*cols)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(path)
+        )
+        out = (
+            spark.read.option("header", True)
+            .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, c_mktsegment STRING")
+            .csv(path)
+            .select(*cols)
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
