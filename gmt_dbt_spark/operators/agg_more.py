@@ -338,7 +338,12 @@ SELECT l_returnflag, n,
        ((((s3 / n) - (((s1 / n) * 3.0) * (s2 / n)))
          + (((s1 / n) * (s1 / n)) * ((s1 / n) * 2.0)))
          / (sqrt((s2 / n) - ((s1 / n) * (s1 / n)))
-            * ((s2 / n) - ((s1 / n) * (s1 / n))))) AS skew_pop
+            * ((s2 / n) - ((s1 / n) * (s1 / n))))) AS skew_pop,
+       (((((s4 / n) - (((s1 / n) * 4.0) * (s3 / n)))
+           + ((((s1 / n) * (s1 / n)) * 6.0) * (s2 / n)))
+          - ((((s1 / n) * (s1 / n)) * ((s1 / n) * (s1 / n))) * 3.0))
+         / (((s2 / n) - ((s1 / n) * (s1 / n)))
+            * ((s2 / n) - ((s1 / n) * (s1 / n)))) - 3.0) AS kurt_excess
 FROM m
 """,
 )
@@ -351,8 +356,8 @@ def agg_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     parenthesized IDENTICALLY in the oracle, so every correctly-
     rounded IEEE step matches bit-exactly. Σx⁴ rides along (staged
     decimal widening to DECIMAL(38,8) — exact at 100 TB row counts)
-    to show the kurtosis-ready state even though only skew is
-    reported."""
+    and excess kurtosis is evaluated from the same state —
+    skew + kurtosis from one five-number partial."""
     li = table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("decimal(10,2)")
     x2 = (x * x).cast("decimal(20,4)")
@@ -371,12 +376,17 @@ def agg_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     m3 = ((F.col("s3") / n) - ((mean * F.lit(3.0)) * (F.col("s2") / n))) + (
         (mean * mean) * (mean * F.lit(2.0))
     )
+    m4 = (
+        ((F.col("s4") / n) - ((mean * F.lit(4.0)) * (F.col("s3") / n)))
+        + (((mean * mean) * F.lit(6.0)) * (F.col("s2") / n))
+    ) - (((mean * mean) * (mean * mean)) * F.lit(3.0))
     return m.select(
         "l_returnflag",
         "n",
         m2.alias("m2"),
         m3.alias("m3"),
         (m3 / (F.sqrt(m2) * m2)).alias("skew_pop"),
+        ((m4 / (m2 * m2)) - F.lit(3.0)).alias("kurt_excess"),
     )
 
 

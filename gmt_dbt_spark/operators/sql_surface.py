@@ -501,3 +501,66 @@ def sql_udf_sql_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "sql_pivot_syntax",
+    oracle="""
+SELECT l_returnflag,
+       CAST(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(l_quantity AS DECIMAL(25,6)) END) AS VARCHAR)
+            AS DOUBLE) AS qty_F,
+       CAST(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(l_quantity AS DECIMAL(25,6)) END) AS VARCHAR)
+            AS DOUBLE) AS qty_O
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text PIVOT (the relational-reshape syntax, Spark SQL since
+    3.x): explicit IN list keeps the output schema static — the
+    planner never scans for distinct values, so the pivot is one
+    ordinary grouped aggregate (same Expand-free plan as the CASE
+    spelling the oracle uses)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(CAST(qty_F AS STRING) AS DOUBLE) AS qty_F,
+               CAST(CAST(qty_O AS STRING) AS DOUBLE) AS qty_O
+        FROM (SELECT l_returnflag, l_linestatus,
+                     CAST(l_quantity AS DECIMAL(25,6)) AS q
+              FROM lineitem)
+        PIVOT (SUM(q) FOR l_linestatus IN ('F' AS qty_F, 'O' AS qty_O))
+        """
+    )
+
+
+@query(
+    "sql_unpivot_syntax",
+    oracle="""
+SELECT o_orderkey, 'totalprice' AS measure,
+       CAST(o_totalprice AS DOUBLE) AS val
+FROM orders WHERE o_orderkey % 500 = 0
+UNION ALL
+SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) AS val
+FROM orders WHERE o_orderkey % 500 = 0
+""",
+)
+def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text UNPIVOT (wide → long melt): each row fans out to one
+    row per measure inside the scan projection (an Expand node — no
+    shuffle, no join), the exact reshape a metrics table needs
+    before a per-measure rollup."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, measure, val
+        FROM (SELECT o_orderkey,
+                     CAST(o_totalprice AS DOUBLE) AS totalprice,
+                     CAST(o_custkey AS DOUBLE) AS custkey
+              FROM orders WHERE o_orderkey % 500 = 0)
+        UNPIVOT (val FOR measure IN (totalprice, custkey))
+        """
+    )
