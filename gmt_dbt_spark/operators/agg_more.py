@@ -407,3 +407,34 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT explode(approx_top_k(event_type, 5)) AS t FROM events)
         """
     )
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+SELECT o_orderpriority,
+       quantile_disc(o_totalprice, 0.5) AS p50,
+       quantile_disc(o_totalprice, 0.9) AS p90,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (`percentile_disc` / quantile_disc): the
+    selected value is an ACTUAL data element, never an interpolation
+    — so double columns compare bit-exactly across engines with no
+    decimal detour (unlike percentile_cont, whose interpolated
+    arithmetic needs 6-dp rounding). Both engines pick the first
+    element whose cumulative distribution ≥ p — same tie semantics."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )

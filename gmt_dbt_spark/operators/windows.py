@@ -216,3 +216,42 @@ def win_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@query(
+    "win_range_interval",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL '30 days' PRECEDING
+                            AND CURRENT ROW) AS n_30d,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                       RANGE BETWEEN INTERVAL '30 days' PRECEDING
+                             AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+         AS sum_30d
+FROM orders
+""",
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval RANGE frame: per-customer trailing-30-day
+    order count and spend — the time-windowed running metric every
+    activity dashboard needs. RANGE (value-based) over the event
+    time means rows sharing a date enter the frame together —
+    ROWS-frame off-by-one bugs can't happen. One shuffle on the
+    partition key; frame evaluation is a per-partition sorted scan."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                              RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
+                                    AND CURRENT ROW) AS n_30d,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                         OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                               RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
+                                     AND CURRENT ROW) AS STRING) AS DOUBLE)
+                 AS sum_30d
+        FROM orders
+        """
+    )
