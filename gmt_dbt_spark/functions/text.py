@@ -416,3 +416,70 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "text_tfidf",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         (CAST(tf.tf AS DOUBLE) * CAST(nd.n_docs AS DOUBLE))
+           / CAST(df.df AS DOUBLE) AS tfidf_ratio
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN nd
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_ratio DESC, token) AS rk
+  FROM scored WHERE doc_id % 50 = 0
+)
+SELECT doc_id, token, tf, df, tfidf_ratio, rk
+FROM ranked WHERE rk <= 3
+""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term salience, log-free: weight = tf × n_docs ∕ df (a
+    monotone transform of classic idf — identical ranking, but exact
+    double division instead of libm `log`, whose last-ulp rounding
+    is engine-specific and would break the value hash). Plan: one
+    explode → (doc, token) count, a token-keyed df aggregate joined
+    back (broadcast — |vocab| ≪ corpus), top-3 per sampled doc via
+    ranked window with pinned tie-break. The salient-terms pass of
+    every keyword-extraction / relevance pipeline."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tok.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (
+                (F.col("tf").cast("double") * F.col("n_docs").cast("double"))
+                / F.col("df").cast("double")
+            ).alias("tfidf_ratio"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_ratio"), F.asc("token"))
+    return (
+        scored.filter(F.col("doc_id") % 50 == 0)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf_ratio", "rk")
+    )

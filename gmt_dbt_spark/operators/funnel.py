@@ -106,3 +106,36 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "events_wau_sliding",
+    oracle="""
+WITH e AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS b1 FROM events),
+     w AS (SELECT unnest([b1, b1 - INTERVAL '1 hour']) AS wstart, user_id FROM e)
+SELECT wstart,
+       wstart + INTERVAL '2 hours' AS wend,
+       COUNT(DISTINCT user_id) AS active_users
+FROM w
+GROUP BY 1, 2
+""",
+)
+def events_wau_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window ACTIVE USERS (2 h window, 1 h slide): the
+    WAU/DAU-over-rolling-window metric. Distinct-per-window is the
+    scale hazard — COUNT(DISTINCT) expands to a two-phase plan
+    (dedup on (window, user) map-side, then count) so the shuffle
+    carries each (window, user) pair once, never raw events; at
+    100 TB swap the exact distinct for agg_bitmap_distinct partials
+    keyed by window to make the per-window state storable and
+    OR-mergeable (same pattern, documented trade)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "active_users",
+        )
+    )

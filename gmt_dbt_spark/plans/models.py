@@ -79,6 +79,9 @@ class Model:
     depends_on: list[str] = field(default_factory=list)  # ref() edges
     compiled_sql: str = ""
     python_fn: object | None = None  # Callable[[DbtShim, SparkSession], DataFrame]
+    # dbt model contract (contracts: enforced): declared column name →
+    # Spark type DDL string; materialization fails on ANY drift.
+    contract: dict[str, str] | None = None
 
     @property
     def materialized(self) -> str:
@@ -304,6 +307,28 @@ class ModelProject:
                     else:
                         model.compiled_sql = "WITH " + ", ".join(ctes) + " " + body
 
+    @staticmethod
+    def _enforce_contract(model: Model, df: DataFrame) -> None:
+        """dbt `contracts: enforced`: the model's ACTUAL schema must
+        equal the declared (name → type) contract exactly — extra,
+        missing, or retyped columns abort materialization BEFORE any
+        write, which is the entire point: downstream consumers never
+        see a silently-drifted relation."""
+        if model.contract is None:
+            return
+        actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        declared = {k: v.lower().strip() for k, v in model.contract.items()}
+        if actual != declared:
+            missing = sorted(set(declared) - set(actual))
+            extra = sorted(set(actual) - set(declared))
+            retyped = sorted(
+                k for k in set(actual) & set(declared) if actual[k] != declared[k]
+            )
+            raise ValueError(
+                f"model '{model.name}' violates its contract: "
+                f"missing={missing} extra={extra} retyped={retyped}"
+            )
+
     def _materialize(self, model: Model) -> DataFrame:
         path = os.path.join(self.warehouse_dir, model.name)
         sql = model.compiled_sql
@@ -314,6 +339,7 @@ class ModelProject:
             # models consume it like any other relation.
             dbt = DbtShim(self.spark, self._sources, model.config)
             df = model.python_fn(dbt, self.spark)
+            self._enforce_contract(model, df)
             shutil.rmtree(path, ignore_errors=True)
             df.write.mode("overwrite").parquet(path)
             df = self.spark.read.parquet(path)
@@ -334,6 +360,7 @@ class ModelProject:
             sql = _THIS_RE.sub(f"{model.name}__this", sql)
             sql = _IS_INCR_RE.sub("TRUE" if exists else "FALSE", sql)
             df = self.spark.sql(sql)
+            self._enforce_contract(model, df)
             if exists:
                 from gmt_dbt_spark.operators.upsert import merge_upsert
 
@@ -352,11 +379,13 @@ class ModelProject:
             df = self.spark.read.parquet(path)
         elif model.materialized == "table":
             df = self.spark.sql(sql)
+            self._enforce_contract(model, df)
             shutil.rmtree(path, ignore_errors=True)
             df.write.mode("overwrite").parquet(path)
             df = self.spark.read.parquet(path)
         elif model.materialized == "view":
             df = self.spark.sql(sql)
+            self._enforce_contract(model, df)
         elif model.materialized == "ephemeral":
             # Never registered as a relation — consumers already have
             # this SQL inlined as a CTE (_inline_ephemerals). The

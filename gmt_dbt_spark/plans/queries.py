@@ -621,3 +621,56 @@ def model_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(os.path.join(SCRATCH, f"model_py_{os.getpid()}"), ignore_errors=True)
+
+
+@query(
+    "model_contract",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR)
+            AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def model_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt model CONTRACT (`contracts: enforced`): the model declares
+    its exact output schema (name → type) and materialization aborts
+    BEFORE writing if the computed frame drifts — extra, missing, or
+    retyped columns all fail. The schema-stability guarantee
+    downstream consumers of a 100 TB mart actually need (a silent
+    type widening breaks every reader); negative cases pinned in
+    tests/test_models.py."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("stg_orders")
+    m = Model(
+        "priority_rollup",
+        """
+        {{ config(materialized='table', contract='enforced') }}
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING)
+                    AS DOUBLE) AS total_price
+        FROM {{ source('stg', 'orders') }}
+        GROUP BY o_orderpriority
+        """,
+        contract={
+            "o_orderpriority": "string",
+            "n_orders": "bigint",
+            "total_price": "double",
+        },
+    )
+    project = ModelProject(
+        spark,
+        [m],
+        {("stg", "orders"): "stg_orders"},
+        warehouse_dir=os.path.join(SCRATCH, f"model_contract_{os.getpid()}"),
+    )
+    try:
+        out = project.run()["priority_rollup"]
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(SCRATCH, f"model_contract_{os.getpid()}"), ignore_errors=True
+        )

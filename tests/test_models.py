@@ -286,3 +286,32 @@ def test_python_model_cannot_be_ephemeral():
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_contract_violation_aborts_before_write(spark, tmp_path):
+    """A contract mismatch (retyped column) must raise and leave NO
+    materialized artifact behind."""
+    import os
+
+    from gmt_dbt_spark.plans.models import Model, ModelProject
+
+    spark.range(5).selectExpr("id AS k", "id * 2 AS v").createOrReplaceTempView(
+        "stg_contract_src"
+    )
+    m = Model(
+        "contracted",
+        """
+        {{ config(materialized='table', contract='enforced') }}
+        SELECT k, CAST(v AS STRING) AS v FROM {{ source('s', 't') }}
+        """,
+        contract={"k": "bigint", "v": "bigint"},  # v is actually string
+    )
+    project = ModelProject(
+        spark, [m], {("s", "t"): "stg_contract_src"}, warehouse_dir=str(tmp_path)
+    )
+    try:
+        project.run()
+        raise AssertionError("expected contract violation")
+    except ValueError as e:
+        assert "retyped=['v']" in str(e)
+    assert not os.path.exists(str(tmp_path / "contracted"))
