@@ -391,3 +391,13 @@ def test_dpp_prunes_fact_partitions(spark, tmp_path):
     assert re.search(
         r"PartitionFilters: \[[^\]]*dynamicpruningexpression\(o_month", physical
     ), "the dynamic pruning filter must sit on the FACT scan's partition filters"
+
+
+def test_lateral_join_decorrelates_to_window(spark):
+    """The LATERAL (… LIMIT 2) per-group top-N must decorrelate: no
+    nested-loop re-execution of the inner query per outer row — the
+    plan is the same ranked-window shape as an explicit
+    row_number() ≤ 2."""
+    tree = tree_of(plan_of(all_queries()["sql_lateral_join"](spark, SF_DIR)))
+    assert "WindowGroupLimit" in tree or "Window" in tree
+    assert "CartesianProduct" not in tree
