@@ -123,3 +123,79 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         concat('HTTPS://', upper(source), '.Example.COM/docs/', doc_id % 200,
+                '?utm_source=feed&lang=', lang,
+                CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=x' ELSE '' END,
+                '#frag', doc_id % 7) AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         concat(
+           lower(regexp_extract(url, '^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1)),
+           regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+           CASE WHEN regexp_replace(regexp_extract(url, '\\?([^#]*)', 1),
+                                    '(^|&)utm_[^&]*', '', 'g') IN ('', '&')
+                THEN ''
+                ELSE concat('?', trim(regexp_replace(
+                       regexp_replace(regexp_extract(url, '\\?([^#]*)', 1),
+                                      '(^|&)utm_[^&]*', '', 'g'),
+                       '^&', '')))
+           END) AS canonical_url
+  FROM u
+)
+SELECT canonical_url,
+       COUNT(*) AS n_urls,
+       MIN(doc_id) AS canonical_doc
+FROM canon
+GROUP BY canonical_url
+HAVING COUNT(*) > 1
+""",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl URL canonicalization + dedup — the first pass of
+    every crawl-corpus pipeline: lowercase host, strip the fragment,
+    drop `utm_*` tracking params, keep the semantic query — then
+    group identical canonical URLs and elect MIN(doc_id) as the
+    canonical document. All regex/codegen, zero UDFs; dedup is one
+    hash aggregate on the canonical key. URLs are deterministically
+    synthesized with the messiness the pipeline must survive (mixed
+    case scheme/host, tracking params, fragments, deliberate
+    collisions via doc_id % 200)."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.upper("source"),
+        F.lit(".Example.COM/docs/"),
+        F.col("doc_id") % 200,
+        F.lit("?utm_source=feed&lang="),
+        F.col("lang"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("&utm_campaign=x")).otherwise(
+            F.lit("")
+        ),
+        F.lit("#frag"),
+        F.col("doc_id") % 7,
+    )
+    u = d.select("doc_id", url.alias("url"))
+    host = F.lower(F.regexp_extract("url", r"^[hH][tT][tT][pP][sS]?://([^/?#]+)", 1))
+    path = F.regexp_extract("url", r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
+    raw_q = F.regexp_extract("url", r"\?([^#]*)", 1)
+    no_utm = F.regexp_replace(raw_q, r"(^|&)utm_[^&]*", "")
+    clean_q = F.when(no_utm.isin("", "&"), F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.trim(F.regexp_replace(no_utm, r"^&", "")))
+    )
+    canon = u.select(
+        "doc_id", F.concat(host, path, clean_q).alias("canonical_url")
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(F.count("*").alias("n_urls"), F.min("doc_id").alias("canonical_doc"))
+        .filter(F.col("n_urls") > 1)
+    )

@@ -438,3 +438,44 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6)))
+                 FILTER (WHERE l_linestatus = 'F') AS VARCHAR) AS DOUBLE)
+         AS qty_f,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6)))
+                 FILTER (WHERE l_discount > 0.05) AS VARCHAR) AS DOUBLE)
+         AS qty_discounted
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 FILTER clause — per-aggregate predicates in ONE pass
+    (the standard spelling of conditional aggregation; the CASE-WHEN
+    form compiles to the same plan, but FILTER keeps intent visible
+    and predicates out of the value expression). Still a single
+    grouped aggregate: one scan, one shuffle, n conditional
+    accumulators."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6)))
+                         FILTER (WHERE l_linestatus = 'F') AS STRING) AS DOUBLE)
+                 AS qty_f,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6)))
+                         FILTER (WHERE l_discount > 0.05) AS STRING) AS DOUBLE)
+                 AS qty_discounted
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
