@@ -479,3 +479,57 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS VARCHAR)
+              AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS VARCHAR)
+              AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))
+                       * CAST(l_quantity AS DECIMAL(20,4))) AS VARCHAR)
+              AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))
+                       * CAST(l_extendedprice AS DECIMAL(20,4))) AS VARCHAR)
+              AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))) AS slope,
+       ((sy / n) - ((((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)))
+                    * (sx / n))) AS intercept
+FROM m
+""",
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression (price ~ quantity) from exact decimal
+    moments — the closed-form twin of agg_corr: slope = (nΣxy −
+    ΣxΣy)/(nΣx² − (Σx)²), intercept from the means. Built-in
+    regr_slope/regr_intercept stream merge-order-dependent updates;
+    five exact mergeable numbers per group make the result
+    bit-stable under any partitioning, and the double closed form is
+    parenthesized identically in the oracle."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(20,4)")
+    y = F.col("l_extendedprice").cast("decimal(20,4)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dec2dbl(F.sum(x)).alias("sx"),
+        dec2dbl(F.sum(y)).alias("sy"),
+        dec2dbl(F.sum(x * x)).alias("sxx"),
+        dec2dbl(F.sum(x * y)).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))
+    return m.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((sy / n) - (slope * (sx / n))).alias("intercept"),
+    )

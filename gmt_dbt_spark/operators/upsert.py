@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gmt_dbt_spark.catalog import table
 from gmt_dbt_spark.registry import query
 from gmt_dbt_spark.sources.readers import scan_json, schema_from_json_file
 from gmt_dbt_spark.sources.sinks import StagingTable, sink_overwrite
@@ -219,3 +220,69 @@ def sink_delete_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(run, ignore_errors=True)
+
+
+@query(
+    "cdc_diff",
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 7 <> 0
+),
+v2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 11 <> 0
+)
+SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+            WHEN v2.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       COUNT(*) AS n_rows
+FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+   OR v1.o_orderstatus <> v2.o_orderstatus
+   OR v1.o_totalprice <> v2.o_totalprice
+GROUP BY change_type
+""",
+)
+def cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CHANGE DATA CAPTURE: diff two table versions into
+    insert/delete/update row sets via one key-keyed full-outer join
+    + value comparison — the audit primitive behind every
+    "what changed since yesterday's load" question, and the input a
+    downstream incremental consumer replays. One shuffle on the key;
+    at 100 TB, partition both snapshots by the same date key and the
+    join is partition-local. Versions are synthesized
+    deterministically from orders (drop %7 keys "before", drop %11
+    keys + perturb %5 prices "after")."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = o.filter(F.col("o_orderkey") % 7 != 0)
+    v2 = o.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    changed = (
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+    )
+    ctype = (
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        j.filter(changed)
+        .select(ctype.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count("*").alias("n_rows"))
+    )
