@@ -427,15 +427,16 @@ WITH tok AS (
 tf AS (
   SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
 ),
-df AS (
-  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+  WHERE len({_DUCK_TOKENS}) > 0
 ),
-nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
 scored AS (
-  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+  SELECT tf.doc_id, tf.token, tf.tf,
+         COUNT(*) OVER (PARTITION BY tf.token) AS df,
          (CAST(tf.tf AS DOUBLE) * CAST(nd.n_docs AS DOUBLE))
-           / CAST(df.df AS DOUBLE) AS tfidf_ratio
-  FROM tf JOIN df ON tf.token = df.token CROSS JOIN nd
+           / CAST(COUNT(*) OVER (PARTITION BY tf.token) AS DOUBLE) AS tfidf_ratio
+  FROM tf CROSS JOIN nd
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -450,19 +451,27 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF term salience, log-free: weight = tf × n_docs ∕ df (a
     monotone transform of classic idf — identical ranking, but exact
     double division instead of libm `log`, whose last-ulp rounding
-    is engine-specific and would break the value hash). Plan: one
-    explode → (doc, token) count, a token-keyed df aggregate joined
-    back (broadcast — |vocab| ≪ corpus), top-3 per sampled doc via
-    ranked window with pinned tie-break. The salient-terms pass of
-    every keyword-extraction / relevance pipeline."""
+    is engine-specific and would break the value hash).
+
+    Plan discipline: the tokenizer explode runs ONCE — tf is one
+    (doc, token) aggregate; df is a COUNT(*) window over tf's token
+    partition (tf has exactly one row per (doc, token), so the
+    window count IS the document frequency — no second explode, no
+    df-table rejoin); n_docs comes from a token-free scan of the
+    documents table. One explode + two shuffles total, vs the naive
+    three-explode form."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = tok.select(F.countDistinct("doc_id").alias("n_docs"))
+    n_docs = d.filter(F.size(tokens_col(F.col("text"))) > 0).select(
+        F.count("*").alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("token")
     scored = (
-        tf.join(F.broadcast(df), "token")
-        .crossJoin(F.broadcast(n_docs))
+        tf.crossJoin(F.broadcast(n_docs))
+        .withColumn("df", F.count("*").over(wt))
         .select(
             "doc_id",
             "token",
@@ -474,8 +483,6 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf_ratio"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_ratio"), F.asc("token"))
     return (
         scored.filter(F.col("doc_id") % 50 == 0)
