@@ -101,3 +101,36 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_qty"),
     )
+
+
+@query(
+    "multimodal_content_dedup",
+    oracle=f"""
+SELECT md5(hex(content)) AS content_key,
+       COUNT(*) AS n_copies,
+       MIN(parse_filename(filename)) AS canonical_file
+FROM read_blob('{_BLOBS}/*.bin')
+GROUP BY md5(hex(content))
+""",
+)
+def multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dedup of binary payloads (SURVEY §2.K
+    `multimodal_cols` content-hash dedup): every blob keyed by a
+    digest of its BYTES (not its name/path), duplicates collapse to
+    one canonical file — the storage-dedup step before any decode
+    in an image/audio corpus. The digest is computed executor-side
+    per file; only (digest, name) pairs shuffle — at 100 TB of
+    media, bytes never move. (Digest is md5-of-hex so the DuckDB
+    oracle, which lacks BLOB md5, computes the identical key.)"""
+    df = spark.read.format("binaryFile").load(os.path.join(_BLOBS, "*.bin"))
+    return (
+        df.select(
+            F.md5(F.encode(F.hex("content"), "UTF-8")).alias("content_key"),
+            F.element_at(F.split("path", "/"), -1).alias("name"),
+        )
+        .groupBy("content_key")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("name").alias("canonical_file"),
+        )
+    )
