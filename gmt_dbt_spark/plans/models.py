@@ -407,3 +407,29 @@ class ModelProject:
                 for name, fut in futures.items():
                     results[name] = fut.result()
         return results
+
+
+def load_models_dir(models_dir: str) -> tuple[list[Model], dict]:
+    """Load a dbt-style project from DISK: every `*.sql` file becomes
+    a Model (name = filename stem, body = file text with the same
+    Jinja-lite directives the reference's models use —
+    `models/yelp/*.sql` are exactly this shape), and an optional
+    `sources.json` maps "schema.table" → registered relation name
+    (the JSON analogue of `models/yelp/source.yml`). This is the
+    file-based entry point `dbt run` has: drop .sql files in a dir,
+    point the runner at it."""
+    import json
+
+    models: list[Model] = []
+    for fname in sorted(os.listdir(models_dir)):
+        if fname.endswith(".sql"):
+            with open(os.path.join(models_dir, fname)) as fh:
+                models.append(Model(fname[:-4], fh.read()))
+    sources: dict = {}
+    src_file = os.path.join(models_dir, "sources.json")
+    if os.path.exists(src_file):
+        with open(src_file) as fh:
+            for k, v in json.load(fh).items():
+                schema, tbl = k.split(".", 1)
+                sources[(schema, tbl)] = v
+    return models, sources

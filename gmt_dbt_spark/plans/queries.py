@@ -674,3 +674,42 @@ def model_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(
             os.path.join(SCRATCH, f"model_contract_{os.getpid()}"), ignore_errors=True
         )
+
+
+@query(
+    "model_dir_run",
+    oracle="""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS VARCHAR)
+            AS DOUBLE) AS total_price
+FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderstatus <> 'P') o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def model_dir_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dbt run` from FILES: load `fixtures/models/*.sql` +
+    `sources.json` off disk (the reference's project layout —
+    `models/yelp/*.sql` + `source.yml`), compile, toposort,
+    materialize, read the mart back. The complete file-in →
+    warehouse-out lifecycle with zero Python model definitions."""
+    from gmt_dbt_spark.plans.models import load_models_dir
+
+    for t in ("orders", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"stg_{t}")
+    models, sources = load_models_dir(os.path.join(REPO, "fixtures", "models"))
+    project = ModelProject(
+        spark,
+        models,
+        sources,
+        warehouse_dir=os.path.join(SCRATCH, f"model_dir_{os.getpid()}"),
+    )
+    try:
+        out = project.run()["mart_segment_sales_f"]
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(os.path.join(SCRATCH, f"model_dir_{os.getpid()}"), ignore_errors=True)

@@ -30,15 +30,32 @@ def find_files(root: str, suffix: str) -> list[str]:
 
 
 def detect_json_layout(path: str) -> str:
-    """'ndjson' vs 'array' — the reference sniffs the first parse
-    (`main.py:197-212`); we sniff the first non-whitespace byte."""
-    with open(path, "rb") as f:
-        while True:
-            ch = f.read(1)
-            if not ch:
-                return "ndjson"
-            if not ch.isspace():
-                return "array" if ch == b"[" else "ndjson"
+    """'ndjson' vs 'array' vs 'object' — the reference detects by
+    attempting a whole-file parse and falling back to per-line
+    (`main.py:197-212`); we do the cheap inverse: if the first
+    non-blank LINE is complete JSON the file is NDJSON, otherwise a
+    whole-file parse classifies it as a multi-line array or a single
+    multi-line object (both need Spark's multiLine reader)."""
+    import json
+
+    first_line = ""
+    with open(path, encoding="utf-8", errors="replace") as f:
+        for line in f:
+            if line.strip():
+                first_line = line
+                break
+    try:
+        first = json.loads(first_line)
+        # a whole-array-on-one-line file is still an array payload
+        return "array" if isinstance(first, list) else "ndjson"
+    except (json.JSONDecodeError, ValueError):
+        pass
+    try:
+        with open(path, encoding="utf-8", errors="replace") as f:
+            whole = json.load(f)
+        return "array" if isinstance(whole, list) else "object"
+    except (json.JSONDecodeError, ValueError):
+        return "ndjson"  # PERMISSIVE mode quarantines bad rows
 
 
 def scan_json(
@@ -52,7 +69,7 @@ def scan_json(
     (`main.py:333-335`)."""
     tune(spark)
     if multiline is None and os.path.isfile(path):
-        multiline = detect_json_layout(path) == "array"
+        multiline = detect_json_layout(path) in ("array", "object")
     reader = spark.read.option("multiLine", bool(multiline)).option(
         "recursiveFileLookup", "true"
     )
@@ -107,3 +124,29 @@ def append_schema_to_registry(
     reg[table] = {"schema": schema.jsonValue(), "on_condition_columns": keys}
     with open(path, "w") as f:
         json.dump(reg, f, indent=1, sort_keys=True)
+
+
+def ingest_directory(spark: SparkSession, src_dir: str, warehouse_dir: str) -> int:
+    """The reference's whole batch-ingestion lifecycle
+    (`main.py:429-452`: discover → sanitize → upload → register) as
+    one function: recursively discover `*.json` / `*.csv` under
+    ``src_dir``, scan each with autodetect, sanitize identifiers
+    (metadata-only — the reference rewrites file bytes,
+    `main.py:240-245`; we rename columns in the projection), and
+    write a parquet staging table per file under ``warehouse_dir``.
+    Upload concurrency/retry/timeout (`main.py:94-188`) collapse
+    into Spark's distributed write + task retry. Returns the number
+    of tables written."""
+    from gmt_dbt_spark.sources.sanitize import sanitize_columns, sanitize_table_name
+
+    n = 0
+    json_files = sorted(
+        set(find_files(src_dir, ".json")) | set(find_files(src_dir, ".ndjson"))
+    )
+    for path in json_files + find_files(src_dir, ".csv"):
+        df = scan_csv(spark, path) if path.endswith(".csv") else scan_json(spark, path)
+        name = sanitize_table_name(os.path.splitext(os.path.basename(path))[0])
+        out = os.path.join(warehouse_dir, name)
+        sanitize_columns(df).write.mode("overwrite").parquet(out)
+        n += 1
+    return n

@@ -98,3 +98,40 @@ def test_staging_drops(spark, tmp_path):
         assert staged.count() == 600
         assert os.path.exists(p)
     assert not os.path.exists(p)
+
+
+def test_detect_json_layout_object_and_ndjson(tmp_path):
+    """Multi-line single-object JSON (config-style files) must route
+    to the multiLine reader; NDJSON stays line-per-record; a
+    one-line array is an array."""
+    from gmt_dbt_spark.sources.readers import detect_json_layout
+
+    nd = tmp_path / "a.ndjson"
+    nd.write_text('{"a": 1}\n{"a": 2}\n')
+    obj = tmp_path / "b.json"
+    obj.write_text('{\n  "k": "v",\n  "n": 3\n}\n')
+    arr = tmp_path / "c.json"
+    arr.write_text('[{"a": 1}, {"a": 2}]')
+    assert detect_json_layout(str(nd)) == "ndjson"
+    assert detect_json_layout(str(obj)) == "object"
+    assert detect_json_layout(str(arr)) == "array"
+
+
+def test_ingest_directory_end_to_end(spark, tmp_path):
+    """The reference's whole main.py lifecycle: discover (json +
+    ndjson + csv), sanitize, write parquet staging tables — every
+    fixture file lands as a readable table with sanitized columns."""
+    import os
+    import re
+
+    from gmt_dbt_spark.sources.readers import ingest_directory
+
+    out = str(tmp_path / "wh")
+    n = ingest_directory(spark, "/root/repo/fixtures", out)
+    assert n >= 12
+    tables = sorted(os.listdir(out))
+    assert "yelp_business" in tables and "lv_temperature" in tables
+    biz = spark.read.parquet(os.path.join(out, "yelp_business"))
+    assert biz.count() > 0
+    for c in biz.columns:
+        assert re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c), c
