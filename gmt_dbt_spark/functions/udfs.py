@@ -130,3 +130,40 @@ def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT p_partkey, slugify(p_name) AS slug FROM part WHERE p_size > 10"
     )
+
+
+# Arrow-optimized row UDF (Spark 4 `useArrow=True`): same authoring
+# model as a classic Python UDF, but batched over Arrow instead of
+# pickled row-at-a-time — the migration path for codebases full of
+# plain @udf functions that can't be rewritten as pandas UDFs.
+@F.udf(returnType=T.StringType(), useArrow=True)
+def _mask_priority_arrow(p: str) -> str:
+    if p is None:
+        return None
+    head, _, tail = p.partition("-")
+    return head + "-" + ("*" * len(tail))
+
+
+@query(
+    "udf_arrow_optimized",
+    oracle="""
+SELECT o_orderkey,
+       concat(split_part(o_orderpriority, '-', 1), '-',
+              repeat('*', length(o_orderpriority)
+                          - length(split_part(o_orderpriority, '-', 1)) - 1))
+         AS priority_masked
+FROM orders
+WHERE o_orderkey % 100 = 0
+""",
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark 4 `useArrow=True`):
+    row-UDF ergonomics, Arrow-batch transfer — ~2-5× over pickled
+    row-at-a-time without rewriting to pandas Series semantics. The
+    hierarchy stands: built-ins ≫ pandas UDF ≈ arrow UDF ≫ classic
+    UDF; this query exists to keep the migration rung tested. Oracle
+    reproduces the masking in pure SQL."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey", _mask_priority_arrow("o_orderpriority").alias("priority_masked")
+    )
