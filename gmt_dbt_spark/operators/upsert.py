@@ -286,3 +286,61 @@ def cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+@query(
+    "merge_upsert_cdc",
+    oracle="""
+WITH target AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 7 <> 0
+),
+cdc AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'D'
+              WHEN o_orderkey % 7 = 0 THEN 'I'
+              ELSE 'U' END AS op,
+         o_orderstatus,
+         o_totalprice + 2.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT COALESCE(c.o_orderkey, t.o_orderkey) AS o_orderkey,
+       COALESCE(c.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+       COALESCE(c.o_totalprice, t.o_totalprice) AS o_totalprice
+FROM target t
+FULL OUTER JOIN (SELECT * FROM cdc WHERE op <> 'D') c
+  ON t.o_orderkey = c.o_orderkey
+WHERE COALESCE(c.o_orderkey, t.o_orderkey) NOT IN
+      (SELECT o_orderkey FROM cdc WHERE op = 'D')
+""",
+)
+def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with the full CDC verb set — WHEN MATCHED UPDATE,
+    WHEN NOT MATCHED INSERT, **WHEN MATCHED AND op='D' DELETE** —
+    the extension the reference's generated MERGE lacks
+    (`gcp_function.py:67-94` is update/insert only) and the apply
+    step for a `cdc_diff` change feed. Join-based: deletes are an
+    anti-join on the delete-key set (broadcast — delete batches are
+    small), upserts the usual full-outer + coalesce. One shuffle of
+    the target; at 100 TB scope it with dynamic partition overwrite
+    like upsert_partitioned."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = o.filter(F.col("o_orderkey") % 7 != 0)
+    cdc = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn(
+            "op",
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("D"))
+            .when(F.col("o_orderkey") % 7 == 0, F.lit("I"))
+            .otherwise(F.lit("U")),
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(2.0))
+    )
+    deletes = cdc.filter(F.col("op") == "D").select("o_orderkey")
+    upserts = cdc.filter(F.col("op") != "D").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    merged = merge_upsert(target, upserts, ["o_orderkey"])
+    return merged.join(F.broadcast(deletes), "o_orderkey", "left_anti")
