@@ -98,26 +98,56 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_sketch")  # rows-only: estimates are sketch-impl-specific
+@query(
+    "agg_hll_sketch",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events
+""",
+)
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches: per-event-type HLL sketches
     of user_id, re-merged with `hll_union_agg` into an ALL rollup —
     two aggregation levels sharing one scan's partial sketches. This
     is the 100 TB distinct-count pattern: map-side partials are
     fixed-size sketch buffers (2^12 registers here), never the key
-    set itself; accuracy is ~2% rel. error (pinned in tests vs exact
-    counts). Rows-only oracle: DataSketches estimates are
-    implementation-specific, so DuckDB cannot reproduce the values."""
+    set itself.
+
+    DataSketches estimates are implementation-specific, so the query
+    hashes the EXACT counts plus a ``within_bound`` boolean asserting
+    each estimate (including the union-merged ALL rollup) lands within
+    5% of the exact value — deterministic against the oracle's TRUE
+    (r1 untestable-sketch fix)."""
     ev = table(spark, sf_dir, "events")
     sketches = ev.groupBy("event_type").agg(
-        F.expr("hll_sketch_agg(user_id)").alias("sk")
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
+
+    def bound(est, exact):
+        return (F.abs(est - exact) / exact <= F.lit(0.05)).alias("within_bound")
+
     per_type = sketches.select(
-        "event_type", F.expr("hll_sketch_estimate(sk)").alias("approx_users")
+        "event_type",
+        "exact_users",
+        bound(F.expr("hll_sketch_estimate(sk)"), F.col("exact_users")),
     )
-    overall = sketches.agg(
+    overall_est = sketches.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_all")
+    )
+    overall_exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    overall = overall_exact.crossJoin(overall_est).select(
         F.lit("ALL").alias("event_type"),
-        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users"),
+        "exact_users",
+        bound(F.col("est_all"), F.col("exact_users")),
     )
     return per_type.unionAll(overall)
 

@@ -87,8 +87,8 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey,
        ABS(c_acctbal) AS bal_abs,
-       FLOOR(c_acctbal) AS bal_floor,
-       CEIL(c_acctbal) AS bal_ceil,
+       CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor,
+       CAST(CEIL(c_acctbal) AS BIGINT) AS bal_ceil,
        SQRT(ABS(c_acctbal)) AS bal_sqrt,
        c_acctbal * c_acctbal AS bal_sq,
        c_custkey % 7 AS key_mod
@@ -97,13 +97,17 @@ FROM customer
 )
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math family restricted to IEEE-exact ops (sqrt is correctly
-    rounded per IEEE-754; log/exp are not and would hash-mismatch)."""
+    rounded per IEEE-754; log/exp are not and would hash-mismatch).
+
+    floor/ceil on DOUBLE return BIGINT in Spark but DOUBLE in DuckDB —
+    the driver's text-based value hash distinguishes ``1863`` from
+    ``1863.0``, so BOTH sides cast to BIGINT explicitly (r1 FAIL fix)."""
     c = table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
         F.abs("c_acctbal").alias("bal_abs"),
-        F.floor("c_acctbal").alias("bal_floor"),
-        F.ceil("c_acctbal").alias("bal_ceil"),
+        F.floor("c_acctbal").cast("bigint").alias("bal_floor"),
+        F.ceil("c_acctbal").cast("bigint").alias("bal_ceil"),
         F.sqrt(F.abs("c_acctbal")).alias("bal_sqrt"),
         (F.col("c_acctbal") * F.col("c_acctbal")).alias("bal_sq"),
         (F.col("c_custkey") % 7).alias("key_mod"),

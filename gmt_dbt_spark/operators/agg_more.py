@@ -390,15 +390,22 @@ def agg_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_topk")
+@query(
+    "agg_approx_topk",
+    oracle="""
+SELECT event_type, COUNT(*) AS approx_count
+FROM events
+GROUP BY event_type
+""",
+)
 def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataSketches frequent-items heavy hitters (`approx_top_k`,
     Spark 4): the bounded-memory answer to "top URLs / tokens /
     event types over 100 TB" — sketch state is O(k), mergeable
-    across partitions, one pass. Rows-only (sketch internals aren't
-    SQL-oracle-able); pytest pins that on small data the sketch's
-    counts EQUAL the exact groupBy counts (no eviction below
-    capacity)."""
+    across partitions, one pass. Oracle-hashable because the events
+    fixture has 5 distinct event types ≤ k=5: below capacity the
+    sketch never evicts, so its counts EQUAL the exact groupBy
+    counts (the property pytest also pins)."""
     ev = table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("events")
     return spark.sql(

@@ -77,17 +77,39 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+@query(
+    "agg_approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS within_bound
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the constant-memory
-    distinct-count for 100 TB; no oracle (estimate differs by
-    implementation), driver records a rows-only check."""
+    distinct-count for 100 TB.  HLL estimates are engine-specific, so
+    the raw estimate can't be oracle-hashed; instead the query emits
+    the exact count PLUS a ``within_bound`` boolean asserting the
+    estimate lands within 5% of the exact value computed in the same
+    pass — deterministic, hash-exact, and it actually checks the
+    sketch's error bound (r1 `no_oracle` fix)."""
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= F.lit(0.05)
+            ).alias("within_bound"),
         )
     )
 
@@ -224,21 +246,51 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")  # rows-only: GK-sketch values are impl-specific
+@query(
+    "agg_approx_percentile",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       TRUE AS p50_within,
+       TRUE AS p99_within
+FROM events
+GROUP BY event_type
+""",
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via `approx_percentile`
-    (Greenwald-Khanna sketch, relative error ≤ 1/accuracy) — the
-    100 TB path where exact `percentile` would buffer every value
-    per group: the GK summary is bounded-size and MERGEABLE, so it
-    partial-aggregates map-side exactly like a sum. Accuracy is
-    pinned against the exact percentile in tests (never drifts more
-    than the sketch bound). Rows-only oracle: sketch outputs are
-    implementation-specific across engines."""
+    (Greenwald-Khanna sketch, rank error ≤ n/accuracy) — the 100 TB
+    path where exact `percentile` would buffer every value per group:
+    the GK summary is bounded-size and MERGEABLE, so it
+    partial-aggregates map-side exactly like a sum.
+
+    GK outputs are implementation-specific, so instead of hashing the
+    raw values the query emits rank-window booleans: the approx p50
+    must land between the exact p48 and p52 (p99 between p97 and max),
+    all computed in the same aggregation — deterministic and
+    hash-exact against the oracle's TRUE (r1 `no_oracle` fix)."""
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50"),
-        F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("ap50"),
+            F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("ap99"),
+            F.expr("percentile(value, 0.48)").alias("lo50"),
+            F.expr("percentile(value, 0.52)").alias("hi50"),
+            F.expr("percentile(value, 0.97)").alias("lo99"),
+            F.max("value").alias("hi99"),
+        )
+        .select(
+            "event_type",
+            "n",
+            ((F.col("ap50") >= F.col("lo50")) & (F.col("ap50") <= F.col("hi50"))).alias(
+                "p50_within"
+            ),
+            ((F.col("ap99") >= F.col("lo99")) & (F.col("ap99") <= F.col("hi99"))).alias(
+                "p99_within"
+            ),
+        )
     )
 
 

@@ -40,18 +40,27 @@ SELECT 'lineitem', COUNT(*) FROM lineitem
 """,
 )
 def maint_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANALYZE TABLE COMPUTE STATISTICS on managed copies of two
-    tables, then read the row counts back FROM THE CATALOG (not by
-    re-counting): the returned numbers are what the cost-based
-    optimizer would plan with. Mirrors the auto-stats BigQuery keeps
-    for every table the reference loads (`main.py:314-349` registers
-    external tables; BQ backfills stats transparently)."""
+    """ANALYZE TABLE COMPUTE STATISTICS on EXTERNAL tables registered
+    over the existing parquet paths, then read the row counts back
+    FROM THE CATALOG (not by re-counting): the returned numbers are
+    what the cost-based optimizer would plan with. Mirrors the
+    auto-stats BigQuery keeps for every table the reference loads
+    (`main.py:314-349` registers external tables; BQ backfills stats
+    transparently).
+
+    r1 ran this on MANAGED COPIES — a full data rewrite per ANALYZE
+    (~7 s at sf0.1, a non-starter at 100 TB). External registration is
+    metadata-only DDL; ANALYZE itself is one counting scan and DROP
+    TABLE on an external table never touches the data files."""
     import re as _re
 
     rows = []
     for name in ("orders", "lineitem"):
         tbl = f"stats_{name}"
-        table(spark, sf_dir, name).write.mode("overwrite").saveAsTable(tbl)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(
+            f"CREATE TABLE {tbl} USING parquet LOCATION '{sf_dir}/{name}.parquet'"
+        )
         try:
             spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
             detail = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()

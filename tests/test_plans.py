@@ -401,3 +401,41 @@ def test_lateral_join_decorrelates_to_window(spark):
     tree = tree_of(plan_of(all_queries()["sql_lateral_join"](spark, SF_DIR)))
     assert "WindowGroupLimit" in tree or "Window" in tree
     assert "CartesianProduct" not in tree
+
+
+def test_retention_has_no_broadcast_hint(spark):
+    """events_retention's cohort map is one row PER USER — unbounded
+    cardinality at 100 TB, so the query must not carry a forced
+    broadcast hint (r1 VERDICT item 3). Runtime broadcast chosen by
+    AQE from actual sizes is fine; a hardcoded hint is not."""
+    df = all_queries()["events_retention"](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+
+
+def test_funnel_single_plan_no_build_time_jobs(spark):
+    """events_funnel must be ONE lazy plan: building the DataFrame
+    runs zero Spark jobs (r1 ran three driver .count() actions at
+    build time, re-scanning events ~6x), and the single action
+    reuses the shared stage subtrees' exchanges."""
+    from gmt_dbt_spark.catalog import table
+
+    sc = spark.sparkContext
+    # Baseline: just opening the events table costs N schema/listing jobs.
+    sc.setJobGroup("scan-baseline", "plain table open")
+    try:
+        table(spark, SF_DIR, "events")
+        baseline = len(sc.statusTracker().getJobIdsForGroup("scan-baseline"))
+    finally:
+        sc.setJobGroup(None, None)
+    sc.setJobGroup("funnel-build", "funnel build must be lazy")
+    try:
+        df = all_queries()["events_funnel"](spark, SF_DIR)
+        built = len(sc.statusTracker().getJobIdsForGroup("funnel-build"))
+        assert built <= baseline, (built, baseline)
+    finally:
+        sc.setJobGroup(None, None)
+    row = df.collect()[0]
+    assert row.n_view >= row.n_view_then_click >= row.n_full_funnel
+    plan = plan_of(df)
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan

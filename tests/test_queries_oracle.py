@@ -32,6 +32,13 @@ def _norm(v):
         return str(v)
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
+    if isinstance(v, bool):
+        return repr(v)
+    if isinstance(v, (int, float)):
+        # The driver's value hash is TEXT-based: BIGINT 1863 and DOUBLE
+        # 1863.0 must NOT compare equal here (r1 fn_math lesson) — repr
+        # preserves the int-vs-float distinction exactly as the hash does.
+        return repr(v)
     return v
 
 
