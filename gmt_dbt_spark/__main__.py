@@ -33,6 +33,13 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("warehouse_dir")
     p_run.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    p_run.add_argument(
+        "--stg-dir",
+        default=None,
+        help="directory of ingested parquet tables to register as stg_* "
+        "views (defaults to warehouse_dir, so `ingest X W` then "
+        "`run M W` compose)",
+    )
     p_run.add_argument("--threads", type=int, default=4)
 
     sub.add_parser("bench", help="run the headline benchmark")
@@ -86,6 +93,17 @@ def main(argv: list[str] | None = None) -> int:
                 table(spark, args.sf_dir, t).createOrReplaceTempView(f"stg_{t}")
             except Exception:
                 pass
+        # ... and any parquet tables a prior `ingest` wrote (the
+        # reference lifecycle is main.py ingest -> dbt run over the
+        # SAME dataset; ingested tables shadow same-named sf-dir ones)
+        stg_dir = args.stg_dir or args.warehouse_dir
+        if os.path.isdir(stg_dir):
+            for name in sorted(os.listdir(stg_dir)):
+                tdir = os.path.join(stg_dir, name)
+                if os.path.isdir(tdir) and any(
+                    f.endswith(".parquet") for f in os.listdir(tdir)
+                ):
+                    spark.read.parquet(tdir).createOrReplaceTempView(f"stg_{name}")
         models, sources = load_models_dir(args.models_dir)
         project = ModelProject(
             spark, models, sources, warehouse_dir=args.warehouse_dir,

@@ -198,27 +198,34 @@ def kmeans_assign(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
     )
 
 
-def kmeans_recompute(assigned: DataFrame, dims: int) -> list[list[int]]:
+def kmeans_recompute(
+    assigned: DataFrame, dims: int, prev: list[list[int]]
+) -> list[list[int]]:
     """New centroids = per-(cluster, dim) floor-mean of micro units.
 
     posexplode → (cluster, dim)-keyed aggregate: the shuffle carries
     k × dims cells after map-side combine regardless of row count —
     the mergeable-partials shape that scales to any corpus. Driver
-    receives only k × dims ints (the model, not the data)."""
+    receives only k × dims ints (the model, not the data).
+
+    A cluster that attracted no rows has no cells: it KEEPS its
+    previous centroid (matching the numpy reference's `else cents[i]`)
+    instead of vanishing and shifting every higher cluster index."""
     # exact integer FLOOR division (subtract the non-negative pmod
-    # remainder first): plain `/` + cast truncates toward zero, which
-    # disagrees with floor on negative sums by one micro-unit.
-    s, n = F.sum("v"), F.count(F.lit(1))
+    # remainder first, then bigint `div`): plain `/` is DOUBLE division
+    # in Spark — only exact below 2^53 — and `/` + cast truncates
+    # toward zero, which disagrees with floor on negative sums.
     cells = (
         assigned.select("cluster", F.posexplode("qv").alias("dim", "v"))
         .groupBy("cluster", "dim")
-        .agg(((s - F.pmod(s, n)) / n).cast("bigint").alias("m"))
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("cluster", "dim", F.expr("(s - pmod(s, n)) div n").alias("m"))
         .collect()
     )
     by_cluster: dict[int, list[int]] = {}
     for r in cells:
         by_cluster.setdefault(r["cluster"], [0] * dims)[r["dim"]] = r["m"]
-    return [by_cluster[c] for c in sorted(by_cluster)]
+    return [by_cluster.get(c, list(prev[c])) for c in range(len(prev))]
 
 
 @query("embed_kmeans")
@@ -239,7 +246,7 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     init = q.orderBy("vec_id").limit(K_CLUSTERS).collect()
     centroids = [list(r["qv"]) for r in init]
     for _ in range(KMEANS_ITERS):
-        centroids = kmeans_recompute(kmeans_assign(q, centroids), dims)
+        centroids = kmeans_recompute(kmeans_assign(q, centroids), dims, centroids)
     final = kmeans_assign(q, centroids)
     cent_norms = {
         i: float(sum(v * v for v in c)) ** 0.5 / 1e6 for i, c in enumerate(centroids)

@@ -138,10 +138,11 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sim_topk_lsh")  # rows-only: bucketed ANN is approximate by design
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH: 16-bit sign signature per
-    vector (fixed pseudo-random hyperplanes from xxhash64 — no stored
-    model), candidates share a 8-bit band, exact cosine re-rank on
-    candidates only. The scale path: signature build is one pass,
-    candidate join is an equi-join on (band, key)."""
+    vector (hyperplanes from a fixed-seed PRNG inlined as plan
+    literals — deterministic across processes, no stored model file),
+    candidates share a 8-bit band, exact cosine re-rank on candidates
+    only. The scale path: signature build is one pass, candidate join
+    is an equi-join on (band, key)."""
     v = _vecs(spark, sf_dir)
     banded = _banded(_signature(v))
     q = banded.filter(F.col("vec_id") < N_QUERIES).select(

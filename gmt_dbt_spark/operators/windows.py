@@ -200,9 +200,12 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
 def win_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Named WINDOW clause (SQL:2003): one window spec shared by
     several functions — both the readability idiom dbt models use
-    and a single-shuffle guarantee (same spec → same Exchange+Sort,
-    reused). The frame extension `(w ROWS BETWEEN ...)` refines the
-    shared spec per-function."""
+    and a single-shuffle guarantee (same partitioning/ordering →
+    same Exchange+Sort, reused). Spark does NOT support SQL:2003
+    per-use frame refinement (`OVER (w ROWS BETWEEN ...)` is a parse
+    error — recorded in NOTES_r1.md), so the framed variant is a
+    SECOND named spec `wf` sharing the same partition/order; the
+    planner still reuses the single exchange."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """

@@ -115,15 +115,32 @@ class NdjsonDirDataSource(DataSource):
         return "ndjson_dir"
 
     def writer(self, schema, overwrite: bool):
-        return NdjsonDirWriter(self.options, schema)
+        return NdjsonDirWriter(self.options, schema, overwrite)
+
+
+class NdjsonCommitMessage(WriterCommitMessage):
+    """Carries each task's staged-tmp → final shard paths to commit()."""
+
+    def __init__(self, tmp_path: str, final_path: str) -> None:
+        self.tmp_path = tmp_path
+        self.final_path = final_path
 
 
 class NdjsonDirWriter(DataSourceWriter):
-    """DataSourceWriter: executors call write(iterator) per task."""
+    """DataSourceWriter with a two-phase commit: executors stream each
+    task's rows to a HIDDEN staging name (``.part-*.json.tmp`` — never
+    matched by the ``*.json`` read-back glob), and only the driver's
+    ``commit()`` renames the staged shards into place (atomic on POSIX
+    / one metadata op on shared stores). A task that dies mid-write
+    leaves only an invisible tmp file, so retries can't surface
+    truncated or duplicate shards; ``abort()`` deletes all staged
+    tmps. ``overwrite`` mode clears pre-existing ``*.json`` shards at
+    commit time — after the new data is fully staged, never before."""
 
-    def __init__(self, options, schema) -> None:
+    def __init__(self, options, schema, overwrite: bool = False) -> None:
         self.path = options.get("path")
         self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
 
     def write(self, iterator):
         # Executed on the executor: import inside the method so the
@@ -136,13 +153,33 @@ class NdjsonDirWriter(DataSourceWriter):
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         os.makedirs(self.path, exist_ok=True)
-        shard = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.json")
-        n = 0
-        with open(shard, "w") as fh:
+        final = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.json")
+        tmp = os.path.join(self.path, "." + os.path.basename(final) + ".tmp")
+        with open(tmp, "w") as fh:
             for row in iterator:
                 fh.write(json.dumps(dict(zip(self.fields, row)), default=str) + "\n")
-                n += 1
-        return WriterCommitMessage()
+        return NdjsonCommitMessage(tmp, final)
+
+    def commit(self, messages):
+        import glob
+        import os
+
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "*.json")):
+                os.remove(old)
+        for m in messages:
+            if m is not None:
+                os.rename(m.tmp_path, m.final_path)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.tmp_path)
+                except OSError:
+                    pass
 
 
 @query(

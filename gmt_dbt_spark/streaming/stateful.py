@@ -15,6 +15,14 @@ older than max(ts) − delay; dedup = keep-first per key); their true
 streaming execution — micro-batch order, state store, late-row drop —
 is exercised in tests/test_streaming.py where file arrival order is
 controlled.
+
+TEST-HARNESS CAVEAT (not a production path): the availableNow replay
+helpers in this module author their micro-batch NDJSON inputs by
+funneling the (small, fixed) events fixture through ``toPandas()`` on
+the driver. That is deliberate and bounded — a replay fixture writer,
+sized by the test fixture, never by production data. A production
+streaming job reads its source directly (Kafka/files); nothing in the
+registered query paths routes data through the driver.
 """
 
 from __future__ import annotations

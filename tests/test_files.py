@@ -50,3 +50,43 @@ def test_python_datasource_partition_parallelism(spark):
     assert df.rdd.getNumPartitions() == 8
     ids = [r.i for r in df.collect()]
     assert sorted(ids) == list(range(997))
+
+
+def test_ndjson_writer_two_phase_commit_and_overwrite(spark, tmp_path):
+    """The custom NDJSON writer must stage shards as hidden .tmp files
+    and only surface them via commit()-time rename: after a write no
+    tmp residue remains, every visible shard is complete, and
+    overwrite mode replaces prior shards at commit time (append keeps
+    them). A pre-planted stale tmp must never become visible data."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gmt_dbt_spark.sources.pydatasource import NdjsonDirDataSource
+
+    spark.dataSource.register(NdjsonDirDataSource)
+    path = str(tmp_path / "nd")
+    os.makedirs(path)
+    # stale tmp from a hypothetical dead task: must stay invisible
+    with open(os.path.join(path, ".part-99999-dead.json.tmp"), "w") as fh:
+        fh.write('{"x": "truncated')
+
+    df = spark.range(100).select(F.col("id").alias("x"))
+    df.write.format("ndjson_dir").option("path", path).mode("append").save()
+    first = sorted(glob.glob(os.path.join(path, "*.json")))
+    assert first, "append must surface shards"
+    assert spark.read.json(os.path.join(path, "*.json")).count() == 100
+
+    # append again: old shards kept, new added
+    df.write.format("ndjson_dir").option("path", path).mode("append").save()
+    assert spark.read.json(os.path.join(path, "*.json")).count() == 200
+
+    # overwrite: prior shards cleared at commit time
+    spark.range(7).select(F.col("id").alias("x")).write.format(
+        "ndjson_dir"
+    ).option("path", path).mode("overwrite").save()
+    assert spark.read.json(os.path.join(path, "*.json")).count() == 7
+    # the only tmp left is the pre-planted stale one (ours are renamed)
+    tmps = glob.glob(os.path.join(path, ".*.tmp"))
+    assert tmps == [os.path.join(path, ".part-99999-dead.json.tmp")]

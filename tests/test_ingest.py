@@ -135,3 +135,31 @@ def test_ingest_directory_end_to_end(spark, tmp_path):
     assert biz.count() > 0
     for c in biz.columns:
         assert re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c), c
+
+
+def test_cli_ingest_then_run_compose(spark, tmp_path):
+    """The two CLI surfaces must compose like the reference lifecycle
+    (main.py ingest -> dbt run over the same dataset): a model whose
+    source is a table the `ingest` subcommand just wrote must resolve
+    — `run` registers stg_* views from the warehouse dir, not only
+    from the built-in sf-dir catalog."""
+    import json
+
+    from gmt_dbt_spark.__main__ import main
+
+    wh = str(tmp_path / "wh")
+    assert main(["ingest", FIXTURES, wh]) == 0
+
+    mdir = tmp_path / "models"
+    mdir.mkdir()
+    (mdir / "sources.json").write_text(
+        json.dumps({"stg.yelp_tip": "stg_yelp_tip"})
+    )
+    (mdir / "tip_counts.sql").write_text(
+        "{{ config(materialized='table') }}\n"
+        "SELECT business_id, COUNT(*) AS n FROM "
+        "{{ source('stg', 'yelp_tip') }} GROUP BY business_id"
+    )
+    assert main(["run", str(mdir), wh]) == 0
+    out = spark.read.parquet(str(tmp_path / "wh" / "tip_counts"))
+    assert out.count() > 0

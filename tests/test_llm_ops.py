@@ -261,3 +261,21 @@ def test_embed_normalize_unit_norm(spark):
     for r in rows:
         assert r["l2_norm"] > 0
         assert abs(r["unit_sum_micro"]) <= dims * 1_000_000
+
+
+def test_kmeans_recompute_keeps_empty_clusters(spark):
+    """A cluster that attracts no rows must keep its previous centroid
+    (not vanish and shift higher indices), and the floor-mean must use
+    exact integer floor division (floor(-3/2) = -2, not trunc -1)."""
+    from gmt_dbt_spark.operators.embeddings import kmeans_assign, kmeans_recompute
+
+    df = spark.createDataFrame(
+        [(1, [-1, 0]), (2, [-2, 0]), (3, [1000000, 1000000])],
+        "vec_id bigint, qv array<bigint>",
+    )
+    prev = [[0, 0], [1000000, 1000000], [90000000, 90000000]]
+    cents = kmeans_recompute(kmeans_assign(df, prev), 2, prev)
+    assert len(cents) == 3
+    assert cents[2] == prev[2]          # empty cluster keeps its centroid
+    assert cents[0] == [-2, 0]          # floor(-3/2) = -2 (not trunc toward 0)
+    assert cents[1] == [1000000, 1000000]
