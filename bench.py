@@ -37,6 +37,10 @@ HEADLINE = [
     "tpch_q19",
     "join_range_binned",
     "dedup_clusters",
+    # r2: the newly driver-checked heavy LLM-pipeline ops
+    "dedup_ngram_jaccard",
+    "sim_topk_ivf",
+    "pipeline_reference_e2e",
 ]
 
 
@@ -65,6 +69,10 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # Subtotal over the r1 headline set — the like-for-like number to
+    # compare across rounds as new heavy queries join HEADLINE.
+    r1_set = HEADLINE[: HEADLINE.index("dedup_ngram_jaccard")]
+    core14 = round(sum(t for n, t in timings.items() if n in r1_set), 3)
     print(
         json.dumps(
             {
@@ -72,6 +80,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "core14_total": core14,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
