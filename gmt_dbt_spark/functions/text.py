@@ -490,3 +490,129 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "token", "tf", "df", "tfidf_ratio", "rk")
     )
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+m AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT)
+               AS sum_word_len,
+             CAST(len(list_filter(toks, w -> regexp_full_match(w, '[a-z]+')))
+               AS BIGINT) AS n_alpha_words,
+             CAST(len(list_filter(toks,
+                  w -> list_contains(['the','a','of','and','to'], w)))
+               AS BIGINT) AS n_stopwords
+      FROM t)
+SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stopwords,
+       (n_words BETWEEN 5 AND 100000) AS word_count_ok,
+       (sum_word_len BETWEEN 2 * n_words AND 10 * n_words) AS mean_word_len_ok,
+       (5 * n_alpha_words >= 4 * n_words) AS alpha_ratio_ok,
+       (n_stopwords >= 1) AS stopword_ok,
+       ((n_words BETWEEN 5 AND 100000)
+        AND (sum_word_len BETWEEN 2 * n_words AND 10 * n_words)
+        AND (5 * n_alpha_words >= 4 * n_words)
+        AND n_stopwords >= 1) AS keep
+FROM m
+""",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021, public
+    paper): word-count window, mean-word-length window, alphabetic
+    -word ratio, and stopword presence, composed into one `keep`
+    verdict — the standard pretraining-corpus filter pass.
+
+    All comparisons are INTEGER cross-multiplications (``sum_len
+    BETWEEN 2n AND 10n`` instead of ``2 <= sum_len/n <= 10``) so the
+    verdict hashes bit-exactly across engines — no float division
+    anywhere. Scan-side lambda algebra only: at 100 TB this runs as a
+    single codegen'd projection, zero shuffles, and the `keep` column
+    feeds a filter that prunes before any downstream shuffle."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    m = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform("toks", lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, b: a + b,
+        ).alias("sum_word_len"),
+        F.size(F.filter("toks", lambda w: w.rlike("^[a-z]+$")))
+        .cast("bigint")
+        .alias("n_alpha_words"),
+        F.size(F.filter("toks", lambda w: w.isin("the", "a", "of", "and", "to")))
+        .cast("bigint")
+        .alias("n_stopwords"),
+    )
+    word_count_ok = F.col("n_words").between(5, 100000)
+    mean_len_ok = F.col("sum_word_len").between(
+        2 * F.col("n_words"), 10 * F.col("n_words")
+    )
+    alpha_ok = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    stop_ok = F.col("n_stopwords") >= 1
+    return m.select(
+        "doc_id",
+        "n_words",
+        "sum_word_len",
+        "n_alpha_words",
+        "n_stopwords",
+        word_count_ok.alias("word_count_ok"),
+        mean_len_ok.alias("mean_word_len_ok"),
+        alpha_ok.alias("alpha_ratio_ok"),
+        stop_ok.alias("stopword_ok"),
+        (word_count_ok & mean_len_ok & alpha_ok & stop_ok).alias("keep"),
+    )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT doc_id, t[s.i + 1] || ' ' || t[s.i + 2] AS bigram
+  FROM toks, LATERAL (SELECT unnest(range(len(t) - 1)) AS i) s
+),
+cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(MAX(c) AS BIGINT) AS top_count,
+       (MAX(c) * 10 <= SUM(c) * 3) AS rep_ok
+FROM cnt
+GROUP BY doc_id
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (the Gopher/MassiveText
+    "repetition" rule family): the most frequent word bigram must not
+    exceed 30% of all bigrams in the doc — boilerplate and
+    generation-loop text fails this long before exact dedup sees it.
+
+    Bigrams come from `zip_with` over two shifted slices of the token
+    array (one codegen'd expression, no self-join, no UDF); the only
+    shuffle is the (doc_id, bigram)-keyed count, whose cardinality is
+    bounded by total tokens. The 30% threshold is an integer
+    cross-multiplication (`top*10 <= total*3`) — hash-exact."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    bigram = F.zip_with(
+        F.expr("slice(t, 1, size(t) - 1)"),
+        F.expr("slice(t, 2, size(t) - 1)"),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    cnt = (
+        t.select("doc_id", F.explode(bigram).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_count"),
+        (F.max("c") * 10 <= F.sum("c") * 3).alias("rep_ok"),
+    )

@@ -1,0 +1,181 @@
+"""TPC-DS signature query shapes over the TPC-H-ish testdata.
+
+[ext] — the decision-support shapes TPC-DS adds beyond TPC-H
+(multi-channel UNION reports, multi-period INTERSECT cohorts,
+share-of-total window ranking) — the patterns a BigQuery-hosted dbt
+mart like the reference's (`dbt_project.yml:11`, arbitrary model SQL)
+grows into. The public TPC-DS spec defines the shapes; the testdata
+lacks DS tables, so each query maps the shape onto the driver's
+orders/lineitem/customer tables — same plan skeletons, same scale
+hazards.
+
+Scale notes per shape:
+- channel rollup (Q5/Q77 family): a UNION ALL of per-channel fact
+  projections feeding ONE ROLLUP aggregate — Catalyst plans a single
+  Expand over the unioned scan, so the report costs one shuffle
+  regardless of channel count (vs one job per channel + driver-side
+  stitching).
+- multi-period INTERSECT (Q38/Q87): INTERSECT compiles to semi-join
+  chains on the grouped keys; each branch's year filter is pushed to
+  the parquet scan, so the work is proportional to the filtered
+  years, not the table.
+- share-of-total ranking (Q67 family): two-level aggregate → window;
+  the per-key aggregate shuffles once on the key, the share/rank
+  window shuffles once on the (low-cardinality) group — both
+  partial-aggregated map-side. Share division happens on
+  exact-decimal sums cast to double (one IEEE op, hash-safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.exprs import DEC, dec2dbl
+from gmt_dbt_spark.registry import query
+
+
+@query(
+    "tpcds_channel_rollup",
+    oracle="""
+WITH u AS (
+  SELECT 'store' AS channel, strftime(o_orderdate, '%Y') AS yr,
+         o_totalprice AS amt
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '1997-01-01'
+  UNION ALL
+  SELECT 'web' AS channel, strftime(l_shipdate, '%Y') AS yr,
+         l_extendedprice AS amt
+  FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '1997-01-01'
+)
+SELECT channel, yr,
+       COUNT(*) AS n_sales,
+       CAST(CAST(SUM(CAST(amt AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+         AS total_amt
+FROM u
+GROUP BY ROLLUP (channel, yr)
+""",
+)
+def tpcds_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q5/Q77 shape: per-channel sales unioned into one ROLLUP
+    report (channel, year, channel-total, grand-total in one pass).
+    The union feeds a single Expand+aggregate — one shuffle for the
+    whole report; each channel's date filter is pushed to its own
+    parquet scan."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    u = o.select(
+        F.lit("store").alias("channel"),
+        F.date_format("o_orderdate", "yyyy").alias("yr"),
+        F.col("o_totalprice").alias("amt"),
+    ).unionByName(
+        li.select(
+            F.lit("web").alias("channel"),
+            F.date_format("l_shipdate", "yyyy").alias("yr"),
+            F.col("l_extendedprice").alias("amt"),
+        )
+    )
+    return u.rollup("channel", "yr").agg(
+        F.count(F.lit(1)).alias("n_sales"),
+        dec2dbl(F.sum(F.col("amt").cast(DEC))).alias("total_amt"),
+    )
+
+
+@query(
+    "tpcds_multi_intersect",
+    oracle="""
+WITH loyal AS (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+)
+SELECT c_mktsegment, COUNT(*) AS n_loyal
+FROM loyal JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+""",
+)
+def tpcds_multi_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q38/Q87 shape: the multi-period cohort — customers
+    active in ALL of 1995, 1996, and 1997 via chained INTERSECT,
+    rolled up by market segment. INTERSECT compiles to semi-join
+    chains over the distinct key sets; each branch's year predicate
+    is pushed into the scan, so cost tracks the selected years."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH loyal AS (
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        )
+        SELECT c_mktsegment, COUNT(*) AS n_loyal
+        FROM loyal JOIN customer ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "tpcds_share_rank",
+    oracle="""
+WITH pc AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS sdec
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT c_nationkey, c_custkey, sdec
+  FROM pc JOIN customer ON c_custkey = o_custkey
+),
+w AS (
+  SELECT c_nationkey, c_custkey,
+         CAST(CAST(sdec AS VARCHAR) AS DOUBLE) AS sales,
+         CAST(CAST(sdec AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(SUM(sdec) OVER (PARTITION BY c_nationkey) AS VARCHAR)
+                  AS DOUBLE) AS nation_share,
+         RANK() OVER (PARTITION BY c_nationkey
+                      ORDER BY sdec DESC, c_custkey) AS sales_rank
+  FROM j
+)
+SELECT * FROM w WHERE sales_rank <= 10
+""",
+)
+def tpcds_share_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67 family: per-customer sales rolled up, then
+    share-of-total and rank WITHIN the customer's nation, keeping
+    each nation's top 10. Two shuffles total (custkey aggregate,
+    nation window) both map-side partial-aggregated; the share is a
+    division of two exact-decimal-sum doubles (deterministic), and
+    rank ties break on the key so the top-10 cut is reproducible."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    pc = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("sdec")
+    )
+    j = pc.join(c, pc["o_custkey"] == c["c_custkey"]).select(
+        "c_nationkey", "c_custkey", "sdec"
+    )
+    wpart = Window.partitionBy("c_nationkey")
+    worder = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("sdec"), F.asc("c_custkey")
+    )
+    w = j.select(
+        "c_nationkey",
+        "c_custkey",
+        dec2dbl(F.col("sdec")).alias("sales"),
+        (dec2dbl(F.col("sdec")) / dec2dbl(F.sum("sdec").over(wpart))).alias(
+            "nation_share"
+        ),
+        F.rank().over(worder).alias("sales_rank"),
+    )
+    return w.filter(F.col("sales_rank") <= 10)

@@ -439,3 +439,39 @@ def test_funnel_single_plan_no_build_time_jobs(spark):
     assert row.n_view >= row.n_view_then_click >= row.n_full_funnel
     plan = plan_of(df)
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
+
+
+def test_channel_rollup_single_expand(spark):
+    """The multi-channel ROLLUP report must plan ONE Expand over the
+    unioned scans and one aggregation shuffle — never per-channel
+    jobs; both channels' date filters reach their parquet scans."""
+    plan = plan_of(all_queries()["tpcds_channel_rollup"](spark, SF_DIR))
+    tree = tree_of(plan)
+    assert tree.count("Expand") == 1, tree
+    assert tree.count("Exchange") == 1, tree
+    assert plan.count("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate") == 1
+    assert plan.count("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate") == 1
+
+
+def test_multi_intersect_pushes_year_filters(spark):
+    """Each INTERSECT branch's year predicate must be pushed into its
+    own scan, and the intersects must plan as hash semi-joins (never
+    nested loop)."""
+    plan = plan_of(all_queries()["tpcds_multi_intersect"](spark, SF_DIR))
+    tree = tree_of(plan)
+    assert "NestedLoop" not in tree
+    assert tree.count("LeftSemi") >= 2, tree
+
+
+def test_share_rank_two_shuffles(spark):
+    """Share-of-total ranking: custkey aggregate + nation window =
+    exactly two exchanges (plus the broadcast for the dim join); the
+    rank/top-10 must not add a global sort."""
+    tree = tree_of(plan_of(all_queries()["tpcds_share_rank"](spark, SF_DIR)))
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles == 2, tree
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    # the rank<=10 cut must push down (rows die before the rank window
+    # materializes full per-nation orderings)
+    assert "WindowGroupLimit" in tree, tree
