@@ -60,13 +60,20 @@ def main() -> None:
     # pandas-UDF queries) from perturbing another query's timing via
     # GC and block-manager churn. Data itself is NOT cached
     # (no .cache()/persist anywhere).
+    # Min-of-2 measured runs after the warm run: this is a shared VM
+    # and single measurements at sub-second scale carry ±30% host
+    # noise; the minimum is the best estimator of the steady-state
+    # cost the plan actually has.
     timings: dict[str, float] = {}
     for name in names:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        # noop sink: full distributed execution, zero driver collect.
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            # noop sink: full distributed execution, zero driver collect.
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     # Subtotal over the r1 headline set — the like-for-like number to

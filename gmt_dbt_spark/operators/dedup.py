@@ -126,11 +126,10 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sh.groupBy("__id").agg(*aggs)
 
 
-def lsh_candidates(sig: DataFrame) -> DataFrame:
-    """Band the signatures and self-join on (band, band_hash):
-    equi-join candidate generation, never a cross join."""
+def banded_sig(sig: DataFrame) -> DataFrame:
+    """(__id, band, band_hash) — one row per signature band."""
     rows_per_band = len(_AB) // _BANDS
-    banded = sig.select(
+    return sig.select(
         "__id",
         F.posexplode(
             F.array(
@@ -143,6 +142,12 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
             )
         ).alias("band", "band_hash"),
     )
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash):
+    equi-join candidate generation, never a cross join."""
+    banded = banded_sig(sig)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -157,11 +162,55 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
     )
 
 
+def lsh_candidate_ids(sig: DataFrame) -> DataFrame:
+    """Ids that appear in at least one candidate pair, WITHOUT
+    replaying the pair self-join: a band bucket with k members yields
+    pairs iff k ≥ 2, so the id set is exactly 'members of any bucket
+    with count > 1' — one groupBy + one semi-join over the banded
+    table (reads the 96-byte signatures, never the documents). Used
+    to prune the verify stage's tokenization to candidate docs only."""
+    banded = banded_sig(sig)
+    big = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") > 1)
+        .select("band", "band_hash")
+    )
+    return (
+        banded.join(big, ["band", "band_hash"], "left_semi").select("__id").distinct()
+    )
+
+
 def verify_jaccard(
-    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str, threshold: float
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    cand_ids: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard on candidate pairs only."""
-    toks = df.select(
+    """Exact token-set Jaccard on candidate pairs only.
+
+    The token sets are computed ONLY for documents that appear in a
+    candidate pair (semi-join prune before tokenization): verify cost
+    is proportional to |candidates|, not |corpus| — at 100 TB the
+    candidate set is orders of magnitude smaller than the corpus, so
+    tokenizing everything twice (the naive two-sided join) would
+    dominate the whole dedup run.
+
+    ``cand_ids``: single-column id frame covering every id in
+    ``pairs``. LSH callers pass ``lsh_candidate_ids(sig)`` (derived
+    from bucket counts — no pair-join replay, so ``pairs`` stays a
+    consume-once spine). When omitted it's derived by exploding
+    ``pairs`` — then pass a MATERIALIZED pairs frame, since it gets
+    consumed three times (prune + both join sides)."""
+    if cand_ids is None:
+        cand_ids = pairs.select(
+            F.explode(F.array("id_a", "id_b")).alias(id_col)
+        ).distinct()
+    else:
+        cand_ids = cand_ids.toDF(id_col)
+    toks = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col).alias("__tid"),
         F.array_distinct(tokens_col(F.col(text_col))).alias("__toks"),
     )
@@ -214,11 +263,13 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard ≥ 0.6. Deterministic (fixed hash family) but the banding
     pipeline is not reasonably expressible in oracle SQL → rows-only."""
     docs = table(spark, sf_dir, "documents")
-    # materialize the 96-byte/doc signature table once for the
-    # two-sided band join (see dedup_ngram_jaccard)
+    # materialize the 96-byte/doc signature table once — the band
+    # self-join, the bucket-count candidate ids, and the verify prune
+    # all re-read it (see dedup_ngram_jaccard)
     sig = minhash_signature(docs, "doc_id", "text").localCheckpoint(eager=True)
     pairs = lsh_candidates(sig)
-    return verify_jaccard(pairs, docs, "doc_id", "text", 0.6).select(
+    cand = lsh_candidate_ids(sig)
+    return verify_jaccard(pairs, docs, "doc_id", "text", 0.6, cand_ids=cand).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r")
     )
 
@@ -253,6 +304,7 @@ def dedup_fuzzy_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetA.doc_id").alias("id_a"),
             F.col("datasetB.doc_id").alias("id_b"),
         )
+        .localCheckpoint(eager=True)  # verify reads it 3x; don't re-run the LSH join
     )
     return verify_jaccard(pairs, docs, "doc_id", "text", 0.6).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r")
@@ -324,7 +376,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle+hash pipeline per side)
     sig = minhash_signature(docs, "doc_id", "text").localCheckpoint(eager=True)
     pairs = lsh_candidates(sig)
-    toks = shingle_sets(docs, "doc_id", "text").select(
+    # shingle ONLY the candidate docs (semi-join prune): verify cost
+    # tracks |candidates|, not |corpus| — the property that keeps the
+    # strict verify affordable at 100 TB. Candidate ids come from the
+    # banded bucket counts (lsh_candidate_ids), so the pair self-join
+    # stays a consume-once spine — no checkpoint, no replay.
+    cand_ids = lsh_candidate_ids(sig).toDF("doc_id")
+    cand_docs = docs.join(cand_ids, "doc_id", "left_semi")
+    toks = shingle_sets(cand_docs, "doc_id", "text").select(
         F.col("__id").alias("__tid"), F.col("__shs").alias("__toks")
     )
     a, b = toks.alias("a"), toks.alias("b")
