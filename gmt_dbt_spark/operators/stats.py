@@ -182,3 +182,109 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     return cms_estimate(spark, cms, top, "o_custkey").orderBy("o_custkey")
+
+
+@query(
+    "fn_surrogate_key",
+    oracle="""
+WITH k AS (
+  SELECT md5(concat_ws('|', CAST(o_custkey AS VARCHAR),
+                            CAST(o_orderdate AS VARCHAR),
+                            o_orderpriority)) AS sk
+  FROM orders
+)
+SELECT sk, COUNT(*) AS n_rows
+FROM k
+GROUP BY sk
+HAVING COUNT(*) > 1
+""",
+)
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-utils-style surrogate keys: md5 over '|'-joined business
+    columns — STABLE across runs and engines (unlike
+    monotonically_increasing_id, which depends on partition layout
+    and is different every run — the classic broken-surrogate
+    anti-pattern at 100 TB). The query returns the COLLISION AUDIT:
+    key groups with >1 row (duplicate business keys that would
+    corrupt a merge). All codegen; grain is checked in the same pass
+    that would produce the keyed table."""
+    o = table(spark, sf_dir, "orders")
+    sk = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderdate").cast("string"),
+            F.col("o_orderpriority"),
+        )
+    )
+    return (
+        o.select(sk.alias("sk"))
+        .groupBy("sk")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+@query(
+    "maint_file_report",
+    oracle="""
+SELECT 'lineitem.parquet' AS file_name, COUNT(*) AS n_rows
+FROM lineitem
+""",
+)
+def maint_file_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout observability: rows per parquet file via
+    `input_file_name()` — the report that finds small-file problems
+    and row-group imbalance before they become stragglers on a
+    1000-executor scan. Metadata-only grouping rides the scan
+    (no extra pass); file paths normalized to basenames so the
+    report is location-independent. (The fixture table is one
+    physical file at every SF, so the oracle is the basename +
+    total count; multi-file layouts exercise the same expression
+    through sink_partitioned's round-trip tests.)"""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file_name")
+        )
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query(
+    "maint_skew_report",
+    oracle="""
+WITH per_key AS (
+  SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY l_orderkey
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(MAX(c) AS BIGINT) AS max_rows_per_key,
+       CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_rows_per_key,
+       CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_rows_per_key,
+       CAST(SUM(CASE WHEN c >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS heavy_keys
+FROM per_key
+""",
+)
+def maint_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnosis: the per-key row-count distribution
+    (max / p50 / p99 / heavy-key count) for a prospective shuffle key
+    — the number an operator reads BEFORE deciding between a plain
+    shuffle join, AQE skew splitting, or explicit salting
+    (join_salted). Two aggregate passes, both map-side partial; the
+    second input is |keys| rows, never the fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_rows_per_key"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+        .cast("bigint")
+        .alias("p50_rows_per_key"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)")
+        .cast("bigint")
+        .alias("p99_rows_per_key"),
+        F.sum(F.when(F.col("c") >= 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("heavy_keys"),
+    )
