@@ -440,3 +440,36 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_left") == 1)
         .select("click_id", "user_id", "next_purchase_id", "next_purchase_ts")
     )
+
+
+@query(
+    "join_hint_strategies",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR)
+            AS DOUBLE) AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit join-strategy control via SQL hints: SHUFFLE_HASH on
+    the orders side of a fact⋈fact join. At 100 TB the planner's
+    default for two large sides is sort-merge; when one side's
+    PER-PARTITION slice fits in memory, a hinted shuffled-hash join
+    skips both sorts — the standard lever once you know your data
+    better than the size estimates do. The hint changes ONLY the
+    physical strategy (plan-guarded); the answer is hint-independent,
+    which is exactly what the oracle checks."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT /*+ SHUFFLE_HASH(orders) */
+               o_orderpriority, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS STRING)
+                    AS DOUBLE) AS total_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        """
+    )

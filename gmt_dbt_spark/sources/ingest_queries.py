@@ -335,3 +335,33 @@ def sink_staging_temp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged.write.mode("overwrite").parquet(result_path)
     assert not os.path.exists(staging_path), "staging table must be dropped"
     return spark.read.parquet(result_path)
+
+
+@query(
+    "scan_tablesample",
+    oracle="""
+SELECT TRUE AS within_bound, TRUE AS subset_ok
+""",
+)
+def scan_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling (`df.sample(fraction, seed)`) — the
+    dev-loop / stats-collection primitive at 100 TB: iterate on a 1%
+    slice, then run the real thing. The sampler is executor-side
+    (each task flips coins over its own partition — no shuffle, no
+    driver), and a fixed seed over a fixed layout is reproducible.
+
+    Sample CONTENT is engine-specific, so the oracle checks the two
+    properties that matter, computed in-query as booleans: the sample
+    size lands within ±5 percentage points of the 10% target, and the
+    sample is a true subset (anti-join against the base is empty)."""
+    from gmt_dbt_spark.catalog import table
+
+    orders = table(spark, sf_dir, "orders")
+    s = orders.sample(fraction=0.10, seed=4242)
+    n_total = orders.count()
+    n_sample = s.count()
+    n_alien = s.join(orders, "o_orderkey", "left_anti").count()
+    return spark.createDataFrame(
+        [(abs(n_sample - 0.10 * n_total) <= 0.05 * n_total, n_alien == 0)],
+        "within_bound boolean, subset_ok boolean",
+    )

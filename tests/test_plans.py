@@ -475,3 +475,12 @@ def test_share_rank_two_shuffles(spark):
     # the rank<=10 cut must push down (rows die before the rank window
     # materializes full per-nation orderings)
     assert "WindowGroupLimit" in tree, tree
+
+
+def test_join_hint_forces_shuffled_hash(spark):
+    """The SHUFFLE_HASH hint must reach the physical plan as a
+    ShuffledHashJoin (no sorts on either side) — the strategy lever
+    for fact-fact joins whose partition slices fit in memory."""
+    tree = tree_of(plan_of(all_queries()["join_hint_strategies"](spark, SF_DIR)))
+    assert "ShuffledHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree
