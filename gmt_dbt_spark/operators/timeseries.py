@@ -1,0 +1,123 @@
+"""Time-series rollup operators over the events stream.
+
+[ext] — the hypertable-style downsampling surface (the prompt's
+"custom operator" family: as-of joins live in operators/joins.py;
+here are the rollups): OHLC candle downsampling and dense gap-filled
+bucket series — the two shapes every metrics/monitoring pipeline
+needs and plain GROUP BY doesn't give you.
+
+Scale shape: both ops aggregate on (event_type, bucket) — one
+shuffle, map-side partial. OHLC's open/close use lexicographic
+MIN/MAX over a (ts, event_id, value) struct: a single aggregate pass
+(no window, no per-group sort) whose tie-break is pinned by
+event_id, so the candle is deterministic under any partitioning.
+Gap-fill generates buckets from each series' own [min, max] span via
+`sequence` — the bucket table is bounded by time-range/granularity,
+never by event count, and the fill join is a broadcast-sized left
+join at any corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.registry import query
+
+
+@query(
+    "events_ohlc",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS bucket,
+         epoch_us(ts) AS tsm, event_id, value
+  FROM events
+)
+SELECT event_type, bucket,
+       (min(struct_pack(k := tsm, i := event_id, v := value))).v AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       (max(struct_pack(k := tsm, i := event_id, v := value))).v AS close,
+       COUNT(*) AS n_events
+FROM e
+GROUP BY event_type, bucket
+""",
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle downsampling (the hypertable rollup): per
+    (event_type, hour) open/high/low/close/count in ONE aggregate
+    pass. Open/close are lexicographic MIN/MAX over a
+    (epoch_micros, event_id, value) struct — no window, no per-group
+    sort, and the event_id tie-break makes the candle deterministic
+    under any partitioning (first/last over an unordered aggregate
+    would not be). Map-side partial like any min/max."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        F.unix_micros("ts").alias("tsm"),
+        "event_id",
+        "value",
+    )
+    packed = F.struct(
+        F.col("tsm").alias("k"), F.col("event_id").alias("i"), F.col("value").alias("v")
+    )
+    return e.groupBy("event_type", "bucket").agg(
+        F.min(packed).getField("v").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(packed).getField("v").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "events_gap_fill",
+    oracle="""
+WITH spans AS (
+  SELECT event_type,
+         date_trunc('hour', MIN(ts)) AS lo,
+         date_trunc('hour', MAX(ts)) AS hi
+  FROM events GROUP BY event_type
+),
+buckets AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+  FROM spans
+),
+cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT b.event_type, b.bucket,
+       CAST(COALESCE(cnt.c, 0) AS BIGINT) AS n_events
+FROM buckets b
+LEFT JOIN cnt ON cnt.event_type = b.event_type AND cnt.bucket = b.bucket
+""",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense gap-filled bucket series: every hour in each series'
+    own [first, last] span appears, zero-filled where no events
+    landed — the resample step dashboards and forecasting need
+    (a plain GROUP BY silently drops empty buckets). The bucket
+    spine comes from `sequence(lo, hi, 1 hour)` per series —
+    bounded by span/granularity, not event count — and the fill is
+    a left join of that small spine against the bucket counts."""
+    ev = table(spark, sf_dir, "events")
+    spans = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    buckets = spans.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("bucket"),
+    )
+    cnt = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return buckets.join(cnt, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("n_events"),
+    )
