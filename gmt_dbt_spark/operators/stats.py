@@ -163,15 +163,33 @@ def cms_estimate(spark: SparkSession, cms: DataFrame, keys: DataFrame, key: str)
     return probes.select(F.col(key), est.alias("est_count"))
 
 
-@query("agg_count_min")  # rows-only: DuckDB has no xxhash64 twin
+@query(
+    "agg_count_min",
+    oracle="""
+WITH pk AS (
+  SELECT o_custkey, COUNT(*) AS true_cnt FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, true_cnt,
+       TRUE AS never_undercounts,
+       TRUE AS overestimate_bounded
+FROM pk
+ORDER BY true_cnt DESC, o_custkey ASC
+LIMIT 5
+""",
+)
 def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over orders.o_custkey: build the d×w cell
     table in one grouped pass, then estimate the frequency of the 5
     busiest customers via a broadcast probe join. The sketch is
     ~2k rows whatever the input size — the bounded-memory, mergeable
-    summary that replaces exact per-key counts at 100 TB. Accuracy
-    property (estimate >= exact, bounded overestimate) is pinned in
-    tests/test_stats.py against exact counts."""
+    summary that replaces exact per-key counts at 100 TB.
+
+    DuckDB has no xxhash64 twin, so the oracle hashes the CMS
+    GUARANTEES instead of the cell values: per probe key the exact
+    count plus two booleans computed in-query — estimate ≥ exact
+    (CMS never undercounts) and estimate ≤ exact + 2·N/width (the
+    collision overestimate bound with slack) — against the oracle's
+    exact counts + TRUE. Also pinned in tests/test_stats.py."""
     orders = table(spark, sf_dir, "orders")
     cms = build_cms(orders, "o_custkey")
     top = (
@@ -179,9 +197,24 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("true_cnt"))
         .orderBy(F.desc("true_cnt"), F.asc("o_custkey"))
         .limit(5)
-        .select("o_custkey")
     )
-    return cms_estimate(spark, cms, top, "o_custkey").orderBy("o_custkey")
+    est = cms_estimate(spark, cms, top.select("o_custkey"), "o_custkey")
+    # bound rides the plan as a single-row aggregate (no driver action)
+    tot = orders.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        top.join(est, "o_custkey")
+        .crossJoin(tot)
+        .select(
+            "o_custkey",
+            "true_cnt",
+            (F.col("est_count") >= F.col("true_cnt")).alias("never_undercounts"),
+            (
+                F.col("est_count")
+                <= F.col("true_cnt") + 2.0 * F.col("n_total") / F.lit(_CMS_WIDTH)
+            ).alias("overestimate_bounded"),
+        )
+        .orderBy(F.desc("true_cnt"), F.asc("o_custkey"))
+    )
 
 
 @query(
