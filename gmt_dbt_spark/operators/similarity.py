@@ -51,14 +51,26 @@ def _signature(v: DataFrame) -> DataFrame:
 
 
 def _banded(sig: DataFrame) -> DataFrame:
-    """Two 8-bit bands per signature (Hamming-style OR-amplification)."""
+    """Four 4-bit bands per signature (OR-amplification).
+
+    Geometry measured on the fixture corpus (r2): the previous 2×8-bit
+    split collided almost never on these 64-dim embeddings (aggregate
+    recall@5 ≈ 0.05 — a useless retriever); 4×4-bit raises recall@5 to
+    0.45–0.58 while candidates stay ~2% of the brute-force pair count
+    at sf0.01. The driver-checked `sim_recall_audit` pins the recall
+    floor; widen bands (more, narrower) to trade candidate volume for
+    recall on a denser corpus."""
+    bits, nbands = 4, 4
+    mask = (1 << bits) - 1
     return sig.select(
         "vec_id",
         "vec",
         F.posexplode(
             F.array(
-                F.col("sig").bitwiseAND(F.lit(0xFF)),
-                F.shiftright("sig", 8).bitwiseAND(F.lit(0xFF)),
+                *[
+                    F.shiftright("sig", b * bits).bitwiseAND(F.lit(mask))
+                    for b in range(nbands)
+                ]
             )
         ).alias("band", "bkey"),
     )
@@ -140,9 +152,10 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH: 16-bit sign signature per
     vector (hyperplanes from a fixed-seed PRNG inlined as plan
     literals — deterministic across processes, no stored model file),
-    candidates share a 8-bit band, exact cosine re-rank on candidates
-    only. The scale path: signature build is one pass, candidate join
-    is an equi-join on (band, key)."""
+    candidates share one of four 4-bit bands (geometry rationale in
+    `_banded`), exact cosine re-rank on candidates only. The scale
+    path: signature build is one pass, candidate join is an equi-join
+    on (band, key); recall floor pinned by `sim_recall_audit`."""
     v = _vecs(spark, sf_dir)
     banded = _banded(_signature(v))
     q = banded.filter(F.col("vec_id") < N_QUERIES).select(
@@ -259,4 +272,43 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cos") >= 0.35)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
+    )
+
+
+@query(
+    "sim_recall_audit",
+    oracle="""
+SELECT 'ivf' AS method, TRUE AS recall_ok
+UNION ALL
+SELECT 'lsh' AS method, TRUE AS recall_ok
+""",
+)
+def sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable ANN quality gate: aggregate recall@5 of BOTH
+    approximate retrievers (IVF n_probe=4/16 and 4×4-bit hyperplane
+    LSH) against the exact brute-force top-k, computed in one plan.
+    The boolean asserts recall ≥ 0.30 — the floor both methods clear
+    on the fixture corpus (measured 0.45–0.60) — so a silent
+    recall collapse (bad banding, broken centroid assignment, a
+    signature regression) fails the correctness gate, not just a
+    local pytest. The exact side is the same broadcast-query
+    brute-force as `sim_topk`, so the audit costs one corpus pass
+    per method; at 100 TB you run it on a sampled query set, same
+    plan."""
+    exact = sim_topk(spark, sf_dir).select("query_id", "neighbor_id")
+
+    def recall_of(approx: DataFrame, method: str) -> DataFrame:
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).agg(F.count(F.lit(1)).alias("n_hit"))
+        total = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        return hits.crossJoin(total).select(
+            F.lit(method).alias("method"),
+            (F.col("n_hit") * 100 >= F.col("n_exact") * 30).alias("recall_ok"),
+        )
+
+    return recall_of(sim_topk_ivf(spark, sf_dir), "ivf").unionByName(
+        recall_of(sim_topk_lsh(spark, sf_dir), "lsh")
     )

@@ -484,3 +484,21 @@ def test_join_hint_forces_shuffled_hash(spark):
     tree = tree_of(plan_of(all_queries()["join_hint_strategies"](spark, SF_DIR)))
     assert "ShuffledHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree
+
+
+def test_gopher_rules_zero_shuffle(spark):
+    """The quality-gate verdict is pure scan-side lambda algebra: the
+    plan must contain NO exchange at all — at 100 TB this runs inside
+    the scan's codegen stage and feeds a pre-shuffle filter."""
+    tree = tree_of(plan_of(all_queries()["text_gopher_rules"](spark, SF_DIR)))
+    assert "Exchange" not in tree, tree
+
+
+def test_ohlc_single_aggregate_pass(spark):
+    """OHLC downsampling must be one grouped aggregate (partial/final
+    pair around a single shuffle) — no Window, no per-group Sort; the
+    open/close struct min/max keeps it map-side combinable."""
+    tree = tree_of(plan_of(all_queries()["events_ohlc"](spark, SF_DIR)))
+    assert tree.count("Exchange") == 1, tree
+    assert "Window" not in tree
+    assert tree.count("HashAggregate") + tree.count("SortAggregate") == 2, tree
