@@ -59,43 +59,39 @@ def shingles_col(tokens: Column, n: int = 3) -> Column:
 
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) rows via posexplode + lead() — the tokenizing
-    split runs ONCE per document (inside Generate) and shingles
-    assemble from neighboring rows in one window pass.
+    """(id, shingle) rows via zip_with over n shifted slices of the
+    token array, then ONE explode — ZERO shuffles: the whole n-gram
+    construction is scan-side codegen (r2; the r1 version assembled
+    shingles with posexplode + lead(), whose window forced a full
+    shuffle of the exploded token rows — at 100 TB that shuffle
+    carries ~|tokens| rows and dominates the signature build).
 
-    Two equivalent-but-slow forms this replaces, both measured at
-    sf0.1: `transform(sequence(...), i -> toks[i]...)` inlines the
-    split into every element access (O(tokens·n) regexes per doc,
-    18×); carrying `size(toks)`/`normalize_text` columns through the
-    explode re-evaluates them per EXPLODED row (50×, CollapseProject
-    puts the projection after Generate). Here the short-doc fallback
-    needs neither: `concat_ws` skips the null leads at the document
-    tail, so position 0 of a short doc already concatenates every
-    token — identical to the whole-text shingle `shingles_col` emits.
-    Keep rows where lead(n-1) is non-null (full n-grams) or pos==0
-    (short-doc fallback)."""
-    from pyspark.sql import Window
+    Expression-inlining lessons (measured at sf0.1): per-ELEMENT
+    access `transform(sequence(...), i -> toks[i]...)` inlines the
+    tokenizing split into every access — O(tokens·n) regex
+    evaluations per doc, 18× slower. Even the shifted-slice form is
+    ~2× slow if the token expression sits inline (higher-order
+    functions are interpreted, and each of the ~2n+1 references
+    re-runs the regex split), so the tokenization is materialized
+    ONCE per doc behind an `explode(array(...))` Generate barrier —
+    CollapseProject cannot inline a projection through Generate, and
+    a single-element explode adds no rows and no shuffle.
 
+    Short docs (< n tokens) contribute one whole-text shingle —
+    identical to `shingles_col`'s fallback."""
     tok = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(tokens_col(F.col(text_col))).alias("__pos", "__tok"),
+        F.explode(F.array(tokens_col(F.col(text_col)))).alias("__t"),
     )
-    w = Window.partitionBy("__id").orderBy("__pos")
-    lead_cols = [
-        F.lead("__tok", i).over(w).alias(f"__l{i}") for i in range(1, n)
-    ]
-    with_leads = tok.select("__id", "__pos", "__tok", *lead_cols)
-    return (
-        with_leads.filter(
-            F.col(f"__l{n-1}").isNotNull() | (F.col("__pos") == 0)
+    t = F.col("__t")
+    sz = F.size(t)
+    grams = F.slice(t, 1, sz - (n - 1))
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(t, i + 1, sz - (n - 1)), lambda a, b: F.concat_ws(" ", a, b)
         )
-        .select(
-            "__id",
-            F.concat_ws(
-                " ", F.col("__tok"), *[F.col(f"__l{i}") for i in range(1, n)]
-            ).alias("__sh"),
-        )
-    )
+    shingles = F.when(sz >= n, grams).otherwise(F.array(F.concat_ws(" ", t)))
+    return tok.select("__id", F.explode(shingles).alias("__sh"))
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
