@@ -71,3 +71,36 @@ SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _high_value(spark, sf_dir).subtract(_urgent(spark, sf_dir))
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each key appears
+    min(count_left, count_right) times. Spark plans it as a
+    row_number-augmented join, not a distinct — the variant that
+    preserves multiplicity for audit reconciliation (e.g. 'orders
+    matched per customer', not 'customers matched')."""
+    return _high_value(spark, sf_dir).intersectAll(_urgent(spark, sf_dir))
+
+
+@query(
+    "set_except_all",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: each key keeps
+    max(0, count_left - count_right) occurrences. The reconciliation
+    primitive for 'which rows of batch A are not yet absorbed into
+    B' when duplicates are meaningful."""
+    return _high_value(spark, sf_dir).exceptAll(_urgent(spark, sf_dir))
