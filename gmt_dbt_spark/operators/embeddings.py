@@ -241,10 +241,14 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the iteration); cluster sizes pinned against a union-find-free
     numpy reference in tests."""
     e = table(spark, sf_dir, "embeddings")
-    q = e.select("vec_id", _micro_vec().alias("qv"))
-    dims = len(q.select("qv").first()["qv"])
+    # materialize the micro-unit vectors once: every Lloyd's round
+    # (3 assigns + recomputes + the final assignment) re-reads this
+    # table — without the checkpoint each pass would re-scan parquet
+    # and re-run the quantizing transform
+    q = e.select("vec_id", _micro_vec().alias("qv")).localCheckpoint(eager=True)
     init = q.orderBy("vec_id").limit(K_CLUSTERS).collect()
     centroids = [list(r["qv"]) for r in init]
+    dims = len(centroids[0])
     for _ in range(KMEANS_ITERS):
         centroids = kmeans_recompute(kmeans_assign(q, centroids), dims, centroids)
     final = kmeans_assign(q, centroids)

@@ -23,6 +23,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -222,3 +223,108 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+class BoundedTicksDataSource(DataSource):
+    """`readStream.format("bounded_ticks")`: a Spark 4 Python
+    STREAMING data source (SimpleDataSourceStreamReader) generating a
+    bounded, deterministic tick series — the pattern for wrapping any
+    offset-addressable external feed (a queue snapshot, a paginated
+    API, a replicated log segment) as a first-class streaming source
+    with engine-managed offsets, checkpointing, and replay
+    (readBetweenOffsets is the exactly-once recovery path).
+
+    Rows are pure offset arithmetic (i, (i² mod 97)/10) so the final
+    table is oracle-checkable by plain SQL over range()."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "bounded_ticks"
+
+    def schema(self) -> str:
+        return "i bigint, v double"
+
+    def simpleStreamReader(self, schema):
+        return BoundedTicksStreamReader(self.options)
+
+
+class BoundedTicksStreamReader(SimpleDataSourceStreamReader):
+    """Offsets are {"pos": next-row-index}; the source stops
+    advancing at n (bounded replay)."""
+
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 1000))
+        self.batch = int(options.get("batch", 100))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    @staticmethod
+    def _row(i: int):
+        return (i, (i * i % 97) / 10.0)
+
+    def read(self, start):
+        # must be a LIST-BACKED iterator: the engine's prefetch cache
+        # calls next() on it (so not a bare list) and pickles it to
+        # ship rows to executors (so not a generator)
+        pos = start["pos"]
+        end = min(pos + self.batch, self.n)
+        return iter([self._row(i) for i in range(pos, end)]), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        # exactly-once replay after failure: re-emit a committed range
+        return iter([self._row(i) for i in range(start["pos"], end["pos"])])
+
+
+@query(
+    "stream_python_datasource",
+    oracle="""
+SELECT range % 7 AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(range * range % 97 AS DOUBLE) / 10.0
+                * 10.0) AS BIGINT) AS sum_v_tenths
+FROM range(0, 500)
+GROUP BY range % 7
+""",
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming through the custom Python STREAMING
+    source: readStream → aggregate-on-read → memory sink, availableNow
+    (Spark's Python micro-batch stream falls back to single-batch
+    execution for availableNow — deterministic full drain; the
+    multi-batch offset progression + readBetweenOffsets replay are
+    exercised in tests/test_streaming.py). The oracle recomputes the
+    generator arithmetic over range() — end-to-end proof that a
+    user-defined streaming source feeds the engine exactly its
+    contract. Values are summed in integer tenths (the generator's
+    exact grain) to stay hash-safe."""
+    import uuid
+
+    spark.dataSource.register(BoundedTicksDataSource)
+    stream = (
+        spark.readStream.format("bounded_ticks")
+        .option("n", "500")
+        .option("batch", "500")
+        .load()
+    )
+    qname = f"ticks_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        f"""
+        SELECT i % 7 AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(v * 10.0) AS BIGINT) AS sum_v_tenths
+        FROM {qname}
+        GROUP BY i % 7
+        """
+    )
+    # detach from the memory sink before the table name goes stale
+    res = spark.createDataFrame(out.collect(), out.schema)
+    spark.catalog.dropTempView(qname)
+    return res

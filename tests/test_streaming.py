@@ -245,3 +245,34 @@ def test_checkpoint_recovery_resumes_state(spark, tmp_path):
         assert resumed == {0: (8, 8.0), 1: (8, 8.0)}
     finally:
         q2.stop()
+
+
+def test_python_stream_source_multibatch_progression(spark):
+    """The custom Python streaming source must advance offsets across
+    MULTIPLE micro-batches (batch=25 over n=100 -> >=4 batches) and
+    deliver exactly-once totals; processAllAvailable drains until the
+    offset stops advancing (read returns an empty slice at pos=n)."""
+    import uuid
+
+    from gmt_dbt_spark.sources.pydatasource import BoundedTicksDataSource
+
+    spark.dataSource.register(BoundedTicksDataSource)
+    qname = f"ticks_mb_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("bounded_ticks")
+        .option("n", "100")
+        .option("batch", "25")
+        .load()
+    )
+    q = stream.writeStream.format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT COUNT(*) AS n, CAST(SUM(i) AS BIGINT) AS s "
+                         f"FROM {qname}").collect()[0]
+        assert rows.n == 100, rows
+        assert rows.s == sum(range(100))
+        # multiple micro-batches actually ran
+        assert q.lastProgress["batchId"] >= 3, q.lastProgress
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(qname)
