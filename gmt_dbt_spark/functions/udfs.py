@@ -167,3 +167,68 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", _mask_priority_arrow("o_orderpriority").alias("priority_masked")
     )
+
+
+@query(
+    "udaf_cogrouped",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey,
+         COUNT(*) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey,
+       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(o.total_cents, 0) AS BIGINT) AS total_cents,
+       (COALESCE(o.total_cents, 0)
+        > CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * 100) AS over_extended
+FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
+""",
+)
+def udaf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped pandas (`cogroup(...).applyInPandas`): both tables
+    shuffle on the key ONCE and each key's two slices arrive in the
+    SAME python worker as two DataFrames — arbitrary per-key
+    cross-table logic (reconciliation, drift checks, per-entity model
+    scoring) without a join materializing the combined rows. Example:
+    per-customer credit audit — order totals (orders side) vs account
+    balance (customer side), including order-less customers (empty
+    left slice still invokes the function: the cogroup is full-outer
+    on keys, which a plain applyInPandas after an inner join would
+    silently drop).
+
+    Money is summed in integer CENTS inside pandas (float pandas sums
+    are reduction-order-dependent; integer sums are exact and
+    hash-stable)."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+
+    def audit(key, orders_pdf: pd.DataFrame, cust_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cust_pdf.empty:
+            # order rows whose customer is missing from the dim: not a
+            # customer — emit nothing (referential orphans are dq_*'s
+            # job, not the audit's)
+            return pd.DataFrame(
+                columns=["c_custkey", "n_orders", "total_cents", "over_extended"]
+            )
+        total = int((orders_pdf["o_totalprice"] * 100).round().astype("int64").sum())
+        bal_cents = int(round(float(cust_pdf["c_acctbal"].iloc[0]) * 100))
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(key[0])],
+                "n_orders": [int(len(orders_pdf))],
+                "total_cents": [total],
+                "over_extended": [total > bal_cents * 100],
+            }
+        )
+
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            lambda key, cpdf, opdf: audit(key, opdf, cpdf),
+            "c_custkey bigint, n_orders bigint, total_cents bigint, "
+            "over_extended boolean",
+        )
+    )
