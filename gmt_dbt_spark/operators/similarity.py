@@ -190,15 +190,41 @@ N_PROBE = 4
 def ivf_assign(v: DataFrame, centroids: DataFrame, n_lists: int = 1) -> DataFrame:
     """Assign each vector to its ``n_lists`` most-similar centroids
     (n_lists=1 → index assignment; n_lists=N_PROBE → query probing).
-    Centroids are broadcast (K vectors), so assignment is one
-    scan-side pass with no shuffle of the corpus."""
-    w = Window.partitionBy("vec_id").orderBy(F.col("__csim").desc(), F.col("cid"))
-    return (
-        v.crossJoin(F.broadcast(centroids))
-        .withColumn("__csim", cosine(F.col("vec"), F.col("cvec")))
-        .withColumn("__crank", F.row_number().over(w))
-        .filter(F.col("__crank") <= n_lists)
-        .drop("cvec", "__csim", "__crank")
+
+    TRULY scan-side (r2): the K centroids collapse into ONE broadcast
+    row holding an array<struct<cid, cvec, cn>>, and the per-vector
+    top-n is `slice(array_sort(...))` over that array — zero shuffles,
+    zero windows. (The r1 form cross-joined K rows per vector and
+    ranked them with a row_number window, which SHUFFLED corpus×K rows
+    on vec_id — the exact cost this operator exists to avoid at
+    100 TB.) Ties order by (similarity desc, cid asc) via an ascending
+    struct sort on (−sim, cid) — identical to the old window order.
+    Norms are precomputed once per side (higher-order lambdas are
+    interpreted; inline norms would re-reduce 64 elements × K per
+    row)."""
+    carr = centroids.agg(
+        F.collect_list(
+            F.struct(F.col("cid"), F.col("cvec"), norm(F.col("cvec")).alias("cn"))
+        ).alias("__carr")
+    )
+    scored = v.crossJoin(F.broadcast(carr)).withColumn("__vn", norm(F.col("vec")))
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("__carr"),
+                lambda c: F.struct(
+                    (-(dot(F.col("vec"), c["cvec"]) / (F.col("__vn") * c["cn"]))).alias(
+                        "negsim"
+                    ),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        n_lists,
+    )
+    return scored.select(
+        *v.columns, F.explode(F.transform(ranked, lambda x: x["cid"])).alias("cid")
     )
 
 
@@ -223,11 +249,14 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = ivf_assign(
         v.filter(F.col("vec_id") < N_QUERIES), centroids, n_lists=N_PROBE
     ).select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "cid")
+    # no distinct needed: each corpus vector lives in EXACTLY ONE
+    # inverted list (n_lists=1) and the probe lists are distinct, so a
+    # (query, neighbor) pair can appear at most once — the r1 distinct
+    # shuffled full embedding vectors for nothing
     cand = (
         lists.join(q, "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "qvec", F.col("vec_id").alias("neighbor_id"), "vec")
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (

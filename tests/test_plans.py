@@ -502,3 +502,13 @@ def test_ohlc_single_aggregate_pass(spark):
     assert tree.count("Exchange") == 1, tree
     assert "Window" not in tree
     assert tree.count("HashAggregate") + tree.count("SortAggregate") == 2, tree
+
+
+def test_ivf_assignment_is_scan_side(spark):
+    """IVF centroid assignment must be pure array algebra over one
+    broadcast centroid row: the ONLY Window in the whole plan is the
+    final candidate re-rank (the r1 shape ranked assignments with
+    per-vector windows, shuffling corpus x K rows)."""
+    tree = tree_of(plan_of(all_queries()["sim_topk_ivf"](spark, SF_DIR)))
+    n_windows = tree.count("Window") - tree.count("WindowGroupLimit")
+    assert n_windows == 1, tree
