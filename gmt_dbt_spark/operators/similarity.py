@@ -160,15 +160,25 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = _banded(_signature(v))
     q = banded.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qvec"),
         "band",
         "bkey",
     )
-    cand = (
-        banded.join(q, ["band", "bkey"])
+    # dedupe candidates on the NARROW id pair (a pair sharing several
+    # bands would otherwise replicate) and only then re-attach the
+    # embedding vectors — a distinct carrying the vectors themselves
+    # shuffles ~dim×8 bytes per candidate instead of 16
+    cand_ids = (
+        banded.select("vec_id", "band", "bkey")
+        .join(q, ["band", "bkey"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qvec", F.col("vec_id").alias("neighbor_id"), "vec")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
+    )
+    qv = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    cand = cand_ids.join(F.broadcast(qv), "query_id").join(
+        v.select(F.col("vec_id").alias("neighbor_id"), "vec"), "neighbor_id"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
@@ -280,22 +290,24 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the demo threshold 0.35 surfaces the top of the candidate
     distribution; production near-dup would use ≥ 0.95.)"""
     v = _vecs(spark, sf_dir)
-    banded = _banded(_signature(v))
+    banded = _banded(_signature(v)).select("vec_id", "band", "bkey")
     l, r = banded.alias("l"), banded.alias("r")
-    pairs = (
+    # narrow-id candidate dedup, vectors re-attached after (same
+    # rationale as sim_topk_lsh: never shuffle embeddings in a distinct)
+    pair_ids = (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bkey") == F.col("r.bkey"))
             & (F.col("l.vec_id") < F.col("r.vec_id")),
         )
-        .select(
-            F.col("l.vec_id").alias("id_a"),
-            F.col("l.vec").alias("vec_a"),
-            F.col("r.vec_id").alias("id_b"),
-            F.col("r.vec").alias("vec_b"),
-        )
+        .select(F.col("l.vec_id").alias("id_a"), F.col("r.vec_id").alias("id_b"))
         .distinct()
+    )
+    pairs = pair_ids.join(
+        v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a"
+    ).join(
+        v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b"
     )
     return (
         pairs.withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
