@@ -512,3 +512,17 @@ def test_ivf_assignment_is_scan_side(spark):
     tree = tree_of(plan_of(all_queries()["sim_topk_ivf"](spark, SF_DIR)))
     n_windows = tree.count("Window") - tree.count("WindowGroupLimit")
     assert n_windows == 1, tree
+
+
+def test_minhash_signature_single_shuffle(spark):
+    """The 96-byte/doc MinHash signature must cost exactly ONE shuffle
+    (the per-doc min aggregate): shingle generation is scan-side
+    zip_with (the r1 posexplode+lead() window shuffled every token
+    row before aggregating)."""
+    from gmt_dbt_spark.catalog import table
+    from gmt_dbt_spark.operators.dedup import minhash_signature
+
+    sig = minhash_signature(table(spark, SF_DIR, "documents"), "doc_id", "text")
+    tree = tree_of(plan_of(sig))
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1, tree
+    assert tree.count("Window") - tree.count("WindowGroupLimit") == 0, tree
