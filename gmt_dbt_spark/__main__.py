@@ -95,16 +95,26 @@ def main(argv: list[str] | None = None) -> int:
                 pass
         # ... and any parquet tables a prior `ingest` wrote (the
         # reference lifecycle is main.py ingest -> dbt run over the
-        # SAME dataset; ingested tables shadow same-named sf-dir ones)
+        # SAME dataset; ingested tables shadow same-named sf-dir ones).
+        # Model OUTPUT dirs are skipped — on a re-run a model that
+        # shares a name with an ingested table must not silently read
+        # its own previous output as its source — and unreadable dirs
+        # are reported but don't abort the run.
+        models, sources = load_models_dir(args.models_dir)
+        model_names = {m.name for m in models}
         stg_dir = args.stg_dir or args.warehouse_dir
         if os.path.isdir(stg_dir):
             for name in sorted(os.listdir(stg_dir)):
                 tdir = os.path.join(stg_dir, name)
-                if os.path.isdir(tdir) and any(
-                    f.endswith(".parquet") for f in os.listdir(tdir)
-                ):
-                    spark.read.parquet(tdir).createOrReplaceTempView(f"stg_{name}")
-        models, sources = load_models_dir(args.models_dir)
+                if name in model_names or not os.path.isdir(tdir):
+                    continue
+                if any(f.endswith(".parquet") for f in os.listdir(tdir)):
+                    try:
+                        spark.read.parquet(tdir).createOrReplaceTempView(
+                            f"stg_{name}"
+                        )
+                    except Exception as exc:
+                        print(f"skipping unreadable staging dir {tdir}: {exc}")
         project = ModelProject(
             spark, models, sources, warehouse_dir=args.warehouse_dir,
             threads=args.threads,

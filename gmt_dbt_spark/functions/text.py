@@ -498,8 +498,8 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
 m AS (SELECT doc_id,
              CAST(len(toks) AS BIGINT) AS n_words,
-             CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT)
-               AS sum_word_len,
+             CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0)
+                  AS BIGINT) AS sum_word_len,
              CAST(len(list_filter(toks, w -> regexp_full_match(w, '[a-z]+')))
                AS BIGINT) AS n_alpha_words,
              CAST(len(list_filter(toks,
@@ -529,9 +529,18 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict hashes bit-exactly across engines — no float division
     anywhere. Scan-side lambda algebra only: at 100 TB this runs as a
     single codegen'd projection, zero shuffles, and the `keep` column
-    feeds a filter that prunes before any downstream shuffle."""
+    feeds a filter that prunes before any downstream shuffle.
+
+    Tokens are EMPTY-FILTERED to match the oracle's `t <> ''` filter:
+    Spark's split on an all-punctuation doc yields [''] (n_words=1)
+    while DuckDB's filtered list is empty (n_words=0) — the filtered
+    form agrees at 0, and the empty-list length sum is 0 on both
+    sides (DuckDB's NULL list_sum is COALESCEd)."""
     d = table(spark, sf_dir, "documents")
-    t = d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    t = d.select(
+        "doc_id",
+        F.filter(tokens_col(F.col("text")), lambda w: w != "").alias("toks"),
+    )
     m = t.select(
         "doc_id",
         F.size("toks").cast("bigint").alias("n_words"),

@@ -78,8 +78,12 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     a single-element explode adds no rows and no shuffle.
 
     Short docs (< n tokens) contribute one whole-text shingle —
-    identical to `shingles_col`'s fallback."""
-    tok = df.select(
+    identical to `shingles_col`'s fallback. NULL-text rows emit no
+    shingles at all (same as the r1 posexplode form, where exploding
+    a NULL token array produced zero rows — without the filter a NULL
+    doc would collapse to the {''} shingle set and spuriously match
+    every other NULL doc at jaccard 1.0)."""
+    tok = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.explode(F.array(tokens_col(F.col(text_col)))).alias("__t"),
     )
@@ -453,9 +457,23 @@ def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         real near-dups; measured 1.0 on the fixture),
       - all_verified: found ⊆ truth (exact-verify precision — must be
         structurally TRUE, catches a verify-threshold regression).
+    Both engines restrict the slice to docs with ≥ 3 NON-EMPTY tokens
+    (full 3-grams only): the oracle's `len(tk) >= 3` uses
+    empty-filtered tokens, so the Spark side gates on the same count
+    — otherwise a short doc's whole-text-fallback shingle would be in
+    Spark's truth but not DuckDB's, and `found` pairs touching short
+    docs are excluded the same way so found ⊆ truth stays structural.
     At 100 TB the same audit runs on any bounded slice."""
     docs = table(spark, sf_dir, "documents")
-    sl = docs.filter(F.col("doc_id") < 200)
+    n_clean_tokens = F.size(
+        F.filter(tokens_col(F.col("text")), lambda x: x != "")
+    )
+    sl = docs.filter(
+        (F.col("doc_id") < 200)
+        & F.col("text").isNotNull()
+        & (n_clean_tokens >= 3)
+    )
+    sl_ids = sl.select("doc_id")
     shs = shingle_sets(sl, "doc_id", "text")
     a = shs.select(F.col("__id").alias("id_a"), F.col("__shs").alias("sa"))
     b = shs.select(F.col("__id").alias("id_b"), F.col("__shs").alias("sb"))
@@ -467,8 +485,12 @@ def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b")
     )
-    found = dedup_fuzzy(spark, sf_dir).filter("id_a < 200 AND id_b < 200").select(
-        "id_a", "id_b"
+    found = (
+        dedup_fuzzy(spark, sf_dir)
+        .filter("id_a < 200 AND id_b < 200")
+        .join(sl_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
+        .join(sl_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+        .select("id_a", "id_b")
     )
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     n_hit = found.join(truth, ["id_a", "id_b"], "left_semi").agg(

@@ -335,8 +335,14 @@ def sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     local pytest. The exact side is the same broadcast-query
     brute-force as `sim_topk`, so the audit costs one corpus pass
     per method; at 100 TB you run it on a sampled query set, same
-    plan."""
-    exact = sim_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    plan. The exact result is materialized once (localCheckpoint) —
+    it feeds four consumers (hits + total, per method), which would
+    otherwise re-run the brute-force pass each time."""
+    exact = (
+        sim_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
 
     def recall_of(approx: DataFrame, method: str) -> DataFrame:
         hits = exact.join(

@@ -149,9 +149,14 @@ def _proven_ids() -> set[str]:
                 continue
             if row.get("hash_match") is True:
                 proven.add(qid)
-            elif qid not in _ORACLES and row.get("spark_rows") is not None:
-                # Deliberately rows-only query: a recorded run IS its
-                # strongest available signal.
+            elif (
+                qid not in _ORACLES
+                and row.get("spark_rows") is not None
+                and row.get("err") in (None, "no_oracle")
+            ):
+                # Deliberately rows-only query: a clean recorded run IS
+                # its strongest available signal. A row that carries an
+                # execution error stays unproven and re-runs early.
                 proven.add(qid)
     return proven
 

@@ -340,7 +340,7 @@ def sink_staging_temp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scan_tablesample",
     oracle="""
-SELECT TRUE AS within_bound, TRUE AS subset_ok
+SELECT TRUE AS within_bound, TRUE AS deterministic_ok
 """,
 )
 def scan_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,17 +351,31 @@ def scan_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver), and a fixed seed over a fixed layout is reproducible.
 
     Sample CONTENT is engine-specific, so the oracle checks the two
-    properties that matter, computed in-query as booleans: the sample
-    size lands within ±5 percentage points of the 10% target, and the
-    sample is a true subset (anti-join against the base is empty)."""
+    properties that matter, as booleans computed in ONE LAZY plan
+    (cross-joined single-row aggregates — no build-time driver
+    actions): the sample size lands within ±5 percentage points of
+    the 10% target, and two same-seed samples select IDENTICAL rows
+    (bag difference empty — the reproducibility contract)."""
     from gmt_dbt_spark.catalog import table
 
     orders = table(spark, sf_dir, "orders")
-    s = orders.sample(fraction=0.10, seed=4242)
-    n_total = orders.count()
-    n_sample = s.count()
-    n_alien = s.join(orders, "o_orderkey", "left_anti").count()
-    return spark.createDataFrame(
-        [(abs(n_sample - 0.10 * n_total) <= 0.05 * n_total, n_alien == 0)],
-        "within_bound boolean, subset_ok boolean",
+    s1 = orders.sample(fraction=0.10, seed=4242)
+    s2 = orders.sample(fraction=0.10, seed=4242)
+    n_total = orders.agg(F.count(F.lit(1)).alias("n_total"))
+    n_sample = s1.agg(F.count(F.lit(1)).alias("n_sample"))
+    n_diff = (
+        s1.select("o_orderkey")
+        .exceptAll(s2.select("o_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    return (
+        n_sample.crossJoin(n_total)
+        .crossJoin(n_diff)
+        .select(
+            (
+                F.abs(F.col("n_sample") - 0.10 * F.col("n_total"))
+                <= 0.05 * F.col("n_total")
+            ).alias("within_bound"),
+            (F.col("n_diff") == 0).alias("deterministic_ok"),
+        )
     )

@@ -279,3 +279,44 @@ def test_kmeans_recompute_keeps_empty_clusters(spark):
     assert cents[2] == prev[2]          # empty cluster keeps its centroid
     assert cents[0] == [-2, 0]          # floor(-3/2) = -2 (not trunc toward 0)
     assert cents[1] == [1000000, 1000000]
+
+
+def test_shingle_rows_null_and_short_docs(spark):
+    """Edge semantics pinned after the r2 zip_with rewrite: NULL-text
+    docs emit NO shingles (they must never cluster together at
+    jaccard 1.0 on the {''} set), short docs emit one whole-text
+    shingle, and >=3-token docs emit size-2 full 3-grams."""
+    from gmt_dbt_spark.operators.dedup import shingle_rows
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "just two"), (4, "one two three four")],
+        "doc_id bigint, text string",
+    )
+    rows = [(r["__id"], r["__sh"]) for r in shingle_rows(df, "doc_id", "text").collect()]
+    by_id = {}
+    for i, sh in rows:
+        by_id.setdefault(i, []).append(sh)
+    assert 1 not in by_id and 2 not in by_id
+    assert by_id[3] == ["just two"]
+    assert sorted(by_id[4]) == ["one two three", "two three four"]
+
+
+def test_gopher_rules_empty_text_parity(spark):
+    """All-punctuation text must count ZERO words (matching the
+    oracle's empty-filtered tokens), with a 0 length sum and a false
+    keep verdict — not the unfixed [''] single-token reading."""
+    from gmt_dbt_spark.functions.text import text_gopher_rules
+
+    df = spark.createDataFrame(
+        [(0, "!!! ... ???"), (1, "the quick brown fox jumps over it")],
+        "doc_id bigint, text string",
+    )
+    df.createOrReplaceTempView("documents")
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(os.path.join(td, "documents.parquet"))
+        out = {r.doc_id: r for r in text_gopher_rules(spark, td).collect()}
+    assert out[0].n_words == 0 and out[0].sum_word_len == 0
+    assert out[0].keep is False
+    assert out[1].n_words == 7 and out[1].keep is True
