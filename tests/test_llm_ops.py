@@ -110,9 +110,19 @@ def test_decode_stub_deterministic():
     assert len(one["features"]) == 8
 
 
-def test_decode_stub_false_raises():
+def test_decode_stub_false_raises_for_unknown_formats():
+    """stub=False now REALLY decodes WAV/BMP (codecs.py) but must
+    still refuse to fake formats it cannot parse."""
     with pytest.raises(NotImplementedError):
         decode_payload(b"x", stub=False)
+
+    from gmt_dbt_spark.operators.codecs import bmp_payload_for, wav_payload_for
+
+    img = decode_payload(bmp_payload_for(5), stub=False)
+    assert (img["width"], img["height"]) == (13, 11)
+    assert len(img["features"]) == 3
+    aud = decode_payload(wav_payload_for(5), stub=False)
+    assert aud["width"] == 800  # n_samples (5 % 5 == 0)
 
 
 def test_decode_batches_plumbing(spark, reviews):
@@ -320,3 +330,85 @@ def test_gopher_rules_empty_text_parity(spark):
     assert out[0].n_words == 0 and out[0].sum_word_len == 0
     assert out[0].keep is False
     assert out[1].n_words == 7 and out[1].keep is True
+
+
+def test_wav_codec_roundtrip_and_chunk_skipping():
+    """parse_wav must be a real RIFF parser: exact sample round-trip,
+    tolerance for extra chunks before fmt/data (with odd-size
+    padding), and hard rejection of non-RIFF bytes."""
+    import struct
+
+    import numpy as np
+
+    from gmt_dbt_spark.operators.codecs import make_wav, parse_wav, wav_samples_for
+
+    s = wav_samples_for(42)
+    w = parse_wav(make_wav(s))
+    assert w["sample_rate"] == 16000 and w["n_channels"] == 1
+    assert np.array_equal(w["samples"], s)
+
+    # splice an odd-sized LIST chunk between WAVE and fmt: a naive
+    # offset-based reader breaks, a chunk walker skips it
+    raw = make_wav(s)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad to even
+    spliced = raw[:12] + extra + raw[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    w2 = parse_wav(spliced)
+    assert np.array_equal(w2["samples"], s)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_wav(b"\x89PNG not riff at all padding padding")
+
+
+def test_bmp_codec_roundtrip_topdown_and_stride():
+    """parse_bmp must honor stride padding, bottom-up AND top-down
+    (negative height) row order, and reject non-24bpp payloads."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from gmt_dbt_spark.operators.codecs import bmp_pixels_for, make_bmp, parse_bmp
+
+    px = bmp_pixels_for(7)  # w=15 -> 45-byte rows, stride 48 (padding real)
+    raw = make_bmp(px)
+    assert np.array_equal(parse_bmp(raw), px)
+
+    # flip to top-down (negative height) and reverse the stored rows:
+    # decoded image must be identical
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    offset = struct.unpack("<I", raw[10:14])[0]
+    rows = [raw[offset + i * stride : offset + (i + 1) * stride] for i in range(h)]
+    topdown = (
+        raw[:14]
+        + struct.pack("<Iii", 40, w, -h)
+        + raw[26:offset]
+        + b"".join(reversed(rows))
+    )
+    assert np.array_equal(parse_bmp(topdown), px)
+
+    bad = raw[:28] + struct.pack("<H", 8) + raw[30:]  # claim 8bpp
+    with _pytest.raises(NotImplementedError):
+        parse_bmp(bad)
+
+
+def test_decode_media_sniffs_and_rejects():
+    """decode_media dispatches on magic bytes and refuses to fake
+    formats it cannot actually parse."""
+    import pytest as _pytest
+
+    from gmt_dbt_spark.operators.codecs import (
+        bmp_payload_for,
+        decode_media,
+        wav_payload_for,
+    )
+
+    a = decode_media(wav_payload_for(3))
+    assert a["kind"] == "audio/wav" and a["n_samples"] == 800 + 3 * 160
+    i = decode_media(bmp_payload_for(3))
+    assert i["kind"] == "image/bmp" and (i["width"], i["height"]) == (11, 9)
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff\xe0 jpeg soi header ...")
