@@ -62,3 +62,38 @@ def test_compile_never_leaves_jinja(src_name):
     compile_model(m, {("s", src_name): f"resolved_{src_name}"}, {"m"})
     assert "{{" not in m.compiled_sql and "}}" not in m.compiled_sql
     assert f"resolved_{src_name}" in m.compiled_sql
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=512)
+)
+def test_wav_roundtrip_arbitrary_pcm(samples):
+    """Any int16 PCM sequence must survive encode → chunk-walk decode
+    bit-exactly (including the empty stream)."""
+    import numpy as np
+
+    from gmt_dbt_spark.operators.codecs import make_wav, parse_wav
+
+    s = np.asarray(samples, dtype=np.int16)
+    out = parse_wav(make_wav(s))
+    assert out["sample_rate"] == 16000
+    assert np.array_equal(out["samples"], s)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=23),
+    st.integers(min_value=1, max_value=17),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_bmp_roundtrip_arbitrary_images(w, h, seed):
+    """Any (h, w, 3) uint8 image must survive BMP encode/decode
+    bit-exactly across all stride paddings (w mod 4 ∈ {0,1,2,3})."""
+    import numpy as np
+
+    from gmt_dbt_spark.operators.codecs import make_bmp, parse_bmp
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(parse_bmp(make_bmp(px)), px)
