@@ -268,3 +268,83 @@ def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@query(
+    "pipeline_curation_report",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g')), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         (len(toks) BETWEEN 5 AND 100000
+          AND COALESCE(list_sum(list_transform(toks, w -> length(w))), 0)
+              BETWEEN 2 * len(toks) AND 10 * len(toks)
+          AND 5 * len(list_filter(toks, w -> regexp_full_match(w, '[a-z]+')))
+              >= 4 * len(toks)
+          AND len(list_filter(toks,
+               w -> list_contains(['the','a','of','and','to'], w))) >= 1)
+           AS keep
+  FROM t
+),
+bg AS (
+  SELECT d.doc_id, d.t[s.i + 1] || ' ' || d.t[s.i + 2] AS bigram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE len(string_split(text, ' ')) >= 2) d,
+       LATERAL (SELECT unnest(range(len(d.t) - 1)) AS i) s
+),
+rep AS (
+  SELECT doc_id, (MAX(c) * 10 <= SUM(c) * 3) AS rep_ok
+  FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram)
+  GROUP BY doc_id
+),
+canon AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
+SELECT d.lang, d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS total_ws_tokens
+FROM documents d
+JOIN g ON g.doc_id = d.doc_id
+JOIN canon ON canon.doc_id = d.doc_id
+LEFT JOIN rep ON rep.doc_id = d.doc_id
+WHERE g.keep AND COALESCE(rep.rep_ok, TRUE)
+GROUP BY d.lang, d.source
+""",
+)
+def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel COMPOSED, as one oracle-checked plan:
+    Gopher quality gates ∧ repetition filter ∧ exact-dedup canonical
+    election, rolled up to the per-(lang, source) corpus report a
+    pretraining run starts from (surviving docs + token budget).
+    Demonstrates the operators compose as DataFrames: the gate columns
+    come from the SAME registered ops (text_gopher_rules,
+    text_repetition, dedup_exact), joined on doc_id. Scale shape: both
+    gates are scan-side projections, dedup adds the 16-byte
+    fingerprint shuffle, the report is one low-cardinality rollup —
+    docs with < 2 tokens have no bigram evidence and pass the
+    repetition gate by default (COALESCE TRUE) on both engines."""
+    from gmt_dbt_spark.functions.text import text_gopher_rules, text_repetition
+    from gmt_dbt_spark.operators.dedup import dedup_exact
+
+    docs = table(spark, sf_dir, "documents")
+    gop = text_gopher_rules(spark, sf_dir).select("doc_id", "keep")
+    rep = text_repetition(spark, sf_dir).select("doc_id", "rep_ok")
+    canon = dedup_exact(spark, sf_dir).select("doc_id")
+    return (
+        docs.join(gop, "doc_id")
+        .join(canon, "doc_id", "left_semi")
+        .join(rep, "doc_id", "left")
+        .filter(F.col("keep") & F.coalesce("rep_ok", F.lit(True)))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")))
+            .cast("bigint")
+            .alias("total_ws_tokens"),
+        )
+    )

@@ -179,3 +179,93 @@ def tpcds_share_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(worder).alias("sales_rank"),
     )
     return w.filter(F.col("sales_rank") <= 10)
+
+
+@query(
+    "tpcds_count_band",
+    oracle="""
+WITH freq AS (
+  SELECT o_custkey, COUNT(*) AS n_orders
+  FROM orders
+  GROUP BY o_custkey
+  HAVING COUNT(*) BETWEEN 12 AND 16
+)
+SELECT c_custkey, c_mktsegment, n_orders
+FROM freq JOIN customer ON c_custkey = o_custkey
+""",
+)
+def tpcds_count_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q34/Q73 shape: the count-BAND cohort — keys whose
+    group count falls in a range (HAVING BETWEEN), joined back to the
+    dimension for attributes. The aggregate prunes to the narrow band
+    BEFORE the dim join, so the join probe side is the band, not the
+    fact table; the dim side broadcasts."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    freq = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders").between(12, 16))
+    )
+    return freq.join(c, freq["o_custkey"] == c["c_custkey"]).select(
+        "c_custkey", "c_mktsegment", "n_orders"
+    )
+
+
+@query(
+    "tpcds_cumulative_compare",
+    oracle="""
+WITH store AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS mth,
+         COUNT(*) AS n
+  FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+),
+web AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS mth,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY strftime(l_shipdate, '%Y-%m')
+),
+j AS (
+  SELECT COALESCE(s.mth, w.mth) AS mth,
+         COALESCE(s.n, 0) AS store_n,
+         COALESCE(w.n, 0) AS web_n
+  FROM store s FULL OUTER JOIN web w ON s.mth = w.mth
+)
+SELECT mth,
+       CAST(SUM(store_n) OVER (ORDER BY mth) AS BIGINT) AS store_cum,
+       CAST(SUM(web_n) OVER (ORDER BY mth) AS BIGINT) AS web_cum,
+       (SUM(store_n) OVER (ORDER BY mth)
+        > SUM(web_n) OVER (ORDER BY mth)) AS store_ahead
+FROM j
+""",
+)
+def tpcds_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 shape: two channels' monthly counts FULL OUTER
+    joined on the month spine, then compared by CUMULATIVE totals —
+    'when did web overtake store'. The channel aggregates reduce to
+    |months| rows before the join and window, so the full-outer join
+    and running sums cost nothing at any fact scale; the single
+    unpartitioned window is bounded by the calendar, not the data."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    store = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("mth")).agg(
+        F.count(F.lit(1)).alias("store_n")
+    )
+    web = li.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("mth")).agg(
+        F.count(F.lit(1)).alias("web_n")
+    )
+    j = (
+        store.join(web, "mth", "full_outer")
+        .select(
+            "mth",
+            F.coalesce("store_n", F.lit(0)).alias("store_n"),
+            F.coalesce("web_n", F.lit(0)).alias("web_n"),
+        )
+    )
+    w = Window.orderBy("mth").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "mth",
+        F.sum("store_n").over(w).cast("bigint").alias("store_cum"),
+        F.sum("web_n").over(w).cast("bigint").alias("web_cum"),
+        (F.sum("store_n").over(w) > F.sum("web_n").over(w)).alias("store_ahead"),
+    )
