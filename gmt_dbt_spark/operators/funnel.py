@@ -150,3 +150,62 @@ def events_wau_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_users",
         )
     )
+
+
+@query(
+    "events_window_funnel",
+    oracle="""
+WITH v AS (SELECT user_id, MIN(ts) AS first_view
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS first_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.first_view
+        AND e.ts <= v.first_view + INTERVAL '24 hours'
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e
+      JOIN c ON e.user_id = c.user_id
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+        AND e.ts <= v.first_view + INTERVAL '24 hours'
+      GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_then_click_24h,
+       (SELECT COUNT(*) FROM p) AS n_full_funnel_24h
+""",
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED funnel (the ClickHouse `windowFunnel` semantics):
+    stages count only if they happen within 24 h of the user's FIRST
+    VIEW — conversion analysis distinguishes 'eventually bought' from
+    'bought within the attribution window'. Same scale shape as
+    events_funnel (conditional-MIN chain keyed on user_id, one lazy
+    plan, shared subtrees dedup through ReuseExchange); the window
+    bound rides each stage's filter, anchored at the stage-1
+    timestamp carried through the chain."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    deadline = F.col("first_view") + F.expr("INTERVAL 24 HOURS")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("first_view")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"), F.min(deadline).alias("deadline"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("first_click")) & (F.col("ts") <= F.col("deadline")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_then_click_24h")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel_24h")))
+    )
