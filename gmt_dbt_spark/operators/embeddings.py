@@ -179,22 +179,30 @@ def kmeans_assign(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
     Distances are exact bigint sums of squared micro-unit deltas;
     ties break to the lowest cluster index (array_position returns
     the FIRST minimum) — fully deterministic, no float anywhere.
-    Pure scan-side lambda algebra: the centroid list rides into the
-    plan as a literal (a broadcast in spirit, constant-folded in
-    practice), so assignment costs zero shuffles."""
-    cents = F.array(
-        *[F.array(*[F.lit(int(c)).cast("bigint") for c in cent]) for cent in centroids]
+    Pure scan-side lambda algebra with zero shuffles: the centroids
+    ride as ONE broadcast single-row array (r2 — the r1 literal
+    K×dims expression tree cost seconds of Catalyst analysis PER
+    Lloyd's iteration; a broadcast column is the same plan shape the
+    IVF assignment uses, with constant-size analysis)."""
+    spark = df.sparkSession
+    carr = spark.createDataFrame(
+        [([[int(c) for c in cent] for cent in centroids],)],
+        "__cents array<array<bigint>>",
     )
     dists = F.transform(
-        cents,
+        F.col("__cents"),
         lambda c: F.aggregate(
             F.zip_with("qv", c, lambda x, y: (x - y) * (x - y)),
             F.lit(0).cast("bigint"),
             lambda a, b: a + b,
         ),
     )
-    return df.withColumn(
-        "cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return (
+        df.crossJoin(F.broadcast(carr))
+        .withColumn(
+            "cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+        .drop("__cents")
     )
 
 
