@@ -226,4 +226,5 @@ def _load_all() -> None:
     import gmt_dbt_spark.operators.embeddings  # noqa: F401
     import gmt_dbt_spark.operators.tpcds_shapes  # noqa: F401
     import gmt_dbt_spark.operators.timeseries  # noqa: F401
+    import gmt_dbt_spark.operators.ml_sql  # noqa: F401
     _LOADED = True

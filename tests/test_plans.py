@@ -526,3 +526,11 @@ def test_minhash_signature_single_shuffle(spark):
     tree = tree_of(plan_of(sig))
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1, tree
     assert tree.count("Window") - tree.count("WindowGroupLimit") == 0, tree
+
+
+def test_ml_sql_inference_scan_side(spark):
+    """Pure-SQL model scoring must fuse into the scan: no Exchange,
+    no Window, no UDF eval nodes anywhere in the plan."""
+    tree = tree_of(plan_of(all_queries()["ml_sql_inference"](spark, SF_DIR)))
+    assert "Exchange" not in tree, tree
+    assert "Python" not in tree and "ArrowEval" not in tree, tree
