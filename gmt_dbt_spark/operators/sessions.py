@@ -200,3 +200,48 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@query(
+    "events_path_analysis",
+    oracle="""
+WITH p AS (
+  SELECT user_id,
+         array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>')
+           AS path
+  FROM events GROUP BY user_id
+)
+SELECT path, COUNT(*) AS n_users
+FROM p GROUP BY path
+""",
+)
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User path analysis: each user's first 5 events as an ordered
+    'view>click>...' path string, counted per distinct path — the
+    behavioral-flow report (which journeys are common, where do they
+    diverge). Determinism: rank on (ts, event_id) so ties can't
+    reorder across engines. Scale shape: the rank window prunes to
+    ≤ 5 rows per user BEFORE any collection (WindowGroupLimit pushes
+    the cut into the shuffle read — a plain collect_list-then-slice
+    would buffer a heavy user's ENTIRE event history in one aggregate
+    row), and the per-user aggregate reuses the window's user_id
+    partitioning: one exchange end-to-end plus the low-cardinality
+    path rollup."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    seq = first5.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("rn", "event_type"))).alias("seq")
+    )
+    path = F.concat_ws(">", F.transform("seq", lambda s: s["event_type"]))
+    return (
+        seq.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
