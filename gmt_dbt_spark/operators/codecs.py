@@ -58,6 +58,10 @@ def parse_wav(payload: bytes) -> dict:
         cid = payload[pos : pos + 4]
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         chunk = payload[pos + 8 : pos + 8 + size]
+        if cid in (b"fmt ", b"data") and len(chunk) != size:
+            # truncated mid-chunk (cut download): fail loudly instead
+            # of silently returning fewer samples
+            raise ValueError(f"truncated {cid!r} chunk: {len(chunk)} < {size}")
         if cid == b"fmt ":
             audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", chunk[:16])
             if audio_fmt != 1 or bits != 16:
@@ -146,6 +150,12 @@ def bmp_payload_for(doc_id: int) -> bytes:
 def decode_media(payload: bytes) -> dict:
     """Dispatch on magic bytes: RIFF/WAVE and BMP decode for REAL;
     anything else (JPEG, PNG, MP4...) raises — no fake decodes."""
+    if payload[:4] == b"RIFF" and payload[8:12] != b"WAVE":
+        # RIFF container but not audio (WebP, AVI, ...): genuinely
+        # needs an external codec — keep the stub seam's contract
+        raise NotImplementedError(
+            "non-WAVE RIFF container needs PIL/ffmpeg — not in this container"
+        )
     if payload[:4] == b"RIFF":
         w = parse_wav(payload)
         s = w["samples"].astype(np.int64)

@@ -52,6 +52,7 @@ f AS (
          MAX(CASE WHEN i = 1 THEN x END) AS f1,
          MAX(CASE WHEN i = 2 THEN x END) AS f2
   FROM m GROUP BY vec_id
+  HAVING COUNT(*) >= 3
 )
 SELECT lin.vec_id,
        lin.margin_micro,
@@ -71,8 +72,14 @@ def ml_sql_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tree is nested CASE WHEN on three quantized features. The
     oracle recomputes both models independently over range() — any
     quantization or branch-order drift breaks the hash. Zero
-    shuffles, zero UDFs; plan-guarded scan-side."""
-    e = table(spark, sf_dir, "embeddings")
+    shuffles, zero UDFs; plan-guarded scan-side.
+
+    Model contract: the tree reads features 0-2, so vectors with
+    fewer than 3 dimensions are NOT scorable and are filtered on BOTH
+    engines (without the filter, Spark's element_at would throw under
+    ANSI mode — or emit a row with NULL margin for an empty embedding
+    where the oracle's unnest(range(0)) emits none)."""
+    e = table(spark, sf_dir, "embeddings").filter(F.size("embedding") >= 3)
     micro = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * 1000000.0).cast("bigint")
     )

@@ -63,11 +63,12 @@ def decode_payload(payload: bytes, stub: bool = True) -> dict:
 
         d = decode_media(payload)  # raises NotImplementedError for JPEG/MP4
         if d["kind"] == "image/bmp":
+            n_px = max(1, d["width"] * d["height"])  # 0×0 BMP is legal
             return {
                 "width": d["width"],
                 "height": d["height"],
                 "features": [
-                    round(d[k] / (255.0 * d["width"] * d["height"]), 6)
+                    round(d[k] / (255.0 * n_px), 6)
                     for k in ("sum_r", "sum_g", "sum_b")
                 ],
             }
@@ -298,7 +299,7 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — a byte-layout bug in either the writer or the parser
     breaks the hash. The 100 TB shape is the stub pipeline's: Arrow
     batches per partition, payloads never gather to the driver."""
-    from gmt_dbt_spark.operators.codecs import WAV_RATE, decode_media, wav_payload_for
+    from gmt_dbt_spark.operators.codecs import decode_media, wav_payload_for
 
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
         "doc_id"
@@ -315,7 +316,10 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
                         d["sample_rate"],
                         d["n_channels"],
                         d["n_samples"],
-                        d["n_samples"] * 1000 // WAV_RATE,
+                        # duration from the DECODED rate, not a module
+                        # constant — the emitted stats must all come
+                        # from the parse itself
+                        d["n_samples"] * 1000 // d["sample_rate"],
                         d["sumsq"],
                     )
                 )

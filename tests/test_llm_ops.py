@@ -412,3 +412,36 @@ def test_decode_media_sniffs_and_rejects():
     assert i["kind"] == "image/bmp" and (i["width"], i["height"]) == (11, 9)
     with _pytest.raises(NotImplementedError):
         decode_media(b"\xff\xd8\xff\xe0 jpeg soi header ...")
+
+
+def test_codec_edge_contracts():
+    """r2 review fixes pinned: truncated data chunks fail loudly,
+    non-WAVE RIFF containers raise NotImplementedError (the stub
+    seam's skip signal), and a 0-dim BMP cannot divide by zero."""
+    import struct
+
+    import pytest as _pytest
+
+    from gmt_dbt_spark.operators.codecs import (
+        decode_media,
+        make_wav,
+        parse_wav,
+        wav_samples_for,
+    )
+    from gmt_dbt_spark.operators.multimodal import decode_payload
+
+    raw = make_wav(wav_samples_for(1))
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_wav(raw[: len(raw) - 100])
+
+    webp_ish = b"RIFF" + struct.pack("<I", 12) + b"WEBPVP8 ...."
+    with _pytest.raises(NotImplementedError):
+        decode_media(webp_ish)
+
+    import numpy as np
+
+    from gmt_dbt_spark.operators.codecs import make_bmp
+
+    empty = make_bmp(np.zeros((0, 0, 3), dtype=np.uint8))
+    d = decode_payload(empty, stub=False)
+    assert d["width"] == 0 and d["features"] == [0.0, 0.0, 0.0]
