@@ -473,3 +473,94 @@ def join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+SELECT c.event_id AS click_id,
+       c.user_id,
+       (SELECT p.event_id
+        FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)), p.ts, p.event_id
+        LIMIT 1) AS nearest_purchase_id
+FROM events c
+WHERE c.event_type = 'click'
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — the closest purchase in EITHER direction
+    (sensor alignment, closest-quote matching). Ties resolve to the
+    smaller |Δt|, then the EARLIER purchase, then the lower event_id —
+    the oracle's correlated ORDER BY is the spec; the distributed plan
+    is the as-of family's union-window shape run BOTH ways over one
+    user_id exchange (backward pass: purchases sort before same-ts
+    clicks, descending event_id so `last()` lands on the LOWEST id;
+    forward pass mirrored), then a scan-side |Δt| comparison picks
+    the winner. Still no per-row subquery, no nested loop — two
+    window sorts over one shuffle."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(False).alias("is_p"),
+        F.lit(None).cast("bigint").alias("p_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.lit(True).alias("is_p"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    u = clicks.unionByName(purchases)
+    # backward: same-ts purchases visible (sort before clicks), and
+    # among same-ts purchases last() must pick the LOWEST event_id →
+    # order them by -p_id ascending
+    back_order = [
+        F.col("ts"),
+        F.when(F.col("is_p"), 0).otherwise(1),
+        F.when(F.col("is_p"), -F.col("p_id")).otherwise(F.lit(0)),
+    ]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*back_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # forward: same-ts purchases visible (sort after clicks), first()
+    # picks the lowest event_id under ascending p_id
+    fwd_order = [
+        F.col("ts"),
+        F.when(F.col("is_p"), 2).otherwise(1),
+        F.when(F.col("is_p"), F.col("p_id")).otherwise(F.lit(0)),
+    ]
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*fwd_order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    enriched = u.select(
+        "user_id",
+        "ts",
+        "click_id",
+        F.last("p_id", ignorenulls=True).over(wb).alias("back_id"),
+        F.last("p_ts", ignorenulls=True).over(wb).alias("back_ts"),
+        F.first("p_id", ignorenulls=True).over(wf).alias("fwd_id"),
+        F.first("p_ts", ignorenulls=True).over(wf).alias("fwd_ts"),
+    ).filter(F.col("click_id").isNotNull())
+    d_back = F.unix_micros("ts") - F.unix_micros("back_ts")
+    d_fwd = F.unix_micros("fwd_ts") - F.unix_micros("ts")
+    nearest = (
+        F.when(F.col("back_id").isNull(), F.col("fwd_id"))
+        .when(F.col("fwd_id").isNull(), F.col("back_id"))
+        # tie on |Δt| → earlier purchase = the backward one
+        .when(d_back <= d_fwd, F.col("back_id"))
+        .otherwise(F.col("fwd_id"))
+    )
+    return enriched.select(
+        "click_id", "user_id", nearest.alias("nearest_purchase_id")
+    )

@@ -21,6 +21,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gmt_dbt_spark.registry import query
+
 
 def test_not_null(df: DataFrame, column: str) -> DataFrame:
     """Rows where `column` IS NULL (dbt `not_null`)."""
@@ -54,4 +56,52 @@ def test_relationships(
     parent_keys = parent.select(F.col(parent_key).alias("__pk")).distinct()
     return child.filter(F.col(child_key).isNotNull()).join(
         parent_keys, child[child_key] == parent_keys["__pk"], "left_anti"
+    )
+
+
+@query(
+    "dq_volume_drift",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+w AS (
+  SELECT day, n,
+         LAG(n) OVER (ORDER BY day) AS prev_n
+  FROM daily
+)
+SELECT day, n,
+       CAST(COALESCE(prev_n, n) AS BIGINT) AS prev_n,
+       (prev_n IS NOT NULL AND (n * 10 < prev_n * 5 OR n * 5 > prev_n * 10))
+         AS drift_alert
+FROM w
+""",
+)
+def dq_volume_drift(spark, sf_dir):
+    """Volume-drift data test (the dbt-utils `recency`/anomaly family
+    beyond freshness): day-over-day event counts with an alert when a
+    day's volume halves or doubles vs the previous day — the check
+    that catches a broken upstream loader before anyone queries the
+    data. Thresholds are integer cross-multiplications (n·10 < prev·5
+    ⇔ n < 0.5·prev) so the boolean hashes exactly; the series is one
+    date rollup plus a calendar-bounded lag window."""
+    from pyspark.sql import Window
+
+    from gmt_dbt_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("n").over(w)
+    return daily.select(
+        "day",
+        "n",
+        F.coalesce(prev, F.col("n")).cast("bigint").alias("prev_n"),
+        (
+            prev.isNotNull()
+            & ((F.col("n") * 10 < prev * 5) | (F.col("n") * 5 > prev * 10))
+        ).alias("drift_alert"),
     )
