@@ -232,3 +232,101 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_TRI_SQL)
+
+
+@query(
+    "graph_pagerank",
+    oracle="""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT src, dst FROM e0
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM e0
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+r1 AS (
+  SELECT e.dst AS node,
+         CAST(150000 + (85 * SUM(r.r // deg.d)) // 100 AS BIGINT) AS r
+  FROM edges e JOIN r0 r ON r.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT e.dst AS node,
+         CAST(150000 + (85 * SUM(r.r // deg.d)) // 100 AS BIGINT) AS r
+  FROM edges e JOIN r1 r ON r.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT e.dst AS node,
+         CAST(150000 + (85 * SUM(r.r // deg.d)) // 100 AS BIGINT) AS r
+  FROM edges e JOIN r2 r ON r.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+)
+SELECT node, r AS rank_micro,
+       CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END
+         AS node_type
+FROM r3
+""",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the REAL customer⇄supplier purchase graph
+    (distinct (customer, supplier) pairs from orders⋈lineitem, made
+    bidirectional so the walk has no dangling sinks) — the link-based
+    quality weighting a web-corpus curation pipeline applies per
+    domain. 3 Lloyd-style power iterations with damping 0.85.
+
+    EXACT INTEGER arithmetic end-to-end (ranks in micro-units,
+    contributions via bigint floor division, damping as 85·x÷100):
+    that is what lets an ITERATIVE algorithm be fully ORACLE-HASHED —
+    the DuckDB oracle unrolls the same three iterations as CTEs and
+    every rank matches bit-exactly, where float PageRank would differ
+    in the last ulp by reduction order. Scale shape per iteration:
+    one equi-join on the rank key + one dst-keyed aggregate, both
+    map-side combinable; edges/degrees are localCheckpoint'd once,
+    rank lineage is truncated per round (the iterative-algorithm
+    pitfall CC already documents). Supplier ids are offset by 1e6 to
+    disambiguate the bipartite node space."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # contribution-ready edge list: (src, dst, d) — checkpointed once,
+    # reused by every iteration
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    ranks = deg.select("src", F.lit(1000000).cast("bigint").alias("r")).withColumnRenamed(
+        "src", "node"
+    )
+    for _ in range(3):
+        ranks = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select("dst", F.expr("r div d").alias("contrib"))
+            .groupBy("dst")
+            .agg(
+                F.expr("CAST(150000 + (85 * SUM(contrib)) div 100 AS BIGINT)").alias(
+                    "r"
+                )
+            )
+            .withColumnRenamed("dst", "node")
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_micro"),
+        F.when(F.col("node") >= 1000000, "supplier")
+        .otherwise("customer")
+        .alias("node_type"),
+    )
