@@ -60,15 +60,16 @@ def main() -> None:
     # pandas-UDF queries) from perturbing another query's timing via
     # GC and block-manager churn. Data itself is NOT cached
     # (no .cache()/persist anywhere).
-    # Min-of-2 measured runs after the warm run: this is a shared VM
-    # and single measurements at sub-second scale carry ±30% host
-    # noise; the minimum is the best estimator of the steady-state
+    # Min-of-3 measured runs after the warm run: this is a shared VM
+    # and single measurements at sub-second scale carry ±30-50% host
+    # noise (observed same-code core14 swings of 9.9 -> 15.0 s within
+    # one day); the minimum is the best estimator of the steady-state
     # cost the plan actually has.
     timings: dict[str, float] = {}
     for name in names:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             # noop sink: full distributed execution, zero driver collect.
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
