@@ -245,3 +245,50 @@ def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "win_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, COUNT(*) AS streak_len, MIN(day) AS streak_start
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+       MIN(streak_start) AS first_active_day
+FROM streaks GROUP BY user_id
+""",
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days — the retention/engagement streak metric. The classic trick:
+    `day − row_number()` is constant within a consecutive run, so
+    islands fall out of one ranking window + one grouped count; at any
+    scale that is one user_id shuffle (the distinct, window, and both
+    aggregates all share the user_id clustering) over |user, day|
+    rows, never raw events."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island", F.date_sub("day", F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"), F.min("day").alias("streak_start")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").cast("bigint").alias("longest_streak"),
+        F.min("streak_start").alias("first_active_day"),
+    )

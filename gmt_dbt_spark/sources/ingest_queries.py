@@ -379,3 +379,32 @@ def scan_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_diff") == 0).alias("deterministic_ok"),
         )
     )
+
+
+@query(
+    "scan_metadata_columns",
+    oracle="""
+SELECT 'orders.parquet' AS file_name, COUNT(*) AS n_rows, TRUE AS size_known
+FROM orders
+""",
+)
+def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's hidden `_metadata` struct on file sources (file_path /
+    file_name / file_size / file_modification_time) — the engine-level
+    sibling of `input_file_name()` with typed fields, usable in
+    filters for file-level pruning and lineage stamps on ingest. The
+    oracle pins the basename + row attribution (fixtures are
+    one-file-per-table); file size is asserted as a boolean (a
+    content-independent positive int, not hashable cross-engine)."""
+    from gmt_dbt_spark.catalog import table
+
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            (F.col("_metadata.file_size") > 0).alias("size_known"),
+        )
+        .groupBy("file_name", "size_known")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select("file_name", "n_rows", "size_known")
+    )
