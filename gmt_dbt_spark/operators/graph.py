@@ -238,7 +238,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_pagerank",
     oracle="""
 WITH e0 AS (
-  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
 edges AS (
@@ -267,7 +267,7 @@ r3 AS (
   GROUP BY e.dst
 )
 SELECT node, r AS rank_micro,
-       CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END
+       CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END
          AS node_type
 FROM r3
 """,
@@ -288,15 +288,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     one equi-join on the rank key + one dst-keyed aggregate, both
     map-side combinable; edges/degrees are localCheckpoint'd once,
     rank lineage is truncated per round (the iterative-algorithm
-    pitfall CC already documents). Supplier ids are offset by 1e6 to
-    disambiguate the bipartite node space."""
+    pitfall CC already documents). The bipartite node space is
+    disambiguated by PARITY (customer = 2·key, supplier = 2·key+1) —
+    bijective at ANY scale factor, unlike a fixed offset which TPC-H
+    custkeys would collide with past SF≈7."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e0 = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
-            F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + 1000000).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -326,7 +328,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "node",
         F.col("r").alias("rank_micro"),
-        F.when(F.col("node") >= 1000000, "supplier")
+        F.when(F.col("node") % 2 == 1, "supplier")
         .otherwise("customer")
         .alias("node_type"),
     )

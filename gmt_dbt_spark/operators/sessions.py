@@ -277,8 +277,6 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale that is one user_id shuffle (the distinct, window, and both
     aggregates all share the user_id clustering) over |user, day|
     rows, never raw events."""
-    from pyspark.sql import Window
-
     ev = table(spark, sf_dir, "events")
     days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
     w = Window.partitionBy("user_id").orderBy("day")

@@ -18,9 +18,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gmt_dbt_spark.catalog import table
 from gmt_dbt_spark.registry import query
 
 
@@ -73,23 +74,20 @@ w AS (
 )
 SELECT day, n,
        CAST(COALESCE(prev_n, n) AS BIGINT) AS prev_n,
-       (prev_n IS NOT NULL AND (n * 10 < prev_n * 5 OR n * 5 > prev_n * 10))
+       (prev_n IS NOT NULL AND (n * 2 <= prev_n OR n >= prev_n * 2))
          AS drift_alert
 FROM w
 """,
 )
-def dq_volume_drift(spark, sf_dir):
+def dq_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-drift data test (the dbt-utils `recency`/anomaly family
     beyond freshness): day-over-day event counts with an alert when a
     day's volume halves or doubles vs the previous day — the check
     that catches a broken upstream loader before anyone queries the
-    data. Thresholds are integer cross-multiplications (n·10 < prev·5
-    ⇔ n < 0.5·prev) so the boolean hashes exactly; the series is one
-    date rollup plus a calendar-bounded lag window."""
-    from pyspark.sql import Window
-
-    from gmt_dbt_spark.catalog import table
-
+    data. Boundaries are INCLUSIVE (an exact halving/doubling alerts,
+    per the contract) and integer-only so the boolean hashes exactly;
+    the series is one date rollup plus a calendar-bounded lag
+    window."""
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).alias("n")
@@ -102,6 +100,6 @@ def dq_volume_drift(spark, sf_dir):
         F.coalesce(prev, F.col("n")).cast("bigint").alias("prev_n"),
         (
             prev.isNotNull()
-            & ((F.col("n") * 10 < prev * 5) | (F.col("n") * 5 > prev * 10))
+            & ((F.col("n") * 2 <= prev) | (F.col("n") >= prev * 2))
         ).alias("drift_alert"),
     )

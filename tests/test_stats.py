@@ -117,3 +117,34 @@ def test_approx_topk_exact_below_capacity(spark):
         .collect()
     }
     assert got == exact
+
+
+def test_volume_drift_inclusive_boundaries(spark, tmp_path):
+    """An EXACT halving or doubling must alert (inclusive contract) —
+    the fixture series never lands exactly on the boundary, so pin it
+    with a synthetic day series: 4 -> 2 (halved), 2 -> 4 (doubled),
+    4 -> 3 (fine)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gmt_dbt_spark.plans.dq import dq_volume_drift
+
+    rows = []
+    eid = 0
+    for day, n in (("2020-01-01", 4), ("2020-01-02", 2), ("2020-01-03", 4),
+                   ("2020-01-04", 3)):
+        for _ in range(n):
+            rows.append((eid, f"{day} 12:00:00", eid % 3, "view", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(os.path.join(tmp_path, "events.parquet"))
+    out = {str(r.day): r.drift_alert for r in dq_volume_drift(spark, str(tmp_path)).collect()}
+    assert out["2020-01-01"] is False   # no previous day
+    assert out["2020-01-02"] is True    # exact halving alerts
+    assert out["2020-01-03"] is True    # exact doubling alerts
+    assert out["2020-01-04"] is False   # 4 -> 3 is within band
