@@ -625,3 +625,59 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("top_count"),
         (F.max("c") * 10 <= F.sum("c") * 3).alias("rep_ok"),
     )
+
+
+@query(
+    "text_char_stats",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_total,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))    AS n_digit,
+         length(regexp_replace(text, '[^ ]', '', 'g'))      AS n_space,
+         length(regexp_replace(text, '[^aeiouAEIOU]', '', 'g')) AS n_vowel
+  FROM documents
+)
+SELECT doc_id, n_total, n_alpha, n_digit, n_space, n_vowel,
+       CASE WHEN n_total > 0 THEN (n_alpha * 100) // n_total ELSE NULL END
+         AS alpha_pct,
+       CASE WHEN n_total > 0 THEN (n_vowel * 100) // n_total ELSE NULL END
+         AS vowel_pct
+FROM s
+""",
+)
+def text_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class quality statistics — the entropy-free half of
+    a quality scorer: alphabetic/digit/space/vowel densities as exact
+    integer percentages. Random bytes, base64 blobs, and
+    number-tables all separate from prose on alpha_pct/vowel_pct
+    alone, with zero float ops (log-entropy scoring drifts across
+    libm implementations; integer cross-ratios hash exactly).
+
+    Everything is scan-side codegen regex — zero shuffles, zero
+    joins; at 100 TB this runs at parquet-scan speed and its columns
+    prune to (doc_id, text). Integer division is `div`//`//` on both
+    engines (floor on non-negatives), CASE-guarded for empty docs."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.select(
+        "doc_id",
+        F.length("text").alias("n_total"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("n_alpha"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_digit"),
+        F.length(F.regexp_replace("text", "[^ ]", "")).alias("n_space"),
+        F.length(F.regexp_replace("text", "[^aeiouAEIOU]", "")).alias("n_vowel"),
+    )
+    pct = lambda n: F.when(  # noqa: E731
+        F.col("n_total") > 0, F.expr(f"({n} * 100) div n_total")
+    ).otherwise(F.lit(None).cast("long"))
+    return counts.select(
+        "doc_id",
+        "n_total",
+        "n_alpha",
+        "n_digit",
+        "n_space",
+        "n_vowel",
+        pct("n_alpha").alias("alpha_pct"),
+        pct("n_vowel").alias("vowel_pct"),
+    )

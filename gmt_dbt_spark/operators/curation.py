@@ -348,3 +348,45 @@ def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_ws_tokens"),
         )
     )
+
+
+@query(
+    "sample_reservoir",
+    oracle="""
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT source, doc_id, n_chars FROM r WHERE rn <= 3
+""",
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k per-key sample (k=3 docs per corpus) — the
+    "show me 3 examples from every source" debugging/eval-set
+    primitive. Ordering by md5(doc_id) gives a uniform
+    pseudo-random draw that is DETERMINISTIC and engine-agnostic
+    (both engines emit identical lowercase-hex md5), unlike
+    reservoir sampling with a PRNG; the doc_id tiebreak makes the
+    cut total even under (impossible) digest collisions.
+
+    Scale: rank-then-filter compiles to WindowGroupLimit in Spark
+    3.5+ — each map task keeps only its local top-k per key BEFORE
+    the shuffle, so k×|keys| rows move, not the corpus. The same
+    shape serves train-set subsampling at any k."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        d.select(
+            "source", "doc_id", "n_chars", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+        .select("source", "doc_id", "n_chars")
+    )

@@ -564,3 +564,117 @@ def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNPIVOT (val FOR measure IN (totalprice, custkey))
         """
     )
+
+
+@query(
+    "pivot_dynamic",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS VARCHAR)
+            AS DOUBLE) AS "F",
+       CAST(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                 THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS VARCHAR)
+            AS DOUBLE) AS "O",
+       CAST(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                 THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS VARCHAR)
+            AS DOUBLE) AS "P"
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-IN-list pivot: `pivot(col)` with NO value list, so
+    Spark first runs a distinct-values discovery job on the pivot
+    column, then plans the wide aggregate over whatever it found —
+    the schema is data-driven (here it resolves to F/O/P). Empty
+    cells stay NULL (no coalesce), matching SUM(CASE…END) exactly.
+
+    Scale: the discovery job is a distinct on ONE column — map-side
+    partial, result bounded by pivot-column cardinality (Spark caps
+    it at spark.sql.pivotMaxValues, default 10k). The pivot itself is
+    one ordinary grouped aggregate; only the discovery pass is extra
+    vs the static IN-list spelling, and it reads a single pruned
+    column. The post-pivot cast loop below is schema-driven — it
+    works for ANY discovered value set, which is the point."""
+    from pyspark.sql import functions as F
+
+    from gmt_dbt_spark.exprs import DEC, dec2dbl
+
+    o = table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)))
+    )
+    val_cols = [c for c in wide.columns if c != "o_orderpriority"]
+    return wide.select(
+        "o_orderpriority", *[dec2dbl(F.col(f"`{c}`")).alias(c) for c in val_cols]
+    )
+
+
+@query(
+    "sql_distribute_cluster",
+    oracle="""
+SELECT c_nationkey, c_custkey, c_acctbal
+FROM customer
+WHERE c_acctbal > 0
+""",
+)
+def sql_distribute_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY / SORT BY — the Hive-inherited physical-layout
+    clauses: DISTRIBUTE BY hash-partitions output rows without a
+    global sort, SORT BY orders within each partition only. Together
+    (= CLUSTER BY) they produce the partition-local ordering a
+    bucketed writer or per-partition consumer wants at a fraction of
+    ORDER BY's cost — no global range exchange, no sampling pass.
+    Values are identical to the bare SELECT (layout clauses don't
+    change the bag of rows), which is exactly what the oracle checks.
+
+    Scale: ONE hash exchange + partition-local sort vs ORDER BY's
+    range exchange (which needs a skew-prone sampling job first). For
+    write-side layout this is the shape `sink_partitioned` exploits."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_nationkey, c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > 0
+        DISTRIBUTE BY c_nationkey SORT BY c_nationkey, c_acctbal
+        """
+    )
+
+
+@query(
+    "sql_values_inline",
+    oracle="""
+WITH tiers(tier, lo, hi) AS (
+  VALUES ('low', 0.0, 3000.0), ('mid', 3000.0, 7000.0), ('high', 7000.0, 10000.0)
+)
+SELECT tier, COUNT(*) AS n_cust
+FROM customer JOIN tiers
+  ON c_acctbal >= lo AND c_acctbal < hi
+GROUP BY tier
+""",
+)
+def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES table constructor — the literal lookup/banding
+    table (tier thresholds) declared in-query and theta-joined to the
+    fact. The VALUES relation is a LocalRelation: Catalyst broadcasts
+    it for free (3 rows), so the banding is a scan-side
+    BroadcastNestedLoopJoin that never shuffles the fact table —
+    the right plan for ANY constant band list at any fact scale."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH tiers AS (
+          SELECT * FROM VALUES ('low', 0.0D, 3000.0D),
+                               ('mid', 3000.0D, 7000.0D),
+                               ('high', 7000.0D, 10000.0D) AS t(tier, lo, hi)
+        )
+        SELECT tier, COUNT(*) AS n_cust
+        FROM customer JOIN tiers
+          ON c_acctbal >= lo AND c_acctbal < hi
+        GROUP BY tier
+        """
+    )

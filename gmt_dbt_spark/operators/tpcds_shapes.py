@@ -269,3 +269,81 @@ def tpcds_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("web_n").over(w).cast("bigint").alias("web_cum"),
         (F.sum("store_n").over(w) > F.sum("web_n").over(w)).alias("store_ahead"),
     )
+
+
+@query(
+    "tpcds_frequent_buyers",
+    oracle="""
+WITH freq_parts AS (
+  SELECT l_partkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY l_partkey
+  HAVING COUNT(*) >= 8
+),
+spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS s
+  FROM orders GROUP BY o_custkey
+),
+best_cust AS (
+  SELECT o_custkey FROM spend
+  WHERE s > (SELECT MAX(s) * 0.5 FROM spend)
+)
+SELECT year(o_orderdate) AS yr,
+       COUNT(*) AS n_lines,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE year(o_orderdate) = 1997
+  AND l_partkey IN (SELECT l_partkey FROM freq_parts)
+  AND o_custkey IN (SELECT o_custkey FROM best_cust)
+GROUP BY year(o_orderdate)
+""",
+)
+def tpcds_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q23 shape: 1997 sales restricted to FREQUENT items
+    (parts appearing ≥8 times across 1995–96) bought by BEST
+    customers (lifetime spend above half the max customer's). Both
+    cohorts are aggregates-turned-semi-joins; the spend threshold is
+    a scalar subquery over the same `spend` aggregate, so Catalyst
+    reuses the exchange instead of scanning orders twice.
+
+    Scale shape: each cohort reduces to a narrow key set BEFORE
+    touching the 1997 fact slice — the fact scan is filtered by year
+    at the parquet level, then semi-joined against two key lists that
+    broadcast when small and shuffle when not (AQE's call). The
+    half-of-max threshold compares exact decimals (no float drift).
+    Ref: dbt-mart cohort models (dbt_project.yml:11) grow into
+    exactly this multi-CTE cohort-intersection shape."""
+    for t in ("orders", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        WITH freq_parts AS (
+          SELECT l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE year(o_orderdate) IN (1995, 1996)
+          GROUP BY l_partkey
+          HAVING COUNT(*) >= 8
+        ),
+        spend AS (
+          SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS s
+          FROM orders GROUP BY o_custkey
+        ),
+        best_cust AS (
+          SELECT o_custkey FROM spend
+          WHERE s > (SELECT MAX(s) * 0.5 FROM spend)
+        )
+        SELECT year(o_orderdate) AS yr,
+               COUNT(*) AS n_lines,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS STRING)
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(o_orderdate) = 1997
+          AND l_partkey IN (SELECT l_partkey FROM freq_parts)
+          AND o_custkey IN (SELECT o_custkey FROM best_cust)
+        GROUP BY year(o_orderdate)
+        """
+    )

@@ -258,3 +258,33 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         """
     )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       ntile(4) OVER (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal, c_custkey) AS balance_quartile
+FROM customer
+""",
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing — the equi-height quartile assignment used for
+    cohorting and stratified feature binning. SQL-standard semantics
+    (larger buckets first when n % tiles != 0) are identical in Spark
+    and DuckDB, and the c_custkey tiebreak makes the ordering total,
+    so bucket membership is reproducible under any partitioning.
+
+    Scale: one window shuffle on the (low-cardinality) segment key;
+    ntile is O(1) per row once the partition is sorted. For a
+    SKEWED partition key the sort dominates — at 100 TB prefer
+    percentile_approx cutpoints + a scan-side CASE over a single
+    giant window partition."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("balance_quartile"),
+    )

@@ -534,3 +534,40 @@ def test_ml_sql_inference_scan_side(spark):
     tree = tree_of(plan_of(all_queries()["ml_sql_inference"](spark, SF_DIR)))
     assert "Exchange" not in tree, tree
     assert "Python" not in tree and "ArrowEval" not in tree, tree
+
+
+def test_sample_reservoir_window_group_limit(spark):
+    """The per-key k-sample must push the rank<=k cut below the
+    shuffle (WindowGroupLimit): each map task ships at most k rows
+    per key, so k x |keys| rows move — not the corpus."""
+    tree = tree_of(plan_of(all_queries()["sample_reservoir"](spark, SF_DIR)))
+    assert "WindowGroupLimit" in tree, tree
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+
+
+def test_distribute_cluster_no_global_sort(spark):
+    """DISTRIBUTE BY / SORT BY must plan a hash exchange + a
+    PARTITION-LOCAL sort — never the range exchange (and its
+    sampling job) a global ORDER BY would cost."""
+    plan = plan_of(all_queries()["sql_distribute_cluster"](spark, SF_DIR))
+    tree = tree_of(plan)
+    assert "hashpartitioning" in plan
+    assert "rangepartitioning" not in plan
+    # the Sort node is partition-local (global=false in the detail section)
+    assert re.search(r"Arguments: \[[^\]]*ASC NULLS FIRST[^\]]*\], false", plan), plan
+
+
+def test_events_ema_single_window_shuffle(spark):
+    """The bounded-depth EMA is one window pass: one hash exchange on
+    user_id, one Sort, one Window holding all four lag frames."""
+    tree = tree_of(plan_of(all_queries()["events_ema"](spark, SF_DIR)))
+    assert tree.count("Window") == 1
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+
+
+def test_text_char_stats_scan_side(spark):
+    """Char-class stats are pure scan-side codegen: no exchange at
+    all, and the read schema prunes to (doc_id, text)."""
+    plan = plan_of(all_queries()["text_char_stats"](spark, SF_DIR))
+    assert "Exchange" not in tree_of(plan)
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan)
