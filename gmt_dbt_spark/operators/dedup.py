@@ -506,3 +506,136 @@ def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hit") == F.col("n_found")).alias("all_verified"),
         )
     )
+
+
+@query(
+    "dedup_substring",
+    oracle="""
+WITH t0 AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g')), ' '), t -> t <> '') AS tk
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT DISTINCT doc_id, md5(gram) AS fp
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(tk) >= 8
+                  THEN list_transform(range(len(tk) - 7),
+                       i -> array_to_string(tk[i+1:i+8], ' '))
+                  ELSE [array_to_string(tk, ' ')] END) AS gram
+    FROM t0
+  )
+),
+df AS (
+  SELECT fp FROM g GROUP BY fp HAVING COUNT(*) >= 2
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(df.fp) AS n_dup_grams,
+       (COUNT(df.fp) * 100) // COUNT(*) AS dup_pct,
+       (COUNT(df.fp) * 100) >= COUNT(*) * 30 AS contaminated
+FROM g LEFT JOIN df ON g.fp = df.fp
+GROUP BY g.doc_id
+""",
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document SUBSTRING duplication audit (the ExactSubstr
+    signal from "Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022, token-8-gram granularity): for every
+    doc, how many of its distinct 8-grams also appear in at least one
+    OTHER doc — the quote/boilerplate/mirror-page detector that
+    whole-doc and near-dup hashing both miss.
+
+    Architecture (the suffix-array of the paper doesn't distribute;
+    fingerprinted n-grams do): 8-grams stream out of the zero-shuffle
+    `shingle_rows` path and are immediately crushed to 16-byte md5
+    fingerprints — every downstream exchange (per-doc distinct,
+    gram document-frequency, dup-gram flag join) moves fingerprints,
+    never text, so shuffle bytes are ~32·|grams| regardless of
+    document size. The ≥2-docs cut happens BEFORE the flag join, so
+    the join's build side is only the duplicated tail. Thresholds are
+    integer cross-multiplications — hash-exact."""
+    docs = table(spark, sf_dir, "documents")
+    g = (
+        shingle_rows(docs, "doc_id", "text", n=8)
+        .select(F.col("__id").alias("doc_id"), F.md5("__sh").alias("fp"))
+        .distinct()
+    )
+    dup = (
+        g.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("fp", F.lit(1).alias("is_dup"))
+    )
+    flagged = g.join(dup, "fp", "left")
+    n_dup = F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+    n_grams = F.count(F.lit(1))
+    return flagged.groupBy("doc_id").agg(
+        n_grams.alias("n_grams"),
+        n_dup.alias("n_dup_grams"),
+        F.expr("(sum(coalesce(is_dup, 0)) * 100) div count(1)").alias("dup_pct"),
+        (n_dup * 100 >= n_grams * 30).alias("contaminated"),
+    )
+
+
+@query(
+    "text_containment_audit",
+    oracle="""
+WITH t0 AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g')), ' '), t -> t <> '') AS tk
+  FROM documents WHERE doc_id < 200
+),
+t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(tk) - 2),
+             i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shs
+  FROM t0 WHERE len(tk) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.shs, b.shs)) AS inter,
+       len(a.shs) AS na,
+       TRUE AS contained
+FROM t a JOIN t b ON a.doc_id <> b.doc_id
+WHERE len(list_intersect(a.shs, b.shs)) * 10 >= len(a.shs) * 8
+""",
+)
+def text_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment audit: C(A,B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ 0.8 —
+    the ASYMMETRIC near-dup measure. Jaccard misses a short doc
+    quoted inside a long one (union dominates); containment is the
+    right test for doc-inside-doc, eval-set contamination, and
+    version-of detection (Broder's original distinction).
+
+    All-pairs exact on the bounded doc_id<200 slice (the same
+    audit-on-a-slice shape as dedup_recall_audit — at 100 TB the
+    slice is any sampled stratum; the PRODUCTION path reuses the LSH
+    candidates, since C ≥ J and high-containment short-in-long pairs
+    still collide on the short side's bands). Slice gating (≥3 clean
+    tokens, full 3-grams only) matches the oracle token-for-token;
+    the 0.8 cut is an integer cross-multiplication."""
+    docs = table(spark, sf_dir, "documents")
+    n_clean_tokens = F.size(F.filter(tokens_col(F.col("text")), lambda x: x != ""))
+    sl = docs.filter(
+        (F.col("doc_id") < 200)
+        & F.col("text").isNotNull()
+        & (n_clean_tokens >= 3)
+    )
+    shs = shingle_sets(sl, "doc_id", "text")
+    a = shs.select(F.col("__id").alias("id_a"), F.col("__shs").alias("sa"))
+    b = shs.select(F.col("__id").alias("id_b"), F.col("__shs").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .filter(inter * 10 >= F.size("sa") * 8)
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            F.size("sa").alias("na"),
+            F.lit(True).alias("contained"),
+        )
+    )

@@ -678,3 +678,36 @@ def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY tier
         """
     )
+
+
+@query(
+    "sql_offset_paging",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT 20 OFFSET 40
+""",
+)
+def sql_offset_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT ... OFFSET pagination (Spark SQL ≥ 3.4): page 3 of the
+    balance leaderboard. The ORDER BY is a TOTAL order (c_custkey
+    tiebreak), so the page is deterministic — OFFSET without a total
+    order is a different answer every run on a distributed engine.
+
+    Scale: Spark plans a global TakeOrderedAndProject of
+    offset+limit rows (top-60 here) — partial top-k per partition,
+    single reduce; cost grows with page DEPTH, not table size.
+    Deep pagination (page 10⁶) should switch to keyset pagination
+    (WHERE (c_acctbal, c_custkey) < last_seen ORDER BY ... LIMIT k),
+    which this same total order makes correct — documented here
+    because OFFSET-walking a 100 TB table is the classic anti-pattern."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 20 OFFSET 40
+        """
+    )
