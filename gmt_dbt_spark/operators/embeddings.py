@@ -270,3 +270,121 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.min("vec_id").alias("min_vec_id"),
     ).withColumn("centroid_norm", norm_map[F.col("cluster")])
+
+
+@query(
+    "embed_pca_power",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, s.i,
+         CAST(floor(CAST(embedding[s.i + 1] AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS i) s
+),
+d1 AS (SELECT vec_id, SUM(qv) AS dot FROM q GROUP BY vec_id),
+w1 AS (
+  SELECT q.i, SUM(d1.dot * q.qv) AS w
+  FROM q JOIN d1 USING (vec_id) GROUP BY q.i
+),
+s1 AS (SELECT MAX(ABS(w)) // 1000 + 1 AS s FROM w1),
+v1 AS (
+  SELECT i, CASE WHEN w < 0 THEN -(ABS(w) // s) ELSE ABS(w) // s END AS v
+  FROM w1, s1
+),
+d2 AS (
+  SELECT q.vec_id, SUM(q.qv * v1.v) AS dot
+  FROM q JOIN v1 USING (i) GROUP BY q.vec_id
+),
+w2 AS (
+  SELECT q.i, SUM(d2.dot * q.qv) AS w
+  FROM q JOIN d2 USING (vec_id) GROUP BY q.i
+),
+s2 AS (SELECT MAX(ABS(w)) // 1000 + 1 AS s FROM w2)
+SELECT CAST(i AS INTEGER) AS dim_idx,
+       CAST(CASE WHEN w < 0 THEN -(ABS(w) // s) ELSE ABS(w) // s END
+            AS BIGINT) AS comp
+FROM w2, s2
+""",
+)
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus via POWER
+    ITERATION on the (uncentered) Gram matrix — 2 rounds of
+    v ← Xᵀ(Xv), entirely in exact integer micro-units, so the
+    iterative linear algebra is bit-reproducible on any cluster
+    topology AND fully ORACLE-HASHED (DuckDB unrolls the identical
+    iterations as CTEs — the strongest correctness signal an
+    iterative float-free algorithm can have; cf. graph_pagerank).
+
+    Numerics: components quantize to floor(x·1e6) bigints (the house
+    micro-unit route — float→double is exact, double·1e6 and floor
+    are IEEE-specified). Each round computes per-row dots Σₖ qₖvₖ
+    (bigint products, decimal(38,0) sums — overflow-free to ~1e18
+    rows), then per-dim sums Σ_rows dot·qⱼ, then an integer
+    renormalization v ← sign(w)·(|w| div (max|w| div 1000 + 1))
+    keeping |v| ≤ ~1000 so magnitudes never grow round-over-round.
+    Truncating `div` on the |·| with the sign re-applied sidesteps
+    the Spark-div-truncates vs DuckDB-//-floors divergence on
+    negatives.
+
+    Scale shape: the (vec_id, dim, qv) cell table is checkpointed
+    once and re-read by all four aggregates; per-round driver
+    traffic is exactly `dims` integers (the kmeans/centroid
+    pattern); the final rescale runs IN-PLAN via a broadcast scalar
+    (max|w|), so the returned eigenvector never round-trips the
+    driver. Exchanges move (id, dot) and (dim, partial-sum) pairs —
+    never vectors."""
+    e = table(spark, sf_dir, "embeddings")
+    q = (
+        e.select("vec_id", F.posexplode("embedding").alias("i", "val"))
+        .select(
+            "vec_id",
+            "i",
+            F.floor(F.col("val").cast("double") * 1000000.0)
+            .cast("bigint")
+            .alias("qv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def w_of(v: list[int]) -> DataFrame:
+        """One power-iteration round: w = Xᵀ(Xv) as a lazy plan."""
+        vdf = spark.createDataFrame([(v,)], "varr array<bigint>")
+        dots = (
+            q.join(F.broadcast(vdf))
+            .groupBy("vec_id")
+            .agg(
+                F.sum(
+                    (F.col("qv") * F.element_at("varr", F.col("i") + 1)).cast(
+                        "decimal(38,0)"
+                    )
+                )
+                .cast("bigint")
+                .alias("dot")
+            )
+        )
+        return q.join(dots, "vec_id").groupBy("i").agg(
+            F.sum((F.col("dot") * F.col("qv")).cast("decimal(38,0)")).alias("w")
+        )
+
+    dims = q.select(F.max("i")).first()[0] + 1
+    v = [1] * dims
+    # round 1: collect dims integers, rescale with exact python ints
+    # (python // on non-negatives == Spark div == DuckDB //)
+    w1 = {int(r["i"]): int(r["w"]) for r in w_of(v).collect()}
+    s = max(abs(x) for x in w1.values()) // 1000 + 1
+    v = [
+        (-((-w1[i] if w1[i] < 0 else w1[i]) // s) if w1[i] < 0 else w1[i] // s)
+        for i in range(dims)
+    ]
+    # round 2: rescale IN-PLAN — the eigenvector never leaves the executors
+    w2 = w_of(v)
+    scale = w2.agg(
+        (F.expr("max(abs(w)) div 1000") + F.lit(1)).alias("s")
+    )
+    return w2.crossJoin(F.broadcast(scale)).select(
+        F.col("i").cast("int").alias("dim_idx"),
+        F.when(F.col("w") < 0, -F.expr("abs(w) div s"))
+        .otherwise(F.expr("abs(w) div s"))
+        .cast("bigint")
+        .alias("comp"),
+    )
