@@ -15,6 +15,8 @@ shuffle of the key set.
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -329,4 +331,65 @@ def fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.aes_decrypt(F.col("ct"), key, F.lit("ECB")).cast("string").alias("roundtrip"),
         F.length("ct").cast("int").alias("cipher_len"),
+    )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY o_orderpriority
+""",
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark ≥ 3.4): named `:param` markers bound
+    server-side via `spark.sql(sql, args=...)` — the injection-safe
+    templating surface that replaces f-string SQL assembly (the
+    reference concatenates user values into BigQuery SQL,
+    gcp_function.py:67-113; parameter markers are the Spark-native
+    answer). Literals bind as typed expressions BEFORE analysis, so
+    pushdown sees real constants: the price/date predicates land in
+    the parquet scan exactly as if they were inlined."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderdate >= :since
+        GROUP BY o_orderpriority
+        """,
+        args={
+            "min_price": 150000.0,
+            # plain python values bind as typed literals; expressions
+            # are rejected ([INVALID_SQL_ARG]) unless foldable
+            "since": datetime.datetime(1996, 1, 1),
+        },
+    )
+
+
+@query(
+    "sql_identifier_clause",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_cust
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER(:name) clause (Spark ≥ 3.4): table and column names
+    supplied as PARAMETERS instead of string-spliced SQL — the safe
+    spelling of the reference's dynamic `{dataset}.{table}` target
+    assembly (gcp_function.py:115-131). The identifier is validated
+    as a name (quoting, no injection), then the query plans exactly
+    as the static text would — same scan, same pushdown."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:seg_col), COUNT(*) AS n_cust
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:seg_col)
+        """,
+        args={"seg_col": "c_mktsegment", "tbl": "customer"},
     )

@@ -405,3 +405,97 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(run, BMP_DECODED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, n_samples bigint, zero_crossings bigint, "
+    "peak_abs bigint, n_clipped bigint, rms double"
+)
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 800 + (doc_id % 5) * 160 AS n
+  FROM documents WHERE doc_id < 200
+),
+s AS (
+  SELECT d.doc_id, d.n, u.i,
+         ((d.doc_id * 31 + u.i * 17) % 2003) - 1001 AS v
+  FROM d, LATERAL (SELECT unnest(range(d.n)) AS i) u
+),
+w AS (
+  SELECT doc_id, n, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(COUNT(CASE WHEN v * pv < 0 THEN 1 END) AS BIGINT)
+         AS zero_crossings,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+       CAST(COUNT(CASE WHEN ABS(v) >= 1000 THEN 1 END) AS BIGINT)
+         AS n_clipped,
+       sqrt(CAST(SUM(v * v) AS DOUBLE) / n) AS rms
+FROM w
+GROUP BY doc_id, n
+""",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction over decoded PCM — the
+    signal-level stats an audio-curation pipeline gates on: zero-
+    crossing count (noisiness/voicedness proxy), peak amplitude,
+    clipping count (|s| at the rail), and RMS energy. Payloads are
+    spec-compliant WAV files round-tripped through the real parser
+    (codecs.py:parse_wav) executor-side via mapInPandas; every
+    feature is recomputed INDEPENDENTLY by the oracle from the
+    generator's range() arithmetic — parser misalignment, sign, or
+    off-by-one sample bugs all break the hash.
+
+    Exactness: crossings/peak/clip are integers over int64-widened
+    samples (int16 products would wrap); RMS is one exact int→double
+    conversion, one division, one IEEE sqrt — deterministic on both
+    engines. Scale shape: Arrow batches per partition, samples never
+    leave the executor, output is 6 scalars per blob."""
+    from gmt_dbt_spark.operators.codecs import parse_wav, wav_payload_for
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                v = parse_wav(wav_payload_for(int(doc_id)))["samples"].astype(
+                    np.int64
+                )
+                sumsq = int(np.dot(v, v))
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(v),
+                        int(np.count_nonzero(v[1:] * v[:-1] < 0)),
+                        int(np.max(np.abs(v))),
+                        int(np.count_nonzero(np.abs(v) >= 1000)),
+                        math.sqrt(sumsq / len(v)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "zero_crossings",
+                    "peak_abs",
+                    "n_clipped",
+                    "rms",
+                ],
+            )
+
+    return docs.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
