@@ -366,7 +366,13 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("dot") * F.col("qv")).cast("decimal(38,0)")).alias("w")
         )
 
-    dims = q.select(F.max("i")).first()[0] + 1
+    max_i = q.select(F.max("i")).first()[0]
+    if max_i is None:
+        raise ValueError(
+            "embed_pca_power: embeddings table is empty (or every "
+            "embedding array is empty) — no direction to compute"
+        )
+    dims = max_i + 1
     v = [1] * dims
     # round 1: collect dims integers, rescale with exact python ints
     # (python // on non-negatives == Spark div == DuckDB //)

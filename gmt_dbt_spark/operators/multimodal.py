@@ -499,3 +499,103 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+IMAGE_GRADIENT_SCHEMA = (
+    "doc_id bigint, width int, height int, grad_h bigint, grad_v bigint, "
+    "pix_sum bigint"
+)
+
+
+@query(
+    "multimodal_image_gradient",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h
+  FROM documents WHERE doc_id < 200
+),
+gh AS (
+  SELECT d.doc_id,
+         SUM(ABS(((d.doc_id + 7*(x.i+1) + 13*y.i + 29*c.i) % 256)
+               - ((d.doc_id + 7*x.i + 13*y.i + 29*c.i) % 256))) AS grad_h
+  FROM d,
+       LATERAL (SELECT unnest(range(d.w - 1)) AS i) x,
+       LATERAL (SELECT unnest(range(d.h)) AS i) y,
+       LATERAL (SELECT unnest(range(3)) AS i) c
+  GROUP BY d.doc_id
+),
+gv AS (
+  SELECT d.doc_id,
+         SUM(ABS(((d.doc_id + 7*x.i + 13*(y.i+1) + 29*c.i) % 256)
+               - ((d.doc_id + 7*x.i + 13*y.i + 29*c.i) % 256))) AS grad_v
+  FROM d,
+       LATERAL (SELECT unnest(range(d.w)) AS i) x,
+       LATERAL (SELECT unnest(range(d.h - 1)) AS i) y,
+       LATERAL (SELECT unnest(range(3)) AS i) c
+  GROUP BY d.doc_id
+),
+ps AS (
+  SELECT d.doc_id,
+         SUM((d.doc_id + 7*x.i + 13*y.i + 29*c.i) % 256) AS pix_sum
+  FROM d,
+       LATERAL (SELECT unnest(range(d.w)) AS i) x,
+       LATERAL (SELECT unnest(range(d.h)) AS i) y,
+       LATERAL (SELECT unnest(range(3)) AS i) c
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CAST(d.w AS INTEGER) AS width,
+       CAST(d.h AS INTEGER) AS height,
+       CAST(gh.grad_h AS BIGINT) AS grad_h,
+       CAST(gv.grad_v AS BIGINT) AS grad_v,
+       CAST(ps.pix_sum AS BIGINT) AS pix_sum
+FROM d
+JOIN gh USING (doc_id) JOIN gv USING (doc_id) JOIN ps USING (doc_id)
+""",
+)
+def multimodal_image_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image feature extraction over decoded pixels: horizontal
+    and vertical L1 gradient energy (the blur/flat-image and
+    screenshot-vs-photo discriminator an image-curation gate uses)
+    plus total brightness — computed from pixels that round-trip
+    through the actual 24-bit BMP parser (stride, bottom-up rows,
+    BGR), so a row-order or channel-order bug in the codec flips the
+    gradients and breaks the hash. The oracle recomputes everything
+    from the generator's modular arithmetic over range(w)×range(h)×3.
+
+    Exactness: uint8 pixels widen to int64 before differencing (the
+    uint8 wraparound trap); all features are pure integers. Scale
+    shape: mapInPandas per-partition batches, pixels never leave the
+    executor, 6 scalars out per image."""
+    from gmt_dbt_spark.operators.codecs import bmp_payload_for, parse_bmp
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                px = parse_bmp(bmp_payload_for(int(doc_id))).astype(np.int64)
+                h, w, _ = px.shape
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        int(np.abs(np.diff(px, axis=1)).sum()),
+                        int(np.abs(np.diff(px, axis=0)).sum()),
+                        int(px.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "grad_h", "grad_v", "pix_sum",
+                ],
+            )
+
+    return docs.mapInPandas(run, IMAGE_GRADIENT_SCHEMA)

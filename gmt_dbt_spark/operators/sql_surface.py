@@ -711,3 +711,52 @@ def sql_offset_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20 OFFSET 40
         """
     )
+
+
+@query(
+    "sql_not_in_nulls",
+    oracle="""
+SELECT 'not_in' AS variant, COUNT(*) AS n
+FROM customer
+WHERE c_acctbal NOT IN
+      (SELECT CASE WHEN o_totalprice > 200000.0 THEN o_totalprice END
+       FROM orders)
+UNION ALL
+SELECT 'not_exists' AS variant, COUNT(*) AS n
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE (o.o_totalprice = c.c_acctbal) IS TRUE
+                    AND o.o_totalprice > 200000.0)
+""",
+)
+def sql_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS under NULLs — the three-valued-logic trap
+    pinned as a query: the subquery's CASE yields NULLs, so `x NOT IN
+    (...)` is never TRUE (any NULL in the list makes the predicate
+    UNKNOWN) and the not_in branch counts 0, while the NOT EXISTS
+    spelling (NULL-free by construction) returns the intuitive
+    answer. Both engines implement SQL-standard semantics — the
+    oracle proves the engines agree on BOTH counts.
+
+    Scale lesson in the plan: NOT IN compiles to a NULL-AWARE anti
+    join, which Spark can only execute as BroadcastNestedLoopJoin —
+    OOM-prone and O(n·m) at scale. NOT EXISTS compiles to an
+    ordinary (broadcast/shuffled) anti join. Rewrite NOT IN to NOT
+    EXISTS whenever the subquery can produce NULLs."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT 'not_in' AS variant, COUNT(*) AS n
+        FROM customer
+        WHERE c_acctbal NOT IN
+              (SELECT CASE WHEN o_totalprice > 200000.0 THEN o_totalprice END
+               FROM orders)
+        UNION ALL
+        SELECT 'not_exists' AS variant, COUNT(*) AS n
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE (o.o_totalprice = c.c_acctbal) IS TRUE
+                            AND o.o_totalprice > 200000.0)
+        """
+    )

@@ -263,28 +263,28 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "win_ntile",
     oracle="""
-SELECT c_custkey, c_mktsegment,
-       ntile(4) OVER (PARTITION BY c_mktsegment
-                      ORDER BY c_acctbal, c_custkey) AS balance_quartile
+SELECT c_custkey,
+       ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS balance_decile
 FROM customer
 """,
 )
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE bucketing — the equi-height quartile assignment used for
-    cohorting and stratified feature binning. SQL-standard semantics
-    (larger buckets first when n % tiles != 0) are identical in Spark
-    and DuckDB, and the c_custkey tiebreak makes the ordering total,
-    so bucket membership is reproducible under any partitioning.
-
-    Scale: one window shuffle on the (low-cardinality) segment key;
-    ntile is O(1) per row once the partition is sorted. For a
-    SKEWED partition key the sort dominates — at 100 TB prefer
-    percentile_approx cutpoints + a scan-side CASE over a single
-    giant window partition."""
+    """GLOBAL equi-height deciles — NTILE over an UNPARTITIONED
+    window (`win_rank` pins the partitioned form). This is the shape
+    analysts actually write for corpus-wide binning, and it is the
+    single-giant-partition hazard pinned as a query: Spark plans
+    Exchange SinglePartition + one sort on ONE task — correct, and
+    fine to |rows that fit one executor|, but a straggler at 100 TB.
+    The scale rewrite, documented here because the answer changes
+    only at the bucket boundaries: percentile_approx the 9 cutpoints
+    (mergeable sketch, map-side partial) and assign buckets with a
+    scan-side CASE — same deciles to within sketch error, zero
+    global sort. SQL-standard ntile (larger buckets first when
+    n % tiles != 0) plus the c_custkey tiebreak make the assignment
+    identical in both engines."""
     c = table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w = Window.orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_custkey",
-        "c_mktsegment",
-        F.ntile(4).over(w).alias("balance_quartile"),
+        F.ntile(10).over(w).alias("balance_decile"),
     )
