@@ -41,6 +41,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "sim_topk_ivf",
     "pipeline_reference_e2e",
+    # late r2: cross-doc substring-duplication audit (gram-fp heavy)
+    "dedup_substring",
 ]
 
 

@@ -394,3 +394,81 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("comp"),
     )
+
+
+@query(
+    "embed_cosine_audit",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < 100
+),
+s AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM q
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_sum(list_transform(range(len(a.qv)),
+              i -> a.qv[i+1] * b.qv[i+1])) AS BIGINT) AS dot,
+         a.n2 AS na2, b.n2 AS nb2
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, dot, na2, nb2
+FROM p
+WHERE na2 > 0 AND nb2 > 0 AND dot >= 0
+  AND CAST(dot AS HUGEINT) * dot * 16 >= CAST(na2 AS HUGEINT) * nb2
+""",
+)
+def embed_cosine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine-neighbor ground truth, CROSS-ENGINE-HASHED: all
+    pairs in the bounded vec_id<100 slice with cos(a,b) ≥ 1/4,
+    decided WITHOUT any floating-point comparison — micro-unit
+    integer dot products and the squared cross-multiplication
+    dot²·16 ≥ ‖a‖²·‖b‖² (valid for dot ≥ 0; squares widened to
+    decimal/hugeint — dot² ≈ 3e26 overflows bigint). This is the
+    independent truth table the ANN audits rank against
+    (sim_recall_audit) and the proof that both engines agree on
+    cosine geometry bit-for-bit; a quantization or indexing bug on
+    either side changes the pair set.
+
+    Scale: the audit is all-pairs ON A SLICE by design (the same
+    bounded-slice trick as dedup_recall_audit); per-vector norms are
+    precomputed once before the pair join, so the join carries
+    (id, qv, n2) and each pair costs one zip_with dot product."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    n2 = F.aggregate(
+        F.transform("qv", lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
+    s = e.select("vec_id", _micro_vec().alias("qv")).select(
+        "vec_id", "qv", n2.alias("n2")
+    )
+    a = s.select(
+        F.col("vec_id").alias("id_a"), F.col("qv").alias("va"),
+        F.col("n2").alias("na2"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("id_b"), F.col("qv").alias("vb"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda x, y: x + y,
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", dot.alias("dot"), "na2", "nb2"
+    )
+    lhs = F.col("dot").cast("decimal(19,0)") * F.col("dot").cast(
+        "decimal(18,0)"
+    ) * F.lit(16)
+    rhs = F.col("na2").cast("decimal(19,0)") * F.col("nb2").cast("decimal(18,0)")
+    return pairs.filter(
+        (F.col("na2") > 0) & (F.col("nb2") > 0) & (F.col("dot") >= 0)
+        & (lhs >= rhs)
+    )

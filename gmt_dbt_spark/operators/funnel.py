@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.exprs import DEC, dec2dbl
 from gmt_dbt_spark.registry import query
 
 
@@ -208,4 +209,84 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.agg(F.count(F.lit(1)).alias("n_view"))
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_then_click_24h")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel_24h")))
+    )
+
+
+@query(
+    "mart_rfm",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                   DATE '1998-12-01') AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS mdec
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       CAST(CAST(mdec AS VARCHAR) AS DOUBLE) AS monetary,
+       CASE WHEN recency_days <= 180 THEN 3
+            WHEN recency_days <= 540 THEN 2 ELSE 1 END AS r_score,
+       CASE WHEN frequency >= 15 THEN 3
+            WHEN frequency >= 8  THEN 2 ELSE 1 END AS f_score,
+       CASE WHEN mdec >= 2000000 THEN 3
+            WHEN mdec >= 1000000 THEN 2 ELSE 1 END AS m_score,
+       CASE WHEN recency_days <= 180 THEN 3
+            WHEN recency_days <= 540 THEN 2 ELSE 1 END * 100
+       + CASE WHEN frequency >= 15 THEN 3
+              WHEN frequency >= 8  THEN 2 ELSE 1 END * 10
+       + CASE WHEN mdec >= 2000000 THEN 3
+              WHEN mdec >= 1000000 THEN 2 ELSE 1 END AS rfm_code
+FROM base
+""",
+)
+def mart_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the canonical marketing mart a
+    dbt project like the reference's hosts (dbt_project.yml:11):
+    Recency (days since last order vs the dataset's 1998-12-01
+    anchor), Frequency (order count), Monetary (exact-decimal spend),
+    each banded 1–3 on FIXED thresholds and packed into a 3-digit
+    rfm_code. Fixed-threshold bands (not ntile) are the
+    production-stable choice: a customer's segment doesn't change
+    because OTHER customers moved — and they make every output
+    column integer-or-exact, so the mart hash-matches the oracle.
+
+    Scale: one groupBy(o_custkey) aggregate — map-side partial,
+    single shuffle of (key, date, count, decimal) — then scan-side
+    CASE banding. Nothing downstream of the aggregate touches the
+    fact table."""
+    o = table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-12-01").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("mdec"),
+    )
+    r_score = (
+        F.when(F.col("recency_days") <= 180, 3)
+        .when(F.col("recency_days") <= 540, 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("frequency") >= 15, 3)
+        .when(F.col("frequency") >= 8, 2)
+        .otherwise(1)
+    )
+    m_score = (
+        F.when(F.col("mdec") >= 2000000, 3)
+        .when(F.col("mdec") >= 1000000, 2)
+        .otherwise(1)
+    )
+    return base.select(
+        "o_custkey",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        dec2dbl(F.col("mdec")).alias("monetary"),
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+        (r_score * 100 + f_score * 10 + m_score).alias("rfm_code"),
     )

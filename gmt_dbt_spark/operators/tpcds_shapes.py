@@ -347,3 +347,42 @@ def tpcds_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY year(o_orderdate)
         """
     )
+
+
+@query(
+    "tpcds_time_band_matrix",
+    oracle="""
+SELECT
+  COUNT(CASE WHEN h BETWEEN 8  AND 9  THEN 1 END) AS h8_10,
+  COUNT(CASE WHEN h BETWEEN 10 AND 11 THEN 1 END) AS h10_12,
+  COUNT(CASE WHEN h BETWEEN 12 AND 13 THEN 1 END) AS h12_14,
+  COUNT(CASE WHEN h BETWEEN 14 AND 15 THEN 1 END) AS h14_16,
+  COUNT(CASE WHEN h BETWEEN 16 AND 17 THEN 1 END) AS h16_18,
+  COUNT(CASE WHEN h BETWEEN 18 AND 19 THEN 1 END) AS h18_20,
+  COUNT(CASE WHEN h BETWEEN 20 AND 21 THEN 1 END) AS h20_22,
+  COUNT(CASE WHEN h BETWEEN 22 AND 23 THEN 1 END) AS h22_24
+FROM (SELECT hour(ts) AS h FROM events WHERE event_type = 'click')
+""",
+)
+def tpcds_time_band_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 shape — and its rewrite lesson: the spec text is
+    EIGHT scalar subqueries (one per time band) cross-joined into a
+    single row, which a naive engine executes as eight scans of the
+    fact table. The right plan is ONE scan with conditional
+    aggregation (COUNT(CASE WHEN band)), which is what both this
+    query and Catalyst's plan for it produce: one pushed-filter scan,
+    one partial+final aggregate, zero joins — plan-guarded in
+    tests/test_plans.py. At 100 TB that's an 8× scan reduction
+    before any other optimization."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    h = F.hour("ts")
+    bands = [(8, 9), (10, 11), (12, 13), (14, 15), (16, 17), (18, 19),
+             (20, 21), (22, 23)]
+    return ev.select(h.alias("h")).agg(
+        *[
+            F.count(F.when(F.col("h").between(lo, hi), 1)).alias(
+                f"h{lo}_{hi + 1}"
+            )
+            for lo, hi in bands
+        ]
+    )

@@ -288,3 +288,56 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.ntile(10).over(w).alias("balance_decile"),
     )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+WITH f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(SUM(first_seen) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_types_so_far
+FROM f
+""",
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — which no engine
+    supports directly — via the first-occurrence-flag trick: mark
+    each (user, event_type)'s first row (row_number = 1), then a
+    plain running SUM of the flags. Per user, 'how many distinct
+    event types had this user produced as of each event' — the
+    feature-store cumulative-cardinality column.
+
+    Scale: two window passes (the naive alternative — collect_set
+    over an unbounded frame — materializes a PER-ROW set whose size
+    grows with history: O(rows × distinct) memory and a guaranteed
+    executor OOM on power users). Both windows order by (ts,
+    event_id) — total, so the running counts are reproducible; the
+    flag sum is exact integers."""
+    e = table(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w1) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return f.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w2).cast("bigint").alias("n_types_so_far"),
+    )

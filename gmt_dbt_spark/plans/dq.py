@@ -103,3 +103,83 @@ def dq_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((F.col("n") * 2 <= prev) | (F.col("n") >= prev * 2))
         ).alias("drift_alert"),
     )
+
+
+@query(
+    "dq_outlier_iqr",
+    oracle="""
+WITH fences AS (
+  SELECT o_orderpriority,
+         quantile_disc(o_totalprice, 0.25) AS q1,
+         quantile_disc(o_totalprice, 0.75) AS q3,
+         COUNT(*) AS n
+  FROM orders GROUP BY o_orderpriority
+),
+flagged AS (
+  SELECT f.o_orderpriority, f.q1, f.q3, f.n,
+         CASE WHEN o.o_totalprice < f.q1 - 1.5 * (f.q3 - f.q1)
+                OR o.o_totalprice > f.q3 + 1.5 * (f.q3 - f.q1)
+              THEN 1 ELSE 0 END AS is_out
+  FROM orders o JOIN fences f ON o.o_orderpriority = f.o_orderpriority
+)
+SELECT o_orderpriority, q1, q3,
+       CAST(n AS BIGINT) AS n,
+       CAST(SUM(is_out) AS BIGINT) AS n_outliers,
+       (SUM(is_out) * 100 <= n * 2) AS outlier_pct_ok
+FROM flagged
+GROUP BY o_orderpriority, q1, q3, n
+""",
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR-fence outlier data test (the Tukey boxplot rule as a dbt
+    test): per order-priority, values beyond [q1 − 1.5·IQR,
+    q3 + 1.5·IQR] are outliers, and the test passes while they stay
+    ≤ 2% of the group. Quartiles are DISCRETE (actual data elements
+    — percentile_disc picks identically on both engines, no
+    interpolation arithmetic), the fences are one multiply and one
+    add of identical doubles (deterministic IEEE), and the pass
+    verdict is an integer cross-multiplication.
+
+    Scale: the fences table is |groups| rows — it broadcasts back
+    onto the fact scan, so the flag pass is scan-side; total cost is
+    two aggregates over one co-partitioned key. The percentile
+    aggregate itself sorts per group — for a 100 TB group switch
+    q1/q3 to approx_percentile (same fences to sketch error) and
+    keep the identical flag pass."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    fences = spark.sql(
+        """
+        SELECT o_orderpriority,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS q1,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS q3,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+    lo = F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    flagged = o.join(F.broadcast(fences), "o_orderpriority").select(
+        "o_orderpriority",
+        "q1",
+        "q3",
+        "n",
+        F.when((F.col("o_totalprice") < lo) | (F.col("o_totalprice") > hi), 1)
+        .otherwise(0)
+        .alias("is_out"),
+    )
+    return (
+        flagged.groupBy("o_orderpriority", "q1", "q3", "n")
+        .agg(
+            F.sum("is_out").cast("bigint").alias("n_outliers"),
+            (F.sum("is_out") * 100 <= F.col("n") * 2).alias("outlier_pct_ok"),
+        )
+        .select(
+            "o_orderpriority",
+            "q1",
+            "q3",
+            F.col("n").cast("bigint").alias("n"),
+            "n_outliers",
+            "outlier_pct_ok",
+        )
+    )

@@ -571,3 +571,15 @@ def test_text_char_stats_scan_side(spark):
     plan = plan_of(all_queries()["text_char_stats"](spark, SF_DIR))
     assert "Exchange" not in tree_of(plan)
     assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan)
+
+
+def test_time_band_matrix_single_scan(spark):
+    """Q88's rewrite contract: 8 band counts must come from ONE
+    pushed-filter scan and one partial/final aggregate pair — no
+    joins, no repeated scans (the spec's 8 scalar subqueries)."""
+    plan = plan_of(all_queries()["tpcds_time_band_matrix"](spark, SF_DIR))
+    tree = tree_of(plan)
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("HashAggregate") == 2
+    assert "Join" not in tree
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan
