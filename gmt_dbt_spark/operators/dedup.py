@@ -562,6 +562,9 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_rows(docs, "doc_id", "text", n=8)
         .select(F.col("__id").alias("doc_id"), F.md5("__sh").alias("fp"))
         .distinct()
+        # no checkpoint needed: both consumers sit on the distinct's
+        # exchange, which ReuseExchange shares — the tokenize+md5
+        # build runs once (measured: checkpoint adds nothing)
     )
     dup = (
         g.groupBy("fp")
