@@ -442,3 +442,49 @@ def fn_array_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.array_except("lines", lit123)).alias("d"),
         F.arrays_overlap("lines", lit567).alias("has_high"),
     )
+
+
+@query(
+    "fn_csv_expr",
+    oracle="""
+WITH c AS (
+  SELECT o_orderkey,
+         CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus || ','
+           || o_orderpriority AS csv_line
+  FROM orders WHERE o_orderkey < 200
+)
+SELECT o_orderkey, csv_line,
+       CAST(string_split(csv_line, ',')[1] AS BIGINT) AS parsed_key,
+       string_split(csv_line, ',')[3] AS parsed_priority,
+       (CAST(string_split(csv_line, ',')[1] AS BIGINT) = o_orderkey)
+         AS roundtrip_ok
+FROM c
+""",
+)
+def fn_csv_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV as an EXPRESSION (`to_csv` / `from_csv`): serialize a
+    struct to a CSV line and parse it back with a declared schema —
+    schema-on-read inside a single projection, no file round-trip.
+    This is how embedded CSV payloads (log lines, legacy message
+    fields) are handled at scale: both directions are codegen
+    expressions on the scan, zero shuffles, no Python. Columns stay
+    int/string so serialization is format-stable across engines
+    (doubles would pin printf behavior instead of the operator);
+    the oracle rebuilds and re-splits the same lines."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    c = o.select(
+        "o_orderkey",
+        F.to_csv(
+            F.struct("o_orderkey", "o_orderstatus", "o_orderpriority")
+        ).alias("csv_line"),
+    )
+    parsed = F.from_csv(
+        "csv_line", "k bigint, s string, p string"
+    )
+    return c.select(
+        "o_orderkey",
+        "csv_line",
+        parsed.getField("k").alias("parsed_key"),
+        parsed.getField("p").alias("parsed_priority"),
+        (parsed.getField("k") == F.col("o_orderkey")).alias("roundtrip_ok"),
+    )

@@ -564,3 +564,61 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.select(
         "click_id", "user_id", nearest.alias("nearest_purchase_id")
     )
+
+
+@query(
+    "join_fuzzy_block",
+    oracle="""
+WITH p AS (
+  SELECT p_partkey, p_name FROM part WHERE p_partkey < 300
+),
+k AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk FROM p
+)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS lev
+FROM k a JOIN k b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+""",
+)
+def join_fuzzy_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join with BLOCKING — the
+    record-linkage primitive (Fellegi-Sunter style): candidate pairs
+    come from an EQUI self-join on a cheap blocking key (first name
+    token), and only candidates pay the edit-distance verify
+    (levenshtein 1–3; 0 = exact dup, handled by dedup_exact).
+
+    The blocking key is the whole point at scale: a naive fuzzy join
+    is O(n²) levenshtein calls; blocked, the join is an ordinary
+    hash-partitioned equi-join whose verify cost is Σ_blocks |b|² —
+    governed by the largest block, which you control by key choice
+    (first-token here; production uses multiple passes with
+    different keys ∪'d, each still an equi-join). Run on the bounded
+    id-slice as an audit (the house all-pairs-on-a-slice shape);
+    the id tiebreak keeps pairs canonical."""
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.split("p_name", " ").getItem(0).alias("blk"),
+        )
+    )
+    a = p.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"),
+        F.col("blk").alias("blk_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"),
+        F.col("blk").alias("blk_b"),
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, (F.col("blk_a") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(lev.between(1, 3))
+        .select(
+            "id_a", "id_b", "name_a", "name_b", lev.cast("int").alias("lev")
+        )
+    )

@@ -760,3 +760,37 @@ def sql_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o.o_totalprice > 200000.0)
         """
     )
+
+
+@query(
+    "sql_exists_projection",
+    oracle="""
+SELECT c_custkey,
+       EXISTS(SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT') AS has_urgent
+FROM customer c
+""",
+)
+def sql_exists_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS in the PROJECTION (not WHERE) — the
+    existence FLAG column every enrichment mart wants ("has this
+    customer ever placed an urgent order") without dropping the
+    non-matching rows a semi-join would. Catalyst plans it as an
+    ExistenceJoin — one left-outer-shaped hash join emitting a
+    boolean, not a per-row subquery re-scan; the urgent filter is
+    pushed into the orders scan, so the build side is the urgent
+    slice only. Same single-shuffle cost as the WHERE-clause EXISTS
+    (sql_exists_correlated), different — and strictly more general —
+    output contract."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               EXISTS(SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT') AS has_urgent
+        FROM customer c
+        """
+    )
