@@ -390,3 +390,111 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("source", "doc_id", "n_chars")
     )
+
+
+@query(
+    "pipeline_multimodal_curation",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, text,
+         800 + (doc_id % 5) * 160 AS nsamp,
+         8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h
+  FROM documents WHERE doc_id < 200
+),
+audio AS (
+  SELECT d.doc_id, MAX(ABS(((d.doc_id * 31 + u.i * 17) % 2003) - 1001))
+           AS peak_abs
+  FROM d, LATERAL (SELECT unnest(range(d.nsamp)) AS i) u
+  GROUP BY d.doc_id
+),
+img AS (
+  SELECT d.doc_id,
+         SUM(ABS(((d.doc_id + 7*(x.i+1) + 13*y.i + 29*c.i) % 256)
+               - ((d.doc_id + 7*x.i + 13*y.i + 29*c.i) % 256))) AS grad_h
+  FROM d,
+       LATERAL (SELECT unnest(range(d.w - 1)) AS i) x,
+       LATERAL (SELECT unnest(range(d.h)) AS i) y,
+       LATERAL (SELECT unnest(range(3)) AS i) c
+  GROUP BY d.doc_id
+),
+txt AS (
+  SELECT doc_id,
+         CASE WHEN length(text) > 0
+              THEN (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100)
+                   // length(text)
+              ELSE 0 END AS alpha_pct
+  FROM d
+),
+flags AS (
+  SELECT d.source,
+         CASE WHEN audio.peak_abs >= 1000 AND img.grad_h >= 2400
+                   AND txt.alpha_pct >= 82 THEN 1 ELSE 0 END AS keep,
+         img.grad_h
+  FROM d JOIN audio USING (doc_id) JOIN img USING (doc_id)
+         JOIN txt USING (doc_id)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(keep) AS BIGINT) AS n_keep,
+       CAST(SUM(CASE WHEN keep = 1 THEN grad_h ELSE 0 END) AS BIGINT)
+         AS kept_grad_total
+FROM flags GROUP BY source
+""",
+)
+def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTIMODAL curation composite: one plan joining per-blob
+    audio decode stats (real WAV parse), image gradient energy (real
+    BMP parse), and text alphabetic density, gating each document on
+    all three modalities (has-signal ∧ not-flat-image ∧ prose-like)
+    and rolling kept counts up per source corpus. This is the
+    text+image+audio triage shape a pretraining pipeline runs before
+    expensive encoders — and it proves the modality operators
+    COMPOSE: all three feature paths and the rollup hash-match a
+    single independent SQL recomputation.
+
+    Scale: the two codec passes are per-partition mapInPandas
+    (payloads stay executor-side); the three joins are on doc_id —
+    co-partitioned, dim-sized at audit scope, ordinary shuffled joins
+    at corpus scope; the rollup is a low-cardinality groupBy. Gate
+    thresholds are integers picked at the fixture's quartiles
+    (grad ≥ 2400 ≈ Q25, alpha ≥ 82 ≈ median) so the gate actually
+    discriminates."""
+    from gmt_dbt_spark.operators.multimodal import (
+        multimodal_audio_features,
+        multimodal_image_gradient,
+    )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "source", "text")
+    )
+    audio = multimodal_audio_features(spark, sf_dir).select("doc_id", "peak_abs")
+    img = multimodal_image_gradient(spark, sf_dir).select("doc_id", "grad_h")
+    txt = d.select(
+        "doc_id",
+        F.when(
+            F.length("text") > 0,
+            F.expr("(length(regexp_replace(text, '[^A-Za-z]', '')) * 100) "
+                   "div length(text)"),
+        )
+        .otherwise(F.lit(0))
+        .alias("alpha_pct"),
+    )
+    keep = F.when(
+        (F.col("peak_abs") >= 1000)
+        & (F.col("grad_h") >= 2400)
+        & (F.col("alpha_pct") >= 82),
+        1,
+    ).otherwise(0)
+    flags = (
+        d.join(audio, "doc_id").join(img, "doc_id").join(txt, "doc_id")
+        .select("source", keep.alias("keep"), "grad_h")
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").cast("bigint").alias("n_keep"),
+        F.sum(F.when(F.col("keep") == 1, F.col("grad_h")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_grad_total"),
+    )
