@@ -713,3 +713,97 @@ def model_dir_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(os.path.join(SCRATCH, f"model_dir_{os.getpid()}"), ignore_errors=True)
+
+
+@query(
+    "model_unit_test",
+    oracle="""
+WITH mock AS (
+  SELECT * FROM (VALUES
+    ('O', 101.0), ('O', 202.0), ('F', 50.0),
+    ('F', 150.0), ('F', 100.0), ('P', 999.0)
+  ) t(o_orderstatus, o_totalprice)
+),
+actual AS (
+  SELECT o_orderstatus, COUNT(*) AS n_orders,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR)
+              AS DOUBLE) AS total
+  FROM mock GROUP BY o_orderstatus
+),
+expected AS (
+  SELECT * FROM (VALUES
+    ('O', CAST(2 AS BIGINT), CAST(303.0 AS DOUBLE)),
+    ('F', CAST(3 AS BIGINT), CAST(300.0 AS DOUBLE)),
+    ('P', CAST(1 AS BIGINT), CAST(999.0 AS DOUBLE))
+  ) t(o_orderstatus, n_orders, total)
+)
+SELECT COALESCE(a.o_orderstatus, e.o_orderstatus) AS o_orderstatus,
+       a.n_orders AS actual_n, e.n_orders AS expected_n,
+       a.total AS actual_total, e.total AS expected_total,
+       (a.n_orders IS NOT DISTINCT FROM e.n_orders
+        AND a.total IS NOT DISTINCT FROM e.total) AS row_ok
+FROM actual a FULL OUTER JOIN expected e
+  ON a.o_orderstatus = e.o_orderstatus
+""",
+)
+def model_unit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt UNIT TEST (dbt 1.8 `unit_tests:`): run a model against
+    hand-written MOCK input rows and diff the result against
+    hand-computed expected rows — logic testing decoupled from
+    warehouse data, the missing rung below the dq_* data tests. The
+    model compiles through the SAME Jinja shim + ModelProject path
+    production uses (config/source resolution, view
+    materialization); only the source mapping is swapped to the mock
+    relation — exactly dbt's given/expect mechanics.
+
+    The verdict is a FULL OUTER diff on the group key with
+    null-safe comparisons, so missing rows, extra rows, and value
+    drift all surface as row_ok=false (and the driver's hash pins
+    the whole diff table). Unit tests run on mock-sized inputs by
+    construction — scale-free."""
+    mock = spark.createDataFrame(
+        [("O", 101.0), ("O", 202.0), ("F", 50.0),
+         ("F", 150.0), ("F", 100.0), ("P", 999.0)],
+        "o_orderstatus string, o_totalprice double",
+    )
+    mock.createOrReplaceTempView("unit_mock_orders")
+    project = ModelProject(
+        spark,
+        [
+            Model(
+                "status_rollup_under_test",
+                """
+                {{ config(materialized='view') }}
+                SELECT o_orderstatus, COUNT(*) AS n_orders,
+                       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                            AS STRING) AS DOUBLE) AS total
+                FROM {{ source('stg', 'orders') }}
+                GROUP BY o_orderstatus
+                """,
+            )
+        ],
+        {("stg", "orders"): "unit_mock_orders"},
+        warehouse_dir=os.path.join(SCRATCH, f"unit_test_wh_{os.getpid()}"),
+    )
+    actual = project.run()["status_rollup_under_test"]
+    expected = spark.createDataFrame(
+        [("O", 2, 303.0), ("F", 3, 300.0), ("P", 1, 999.0)],
+        "o_orderstatus string, n_orders bigint, total double",
+    )
+    a = actual.alias("a")
+    e = expected.alias("e")
+    return a.join(
+        e, F.col("a.o_orderstatus") == F.col("e.o_orderstatus"), "full_outer"
+    ).select(
+        F.coalesce(F.col("a.o_orderstatus"), F.col("e.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.col("a.n_orders").alias("actual_n"),
+        F.col("e.n_orders").alias("expected_n"),
+        F.col("a.total").alias("actual_total"),
+        F.col("e.total").alias("expected_total"),
+        (
+            F.col("a.n_orders").eqNullSafe(F.col("e.n_orders"))
+            & F.col("a.total").eqNullSafe(F.col("e.total"))
+        ).alias("row_ok"),
+    )
