@@ -183,3 +183,38 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outlier_pct_ok",
         )
     )
+
+
+@query(
+    "dq_schema_contract",
+    oracle="""
+SELECT * FROM (VALUES
+  ('o_orderkey',      'bigint'),
+  ('o_custkey',       'bigint'),
+  ('o_orderstatus',   'string'),
+  ('o_totalprice',    'double'),
+  ('o_orderdate',     'timestamp'),
+  ('o_orderpriority', 'string')
+) t(column_name, data_type)
+""",
+)
+def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift data test: the table's LIVE schema, read from the
+    engine's own catalog metadata (zero data scanned), hash-compared
+    against the contract — which IS the oracle's VALUES list. A
+    column added, dropped, renamed, or retyped upstream changes the
+    emitted rows and fails the driver's hash; unlike model_contract
+    (which gates a model's OUTPUT at write time) this guards an
+    INPUT source the pipeline doesn't own — the first thing to check
+    when a 100 TB load starts producing nulls. Metadata-only: cost
+    is independent of table size."""
+    df = table(spark, sf_dir, "orders")
+    # tz-flavor normalized (timestamp_ntz -> timestamp): the driver's
+    # parquet generations have shipped both TIMESTAMP(NANOS) and
+    # timestamp_ntz for the same logical column (see catalog.table);
+    # the contract pins the logical type, not the physical flavor
+    rows = [
+        (f.name, f.dataType.simpleString().replace("timestamp_ntz", "timestamp"))
+        for f in df.schema.fields
+    ]
+    return spark.createDataFrame(rows, "column_name string, data_type string")

@@ -583,3 +583,31 @@ def test_time_band_matrix_single_scan(spark):
     assert tree.count("HashAggregate") == 2
     assert "Join" not in tree
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan
+
+
+def test_exists_projection_plans_existence_join(spark):
+    """EXISTS in the SELECT list must plan as an ExistenceJoin (one
+    hash join emitting the boolean), never a per-row subquery or a
+    nested loop; the urgent filter sits under the build side."""
+    tree = tree_of(plan_of(all_queries()["sql_exists_projection"](spark, SF_DIR)))
+    assert "ExistenceJoin" in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_fuzzy_block_is_equi_join(spark):
+    """The blocked fuzzy join's whole point: candidates come from an
+    EQUI join on the blocking key — a levenshtein theta-join would
+    plan a nested-loop cross product."""
+    tree = tree_of(plan_of(all_queries()["join_fuzzy_block"](spark, SF_DIR)))
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "HashJoin" in tree
+
+
+def test_mart_rfm_single_shuffle(spark):
+    """RFM is one custkey aggregate + scan-side banding: exactly one
+    exchange, no joins, no windows."""
+    tree = tree_of(plan_of(all_queries()["mart_rfm"](spark, SF_DIR)))
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+    assert "Join" not in tree
+    assert "Window" not in tree
