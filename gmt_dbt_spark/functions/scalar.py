@@ -488,3 +488,32 @@ def fn_csv_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("p").alias("parsed_priority"),
         (parsed.getField("k") == F.col("o_orderkey")).alias("roundtrip_ok"),
     )
+
+
+@query(
+    "fn_mask",
+    oracle="""
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(c_name,
+           '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+         AS masked_default,
+       regexp_replace(c_name, '[0-9]', '*', 'g') AS masked_digits_only
+FROM customer
+""",
+)
+def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in data masking (`mask()`, Spark 3.4+): uppercase → X,
+    lowercase → x, digits → n in one codegen expression — the
+    display-layer PII redaction that keeps string SHAPE (length,
+    word boundaries, digit positions) for debugging while destroying
+    content; the second variant masks digits only (account-number
+    style). Complements text_pii_scrub (regex pattern scrubbing of
+    emails/SSNs): mask is shape-preserving and type-blind, scrub is
+    pattern-targeted. Zero shuffles, scan-side; the oracle mirrors
+    with character-class regex chains."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("mask(c_name)").alias("masked_default"),
+        F.expr("mask(c_name, NULL, NULL, '*', NULL)").alias("masked_digits_only"),
+    )
