@@ -199,22 +199,36 @@ SELECT * FROM (VALUES
 """,
 )
 def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-drift data test: the table's LIVE schema, read from the
-    engine's own catalog metadata (zero data scanned), hash-compared
-    against the contract — which IS the oracle's VALUES list. A
-    column added, dropped, renamed, or retyped upstream changes the
-    emitted rows and fails the driver's hash; unlike model_contract
-    (which gates a model's OUTPUT at write time) this guards an
-    INPUT source the pipeline doesn't own — the first thing to check
-    when a 100 TB load starts producing nulls. Metadata-only: cost
-    is independent of table size."""
-    df = table(spark, sf_dir, "orders")
-    # tz-flavor normalized (timestamp_ntz -> timestamp): the driver's
-    # parquet generations have shipped both TIMESTAMP(NANOS) and
-    # timestamp_ntz for the same logical column (see catalog.table);
-    # the contract pins the logical type, not the physical flavor
-    rows = [
-        (f.name, f.dataType.simpleString().replace("timestamp_ntz", "timestamp"))
-        for f in df.schema.fields
-    ]
+    """Schema-drift data test: the source files' LIVE schema, read
+    from the parquet FOOTER metadata (zero data scanned),
+    hash-compared against the contract — which IS the oracle's
+    VALUES list. A column added, dropped, renamed, or retyped
+    upstream changes the emitted rows and fails the driver's hash;
+    unlike model_contract (which gates a model's OUTPUT at write
+    time) this guards an INPUT source the pipeline doesn't own — the
+    first thing to check when a 100 TB load starts producing nulls.
+    Metadata-only: cost is independent of table size.
+
+    Footer logical types are normalized to ENGINE-LOGICAL names
+    before comparing: the driver's parquet generations have shipped
+    the same logical column as TIMESTAMP(NANOS), timestamp[us], and
+    timestamp_ntz (see catalog.table) — reading the footer directly
+    (not the session's post-nanosAsLong view, where a nanos column
+    surfaces as bigint) keeps the contract pinned to the logical
+    type under every physical flavor."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(os.path.join(sf_dir, "orders.parquet"))
+
+    def norm(t) -> str:
+        s = str(t)
+        if s.startswith("timestamp"):
+            return "timestamp"
+        return {"int64": "bigint", "int32": "int", "float": "float",
+                "large_string": "string", "string": "string",
+                "double": "double"}.get(s, s)
+
+    rows = [(name, norm(sch.field(name).type)) for name in sch.names]
     return spark.createDataFrame(rows, "column_name string, data_type string")
