@@ -393,3 +393,54 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"seg_col": "c_mktsegment", "tbl": "customer"},
     )
+
+
+@query(
+    "sql_scripting",
+    oracle="""
+WITH steps AS (SELECT unnest(range(1, 41)) * 50000 AS t),
+counts AS (
+  SELECT s.t, COUNT(CASE WHEN o.o_totalprice <= s.t THEN 1 END) AS n
+  FROM steps s CROSS JOIN orders o GROUP BY s.t
+),
+tot AS (SELECT COUNT(*) AS total FROM orders)
+SELECT CAST(t AS BIGINT) AS threshold,
+       CAST(n AS BIGINT) AS n_below,
+       CAST(total AS BIGINT) AS n_total
+FROM counts, tot
+WHERE n * 10 >= total * 9
+ORDER BY t LIMIT 1
+""",
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4.0, SQL/PSM): BEGIN…END block with
+    DECLARE'd variables and a WHILE loop stepping a price threshold
+    until it covers ≥ 90% of orders — procedural control flow in
+    pure SQL, the stored-procedure-style surface dbt macros can't
+    express (loops with data-dependent exit conditions).
+
+    Execution model — the scale point: the SCRIPT runs on the
+    driver; every statement inside it is a full distributed query.
+    Scripting orchestrates, it never computes — the loop body's
+    COUNT is a pushed-filter scan each round, and the round count is
+    bounded by the VALUE RANGE (≤ 40 steps of 50 k), not the table
+    size. The oracle replays the search declaratively (step spine ⋈
+    orders, first qualifying step) — procedural and set-based
+    spellings provably agree."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE t BIGINT DEFAULT 0;
+          DECLARE n BIGINT DEFAULT 0;
+          DECLARE total BIGINT DEFAULT 0;
+          SET total = (SELECT COUNT(*) FROM orders);
+          WHILE n * 10 < total * 9 DO
+            SET t = t + 50000;
+            SET n = (SELECT COUNT(*) FROM orders WHERE o_totalprice <= t);
+          END WHILE;
+          SELECT t AS threshold, n AS n_below, total AS n_total;
+        END
+        """
+    )
