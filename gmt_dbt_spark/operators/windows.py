@@ -341,3 +341,43 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("first_seen").over(w2).cast("bigint").alias("n_types_so_far"),
     )
+
+
+@query(
+    "win_median_sliding",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(CAST(quantile_cont(value, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         AS DECIMAL(25,6)) AS VARCHAR) AS med10_s
+FROM events
+""",
+)
+def win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding MEDIAN per user (last-10-event window) — the robust
+    smoother a metrics pipeline uses where a rolling mean would chase
+    outliers; any aggregate (here exact `percentile`) runs over a
+    window frame. Compared as 6-dp decimal strings (the
+    agg_percentile route) so interpolation last-ulp drift can't flip
+    the hash.
+
+    Scale: one user-keyed window shuffle; the ROWS-bounded frame
+    keeps per-row state at 10 values. An UNBOUNDED median frame
+    would buffer whole partitions — for cumulative medians use
+    approx_percentile partials instead."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.expr("percentile(value, 0.5)")
+        .over(w)
+        .cast("decimal(25,6)")
+        .cast("string")
+        .alias("med10_s"),
+    )
