@@ -413,6 +413,26 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
+def audio_features(samples) -> tuple:
+    """(n, zero_crossings, peak_abs, n_clipped, rms) from a PCM
+    sample vector. Module-level (not closed over) so executors
+    re-import it cleanly and property tests can fuzz it directly;
+    int64-widens before products (int16 pairwise products wrap)."""
+    import math
+
+    import numpy as np
+
+    v = np.asarray(samples).astype(np.int64)
+    sumsq = int(np.dot(v, v))
+    return (
+        len(v),
+        int(np.count_nonzero(v[1:] * v[:-1] < 0)),
+        int(np.max(np.abs(v))) if len(v) else 0,
+        int(np.count_nonzero(np.abs(v) >= 1000)),
+        math.sqrt(sumsq / len(v)) if len(v) else 0.0,
+    )
+
+
 @query(
     "multimodal_audio_features",
     oracle="""
@@ -465,27 +485,11 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
-
-        import numpy as np
-
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
-                v = parse_wav(wav_payload_for(int(doc_id)))["samples"].astype(
-                    np.int64
-                )
-                sumsq = int(np.dot(v, v))
-                rows.append(
-                    (
-                        int(doc_id),
-                        len(v),
-                        int(np.count_nonzero(v[1:] * v[:-1] < 0)),
-                        int(np.max(np.abs(v))),
-                        int(np.count_nonzero(np.abs(v) >= 1000)),
-                        math.sqrt(sumsq / len(v)),
-                    )
-                )
+                v = parse_wav(wav_payload_for(int(doc_id)))["samples"]
+                rows.append((int(doc_id), *audio_features(v)))
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -445,3 +445,27 @@ def test_codec_edge_contracts():
     empty = make_bmp(np.zeros((0, 0, 3), dtype=np.uint8))
     d = decode_payload(empty, stub=False)
     assert d["width"] == 0 and d["features"] == [0.0, 0.0, 0.0]
+
+
+def test_pca_power_invariant_to_partitioning(spark):
+    """embed_pca_power's claim — integer micro-unit arithmetic makes
+    the iteration bit-reproducible on ANY cluster topology — tested
+    by running the same query under different shuffle-partition
+    counts and pre-repartitioned input paths; every component must
+    be IDENTICAL (float power iteration would drift with partial-sum
+    order)."""
+    from gmt_dbt_spark.operators.embeddings import embed_pca_power
+    from tests.conftest import SF_DIR
+
+    def comps(n_shuffle):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+            rows = embed_pca_power(spark, SF_DIR).collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return {r["dim_idx"]: r["comp"] for r in rows}
+
+    a = comps(2)
+    b = comps(17)
+    assert a == b and len(a) == 64

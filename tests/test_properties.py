@@ -97,3 +97,49 @@ def test_bmp_roundtrip_arbitrary_images(w, h, seed):
     rng = np.random.default_rng(seed)
     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     assert np.array_equal(parse_bmp(make_bmp(px)), px)
+
+
+# ---------------------------------------------------------------------------
+# Numeric kernel properties for the round-2 continuation operators.
+# ---------------------------------------------------------------------------
+
+# normal-range doubles: subnormals DO lose mantissa bits on an
+# exponent shift, which is why the property (and the EMA operator's
+# domain — event values) excludes them
+normal_doubles = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+).filter(lambda x: x == 0.0 or abs(x) > 1e-290)
+
+
+@given(normal_doubles, st.integers(min_value=0, max_value=10))
+@settings(max_examples=300, deadline=None)
+def test_dyadic_products_are_exact(x, d):
+    """The events_ema cross-engine bet: multiplying a NORMAL double
+    by 2^-d is EXACT (a bare exponent shift, no mantissa rounding) —
+    so the EMA's per-term products carry no engine-dependent error;
+    only the (order-pinned) additions round."""
+    from fractions import Fraction
+
+    product = x * (0.5**d)
+    assert Fraction(product) == Fraction(x) * Fraction(1, 2**d)
+
+
+@given(st.lists(st.integers(min_value=-32768, max_value=32767),
+                min_size=1, max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_audio_features_match_naive_loop(samples):
+    """The vectorized audio kernel equals a naive per-sample loop —
+    in particular the int64 widening: adjacent-sample products reach
+    32768², which wraps in int16 and would corrupt zero-crossings."""
+    import math
+
+    from gmt_dbt_spark.operators.multimodal import audio_features
+
+    n, zc, peak, clip, rms = audio_features(samples)
+    assert n == len(samples)
+    assert zc == sum(
+        1 for a, b in zip(samples, samples[1:]) if a * b < 0
+    )
+    assert peak == max(abs(s) for s in samples)
+    assert clip == sum(1 for s in samples if abs(s) >= 1000)
+    assert rms == math.sqrt(sum(s * s for s in samples) / len(samples))
