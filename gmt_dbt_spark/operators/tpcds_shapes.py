@@ -305,9 +305,16 @@ def tpcds_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS Q23 shape: 1997 sales restricted to FREQUENT items
     (parts appearing ≥8 times across 1995–96) bought by BEST
     customers (lifetime spend above half the max customer's). Both
-    cohorts are aggregates-turned-semi-joins; the spend threshold is
-    a scalar subquery over the same `spend` aggregate, so Catalyst
-    reuses the exchange instead of scanning orders twice.
+    cohorts are aggregates-turned-semi-joins; the per-customer
+    `spend` aggregate is materialized ONCE (localCheckpoint — the
+    dedup_fuzzy signature pattern) and read by both its consumers:
+    the half-of-max threshold row and the best-customer filter.
+    Verified the alternatives both re-scan orders: the SQL
+    scalar-subquery spelling plans an independent aggregate, and a
+    shared DataFrame does NOT hit ReuseExchange (the self-reference
+    gets fresh expression ids and never canonicalizes equal). The
+    checkpoint holds |customers| rows of (key, decimal) — the
+    aggregate's output, not the fact table.
 
     Scale shape: each cohort reduces to a narrow key set BEFORE
     touching the 1997 fact slice — the fact scan is filtered by year
@@ -316,36 +323,38 @@ def tpcds_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-of-max threshold compares exact decimals (no float drift).
     Ref: dbt-mart cohort models (dbt_project.yml:11) grow into
     exactly this multi-CTE cohort-intersection shape."""
-    for t in ("orders", "lineitem"):
-        table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(
-        """
-        WITH freq_parts AS (
-          SELECT l_partkey
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          WHERE year(o_orderdate) IN (1995, 1996)
-          GROUP BY l_partkey
-          HAVING COUNT(*) >= 8
-        ),
-        spend AS (
-          SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS s
-          FROM orders GROUP BY o_custkey
-        ),
-        best_cust AS (
-          SELECT o_custkey FROM spend
-          WHERE s > (SELECT MAX(s) * 0.5 FROM spend)
-        )
-        SELECT year(o_orderdate) AS yr,
-               COUNT(*) AS n_lines,
-               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS STRING)
-                    AS DOUBLE) AS revenue
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        WHERE year(o_orderdate) = 1997
-          AND l_partkey IN (SELECT l_partkey FROM freq_parts)
-          AND o_custkey IN (SELECT o_custkey FROM best_cust)
-        GROUP BY year(o_orderdate)
-        """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    freq_parts = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 8)
+        .select("l_partkey")
+    )
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    # SQL-literal 0.5 is DECIMAL(1,1) — the multiply stays exact
+    # decimal, matching the oracle's MAX(s) * 0.5 bit-for-bit
+    thr = spend.agg(F.expr("max(s) * 0.5").alias("thr"))
+    best_cust = (
+        spend.crossJoin(F.broadcast(thr))
+        .filter(F.col("s") > F.col("thr"))
+        .select("o_custkey")
+    )
+    fact = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.year("o_orderdate") == 1997)
+        .join(freq_parts, "l_partkey", "left_semi")
+        .join(best_cust, "o_custkey", "left_semi")
+    )
+    return fact.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dec2dbl(F.sum(F.col("l_extendedprice").cast(DEC))).alias("revenue"),
     )
 
 
