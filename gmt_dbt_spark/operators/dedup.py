@@ -562,9 +562,11 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_rows(docs, "doc_id", "text", n=8)
         .select(F.col("__id").alias("doc_id"), F.md5("__sh").alias("fp"))
         .distinct()
-        # no checkpoint needed: both consumers sit on the distinct's
-        # exchange, which ReuseExchange shares — the tokenize+md5
-        # build runs once (measured: checkpoint adds nothing)
+        # no checkpoint needed: both consumers sit on the SAME
+        # DataFrame's distinct exchange, which AQE's runtime stage
+        # reuse serves once (same-object subtrees canonicalize equal
+        # — unlike the frequent-buyers self-reference case); measured
+        # at sf0.1: an explicit checkpoint adds nothing
     )
     dup = (
         g.groupBy("fp")
