@@ -622,3 +622,69 @@ def join_fuzzy_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", "name_a", "name_b", lev.cast("int").alias("lev")
         )
     )
+
+
+@query(
+    "join_scd2_pit",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment AS segment, 1 AS version,
+         TIMESTAMP '1990-01-01' AS valid_from,
+         TIMESTAMP '1996-01-01' AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'UPGRADED-' || c_mktsegment AS segment, 2 AS version,
+         TIMESTAMP '1996-01-01' AS valid_from,
+         TIMESTAMP '9999-12-31' AS valid_to
+  FROM customer
+)
+SELECT o_orderkey, o_custkey, d.version, d.segment
+FROM orders o
+JOIN dim d ON o.o_custkey = d.c_custkey
+          AND o.o_orderdate >= d.valid_from
+          AND o.o_orderdate <  d.valid_to
+""",
+)
+def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against an SCD2 dimension: each order picks
+    the dimension VERSION that was valid at its order date
+    (`valid_from <= ts < valid_to`) — the join every star schema
+    with slowly-changing dimensions runs on every fact load
+    (model_snapshot BUILDS these version tables; this consumes them).
+    Versions here are synthesized deterministically (v1 pre-1996,
+    v2 after) so the oracle replays the same dim.
+
+    Scale shape: equi-join on the dim KEY with the validity window
+    as a residual range predicate — NOT a range join: Catalyst plans
+    a hash join on c_custkey (broadcast while the versioned dim
+    fits; shuffled hash beyond), and the window test filters the
+    ≤ |versions-per-key| matched rows. Version count per key is
+    small by construction (SCD2 closes old rows), so the residual
+    never explodes. A dim too hot to join this way degrades to the
+    as-of union-window trick (join_asof) on (key, valid_from)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(1).alias("version"),
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        F.lit("1996-01-01").cast("timestamp").alias("valid_to"),
+    )
+    v2 = c.select(
+        "c_custkey",
+        F.concat(F.lit("UPGRADED-"), F.col("c_mktsegment")).alias("segment"),
+        F.lit(2).alias("version"),
+        F.lit("1996-01-01").cast("timestamp").alias("valid_from"),
+        F.lit("9999-12-31").cast("timestamp").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    return (
+        o.join(
+            dim,
+            (o["o_custkey"] == dim["c_custkey"])
+            & (o["o_orderdate"] >= dim["valid_from"])
+            & (o["o_orderdate"] < dim["valid_to"]),
+        )
+        .select("o_orderkey", "o_custkey", "version", "segment")
+    )

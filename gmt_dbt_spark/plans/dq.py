@@ -232,3 +232,80 @@ def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = [(name, norm(sch.field(name).type)) for name in sch.names]
     return spark.createDataFrame(rows, "column_name string, data_type string")
+
+
+@query(
+    "dq_reconcile_checksums",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey % 8 AS bucket,
+         COUNT(*) AS n,
+         SUM(o_orderkey * 1009
+             + CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS cksum
+  FROM orders GROUP BY o_orderkey % 8
+),
+tgt AS (
+  SELECT o_orderkey % 8 AS bucket,
+         COUNT(*) AS n,
+         SUM(o_orderkey * 1009
+             + CAST(floor(CASE WHEN o_orderkey = 7
+                               THEN o_totalprice + 1.0
+                               ELSE o_totalprice END * 100.0) AS BIGINT))
+           AS cksum
+  FROM orders GROUP BY o_orderkey % 8
+)
+SELECT s.bucket,
+       CAST(s.n AS BIGINT) AS src_n, CAST(t.n AS BIGINT) AS tgt_n,
+       CAST(s.cksum AS BIGINT) AS src_cksum,
+       CAST(t.cksum AS BIGINT) AS tgt_cksum,
+       (s.n = t.n) AS count_ok,
+       (s.cksum = t.cksum) AS cksum_ok
+FROM src s JOIN tgt t ON s.bucket = t.bucket
+""",
+)
+def dq_reconcile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source↔target RECONCILIATION — the post-ETL audit every
+    migration and replication pipeline runs: per-bucket row counts
+    AND content checksums compared side by side, so a silent value
+    corruption (not just a lost row) surfaces, localized to its
+    bucket. The 'target' here is the source with ONE deterministic
+    corruption injected (order 7's price +1), proving the check
+    actually fires: exactly bucket 7 reports cksum_ok=false with
+    counts still equal — the signature of corruption-not-loss.
+
+    Mechanics at 100 TB: both sides reduce to |buckets| rows of
+    (count, integer checksum) via one map-side-combined aggregate
+    each — the compare join moves bytes proportional to the bucket
+    count, never the data; bucketing by key-mod localizes a
+    mismatch to 1/Nth of the keyspace for drill-down (recurse into
+    the bad bucket with a finer mod). The checksum is an
+    order-independent integer SUM (exact, associative), with the
+    price folded in via floor(price·100) — same IEEE double ops on
+    both engines."""
+    o = table(spark, sf_dir, "orders")
+
+    def side(df, price_col):
+        return df.groupBy((F.col("o_orderkey") % 8).alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.col("o_orderkey") * 1009
+                + F.floor(price_col * 100.0).cast("bigint")
+            ).alias("cksum"),
+        )
+
+    src = side(o, F.col("o_totalprice"))
+    corrupted = F.when(
+        F.col("o_orderkey") == 7, F.col("o_totalprice") + 1.0
+    ).otherwise(F.col("o_totalprice"))
+    tgt = side(o, corrupted)
+    s = src.alias("s")
+    t = tgt.alias("t")
+    return s.join(t, F.col("s.bucket") == F.col("t.bucket")).select(
+        F.col("s.bucket").alias("bucket"),
+        F.col("s.n").cast("bigint").alias("src_n"),
+        F.col("t.n").cast("bigint").alias("tgt_n"),
+        F.col("s.cksum").cast("bigint").alias("src_cksum"),
+        F.col("t.cksum").cast("bigint").alias("tgt_cksum"),
+        (F.col("s.n") == F.col("t.n")).alias("count_ok"),
+        (F.col("s.cksum") == F.col("t.cksum")).alias("cksum_ok"),
+    )
