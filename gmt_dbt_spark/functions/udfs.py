@@ -232,3 +232,46 @@ def udaf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "over_extended boolean",
         )
     )
+
+
+# Module scope (executors re-import; no session needed — see the
+# pandas-UDF rule in the module docstring).
+# functionType passed EXPLICITLY: `from __future__ import annotations`
+# turns the hints into strings, which pandas_udf's eval-type
+# inference refuses for the iterator form.
+@F.pandas_udf(T.LongType(), F.PandasUDFType.SCALAR_ITER)
+def _cents_iter(batches):
+    """SCALAR_ITER pandas UDF: the iterator form exists so EXPENSIVE
+    one-time setup (deserialize a model, open a tokenizer, mmap an
+    index) runs ONCE PER PARTITION, then streams every Arrow batch
+    through it — the right rung for ML inference where per-batch
+    init would dominate. The 'model' here is a trivial scale factor
+    so the arithmetic stays oracle-exact (floor(value·100), same
+    IEEE ops both engines)."""
+    import numpy as np
+
+    factor = 100.0  # stands in for the once-per-partition heavy init
+    for s in batches:
+        yield pd.Series(np.floor(s.to_numpy() * factor)).astype("int64")
+
+
+@query(
+    "udf_pandas_iter",
+    oracle="""
+SELECT event_id,
+       CAST(floor(value * 100.0) AS BIGINT) AS cents
+FROM events
+""",
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iterator-of-batches rung of the Python UDF ladder
+    (`Iterator[pd.Series] → Iterator[pd.Series]`), completing
+    row-Python → pandas-scalar → pandas-iter → applyInArrow. Same
+    Arrow transfer cost as the scalar form; the difference is
+    amortized per-partition setup — at 100 TB with a 500 MB model,
+    scalar-form per-batch loading is the classic inference
+    bottleneck and this form deletes it."""
+    from gmt_dbt_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    return ev.select("event_id", _cents_iter(F.col("value")).alias("cents"))

@@ -509,3 +509,70 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView(name)
         except Exception:
             pass
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+SELECT c_mktsegment, e.event_type, COUNT(*) AS n
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type IN ('click', 'purchase')
+GROUP BY c_mktsegment, e.event_type
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — the most common production streaming
+    shape: a live event stream enriched against a batch dimension
+    (customer segments), then aggregated. Both sides REAL here: the
+    events replay as two file micro-batches, the dimension is an
+    ordinary batch DataFrame joined INSIDE the streaming query —
+    Structured Streaming re-plans the static side per micro-batch
+    (so a dim refresh between batches is picked up, the lambda-
+    architecture property), and the join needs NO watermark or
+    state: the static side is just a (broadcast) hash build per
+    batch. Complete-mode aggregation makes the final memory-sink
+    table the totals over all batches, which must equal the batch
+    join+rollup the oracle runs."""
+    run_dir = os.path.join(SCRATCH, f"stream_ssj2_{uuid.uuid4().hex[:8]}")
+    src_dir = os.path.join(run_dir, "src")
+    ckpt = os.path.join(run_dir, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    name = f"ssj2_t_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = table(spark, sf_dir, "events")
+        for i in range(2):
+            ev.filter(F.col("event_id") % 2 == i).toPandas().to_json(
+                os.path.join(src_dir, f"part-{i}.json"), orient="records",
+                lines=True, date_format="iso", date_unit="us",
+            )
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src_dir)
+        )
+        dim = table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+        agg = (
+            stream.filter(F.col("event_type").isin("click", "purchase"))
+            .join(dim, "user_id")  # static side: per-batch hash build
+            .groupBy("c_mktsegment", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
