@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.exprs import DEC, dec2dbl
 from gmt_dbt_spark.registry import query
 
 
@@ -166,3 +167,72 @@ def events_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d, lv in enumerate(lags, start=1):
         ewm = ewm + lv * F.lit(0.5**d)
     return e.select("user_id", "event_id", ewm.alias("ewm_raw"))
+
+
+@query(
+    "events_locf",
+    oracle="""
+WITH spans AS (
+  SELECT event_type,
+         date_trunc('hour', MIN(ts)) AS lo,
+         date_trunc('hour', MAX(ts)) AS hi
+  FROM events GROUP BY event_type
+),
+buckets AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+  FROM spans
+),
+obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+           AS hour_sum
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT b.event_type, b.bucket,
+       (o.hour_sum IS NULL) AS filled,
+       last_value(o.hour_sum IGNORE NULLS) OVER (
+         PARTITION BY b.event_type ORDER BY b.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum
+FROM buckets b
+LEFT JOIN obs o ON o.event_type = b.event_type AND o.bucket = b.bucket
+""",
+)
+def events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF resampling (last observation carried forward): the dense
+    hourly spine from events_gap_fill, but empty buckets inherit the
+    LAST REAL hourly value instead of zero — the fill semantics for
+    level/state metrics (sensor readings, balances, gauges) where
+    zero-fill fabricates drops. `last(ignorenulls) OVER (rows
+    unbounded preceding)` does the carry in one running window;
+    buckets before the first observation stay NULL (nothing to
+    carry) — identical semantics on both engines.
+
+    Scale: the spine is bounded by span/granularity; the carry
+    window shuffles once on the (low-cardinality) series key and
+    holds O(1) state per row. The carried value is the exact-decimal
+    hourly sum (hash-stable), computed once in the observation
+    rollup."""
+    ev = table(spark, sf_dir, "events")
+    spans = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    buckets = spans.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("bucket"),
+    )
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(dec2dbl(F.sum(F.col("value").cast(DEC))).alias("hour_sum"))
+    joined = buckets.join(obs, ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        "bucket",
+        F.col("hour_sum").isNull().alias("filled"),
+        F.last("hour_sum", ignorenulls=True).over(w).alias("locf_sum"),
+    )
