@@ -611,3 +611,13 @@ def test_mart_rfm_single_shuffle(spark):
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
     assert "Join" not in tree
     assert "Window" not in tree
+
+
+def test_scd2_pit_is_hash_join(spark):
+    """The point-in-time join must be a HASH join on the dim key with
+    the validity window as a residual condition — a range-join plan
+    (nested loop) would be O(n·m) at any scale."""
+    tree = tree_of(plan_of(all_queries()["join_scd2_pit"](spark, SF_DIR)))
+    assert "HashJoin" in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
