@@ -332,3 +332,97 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("customer")
         .alias("node_type"),
     )
+
+
+@query(
+    "graph_bfs_levels",
+    oracle="""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT src, dst FROM e0
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM e0
+),
+l0 AS (SELECT CAST(2 AS BIGINT) AS node),
+l1 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN l0 ON l0.node = e.src
+  WHERE e.dst NOT IN (SELECT node FROM l0)
+),
+l2 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN l1 ON l1.node = e.src
+  WHERE e.dst NOT IN (SELECT node FROM l0)
+    AND e.dst NOT IN (SELECT node FROM l1)
+),
+l3 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN l2 ON l2.node = e.src
+  WHERE e.dst NOT IN (SELECT node FROM l0)
+    AND e.dst NOT IN (SELECT node FROM l1)
+    AND e.dst NOT IN (SELECT node FROM l2)
+)
+SELECT node, 0 AS hop,
+       CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END AS node_type
+FROM l0
+UNION ALL SELECT node, 1,
+       CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END FROM l1
+UNION ALL SELECT node, 2,
+       CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END FROM l2
+UNION ALL SELECT node, 3,
+       CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END FROM l3
+""",
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first search over the purchase graph: exact hop
+    distance (≤ 3) from customer #1 — 'who is in this account's
+    2nd/3rd-degree supply neighborhood', the reachability primitive
+    under fraud rings, recommendation halos, and blast-radius
+    queries. Third iterative graph algorithm with a FULL HASH ORACLE
+    (after pagerank and connected components): levels are SETS, so
+    there is no arithmetic at all to drift — DuckDB unrolls the same
+    frontier expansion as CTEs and must produce the identical node
+    partition.
+
+    Scale shape per level: frontier ⋈ edges (equi-join on node key)
+    → distinct → anti-join against the visited set; frontier and
+    visited are node-id lists (8 bytes/row), the edge table is
+    checkpointed once, and each level's output is checkpointed to
+    truncate lineage — the same O(diameter)-rounds discipline as
+    dedup_clusters. BFS from a single source floods to the whole
+    component in O(diameter) such rounds regardless of corpus
+    size."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    node_type = F.when(F.col("node") % 2 == 1, "supplier").otherwise("customer")
+    frontier = spark.createDataFrame([(2,)], "node bigint").localCheckpoint(
+        eager=True
+    )
+    visited = frontier
+    out = frontier.select("node", F.lit(0).alias("hop"), node_type.alias("node_type"))
+    for hop in (1, 2, 3):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)  # truncate per-level lineage
+        )
+        out = out.unionByName(
+            nxt.select("node", F.lit(hop).alias("hop"), node_type.alias("node_type"))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return out
