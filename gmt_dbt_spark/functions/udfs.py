@@ -236,11 +236,10 @@ def udaf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Module scope (executors re-import; no session needed — see the
 # pandas-UDF rule in the module docstring).
-# functionType passed EXPLICITLY: `from __future__ import annotations`
-# turns the hints into strings, which pandas_udf's eval-type
-# inference refuses for the iterator form.
-@F.pandas_udf(T.LongType(), F.PandasUDFType.SCALAR_ITER)
-def _cents_iter(batches):
+# `from __future__ import annotations` stringifies hints, which the
+# iterator-form eval-type inference refuses — attach REAL annotation
+# objects at runtime instead (avoids the deprecated PandasUDFType).
+def _cents_iter_fn(batches):
     """SCALAR_ITER pandas UDF: the iterator form exists so EXPENSIVE
     one-time setup (deserialize a model, open a tokenizer, mmap an
     index) runs ONCE PER PARTITION, then streams every Arrow batch
@@ -253,6 +252,15 @@ def _cents_iter(batches):
     factor = 100.0  # stands in for the once-per-partition heavy init
     for s in batches:
         yield pd.Series(np.floor(s.to_numpy() * factor)).astype("int64")
+
+
+import typing as _typing  # noqa: E402
+
+_cents_iter_fn.__annotations__ = {
+    "batches": _typing.Iterator[pd.Series],
+    "return": _typing.Iterator[pd.Series],
+}
+_cents_iter = F.pandas_udf(_cents_iter_fn, T.LongType())
 
 
 @query(
