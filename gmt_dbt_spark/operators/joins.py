@@ -688,3 +688,62 @@ def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_custkey", "version", "segment")
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+WITH spans AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         MIN(ts) AS lo, MAX(ts) AS hi
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT a.day,
+       COUNT(*) AS n_overlapping_pairs,
+       CAST(MIN(a.user_id) AS BIGINT) AS min_user
+FROM spans a JOIN spans b
+  ON a.day = b.day AND a.user_id < b.user_id
+ AND a.lo <= b.hi AND b.lo <= a.hi
+GROUP BY a.day
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP self-join (Allen's 'overlaps' relation):
+    pairs of users whose activity spans intersect, rolled up per
+    day — concurrency/conflict detection (co-active sessions, room
+    double-bookings, ad co-exposure). Complements join_range_binned
+    (point-in-interval) with the interval×interval case.
+
+    Scale shape: the partition key (day) acts as the bin — the join
+    is a plain EQUI self-join on day with the overlap test
+    (`a.lo <= b.hi AND b.lo <= a.hi`) as a residual predicate, never
+    a nested loop (intervals here cannot cross the day boundary by
+    construction; spans that do cross bins get exploded into one row
+    per bin exactly like join_range_binned, at bounded blowup). Cost
+    concentrates in the largest bin — at 100 TB that is the knob:
+    shrink the bin (hour) until per-bin pair counts are tractable,
+    or pre-aggregate to coarser spans as done here (|user-days|,
+    not |events|, enter the join)."""
+    ev = table(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    a = spans.select(
+        F.col("user_id").alias("ua"), F.col("day").alias("day"),
+        F.col("lo").alias("alo"), F.col("hi").alias("ahi"),
+    )
+    b = spans.select(
+        F.col("user_id").alias("ub"), F.col("day").alias("dayb"),
+        F.col("lo").alias("blo"), F.col("hi").alias("bhi"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("day") == F.col("dayb"))
+        & (F.col("ua") < F.col("ub"))
+        & (F.col("alo") <= F.col("bhi"))
+        & (F.col("blo") <= F.col("ahi")),
+    )
+    return pairs.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_overlapping_pairs"),
+        F.min("ua").cast("bigint").alias("min_user"),
+    )
