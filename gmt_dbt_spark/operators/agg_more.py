@@ -540,3 +540,33 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((sy / n) - (slope * (sx / n))).alias("intercept"),
     )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE COUNT(DISTINCT) columns in one aggregate — and the
+    plan tax it carries: Catalyst rewrites k distinct aggregates via
+    an Expand node that REPLICATES every input row k times (one copy
+    per distinct column, others nulled), then double-aggregates.
+    Correct and single-pass, but shuffle volume is k× the input —
+    at 100 TB the right spellings are approx_count_distinct (no
+    Expand, sketch partials; see agg_approx_distinct) or one
+    aggregate per distinct column unioned (k scans, 1× shuffle
+    each). Registered exact so the driver pins the semantics; the
+    docstring is the scale warning."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
