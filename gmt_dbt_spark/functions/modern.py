@@ -401,14 +401,14 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH steps AS (SELECT unnest(range(1, 41)) * 50000 AS t),
 counts AS (
   SELECT s.t, COUNT(CASE WHEN o.o_totalprice <= s.t THEN 1 END) AS n
-  FROM steps s CROSS JOIN orders o GROUP BY s.t
+  FROM steps s LEFT JOIN orders o ON TRUE GROUP BY s.t
 ),
 tot AS (SELECT COUNT(*) AS total FROM orders)
 SELECT CAST(t AS BIGINT) AS threshold,
        CAST(n AS BIGINT) AS n_below,
        CAST(total AS BIGINT) AS n_total
 FROM counts, tot
-WHERE n * 10 >= total * 9
+WHERE n * 10 >= total * 9 OR t = 2000000
 ORDER BY t LIMIT 1
 """,
 )
@@ -423,10 +423,15 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver; every statement inside it is a full distributed query.
     Scripting orchestrates, it never computes — the loop body's
     COUNT is a pushed-filter scan each round, and the round count is
-    bounded by the VALUE RANGE (≤ 40 steps of 50 k), not the table
-    size. The oracle replays the search declaratively (step spine ⋈
-    orders, first qualifying step) — procedural and set-based
-    spellings provably agree."""
+    CAPPED (REPEAT … UNTIL qualifying OR t ≥ 2 M: ≤ 40 steps of
+    50 k, independent of table size — an uncapped WHILE would spin
+    forever on a distribution whose 90% point exceeds the range).
+    REPEAT (test-after) also pins the empty-input case: one step
+    always executes, so t=50 k comes back, exactly like the oracle's
+    first qualifying spine row. The oracle replays the search
+    declaratively (step spine ⋈ orders, first step qualifying or
+    capped) — procedural and set-based spellings provably agree on
+    qualifying, capped, AND empty inputs."""
     spark.conf.set("spark.sql.scripting.enabled", "true")
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
@@ -436,10 +441,11 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
           DECLARE n BIGINT DEFAULT 0;
           DECLARE total BIGINT DEFAULT 0;
           SET total = (SELECT COUNT(*) FROM orders);
-          WHILE n * 10 < total * 9 DO
+          REPEAT
             SET t = t + 50000;
             SET n = (SELECT COUNT(*) FROM orders WHERE o_totalprice <= t);
-          END WHILE;
+          UNTIL n * 10 >= total * 9 OR t >= 2000000
+          END REPEAT;
           SELECT t AS threshold, n AS n_below, total AS n_total;
         END
         """

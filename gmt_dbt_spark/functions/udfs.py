@@ -251,7 +251,10 @@ def _cents_iter_fn(batches):
 
     factor = 100.0  # stands in for the once-per-partition heavy init
     for s in batches:
-        yield pd.Series(np.floor(s.to_numpy() * factor)).astype("int64")
+        # nullable Int64: NaN inputs become pd.NA -> SQL NULL, matching
+        # the oracle's CAST(floor(NULL*100) AS BIGINT); a bare int64
+        # astype raises on non-finite values and would kill the query
+        yield pd.Series(np.floor(s.to_numpy() * factor)).astype("Int64")
 
 
 import typing as _typing  # noqa: E402
@@ -279,7 +282,5 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     amortized per-partition setup — at 100 TB with a 500 MB model,
     scalar-form per-batch loading is the classic inference
     bottleneck and this form deletes it."""
-    from gmt_dbt_spark.catalog import table
-
     ev = table(spark, sf_dir, "events")
     return ev.select("event_id", _cents_iter(F.col("value")).alias("cents"))

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmt_dbt_spark.catalog import table
-from gmt_dbt_spark.exprs import DEC, dec2dbl
+from gmt_dbt_spark.exprs import dsum
 from gmt_dbt_spark.registry import query
 
 
@@ -223,7 +223,7 @@ def events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     obs = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
-    ).agg(dec2dbl(F.sum(F.col("value").cast(DEC))).alias("hour_sum"))
+    ).agg(dsum("value").alias("hour_sum"))
     joined = buckets.join(obs, ["event_type", "bucket"], "left")
     w = (
         Window.partitionBy("event_type")

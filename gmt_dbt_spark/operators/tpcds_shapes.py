@@ -352,9 +352,11 @@ def tpcds_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(freq_parts, "l_partkey", "left_semi")
         .join(best_cust, "o_custkey", "left_semi")
     )
+    from gmt_dbt_spark.exprs import dsum
+
     return fact.groupBy(F.year("o_orderdate").alias("yr")).agg(
         F.count(F.lit(1)).alias("n_lines"),
-        dec2dbl(F.sum(F.col("l_extendedprice").cast(DEC))).alias("revenue"),
+        dsum("l_extendedprice").alias("revenue"),
     )
 
 

@@ -240,24 +240,25 @@ def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH src AS (
   SELECT o_orderkey % 8 AS bucket,
          COUNT(*) AS n,
-         SUM(o_orderkey * 1009
-             + CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS cksum
+         SUM(CAST(o_orderkey * 1009
+             + CAST(floor(o_totalprice * 100.0) AS BIGINT)
+             AS DECIMAL(38,0))) AS cksum
   FROM orders GROUP BY o_orderkey % 8
 ),
 tgt AS (
   SELECT o_orderkey % 8 AS bucket,
          COUNT(*) AS n,
-         SUM(o_orderkey * 1009
+         SUM(CAST(o_orderkey * 1009
              + CAST(floor(CASE WHEN o_orderkey = 7
                                THEN o_totalprice + 1.0
-                               ELSE o_totalprice END * 100.0) AS BIGINT))
-           AS cksum
+                               ELSE o_totalprice END * 100.0) AS BIGINT)
+             AS DECIMAL(38,0))) AS cksum
   FROM orders GROUP BY o_orderkey % 8
 )
 SELECT s.bucket,
        CAST(s.n AS BIGINT) AS src_n, CAST(t.n AS BIGINT) AS tgt_n,
-       CAST(s.cksum AS BIGINT) AS src_cksum,
-       CAST(t.cksum AS BIGINT) AS tgt_cksum,
+       CAST(s.cksum AS VARCHAR) AS src_cksum,
+       CAST(t.cksum AS VARCHAR) AS tgt_cksum,
        (s.n = t.n) AS count_ok,
        (s.cksum = t.cksum) AS cksum_ok
 FROM src s JOIN tgt t ON s.bucket = t.bucket
@@ -285,11 +286,16 @@ def dq_reconcile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
 
     def side(df, price_col):
+        # per-row term fits bigint; the ACCUMULATOR is decimal(38,0) —
+        # a bigint SUM wraps (Spark legacy) or throws (ANSI/DuckDB
+        # hugeint cast) around 1e19, well inside 100 TB territory
         return df.groupBy((F.col("o_orderkey") % 8).alias("bucket")).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
-                F.col("o_orderkey") * 1009
-                + F.floor(price_col * 100.0).cast("bigint")
+                (
+                    F.col("o_orderkey") * 1009
+                    + F.floor(price_col * 100.0).cast("bigint")
+                ).cast("decimal(38,0)")
             ).alias("cksum"),
         )
 
@@ -304,8 +310,8 @@ def dq_reconcile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.bucket").alias("bucket"),
         F.col("s.n").cast("bigint").alias("src_n"),
         F.col("t.n").cast("bigint").alias("tgt_n"),
-        F.col("s.cksum").cast("bigint").alias("src_cksum"),
-        F.col("t.cksum").cast("bigint").alias("tgt_cksum"),
+        F.col("s.cksum").cast("string").alias("src_cksum"),
+        F.col("t.cksum").cast("string").alias("tgt_cksum"),
         (F.col("s.n") == F.col("t.n")).alias("count_ok"),
         (F.col("s.cksum") == F.col("t.cksum")).alias("cksum_ok"),
     )

@@ -397,12 +397,12 @@ def sink_versioned_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 manifest = json.load(fh)
             return spark.read.parquet(*manifest["files"])
 
-        from gmt_dbt_spark.exprs import DEC, dec2dbl
+        from gmt_dbt_spark.exprs import dsum
 
         def rollup(df: DataFrame, v: int) -> DataFrame:
             return df.agg(
                 F.count(F.lit(1)).alias("n"),
-                dec2dbl(F.sum(F.col("o_totalprice").cast(DEC))).alias("total"),
+                dsum("o_totalprice").alias("total"),
             ).select(F.lit(v).alias("version"), "n", "total")
 
         out = rollup(read_version(1), 1).unionByName(rollup(read_version(2), 2))

@@ -50,6 +50,22 @@ EVENT_SCHEMA = (
 )
 
 
+def write_replay(ev, src_dir: str, n_batches: int = 2) -> None:
+    """Author the micro-batch replay files: the events split into
+    n_batches NDJSON shards by event_id parity/modulus. The to_json
+    flags are LOAD-BEARING for timestamp parity with EVENT_SCHEMA
+    (iso format, microsecond unit) — this is the single definition
+    every streaming query replays through (driver-side by design:
+    test-harness authoring, not a production path — see module
+    docstring)."""
+    for i in range(n_batches):
+        ev.filter(F.col("event_id") % n_batches == i).toPandas().to_json(
+            os.path.join(src_dir, f"part-{i}.json"), orient="records",
+            lines=True, date_format="iso", date_unit="us",
+        )
+
+
+
 @query(
     "stream_watermark_late",
     oracle="""
@@ -176,14 +192,7 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"state_t_{uuid.uuid4().hex[:8]}"
     try:
         ev = table(spark, sf_dir, "events")
-        ev.filter(F.col("event_id") % 2 == 0).toPandas().to_json(
-            os.path.join(src_dir, "part-0.json"), orient="records", lines=True,
-            date_format="iso", date_unit="us",
-        )
-        ev.filter(F.col("event_id") % 2 == 1).toPandas().to_json(
-            os.path.join(src_dir, "part-1.json"), orient="records", lines=True,
-            date_format="iso", date_unit="us",
-        )
+        write_replay(ev, src_dir)
         stream = (
             spark.readStream.schema(EVENT_SCHEMA)
             .option("maxFilesPerTrigger", 1)
@@ -244,14 +253,7 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("total"),
         ).write.parquet(target_path)
         # Source files: two replayed chunks (micro-batch fodder).
-        ev.filter(F.col("event_id") % 2 == 0).toPandas().to_json(
-            os.path.join(src_dir, "part-0.json"), orient="records", lines=True,
-            date_format="iso", date_unit="us",
-        )
-        ev.filter(F.col("event_id") % 2 == 1).toPandas().to_json(
-            os.path.join(src_dir, "part-1.json"), orient="records", lines=True,
-            date_format="iso", date_unit="us",
-        )
+        write_replay(ev, src_dir)
 
         stream = spark.readStream.schema(EVENT_SCHEMA).json(src_dir)
         agg = stream.groupBy("user_id").agg(
@@ -378,11 +380,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
         ev = table(spark, sf_dir, "events")
-        for i in range(2):
-            ev.filter(F.col("event_id") % 2 == i).toPandas().to_json(
-                os.path.join(src_dir, f"part-{i}.json"), orient="records",
-                lines=True, date_format="iso", date_unit="us",
-            )
+        write_replay(ev, src_dir)
         stream = (
             spark.readStream.schema(EVENT_SCHEMA)
             .option("maxFilesPerTrigger", 1)
@@ -457,11 +455,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"ssj_t_{uuid.uuid4().hex[:8]}"
     try:
         ev = table(spark, sf_dir, "events")
-        for i in range(2):
-            ev.filter(F.col("event_id") % 2 == i).toPandas().to_json(
-                os.path.join(src_dir, f"part-{i}.json"), orient="records",
-                lines=True, date_format="iso", date_unit="us",
-            )
+        write_replay(ev, src_dir)
         stream = (
             spark.readStream.schema(EVENT_SCHEMA)
             .option("maxFilesPerTrigger", 1)
@@ -540,11 +534,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"ssj2_t_{uuid.uuid4().hex[:8]}"
     try:
         ev = table(spark, sf_dir, "events")
-        for i in range(2):
-            ev.filter(F.col("event_id") % 2 == i).toPandas().to_json(
-                os.path.join(src_dir, f"part-{i}.json"), orient="records",
-                lines=True, date_format="iso", date_unit="us",
-            )
+        write_replay(ev, src_dir)
         stream = (
             spark.readStream.schema(EVENT_SCHEMA)
             .option("maxFilesPerTrigger", 1)
