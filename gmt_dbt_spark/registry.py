@@ -127,14 +127,16 @@ _EXT_PREFIXES = (
 )
 
 
-def _proven_ids() -> set[str]:
+def _proven_ids(root: str | None = None) -> set[str]:
     """IDs with a green hash row (or, for rows-only queries, any recorded
-    run) in any CORRECTNESS_r*.json at the repo root."""
+    run) in any CORRECTNESS_r*.json at the repo root (overridable for
+    tests)."""
     import glob
     import json
     import os
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     proven: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
