@@ -315,3 +315,76 @@ def dq_reconcile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s.n") == F.col("t.n")).alias("count_ok"),
         (F.col("s.cksum") == F.col("t.cksum")).alias("cksum_ok"),
     )
+
+
+@query(
+    "dq_outlier_mad",
+    oracle="""
+WITH med AS (
+  SELECT o_orderpriority, quantile_disc(o_totalprice, 0.5) AS m
+  FROM orders GROUP BY o_orderpriority
+),
+dev AS (
+  SELECT o.o_orderpriority, m, ABS(o.o_totalprice - m) AS d
+  FROM orders o JOIN med USING (o_orderpriority)
+),
+mad AS (
+  SELECT o_orderpriority, m, quantile_disc(d, 0.5) AS mad
+  FROM dev GROUP BY o_orderpriority, m
+)
+SELECT dv.o_orderpriority, mad.m AS med, mad.mad,
+       CAST(COUNT(CASE WHEN dv.d > 5.0 * mad.mad THEN 1 END) AS BIGINT)
+         AS n_outliers,
+       COUNT(*) AS n
+FROM dev dv JOIN mad ON dv.o_orderpriority = mad.o_orderpriority
+GROUP BY dv.o_orderpriority, mad.m, mad.mad
+""",
+)
+def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD outlier test (median absolute deviation) — the third
+    robust method alongside z-score (events_anomaly_zscore, breaks
+    under heavy outliers since mean/stddev absorb them) and IQR
+    fences (dq_outlier_iqr): MAD's 50% breakdown point survives data
+    that is half-garbage. Flag = |x − median| > 5·MAD. Every
+    quantile is DISCRETE (an actual data element), the deviation is
+    one subtract+abs of identical doubles, the cut one multiply —
+    all hash-exact, no interpolation anywhere.
+
+    Scale: two grouped percentile passes with a broadcast of the
+    |groups|-row medians between them (same shape as the IQR test ×2);
+    the percentile sort is the cost — swap in approx_percentile per
+    pass for the 100 TB spelling, flags unchanged to sketch error."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    med = spark.sql(
+        """
+        SELECT o_orderpriority,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS m
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority", "m",
+        F.abs(F.col("o_totalprice") - F.col("m")).alias("d"),
+    )
+    dev.createOrReplaceTempView("mad_dev")
+    mad = spark.sql(
+        """
+        SELECT o_orderpriority, m,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS mad
+        FROM mad_dev GROUP BY o_orderpriority, m
+        """
+    )
+    return (
+        dev.join(F.broadcast(mad.select("o_orderpriority", "mad")),
+                 "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.first("m").alias("med"),
+            F.first("mad").alias("mad"),
+            F.count(F.when(F.col("d") > 5.0 * F.col("mad"), 1))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
