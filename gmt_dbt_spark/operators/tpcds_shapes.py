@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmt_dbt_spark.catalog import table
-from gmt_dbt_spark.exprs import DEC, dec2dbl
+from gmt_dbt_spark.exprs import DEC, dec2dbl, dsum
 from gmt_dbt_spark.registry import query
 
 
@@ -352,8 +352,6 @@ def tpcds_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(freq_parts, "l_partkey", "left_semi")
         .join(best_cust, "o_custkey", "left_semi")
     )
-    from gmt_dbt_spark.exprs import dsum
-
     return fact.groupBy(F.year("o_orderdate").alias("yr")).agg(
         F.count(F.lit(1)).alias("n_lines"),
         dsum("l_extendedprice").alias("revenue"),
