@@ -794,3 +794,31 @@ def sql_exists_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer c
         """
     )
+
+
+@query(
+    "sql_positional_refs",
+    oracle="""
+SELECT o_orderpriority, year(o_orderdate) AS yr, COUNT(*) AS n
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def sql_positional_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional GROUP BY / ORDER BY (`GROUP BY 1, 2`) — the
+    analyst-SQL ergonomic every warehouse dialect supports; Spark
+    resolves ordinals at analysis time (spark.sql.groupByOrdinal /
+    orderByOrdinal, both default true) into the same plan as the
+    named spelling — zero runtime cost, pure front-end sugar. The
+    hash-ordered compare makes ORDER BY semantically irrelevant
+    here; it rides along to pin that ordinal ORDER BY parses."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, year(o_orderdate) AS yr, COUNT(*) AS n
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+    )
