@@ -822,3 +822,21 @@ def sql_positional_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY 1, 2
         """
     )
+
+
+@query(
+    "sql_star_except",
+    oracle="""
+SELECT * EXCLUDE (c_name, c_acctbal) FROM customer
+""",
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SELECT * EXCEPT (cols)` — project everything BUT a denylist
+    (DuckDB spells it EXCLUDE): the ergonomic that keeps wide-table
+    models maintainable (drop the PII/heavy columns without
+    enumerating the 200 you keep). Resolved at analysis time into an
+    ordinary explicit projection, so column PRUNING still reaches
+    the scan — the excluded columns are never read; semantically the
+    safe-by-default projection for `sanitize → republish` flows."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql("SELECT * EXCEPT (c_name, c_acctbal) FROM customer")
