@@ -570,3 +570,38 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "agg_bit_ops",
+    oracle="""
+SELECT l_returnflag,
+       CAST(bit_or(CAST(1 << (l_linenumber - 1) AS BIGINT)) AS BIGINT)
+         AS lines_mask,
+       CAST(bit_and(CAST(l_partkey % 256 AS BIGINT)) AS BIGINT)
+         AS key_and,
+       CAST(bit_xor(CAST(l_suppkey AS BIGINT)) AS BIGINT) AS supp_xor
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITWISE aggregates (bit_or / bit_and / bit_xor) — the
+    flag-mask rollup family: bit_or unions permission/feature masks
+    (which line numbers ever occur → one bigint), bit_and intersects
+    capability masks, bit_xor is the parity fingerprint (a cheap
+    order-free set-difference check between table versions — equal
+    XOR ⇒ likely-identical key multisets mod pairs). All three are
+    associative+commutative — perfect map-side partials, one bigint
+    of state per group at any scale; scalar bit ops live in
+    fn_bitwise, these are their AGGREGATE duals."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_or(
+            # shiftleft()'s python wrapper takes a literal count only —
+            # column-valued shift amounts need the SQL spelling
+            F.expr("cast(shiftleft(1, l_linenumber - 1) as bigint)")
+        ).alias("lines_mask"),
+        F.bit_and((F.col("l_partkey") % 256).cast("bigint")).alias("key_and"),
+        F.bit_xor(F.col("l_suppkey").cast("bigint")).alias("supp_xor"),
+    )
