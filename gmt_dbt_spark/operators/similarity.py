@@ -359,3 +359,118 @@ def sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_of(sim_topk_ivf(spark, sf_dir), "ivf").unionByName(
         recall_of(sim_topk_lsh(spark, sf_dir), "lsh")
     )
+
+
+@query(
+    "sink_ivf_partitioned",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 4),
+dists AS (
+  SELECT q.vec_id, c.cid,
+         CAST(list_sum(list_transform(range(len(q.qv)),
+              i -> (q.qv[i+1] - c.cv[i+1]) * (q.qv[i+1] - c.cv[i+1])))
+              AS BIGINT) AS d
+  FROM q CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid AS list_id
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM dists)
+  WHERE rn = 1
+),
+probe AS (
+  SELECT d.cid AS list_id
+  FROM dists d WHERE d.vec_id = 400
+  ORDER BY d.d, d.cid LIMIT 2
+),
+cand AS (
+  SELECT a.vec_id FROM assign a JOIN probe p ON a.list_id = p.list_id
+  WHERE a.vec_id <> 400
+),
+scored AS (
+  SELECT c.vec_id,
+         CAST(list_sum(list_transform(range(len(v.qv)),
+              i -> v.qv[i+1] * qq.qv[i+1])) AS BIGINT) AS dot
+  FROM cand c
+  JOIN q v  ON v.vec_id = c.vec_id
+  JOIN q qq ON qq.vec_id = 400
+)
+SELECT CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS INTEGER) AS rnk,
+       vec_id, dot
+FROM scored
+ORDER BY dot DESC, vec_id LIMIT 5
+""",
+)
+def sink_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN SERVING LAYOUT — the piece that makes IVF pay at 100 TB:
+    persist the corpus PARTITIONED BY its IVF list assignment, so a
+    query's N_PROBE list lookup becomes PARTITION PRUNING at the
+    storage layer (PartitionFilters in the scan — plan-guarded):
+    the probe reads N_PROBE/K of the corpus FILES, not just N_PROBE/K
+    of the rows after a full scan, which is what the query-time
+    `sim_topk_ivf` does. Write once, serve every query with
+    directory-pruned scans.
+
+    Everything is integer micro-unit arithmetic on a DETERMINISTIC
+    codebook (centroids = the K lowest vec_ids, the embed_kmeans
+    init convention; ties → lowest centroid/vec id), which is what
+    lets a full ANN index build + partitioned round-trip + probe +
+    rerank be HASH-ORACLED end-to-end — DuckDB rebuilds the same
+    index declaratively. Query = vec_id 400, K=4 lists, N_PROBE=2,
+    top-5 by exact micro-dot."""
+    import os
+    import shutil
+    import uuid
+
+    from gmt_dbt_spark.operators.embeddings import _micro_vec, kmeans_assign
+
+    REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    scratch = os.path.join(REPO, ".scratch", f"ivf_idx_{uuid.uuid4().hex[:8]}")
+    K, N_PROBE, QID, TOPK = 4, 2, 400, 5
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", _micro_vec().alias("qv"))
+    cents = [
+        list(r["qv"]) for r in q.filter(F.col("vec_id") < K).orderBy("vec_id").collect()
+    ]
+    try:
+        # index build: assign every vector, persist partitioned by list
+        assigned = kmeans_assign(q, cents).select(
+            "vec_id", F.col("cluster").alias("list_id"), "qv"
+        )
+        assigned.write.mode("overwrite").partitionBy("list_id").parquet(scratch)
+        # probe: the query vector's N_PROBE nearest lists
+        qrow = q.filter(F.col("vec_id") == QID).collect()[0]
+        qv = [int(x) for x in qrow["qv"]]
+        dists = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, c)), i)
+            for i, c in enumerate(cents)
+        )
+        probe_lists = [i for _, i in dists[:N_PROBE]]
+        # serve: partition-pruned read of ONLY the probed lists
+        idx = spark.read.parquet(scratch).filter(
+            F.col("list_id").isin(probe_lists) & (F.col("vec_id") != QID)
+        )
+        qarr = F.array(*[F.lit(x) for x in qv])
+        dot = F.aggregate(
+            F.zip_with("qv", qarr, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda a, b: a + b,
+        )
+        w = Window.orderBy(F.desc("dot"), F.asc("vec_id"))
+        out = (
+            idx.select("vec_id", dot.alias("dot"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOPK)
+            .select("rnk", "vec_id", "dot")
+        )
+        rows = out.collect()  # materialize before scratch removal
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

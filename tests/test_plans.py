@@ -621,3 +621,26 @@ def test_scd2_pit_is_hash_join(spark):
     assert "HashJoin" in tree, tree
     assert "BroadcastNestedLoopJoin" not in tree
     assert "CartesianProduct" not in tree
+
+
+def test_ivf_partitioned_probe_prunes_partitions(spark, tmp_path):
+    """The ANN serving layout's contract: a probe over list_id IN
+    (...) must hit PartitionFilters (directory pruning) — reading
+    N_PROBE/K of the files, not scanning all lists."""
+    from gmt_dbt_spark.catalog import table
+    from gmt_dbt_spark.operators.embeddings import _micro_vec, kmeans_assign
+
+    q = table(spark, SF_DIR, "embeddings").select(
+        "vec_id", _micro_vec().alias("qv")
+    )
+    cents = [
+        list(r["qv"])
+        for r in q.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    path = str(tmp_path / "ivf_idx")
+    kmeans_assign(q, cents).select(
+        "vec_id", F.col("cluster").alias("list_id"), "qv"
+    ).write.partitionBy("list_id").parquet(path)
+    probe = spark.read.parquet(path).filter(F.col("list_id").isin([0, 2]))
+    plan = plan_of(probe)
+    assert re.search(r"PartitionFilters: \[.*list_id", plan), plan
