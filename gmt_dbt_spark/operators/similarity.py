@@ -463,11 +463,16 @@ def sink_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda a, b: a + b,
         )
+        # heap-based global top-k (TakeOrderedAndProject: per-partition
+        # heaps + driver merge of k rows) — a rank-window here would
+        # drag EVERY candidate into one partition; the rank label is
+        # attached afterwards, over just the k survivors
         w = Window.orderBy(F.desc("dot"), F.asc("vec_id"))
         out = (
             idx.select("vec_id", dot.alias("dot"))
+            .orderBy(F.desc("dot"), F.asc("vec_id"))
+            .limit(TOPK)
             .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= TOPK)
             .select("rnk", "vec_id", "dot")
         )
         rows = out.collect()  # materialize before scratch removal
