@@ -14,7 +14,7 @@ over the full event stream, no per-user collect.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmt_dbt_spark.catalog import table
@@ -289,4 +289,111 @@ def mart_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_score.alias("f_score"),
         m_score.alias("m_score"),
         (r_score * 100 + f_score * 10 + m_score).alias("rfm_code"),
+    )
+
+
+@query(
+    "mart_abc_analysis",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS rdec
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(rdec) AS t FROM rev),
+c AS (
+  SELECT l_partkey, rdec,
+         SUM(rdec) OVER (ORDER BY rdec DESC, l_partkey) AS cum
+  FROM rev
+)
+SELECT l_partkey,
+       CAST(CAST(rdec AS VARCHAR) AS DOUBLE) AS revenue,
+       CASE WHEN cum * 100 <= t * 80 THEN 'A'
+            WHEN cum * 100 <= t * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c, tot
+""",
+)
+def mart_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto analysis — the inventory-management classic:
+    rank parts by revenue, classify by CUMULATIVE share (A = first
+    80% of revenue, B = next 15%, C = tail). Class cuts are integer
+    cross-multiplications on exact-decimal cumulative sums (cum·100
+    ≤ total·80) — no share division anywhere, so the labels hash
+    exactly; the revenue-desc order is totalized by the key.
+
+    Scale: the cumulative window is GLOBAL by nature (one ordered
+    pass over the ranked entities) — safe here because the input is
+    the per-part AGGREGATE (|parts|, dimension-sized), never the
+    fact table; for an unbounded entity set, bucket by revenue-range
+    first (two-level cumulative) to keep any single sort partition
+    bounded."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("rdec")
+    )
+    tot = rev.agg(F.sum("rdec").alias("t"))
+    w = Window.orderBy(F.desc("rdec"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = rev.select("l_partkey", "rdec", F.sum("rdec").over(w).alias("cum"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        dec2dbl(F.col("rdec")).alias("revenue"),
+        F.when(F.col("cum") * 100 <= F.col("t") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("t") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@query(
+    "events_dau_mau",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+cover AS (
+  SELECT DISTINCT ud.user_id,
+         unnest(generate_series(ud.day, ud.day + INTERVAL '29 days',
+                                INTERVAL '1 day')) AS cover_day
+  FROM ud
+),
+mau AS (
+  SELECT CAST(cover_day AS DATE) AS day, COUNT(DISTINCT user_id) AS mau
+  FROM cover GROUP BY CAST(cover_day AS DATE)
+)
+SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(m.mau AS BIGINT) AS mau,
+       (d.dau * 100) // m.mau AS stickiness_pct
+FROM dau d JOIN mau m ON d.day = m.day
+""",
+)
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness — the engagement KPI: for each active day,
+    distinct daily users over distinct trailing-30-day users, as an
+    exact integer percentage. The trailing-window COUNT(DISTINCT)
+    (which no window frame supports) becomes an EQUI-join: each
+    (user, day) activity expands into the ≤30 future days it covers
+    (`sequence`, the join_range_binned trick with a fixed 30×
+    blowup), then a plain distinct count per covered day — shuffles
+    carry (user, day) pairs, bounded by |user-days|·30, never raw
+    events. Integer division makes the ratio hash-exact."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, day + interval 29 days, interval 1 day)")
+        ).alias("cover_day"),
+    ).distinct()
+    mau = cover.groupBy(F.col("cover_day").alias("day")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return dau.join(mau, "day").select(
+        "day",
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("mau").cast("bigint").alias("mau"),
+        F.expr("(dau * 100) div mau").alias("stickiness_pct"),
     )
