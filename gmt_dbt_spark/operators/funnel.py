@@ -397,3 +397,166 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mau").cast("bigint").alias("mau"),
         F.expr("(dau * 100) div mau").alias("stickiness_pct"),
     )
+
+
+@query(
+    "mart_attribution",
+    oracle="""
+WITH fp AS (
+  SELECT user_id, MIN(ts) AS pts
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+t AS (
+  SELECT e.user_id, e.event_type AS channel, e.ts, e.event_id
+  FROM events e JOIN fp ON e.user_id = fp.user_id AND e.ts < fp.pts
+  WHERE e.event_type IN ('view', 'click', 'signup')
+),
+ranked AS (
+  SELECT user_id, channel,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rrn
+  FROM t
+),
+per_u AS (
+  SELECT user_id, COUNT(*) AS n,
+         MAX(CASE WHEN rn = 1 THEN channel END) AS first_ch,
+         MAX(CASE WHEN rrn = 1 THEN channel END) AS last_ch
+  FROM ranked GROUP BY user_id
+),
+per_uc AS (
+  SELECT user_id, channel, COUNT(*) AS cnt FROM t GROUP BY user_id, channel
+)
+SELECT per_uc.channel,
+       SUM(CASE WHEN per_uc.channel = per_u.first_ch THEN 1 ELSE 0 END) AS n_first,
+       SUM(CASE WHEN per_uc.channel = per_u.last_ch THEN 1 ELSE 0 END) AS n_last,
+       SUM(per_uc.cnt * (1000000 // per_u.n)) AS linear_micro
+FROM per_uc JOIN per_u ON per_uc.user_id = per_u.user_id
+GROUP BY per_uc.channel
+""",
+)
+def mart_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution: credit each touch channel
+    (view/click/signup) for conversions (first purchase per user)
+    under three models at once — first-touch, last-touch, linear.
+
+    Scale shape: every stage keys on user_id — conversion times are
+    a conditional MIN aggregate, the touch filter is a co-partitioned
+    join, and first/last touch are MIN_BY/MAX_BY over an orderable
+    (ts, event_id) struct INSIDE the per-user aggregate, so there is
+    no ROW_NUMBER window over the raw event stream (the oracle uses
+    one; windows sort whole partitions, min_by keeps a single running
+    champion — partial-aggregable, skew-tolerant). Linear credit is
+    exact integer micro-credits (1e6 div n), associative under SUM —
+    no float credit drift between engines. Ties on ts break on
+    event_id via the struct ordering, matching the oracle's ORDER BY
+    ts, event_id."""
+    ev = table(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click", "signup"))
+        .join(fp, "user_id")
+        .filter(F.col("ts") < F.col("pts"))
+        .select("user_id", F.col("event_type").alias("channel"), "ts", "event_id")
+    )
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    per_u = touches.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min_by("channel", order_key).alias("first_ch"),
+        F.max_by("channel", order_key).alias("last_ch"),
+    )
+    per_uc = touches.groupBy("user_id", "channel").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_uc.join(per_u, "user_id")
+        .groupBy("channel")
+        .agg(
+            F.count_if(F.col("channel") == F.col("first_ch")).alias("n_first"),
+            F.count_if(F.col("channel") == F.col("last_ch")).alias("n_last"),
+            F.sum(F.col("cnt") * F.expr("1000000 div n")).alias("linear_micro"),
+        )
+    )
+
+
+@query(
+    "mart_ltv",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey,
+         YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS m,
+         o_totalprice
+  FROM orders
+),
+first AS (SELECT o_custkey, MIN(m) AS cm FROM o GROUP BY o_custkey),
+sizes AS (SELECT cm, COUNT(*) AS cohort_users FROM first GROUP BY cm),
+cell AS (
+  SELECT first.cm, o.m - first.cm AS offset_m,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS rev_dec
+  FROM o JOIN first ON o.o_custkey = first.o_custkey
+  GROUP BY first.cm, o.m - first.cm
+),
+cum AS (
+  SELECT cm, offset_m, n_orders, rev_dec,
+         SUM(rev_dec) OVER (PARTITION BY cm ORDER BY offset_m
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_dec
+  FROM cell
+)
+SELECT cum.cm AS cohort_m, offset_m,
+       n_orders,
+       CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS rev,
+       CAST(CAST(cum_dec AS VARCHAR) AS DOUBLE) AS cum_rev,
+       sizes.cohort_users,
+       CAST(CAST(cum_dec AS VARCHAR) AS DOUBLE) / sizes.cohort_users
+         AS ltv_per_user
+FROM cum JOIN sizes ON cum.cm = sizes.cm
+""",
+)
+def mart_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers cohorted by first-order
+    month, revenue accumulated by month offset since cohort — the
+    triangle every growth team reads. Month index is pure integer
+    arithmetic (year*12+month) so cohort and offset hash exactly.
+
+    Scale shape: cohort assignment is a MIN aggregate + co-partitioned
+    join on o_custkey (same key, exchange reuse); the cumulative sum
+    window runs over the AGGREGATED (cohort x offset) matrix — at most
+    months² cells regardless of fact size — never over raw orders.
+    Revenue goes through the DECIMAL + VARCHAR-cast route (exprs.py)
+    for bit-exact cross-engine sums; LTV-per-user is a deterministic
+    double division by the exact cohort size."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        "o_totalprice",
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("cm"))
+    sizes = first.groupBy("cm").agg(F.count(F.lit(1)).alias("cohort_users"))
+    cell = (
+        o.join(first, "o_custkey")
+        .groupBy("cm", (F.col("m") - F.col("cm")).alias("offset_m"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"),
+        )
+    )
+    w = (
+        Window.partitionBy("cm")
+        .orderBy("offset_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cell.withColumn("cum_dec", F.sum("rev_dec").over(w))
+    return cum.join(sizes, "cm").select(
+        F.col("cm").alias("cohort_m"),
+        "offset_m",
+        "n_orders",
+        dec2dbl(F.col("rev_dec")).alias("rev"),
+        dec2dbl(F.col("cum_dec")).alias("cum_rev"),
+        "cohort_users",
+        (dec2dbl(F.col("cum_dec")) / F.col("cohort_users")).alias("ltv_per_user"),
+    )

@@ -644,3 +644,24 @@ def test_ivf_partitioned_probe_prunes_partitions(spark, tmp_path):
     probe = spark.read.parquet(path).filter(F.col("list_id").isin([0, 2]))
     plan = plan_of(probe)
     assert re.search(r"PartitionFilters: \[.*list_id", plan), plan
+
+
+def test_spatial_grid_is_equi_join(spark):
+    """The grid-binned spatial join must plan as a hash equi-join on
+    the cell pair with the distance as a residual condition — the
+    naive theta formulation would plan BroadcastNestedLoopJoin and
+    die at scale."""
+    tree = tree_of(plan_of(all_queries()["join_spatial_grid"](spark, SF_DIR)))
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "HashJoin" in tree or "SortMergeJoin" in tree
+
+
+def test_dedup_bloom_probe_is_scan_side(spark):
+    """The bloom membership test must be scan-side bit arithmetic —
+    the only join in the plan is the broadcast exact-audit join; no
+    shuffle join of train fingerprints against the eval set."""
+    tree = tree_of(plan_of(all_queries()["dedup_bloom"](spark, SF_DIR)))
+    assert "SortMergeJoin" not in tree, tree
+    assert "ShuffledHashJoin" not in tree, tree
+    assert tree.count("BroadcastHashJoin") == 1, tree
