@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmt_dbt_spark.catalog import table
-from gmt_dbt_spark.exprs import dec2dbl
+from gmt_dbt_spark.exprs import DEC, dec2dbl
 from gmt_dbt_spark.registry import query
 
 
@@ -604,4 +604,43 @@ def agg_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lines_mask"),
         F.bit_and((F.col("l_partkey") % 256).cast("bigint")).alias("key_and"),
         F.bit_xor(F.col("l_suppkey").cast("bigint")).alias("supp_xor"),
+    )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))
+                     * CAST(l_quantity AS DECIMAL(25,6)))
+                 AS VARCHAR) AS DOUBLE) AS wsum,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+         AS wtot,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))
+                     * CAST(l_quantity AS DECIMAL(25,6)))
+                 AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+         AS weighted_avg_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag — the weighted
+    mean every metrics layer needs (plain AVG over line items is the
+    wrong statistic when weights vary). Both the weighted sum and the
+    weight total accumulate in exact DECIMAL (associative — safe
+    under any partial-aggregation order), surface through the
+    VARCHAR-cast route (exprs.py), and the final ratio is one
+    deterministic double division. One shuffle, partial-aggregable,
+    no second pass."""
+    li = table(spark, sf_dir, "lineitem")
+    wsum_dec = F.sum(
+        F.col("l_extendedprice").cast(DEC) * F.col("l_quantity").cast(DEC)
+    )
+    wtot_dec = F.sum(F.col("l_quantity").cast(DEC))
+    return li.groupBy("l_returnflag").agg(
+        dec2dbl(wsum_dec).alias("wsum"),
+        dec2dbl(wtot_dec).alias("wtot"),
+        (dec2dbl(wsum_dec) / dec2dbl(wtot_dec)).alias("weighted_avg_price"),
     )

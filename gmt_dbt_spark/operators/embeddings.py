@@ -472,3 +472,105 @@ def embed_cosine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("na2") > 0) & (F.col("nb2") > 0) & (F.col("dot") >= 0)
         & (lhs >= rhs)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_SUB = 16  # dims per subspace (PQ_M * PQ_SUB == 64)
+PQ_CODES = 8  # codewords per subspace
+
+
+@query(
+    "embed_pq",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cb AS (SELECT vec_id AS c, qv AS cv FROM q WHERE vec_id < {PQ_CODES}),
+pairs AS (
+  SELECT q.vec_id, cb.c, d.d // {PQ_SUB} AS m,
+         (q.qv[CAST(d.d AS INT) + 1] - cb.cv[CAST(d.d AS INT) + 1])
+           * (q.qv[CAST(d.d AS INT) + 1] - cb.cv[CAST(d.d AS INT) + 1]) AS sq
+  FROM q
+  CROSS JOIN cb
+  CROSS JOIN LATERAL (SELECT unnest(range({PQ_M * PQ_SUB})) AS d) d
+),
+dist AS (
+  SELECT vec_id, c, m, SUM(sq) AS d2
+  FROM pairs GROUP BY vec_id, c, m
+),
+picked AS (
+  SELECT vec_id, m, c, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+  FROM dist
+)
+SELECT vec_id,
+       MAX(CASE WHEN m = 0 THEN c END) AS code0,
+       MAX(CASE WHEN m = 1 THEN c END) AS code1,
+       MAX(CASE WHEN m = 2 THEN c END) AS code2,
+       MAX(CASE WHEN m = 3 THEN c END) AS code3,
+       SUM(d2) AS qerr
+FROM picked
+WHERE rn = 1
+GROUP BY vec_id
+""",
+)
+def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each 64-dim vector compressed to 4 codes
+    of 3 bits (nearest of 8 codewords per 16-dim subspace) + the exact
+    quantization error — the memory layout behind every billion-scale
+    ANN index (IVF-PQ): 64 floats -> a handful of bytes, with
+    asymmetric distances later computed from tiny lookup tables.
+
+    Codebook here is data-deterministic (the first 8 vectors'
+    subvectors) so the DuckDB oracle can re-derive it; production
+    would k-means each subspace (kmeans_assign above) — identical
+    assignment plan either way.
+
+    Scale shape: the codebook is K x dims ints broadcast as ONE
+    single-row array (same shape as kmeans_assign); assignment is
+    pure scan-side lambda algebra over micro-unit integers — zero
+    shuffles, zero floats, argmin ties break to the lowest codeword
+    via array_position's first-match semantics (oracle: ORDER BY
+    d2, c)."""
+    s = table(spark, sf_dir, "embeddings").select("vec_id", _micro_vec().alias("qv"))
+    cb = sorted(
+        s.filter(F.col("vec_id") < PQ_CODES).collect(), key=lambda r: r["vec_id"]
+    )
+    carr = spark.createDataFrame(
+        [([[int(v) for v in r["qv"]] for r in cb],)], "__cents array<array<bigint>>"
+    )
+    out = s.crossJoin(F.broadcast(carr))
+    cols = [F.col("vec_id")]
+    qerr = None
+    def subspace_dists(m: int):
+        sub = F.slice("qv", PQ_SUB * m + 1, PQ_SUB)
+
+        def dist_to(c):
+            return F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.slice(c, PQ_SUB * m + 1, PQ_SUB),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda a, b: a + b,
+            )
+
+        return F.transform(F.col("__cents"), dist_to)
+
+    for m in range(PQ_M):
+        dists = subspace_dists(m)
+        cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).alias(f"code{m}")
+        )
+        best = F.array_min(dists)
+        qerr = best if qerr is None else (qerr + best)
+    cols.append(qerr.alias("qerr"))
+    return out.select(*cols)

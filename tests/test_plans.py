@@ -665,3 +665,11 @@ def test_dedup_bloom_probe_is_scan_side(spark):
     assert "SortMergeJoin" not in tree, tree
     assert "ShuffledHashJoin" not in tree, tree
     assert tree.count("BroadcastHashJoin") == 1, tree
+
+
+def test_embed_pq_assignment_is_scan_side(spark):
+    """PQ code assignment must be zero-shuffle: the codebook rides as
+    a broadcast single-row array and every distance/argmin is lambda
+    algebra inside the scan stage."""
+    tree = tree_of(plan_of(all_queries()["embed_pq"](spark, SF_DIR)))
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 0, tree
