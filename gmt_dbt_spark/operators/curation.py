@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from gmt_dbt_spark.catalog import table
 from gmt_dbt_spark.functions.text import _DUCK_TOKENS  # DuckDB twin of tokens_col
-from gmt_dbt_spark.operators.dedup import tokens_col
+from gmt_dbt_spark.operators.dedup import shingle_rows, tokens_col
 from gmt_dbt_spark.registry import query
 
 MIN_TOKENS = 5
@@ -607,4 +607,107 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("bloom_hit") & ~F.col("exact_hit"))
             <= F.count(F.lit(1)) / 20 + 1
         ).alias("fpr_bounded"),
+    )
+
+
+@query(
+    "pipeline_dedup_cascade",
+    oracle="""
+WITH keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+surv AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN keep ON d.doc_id = keep.doc_id
+),
+t0 AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g')), ' '), t -> t <> '') AS tk
+  FROM surv WHERE text IS NOT NULL
+),
+g AS (
+  SELECT DISTINCT doc_id, md5(gram) AS fp
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(tk) >= 8
+                  THEN list_transform(range(len(tk) - 7),
+                       i -> array_to_string(tk[i+1:i+8], ' '))
+                  ELSE [array_to_string(tk, ' ')] END) AS gram
+    FROM t0
+  )
+),
+df AS (SELECT fp FROM g GROUP BY fp HAVING COUNT(*) >= 2),
+contam AS (
+  SELECT g.doc_id
+  FROM g LEFT JOIN df ON g.fp = df.fp
+  GROUP BY g.doc_id
+  HAVING COUNT(df.fp) * 100 >= COUNT(*) * 30
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       COUNT(k.doc_id) AS n_after_exact,
+       COUNT(c.doc_id) AS n_contaminated,
+       SUM(CASE WHEN k.doc_id IS NOT NULL AND c.doc_id IS NULL
+                THEN 1 ELSE 0 END) AS n_kept
+FROM documents d
+LEFT JOIN keep k ON d.doc_id = k.doc_id
+LEFT JOIN contam c ON d.doc_id = c.doc_id
+GROUP BY d.source
+""",
+)
+def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CASCADE, cheapest stage first — the order every
+    production curation run uses: exact whole-text dedup (16-byte
+    fingerprint groupBy, drops the easy mirrors for pennies) BEFORE
+    the expensive substring-contamination audit, which therefore
+    tokenizes and shingles only the exact-survivors. Per-source
+    funnel counts out: total -> after-exact -> contaminated -> kept.
+
+    Scale math: if exact dedup removes fraction r, the 8-gram stage
+    — the dominant cost, ~|tokens| gram fingerprints shuffled — runs
+    on (1-r) of the corpus; cascading cheap-to-expensive is the
+    difference between an overnight run and a week at 100 TB. All
+    stages shuffle fingerprints/ids only, never document bodies, and
+    the funnel rollup joins are id-keyed markers."""
+    docs = table(spark, sf_dir, "documents")
+    keep = (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = docs.select("doc_id", "text").join(keep, "doc_id", "left_semi")
+    g = (
+        shingle_rows(surv, "doc_id", "text", n=8)
+        .select(F.col("__id").alias("doc_id"), F.md5("__sh").alias("fp"))
+        .distinct()
+    )
+    dup = (
+        g.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("fp", F.lit(1).alias("is_dup"))
+    )
+    contam = (
+        g.join(dup, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup"),
+        )
+        .filter(F.col("n_dup") * 100 >= F.col("n_grams") * 30)
+        .select("doc_id", F.lit(1).alias("is_cont"))
+    )
+    marked = (
+        docs.select("doc_id", "source")
+        .join(keep.withColumn("is_surv", F.lit(1)), "doc_id", "left")
+        .join(contam, "doc_id", "left")
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("is_surv").alias("n_after_exact"),
+        F.count("is_cont").alias("n_contaminated"),
+        F.count_if(
+            F.col("is_surv").isNotNull() & F.col("is_cont").isNull()
+        ).alias("n_kept"),
     )

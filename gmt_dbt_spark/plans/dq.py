@@ -388,3 +388,73 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "dq_drift_tvd",
+    oracle="""
+WITH binned AS (
+  SELECT event_type,
+         LEAST(9, CAST(FLOOR(value / 50) AS INT)) AS bin,
+         DAY(ts) <= 15 AS in_a
+  FROM events
+),
+cell AS (
+  SELECT event_type, bin,
+         SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS b
+  FROM binned GROUP BY event_type, bin
+),
+tot AS (
+  SELECT event_type, SUM(a) AS na, SUM(b) AS nb FROM cell GROUP BY event_type
+)
+SELECT cell.event_type,
+       MAX(tot.na) AS n_a,
+       MAX(tot.nb) AS n_b,
+       SUM(ABS(cell.a * 1000000 // tot.na - cell.b * 1000000 // tot.nb)) // 2
+         AS tv_ppm,
+       SUM(ABS(cell.a * 1000000 // tot.na - cell.b * 1000000 // tot.nb)) // 2
+         > 100000 AS drifted
+FROM cell JOIN tot ON cell.event_type = tot.event_type
+GROUP BY cell.event_type
+""",
+)
+def dq_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: total-variation distance between
+    the first- and second-half-of-month `value` distributions, per
+    event type — the schema-stable cousin of PSI (PSI's log-ratio
+    term needs libm, whose rounding is engine-specific; TVD is pure
+    integer arithmetic in ppm, so the alert threshold hashes exactly).
+
+    Scale shape: one conditional aggregate over the stream to the
+    (type x 10-bin) histogram — everything after operates on at most
+    |types| x 10 cells: the totals aggregate, the proportion join and
+    the TVD rollup are all dim-sized. Streams of any size reduce to
+    the same constant-size drift matrix (the same pattern a weekly
+    prod/holdout comparison or a train-vs-serve skew check runs)."""
+    ev = table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.least(F.lit(9), F.floor(F.col("value") / 50).cast("int")).alias("bin"),
+        (F.dayofmonth("ts") <= 15).alias("in_a"),
+    )
+    cell = binned.groupBy("event_type", "bin").agg(
+        F.count_if("in_a").alias("a"),
+        F.count_if(~F.col("in_a")).alias("b"),
+    )
+    tot = cell.groupBy("event_type").agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    tv = F.expr(
+        "sum(abs(a * 1000000 div na - b * 1000000 div nb)) div 2"
+    )
+    return (
+        cell.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            tv.alias("tv_ppm"),
+            (tv > 100000).alias("drifted"),
+        )
+    )

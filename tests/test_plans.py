@@ -673,3 +673,29 @@ def test_embed_pq_assignment_is_scan_side(spark):
     algebra inside the scan stage."""
     tree = tree_of(plan_of(all_queries()["embed_pq"](spark, SF_DIR)))
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 0, tree
+
+
+def test_mart_attribution_no_raw_event_window(spark):
+    """First/last touch come from min_by/max_by INSIDE the per-user
+    aggregate — the plan must contain no Window operator at all (the
+    oracle's ROW_NUMBER formulation would sort every user partition
+    of the raw stream)."""
+    tree = tree_of(plan_of(all_queries()["mart_attribution"](spark, SF_DIR)))
+    assert "Window" not in tree, tree
+
+
+def test_mart_ltv_window_after_aggregate(spark):
+    """The cumulative-LTV window may only run over the aggregated
+    (cohort x offset) matrix: every Window node must sit above the
+    cell aggregate, never over raw orders — cheap proxy: exactly one
+    Window, and the plan still has the two-level aggregate chain."""
+    plan = plan_of(all_queries()["mart_ltv"](spark, SF_DIR))
+    tree = tree_of(plan)
+    assert tree.count("Window") == 1, tree
+    # raw orders feed HashAggregates before any Window: the Window's
+    # child subtree must contain an aggregate (formatted plans list
+    # children below parents; assert an aggregate appears after the
+    # window line).
+    lines = tree.splitlines()
+    win_idx = next(i for i, l in enumerate(lines) if "Window" in l)
+    assert any("Aggregate" in l for l in lines[win_idx:]), tree
