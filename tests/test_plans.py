@@ -699,3 +699,49 @@ def test_mart_ltv_window_after_aggregate(spark):
     lines = tree.splitlines()
     win_idx = next(i for i, l in enumerate(lines) if "Window" in l)
     assert any("Aggregate" in l for l in lines[win_idx:]), tree
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """At cluster scale a selective dim filter should be pushed to the
+    fact side as a runtime Bloom filter (InjectRuntimeFilter) when the
+    join can't broadcast. local[32] at sf0.01 always broadcasts, so
+    this guard scopes the cluster-like regime (broadcast off,
+    application-side threshold 0) and pins that the engine DOES inject
+    bloom_filter_agg on the fact scan — the semi-join pushdown that
+    saves a full fact shuffle at 100 TB. Configs are restored so no
+    other test/query sees the regime."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        ords = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(ords, li.l_orderkey == ords.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        (row,) = j.collect()
+        assert row["count"] > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
