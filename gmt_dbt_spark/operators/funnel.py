@@ -560,3 +560,80 @@ def mart_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_users",
         (dec2dbl(F.col("cum_dec")) / F.col("cohort_users")).alias("ltv_per_user"),
     )
+
+
+@query(
+    "mart_basket_lift",
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+item AS (SELECT l_partkey, COUNT(*) AS cnt FROM op GROUP BY l_partkey),
+pair AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS pair_count
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 2
+)
+SELECT pair.pa, pair.pb, pair.pair_count,
+       ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+       n.n_orders,
+       pair.pair_count * n.n_orders > ia.cnt * ib.cnt AS lift_gt1
+FROM pair
+JOIN item ia ON pair.pa = ia.l_partkey
+JOIN item ib ON pair.pb = ib.l_partkey
+CROSS JOIN n
+""",
+)
+def mart_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-ordered in >= 2 orders,
+    with the lift test (does the pair co-occur more than independence
+    predicts) as an integer cross-multiplication —
+    pair_count * n_orders > cnt_a * cnt_b — so the flag hashes
+    exactly with no division.
+
+    Scale shape: the (order, part) projection dedups first (16-byte
+    keys), the pair self-join blows up per-order as lines² — bounded
+    by order size, and the production guard for mega-baskets is the
+    same frequency cap graph_triangles documents. The min-support
+    HAVING cut runs BEFORE the item-count joins, so only surviving
+    pairs join the dimension-sized item table; the global order count
+    is a one-row broadcast."""
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = op.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = op.toDF("okey", "pa")
+    b = op.toDF("okey", "pb")
+    pair = (
+        a.join(b, "okey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= 2)
+    )
+    ia = item.toDF("pa", "cnt_a")
+    ib = item.toDF("pb", "cnt_b")
+    return (
+        pair.join(ia, "pa")
+        .join(ib, "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            "pair_count",
+            "cnt_a",
+            "cnt_b",
+            "n_orders",
+            (F.col("pair_count") * F.col("n_orders") > F.col("cnt_a") * F.col("cnt_b")).alias(
+                "lift_gt1"
+            ),
+        )
+    )

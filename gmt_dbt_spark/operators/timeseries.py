@@ -236,3 +236,59 @@ def events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hour_sum").isNull().alias("filled"),
         F.last("hour_sum", ignorenulls=True).over(w).alias("locf_sum"),
     )
+
+
+@query(
+    "events_interarrival",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - epoch_us(LAG(ts) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id))) // 1000000 AS gap_s
+  FROM events
+)
+SELECT event_type,
+       CASE WHEN gap_s < 60 THEN 0 WHEN gap_s < 300 THEN 1
+            WHEN gap_s < 3600 THEN 2 ELSE 3 END AS gap_bucket,
+       COUNT(*) AS n_gaps,
+       MIN(gap_s) AS min_gap_s,
+       MAX(gap_s) AS max_gap_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY event_type,
+         CASE WHEN gap_s < 60 THEN 0 WHEN gap_s < 300 THEN 1
+              WHEN gap_s < 3600 THEN 2 ELSE 3 END
+""",
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution: per-user event gaps bucketed
+    (<1 min, <5 min, <1 h, >=1 h) and rolled up by the type of the
+    LATER event — the cadence profile behind bot detection, session
+    timeout tuning and engagement scoring.
+
+    Scale shape: ONE user-keyed LAG window (the unavoidable ordering
+    pass; per-user partitions sort independently, skewed power users
+    are the known hazard AQE cannot split inside a window — the
+    production mitigation is a (user, day) composite partition with
+    boundary-gap stitching), then a scan-side CASE bucket and a
+    partial-aggregable rollup whose output is |types| x 4 rows. Gap
+    seconds are exact integer microsecond arithmetic on BOTH engines
+    (no float durations), ties on ts break by event_id."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - unix_micros(lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id))) div 1000000"
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    bucket = (
+        F.when(F.col("gap_s") < 60, 0)
+        .when(F.col("gap_s") < 300, 1)
+        .when(F.col("gap_s") < 3600, 2)
+        .otherwise(3)
+    )
+    return g.groupBy("event_type", bucket.alias("gap_bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
