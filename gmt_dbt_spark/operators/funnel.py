@@ -637,3 +637,75 @@ def mart_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "mart_gini",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(FLOOR(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                              AS VARCHAR) AS DOUBLE)) AS BIGINT) AS x
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM cust
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(x) AS total, SUM(i * x) AS wsum FROM ranked
+)
+SELECT n AS n_customers,
+       total AS total_rev,
+       2 * wsum - (n + 1) * total AS gini_num,
+       n * total AS gini_den,
+       CAST(2 * wsum - (n + 1) * total AS DOUBLE) / CAST(n * total AS DOUBLE)
+         AS gini
+FROM s
+""",
+)
+def mart_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient over per-customer
+    lifetime revenue — the inequality KPI behind "whale risk"
+    dashboards, computed with the sorted-rank identity
+    G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ).
+
+    Exactness: per-customer revenue reduces in DECIMAL, surfaces
+    through the VARCHAR route, and floors to whole currency units —
+    every downstream term (rank, weighted sum, numerator,
+    denominator) is bigint arithmetic; the final ratio is one
+    deterministic bigint→double division. Magnitudes stay under 2⁵³
+    through sf100 (whole units, not micros — deliberately).
+
+    Scale note: the global ROW_NUMBER is an Exchange SinglePartition
+    + sort over the PER-CUSTOMER aggregate (dim-sized, like
+    win_ntile's documented hazard) — at extreme customer counts the
+    rewrite is the binned Lorenz-curve approximation (histogram of
+    revenue deciles, same TVD-style integer machinery as
+    dq_drift_tvd); exact ranks over a 100 TB fact reduce to ranks
+    over |customers| rows, which a single partition of aggregates
+    handles into the hundreds of millions."""
+    cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.floor(dec2dbl(F.sum(F.col("o_totalprice").cast(DEC))))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    w = Window.orderBy("x", "o_custkey")
+    ranked = cust.select("x", F.row_number().over(w).alias("i"))
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("total"),
+        F.sum(F.col("i") * F.col("x")).alias("wsum"),
+    )
+    num = 2 * F.col("wsum") - (F.col("n") + 1) * F.col("total")
+    den = F.col("n") * F.col("total")
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_rev"),
+        num.alias("gini_num"),
+        den.alias("gini_den"),
+        (num.cast("double") / den.cast("double")).alias("gini"),
+    )

@@ -292,3 +292,59 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_s").alias("min_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
+
+
+@query(
+    "events_burst",
+    oracle="""
+WITH mins AS (
+  SELECT event_type, epoch_us(ts) // 60000000 AS me, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, epoch_us(ts) // 60000000
+),
+trail AS (
+  SELECT event_type, me, cnt,
+         COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY me
+             RANGE BETWEEN 10 PRECEDING AND 1 PRECEDING), 0) AS trail_sum,
+         COUNT(cnt) OVER (PARTITION BY event_type ORDER BY me
+             RANGE BETWEEN 10 PRECEDING AND 1 PRECEDING) AS trail_n
+  FROM mins
+)
+SELECT event_type, me, cnt, trail_sum, trail_n,
+       trail_n >= 5 AND cnt * trail_n * 10 > trail_sum * 30 AS burst
+FROM trail
+""",
+)
+def events_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-spike (burst) detector: per-type per-minute counts flagged
+    when the minute runs >3x its trailing-10-minute average with at
+    least 5 minutes of history — the alerting primitive behind error
+    storms, scraper detection and launch monitoring.
+
+    Scale shape: the raw stream collapses to the (type x minute)
+    matrix in one partial-aggregable groupBy; the trailing window —
+    RANGE over the integer minute epoch, so calendar gaps are handled
+    without a dense spine — runs over that matrix (|types| x minutes
+    rows, independent of event volume). The burst test multiplies
+    through the average (cnt * n * 10 > sum * 30) so there is no
+    division and the flag hashes exactly."""
+    ev = table(spark, sf_dir, "events")
+    mins = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 60000000").alias("me")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("me")
+        .rangeBetween(-10, -1)
+    )
+    trail = mins.select(
+        "event_type",
+        "me",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("trail_sum"),
+        F.count("cnt").over(w).alias("trail_n"),
+    )
+    return trail.withColumn(
+        "burst",
+        (F.col("trail_n") >= 5)
+        & (F.col("cnt") * F.col("trail_n") * 10 > F.col("trail_sum") * 30),
+    )
