@@ -517,3 +517,34 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("mask(c_name)").alias("masked_default"),
         F.expr("mask(c_name, NULL, NULL, '*', NULL)").alias("masked_digits_only"),
     )
+
+
+@query(
+    "fn_regexp",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       len(regexp_extract_all(p_name, '[a-z]+')) AS n_words,
+       array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|') AS words_csv,
+       regexp_matches(p_name, '^(red|blue) ') AS is_primary_color,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+FROM part
+""",
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp function family: extract / extract-all / count /
+    boolean match / global replace — all JVM-codegen scan-side
+    expressions (Java regex here, RE2 in the DuckDB twin; the
+    patterns stick to the common subset where both dialects agree).
+    regexp_count is expressed as the length of extract_all so the
+    same column works on engines without a native count."""
+    p = table(spark, sf_dir, "part")
+    words = F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]+"), 0)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.size(words).alias("n_words"),
+        F.array_join(words, "|").alias("words_csv"),
+        F.col("p_name").rlike("^(red|blue) ").alias("is_primary_color"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+    )
