@@ -94,6 +94,14 @@ def pipeline_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FP5 = "md5(array_to_string(string_split(text, ' ')[1:5], ' '))"
 _EVAL_SRC = "('src0', 'src1', 'src2', 'src3', 'src4')"
+EVAL_SRC_LIST = ["src0", "src1", "src2", "src3", "src4"]
+
+
+def fp5_col() -> "F.Column":
+    """First-5-token md5 fingerprint — the Spark twin of ``_FP5``.
+    Shared by every decontamination query so the definition can never
+    silently diverge between them."""
+    return F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)))
 
 
 @query(
@@ -117,8 +125,8 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint set extends to shingled n-grams (the dedup.py MinHash
     machinery) — same join shape, more keys per doc."""
     docs = table(spark, sf_dir, "documents")
-    eval_src = ["src0", "src1", "src2", "src3", "src4"]
-    fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)))
+    eval_src = EVAL_SRC_LIST
+    fp = fp5_col()
     train = docs.filter(~F.col("source").isin(eval_src)).select(
         "doc_id", "source", fp.alias("k")
     )
@@ -504,7 +512,8 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Broadcast-bloom decontamination.
 # ---------------------------------------------------------------------------
 
-_BLOOM_BITS = 1 << 16  # m: 65536 bits -> 1024 longs, ~8 KB broadcast
+_BLOOM_MIN_BITS = 1 << 16  # floor: 65536 bits -> 1024 longs, ~8 KB
+_BLOOM_MAX_BITS = 1 << 20  # literal-size cap: 16384 longs, ~128 KB
 _BLOOM_K = 3
 
 
@@ -542,18 +551,37 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     query ALSO computes exact membership via the broadcast eval join
     and emits per-source booleans the oracle can assert —
     `no_false_neg` (a Bloom filter can never miss a true member) and
-    `fpr_bounded` (false positives <= 5% of docs + 1; with 3 probes
-    into 65536 bits and a few hundred eval keys the expected FP count
-    is ~0). Exact hit counts are hash-compared against DuckDB."""
+    `fpr_bounded` (false positives <= 5% of docs + 1; the bitmap is
+    sized to >=32 bits per eval key, so expected FPR stays ~0.07%
+    regardless of sf). Exact hit counts are hash-compared against
+    DuckDB."""
     docs = table(spark, sf_dir, "documents")
-    eval_src = ["src0", "src1", "src2", "src3", "src4"]
-    fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)))
+    eval_src = EVAL_SRC_LIST
+    fp = fp5_col()
 
-    ev = docs.filter(F.col("source").isin(eval_src)).select(fp.alias("k")).distinct()
+    # NULL text -> NULL fingerprint: not a member of anything (the
+    # oracle's NULL k never joins); drop it from the build side or it
+    # would collect as a None bit position.
+    ev = (
+        docs.filter(F.col("source").isin(eval_src))
+        .select(fp.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .distinct()
+    )
+    # Size the bitmap to the eval set: >=32 bits/key keeps the fill
+    # ~9% and FPR ~0.07% at k=3, so the 5%+1 bound below holds at any
+    # sf until the literal cap (~32k keys); past that, production
+    # swaps the literal for a broadcast-joined bitmap table — same
+    # probe expression. The count is one tiny action over the eval
+    # subset (same build-time pattern as the IVF centroid collect).
+    n_keys = ev.count()
+    m_bits = _BLOOM_MIN_BITS
+    while m_bits < min(_BLOOM_MAX_BITS, 32 * max(n_keys, 1)):
+        m_bits *= 2
 
     def positions(col):
         return [
-            F.pmod(F.xxhash64(F.concat(col, F.lit(str(i)))), F.lit(_BLOOM_BITS))
+            F.pmod(F.xxhash64(F.concat(col, F.lit(str(i)))), F.lit(m_bits))
             for i in range(_BLOOM_K)
         ]
 
@@ -570,10 +598,10 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.bit_or("m").alias("bits"))
         .collect()
     )
-    bitmap = [0] * (_BLOOM_BITS // 64)
+    bitmap = [0] * (m_bits // 64)
     for r in words:
         bitmap[r["w"]] = r["bits"]
-    arr = F.lit(bitmap)  # 8 KB literal, embedded in the codegen'd task
+    arr = F.lit(bitmap)  # <=128 KB literal, embedded in the codegen'd task
 
     train = docs.filter(~F.col("source").isin(eval_src)).select(
         "source", fp.alias("k")
@@ -589,9 +617,9 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" & shiftleft(1L, cast(_p{i} % 64 AS INT))) != 0"
         for i in range(_BLOOM_K)
     )
-    flagged = flagged.withColumn("bloom_hit", F.expr(hit_sql)).drop(
-        "_bm", *[f"_p{i}" for i in range(_BLOOM_K)]
-    )
+    flagged = flagged.withColumn(
+        "bloom_hit", F.col("k").isNotNull() & F.expr(hit_sql)
+    ).drop("_bm", *[f"_p{i}" for i in range(_BLOOM_K)])
 
     exact = flagged.join(
         F.broadcast(ev.withColumn("is_eval", F.lit(True))), "k", "left"

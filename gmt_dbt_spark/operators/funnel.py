@@ -652,14 +652,16 @@ ranked AS (
   SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM cust
 ),
 s AS (
-  SELECT COUNT(*) AS n, SUM(x) AS total, SUM(i * x) AS wsum FROM ranked
+  SELECT COUNT(*) AS n, SUM(x) AS total,
+         SUM(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS wsum
+  FROM ranked
 )
 SELECT n AS n_customers,
        total AS total_rev,
-       2 * wsum - (n + 1) * total AS gini_num,
-       n * total AS gini_den,
-       CAST(2 * wsum - (n + 1) * total AS DOUBLE) / CAST(n * total AS DOUBLE)
-         AS gini
+       CAST(CAST(2 * wsum - (n + 1) * total AS VARCHAR) AS DOUBLE) AS gini_num,
+       CAST(CAST(CAST(n AS HUGEINT) * total AS VARCHAR) AS DOUBLE) AS gini_den,
+       CAST(CAST(2 * wsum - (n + 1) * total AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(CAST(n AS HUGEINT) * total AS VARCHAR) AS DOUBLE) AS gini
 FROM s
 """,
 )
@@ -670,11 +672,13 @@ def mart_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ).
 
     Exactness: per-customer revenue reduces in DECIMAL, surfaces
-    through the VARCHAR route, and floors to whole currency units —
-    every downstream term (rank, weighted sum, numerator,
-    denominator) is bigint arithmetic; the final ratio is one
-    deterministic bigint→double division. Magnitudes stay under 2⁵³
-    through sf100 (whole units, not micros — deliberately).
+    through the VARCHAR route, and floors to whole currency units.
+    The rank-weighted sum Σ i·xᵢ grows as n²·x̄ — past 2⁶³ for big
+    customer counts — so it accumulates in DECIMAL(38,0) on the
+    Spark side and HUGEINT in DuckDB (both exact to 10³⁸; no silent
+    bigint wrap), and the numerator/denominator surface through the
+    VARCHAR→DOUBLE route, which parses the same integer string to
+    the same correctly-rounded double in both engines.
 
     Scale note: the global ROW_NUMBER is an Exchange SinglePartition
     + sort over the PER-CUSTOMER aggregate (dim-sized, like
@@ -695,17 +699,21 @@ def mart_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("x", "o_custkey")
     ranked = cust.select("x", F.row_number().over(w).alias("i"))
+    big = "decimal(38,0)"
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("total"),
-        F.sum(F.col("i") * F.col("x")).alias("wsum"),
+        F.sum(F.col("i").cast(big) * F.col("x").cast(big)).alias("wsum"),
     )
-    num = 2 * F.col("wsum") - (F.col("n") + 1) * F.col("total")
-    den = F.col("n") * F.col("total")
+    num = (
+        F.lit(2).cast(big) * F.col("wsum")
+        - (F.col("n") + 1).cast(big) * F.col("total").cast(big)
+    )
+    den = F.col("n").cast(big) * F.col("total").cast(big)
     return s.select(
         F.col("n").alias("n_customers"),
         F.col("total").alias("total_rev"),
-        num.alias("gini_num"),
-        den.alias("gini_den"),
-        (num.cast("double") / den.cast("double")).alias("gini"),
+        dec2dbl(num).alias("gini_num"),
+        dec2dbl(den).alias("gini_den"),
+        (dec2dbl(num) / dec2dbl(den)).alias("gini"),
     )

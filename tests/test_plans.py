@@ -692,13 +692,17 @@ def test_mart_ltv_window_after_aggregate(spark):
     plan = plan_of(all_queries()["mart_ltv"](spark, SF_DIR))
     tree = tree_of(plan)
     assert tree.count("Window") == 1, tree
-    # raw orders feed HashAggregates before any Window: the Window's
-    # child subtree must contain an aggregate (formatted plans list
-    # children below parents; assert an aggregate appears after the
-    # window line).
-    lines = tree.splitlines()
-    win_idx = next(i for i, l in enumerate(lines) if "Window" in l)
-    assert any("Aggregate" in l for l in lines[win_idx:]), tree
+    # The formatted plan's detail section lists each node's Input
+    # columns: the Window must consume the AGGREGATED cell columns
+    # (rev_dec exists only after the cell aggregate) and must not see
+    # any raw orders column.
+    win_detail = re.search(
+        r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert win_detail, plan
+    cols = win_detail.group(1)
+    assert "rev_dec" in cols, cols
+    assert "o_totalprice" not in cols and "o_orderdate" not in cols, cols
 
 
 def test_runtime_bloom_filter_injection(spark):
