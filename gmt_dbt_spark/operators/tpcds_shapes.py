@@ -395,3 +395,60 @@ def tpcds_time_band_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             for lo, hi in bands
         ]
     )
+
+
+@query(
+    "tpcds_rollup_topk",
+    oracle="""
+WITH cell AS (
+  SELECT c_mktsegment, o_orderpriority,
+         GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority) AS gid,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR)
+              AS DOUBLE) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY gid, c_mktsegment
+           ORDER BY rev DESC, COALESCE(o_orderpriority, '')) AS rk
+  FROM cell
+)
+SELECT c_mktsegment, o_orderpriority, gid, rev, rk
+FROM ranked WHERE rk <= 3
+""",
+)
+def tpcds_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67 shape: revenue rolled up over the
+    (segment, priority) hierarchy, then top-3 rows per rollup group —
+    the 'best sellers at every level of the hierarchy' report.
+
+    Scale shape: ROLLUP expands each input row to its grouping sets
+    inside ONE Expand+aggregate pass (no per-level re-scan); the
+    row_number + rk<=3 filter optimizes to WindowGroupLimit
+    (plan-guarded), so each partition keeps a running top-3 instead
+    of fully sorting — the window input is the rolled-up cell matrix,
+    dim-sized. Partitioning includes grouping_id so subtotal rows
+    (NULL segment) rank in their own group, and the tiebreak
+    coalesces the NULL priority of subtotal rows for a total
+    deterministic order."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cell = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            (F.grouping("c_mktsegment") * 2 + F.grouping("o_orderpriority")).alias(
+                "gid"
+            ),
+            dec2dbl(F.sum(F.col("o_totalprice").cast(DEC))).alias("rev"),
+        )
+    )
+    w = Window.partitionBy("gid", "c_mktsegment").orderBy(
+        F.desc("rev"), F.coalesce("o_orderpriority", F.lit(""))
+    )
+    return (
+        cell.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "o_orderpriority", "gid", "rev", "rk")
+    )

@@ -749,3 +749,13 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rollup_topk_window_group_limit(spark):
+    """Q67 shape: rk<=3 over the rollup cells must plan as
+    WindowGroupLimit (running top-k per partition), and the rollup
+    must be a single Expand pass — no per-level union of scans."""
+    tree = tree_of(plan_of(all_queries()["tpcds_rollup_topk"](spark, SF_DIR)))
+    assert "WindowGroupLimit" in tree, tree
+    assert tree.count("Expand") == 1, tree
+    assert tree.count("Scan parquet") == 2, tree
