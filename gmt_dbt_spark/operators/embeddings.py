@@ -18,7 +18,7 @@ shuffles, no UDF, no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmt_dbt_spark.catalog import table
@@ -539,16 +539,25 @@ def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles, zero floats, argmin ties break to the lowest codeword
     via array_position's first-match semantics (oracle: ORDER BY
     d2, c)."""
+    codes, _ = pq_codes(spark, sf_dir)
+    return codes
+
+
+def pq_codes(spark: SparkSession, sf_dir: str):
+    """Shared PQ assignment: returns (codes DataFrame with vec_id,
+    code0..code3, qerr; codebook as a python list of K micro-unit
+    vectors). The codebook is the model — K x dims ints on the
+    driver, like the kmeans/IVF centroid collects."""
     s = table(spark, sf_dir, "embeddings").select("vec_id", _micro_vec().alias("qv"))
     cb = sorted(
         s.filter(F.col("vec_id") < PQ_CODES).collect(), key=lambda r: r["vec_id"]
     )
-    carr = spark.createDataFrame(
-        [([[int(v) for v in r["qv"]] for r in cb],)], "__cents array<array<bigint>>"
-    )
+    codebook = [[int(v) for v in r["qv"]] for r in cb]
+    carr = spark.createDataFrame([(codebook,)], "__cents array<array<bigint>>")
     out = s.crossJoin(F.broadcast(carr))
     cols = [F.col("vec_id")]
     qerr = None
+
     def subspace_dists(m: int):
         sub = F.slice("qv", PQ_SUB * m + 1, PQ_SUB)
 
@@ -572,5 +581,109 @@ def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         best = F.array_min(dists)
         qerr = best if qerr is None else (qerr + best)
-    cols.append(qerr.alias("qerr"))
-    return out.select(*cols)
+    return out.select(*cols + [qerr.alias("qerr")]), codebook
+
+
+PQ_QUERIES = (8, 12)  # query vec_ids [8, 12): not codebook members
+PQ_TOPK = 5
+
+
+@query(
+    "embed_pq_adc",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cb AS (SELECT vec_id AS c, qv AS cv FROM q WHERE vec_id < {PQ_CODES}),
+pairs AS (
+  SELECT q.vec_id, cb.c, d.d // {PQ_SUB} AS m,
+         (q.qv[CAST(d.d AS INT) + 1] - cb.cv[CAST(d.d AS INT) + 1])
+           * (q.qv[CAST(d.d AS INT) + 1] - cb.cv[CAST(d.d AS INT) + 1]) AS sq
+  FROM q
+  CROSS JOIN cb
+  CROSS JOIN LATERAL (SELECT unnest(range({PQ_M * PQ_SUB})) AS d) d
+),
+dist AS (
+  SELECT vec_id, c, m, SUM(sq) AS d2
+  FROM pairs GROUP BY vec_id, c, m
+),
+codes AS (
+  SELECT vec_id, m, c FROM (
+    SELECT vec_id, m, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS qid, c, m, d2 FROM dist
+  WHERE vec_id >= {PQ_QUERIES[0]} AND vec_id < {PQ_QUERIES[1]}
+),
+adc AS (
+  SELECT lut.qid, codes.vec_id, SUM(lut.d2) AS adc_d2
+  FROM codes JOIN lut ON codes.m = lut.m AND codes.c = lut.c
+  GROUP BY lut.qid, codes.vec_id
+)
+SELECT qid, vec_id, adc_d2, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, vec_id) AS rk
+  FROM adc
+) WHERE rk <= {PQ_TOPK}
+""",
+)
+def embed_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serving: asymmetric distance computation (ADC) top-k — the
+    query path of an IVF-PQ index. Each query precomputes a 4x8
+    lookup table of exact distances from its subvectors to every
+    codeword (computed DRIVER-side from the collected codebook: model
+    math, K x M ints, not data); a corpus vector's approximate
+    distance is then FOUR integer array lookups summed — no float,
+    no per-dimension work at scan time, which is precisely why PQ
+    scales ANN to billions of vectors.
+
+    Scale shape: corpus codes come from the shared zero-shuffle
+    pq_codes assignment; the 4-row query LUT frame broadcasts; the
+    rk<=5 filter plans as WindowGroupLimit (running top-k per query,
+    no full sort of the corpus — same guard family as the IVF
+    rerank). Ties break on vec_id for total determinism; everything
+    is micro-unit bigint arithmetic, hash-exact vs the relational
+    DuckDB re-derivation."""
+    codes, codebook = pq_codes(spark, sf_dir)
+    s = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _micro_vec().alias("qv")
+    )
+    qrows = sorted(
+        s.filter(
+            (F.col("vec_id") >= PQ_QUERIES[0]) & (F.col("vec_id") < PQ_QUERIES[1])
+        ).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    luts = []
+    for r in qrows:
+        qv = [int(v) for v in r["qv"]]
+        flat = []
+        for m in range(PQ_M):
+            for c in range(PQ_CODES):
+                flat.append(
+                    sum(
+                        (qv[m * PQ_SUB + d] - codebook[c][m * PQ_SUB + d]) ** 2
+                        for d in range(PQ_SUB)
+                    )
+                )
+        luts.append((r["vec_id"], flat))
+    qdf = spark.createDataFrame(luts, "qid bigint, lut array<bigint>")
+    adc_d2 = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            "lut", (F.lit(m * PQ_CODES) + F.col(f"code{m}") + 1).cast("int")
+        )
+        adc_d2 = term if adc_d2 is None else (adc_d2 + term)
+    scored = codes.crossJoin(F.broadcast(qdf)).select(
+        "qid", "vec_id", adc_d2.alias("adc_d2")
+    )
+    w = Window.partitionBy("qid").orderBy("adc_d2", "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PQ_TOPK)
+    )

@@ -458,3 +458,78 @@ def dq_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             (tv > 100000).alias("drifted"),
         )
     )
+
+
+# First-digit Benford expectations in ppm: round(log10(1+1/d) * 1e6).
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_SQL_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+) + " END"
+
+
+@query(
+    "dq_benford",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INT) AS first_digit
+  FROM orders WHERE o_totalprice >= 1
+),
+n AS (SELECT COUNT(*) AS total FROM digits),
+obs AS (
+  SELECT first_digit, COUNT(*) AS cnt FROM digits GROUP BY first_digit
+)
+SELECT obs.first_digit,
+       obs.cnt,
+       obs.cnt * 1000000 // n.total AS obs_ppm,
+       {_BENFORD_SQL_CASE} AS exp_ppm,
+       ABS(obs.cnt * 1000000 // n.total - {_BENFORD_SQL_CASE}) < 30000
+         AS benford_ok
+FROM obs CROSS JOIN n
+""",
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals — the
+    classic fabricated-data / fraud screen: naturally-occurring
+    multi-magnitude amounts follow P(d) = log10(1+1/d); synthetic or
+    tampered figures don't. The expected frequencies are PRECOMPUTED
+    integer ppm literals (no runtime log10 — libm rounding is
+    engine-specific), observed shares are integer-division ppm, and
+    the per-digit tolerance flag (|obs-exp| < 3%) is pure integer
+    arithmetic — all hash-exact.
+
+    Scale shape: first digit extracts scan-side (floor → string →
+    first char: all codegen), one partial-aggregable groupBy to 9
+    rows, and the total joins back as a one-row broadcast. Any fact
+    size reduces to a 9-row digit distribution.
+
+    (On this driver's uniformly-generated synthetic prices the flags
+    legitimately report non-Benford — the audit DETECTS synthetic
+    data, which is the point; the hash compare pins the detection.)"""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    n = digits.agg(F.count(F.lit(1)).alias("total"))
+    obs = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("cnt"))
+    exp_ppm = F.element_at(
+        F.create_map(
+            *[F.lit(x) for dp in _BENFORD_PPM.items() for x in dp]
+        ),
+        F.col("first_digit"),
+    )
+    obs_ppm = F.expr("cnt * 1000000 div total")
+    return obs.crossJoin(F.broadcast(n)).select(
+        "first_digit",
+        "cnt",
+        obs_ppm.alias("obs_ppm"),
+        exp_ppm.alias("exp_ppm"),
+        (F.abs(obs_ppm - exp_ppm) < 30000).alias("benford_ok"),
+    )

@@ -759,3 +759,10 @@ def test_rollup_topk_window_group_limit(spark):
     assert "WindowGroupLimit" in tree, tree
     assert tree.count("Expand") == 1, tree
     assert tree.count("Scan parquet") == 2, tree
+
+
+def test_pq_adc_topk_window_group_limit(spark):
+    """ADC serving: the per-query top-k must plan as WindowGroupLimit
+    (running top-k), never a full corpus sort per query."""
+    tree = tree_of(plan_of(all_queries()["embed_pq_adc"](spark, SF_DIR)))
+    assert "WindowGroupLimit" in tree, tree
