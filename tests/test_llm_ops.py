@@ -469,3 +469,51 @@ def test_pca_power_invariant_to_partitioning(spark):
     a = comps(2)
     b = comps(17)
     assert a == b and len(a) == 64
+
+
+def test_spatial_grid_matches_naive_theta(spark):
+    """The grid-binned join must find EXACTLY the pairs the naive
+    distance theta-join finds — the 3x3 neighborhood can neither miss
+    (cell edge == radius) nor over-count (residual filter)."""
+    from tests.conftest import SF_DIR
+    from gmt_dbt_spark.operators.spatial import join_spatial_grid, _R2
+    from gmt_dbt_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["c_custkey"], r["n_nearby"], r["min_d2"])
+        for r in join_spatial_grid(spark, SF_DIR).collect()
+    }
+    cust = table(spark, SF_DIR, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919) % 18000 - 9000).alias("y"),
+        ((F.col("c_custkey") * 104729) % 36000 - 18000).alias("x"),
+    )
+    supp = table(spark, SF_DIR, "supplier").select(
+        ((F.col("s_suppkey") * 7919 + 4321) % 18000 - 9000).alias("sy"),
+        ((F.col("s_suppkey") * 104729 + 12345) % 36000 - 18000).alias("sx"),
+    )
+    d2 = (F.col("y") - F.col("sy")) * (F.col("y") - F.col("sy")) + (
+        F.col("x") - F.col("sx")
+    ) * (F.col("x") - F.col("sx"))
+    naive = {
+        (r["c_custkey"], r["n_nearby"], r["min_d2"])
+        for r in cust.crossJoin(supp)
+        .filter(d2 <= F.lit(_R2))
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_nearby"), F.min(d2).alias("min_d2"))
+        .collect()
+    }
+    assert got == naive and len(got) > 0
+
+
+def test_gini_in_unit_interval(spark):
+    """Gini of a non-degenerate positive distribution lies in (0, 1),
+    and num/den are consistent with the ratio."""
+    from tests.conftest import SF_DIR
+    from gmt_dbt_spark.registry import all_queries
+
+    (row,) = all_queries()["mart_gini"](spark, SF_DIR).collect()
+    assert 0.0 < row["gini"] < 1.0
+    assert abs(row["gini"] - row["gini_num"] / row["gini_den"]) < 1e-12
+    assert row["n_customers"] > 0 and row["total_rev"] > 0
