@@ -681,3 +681,57 @@ def text_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct("n_alpha").alias("alpha_pct"),
         pct("n_vowel").alias("vowel_pct"),
     )
+
+
+@query(
+    "text_search_topk",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+hits AS (
+  SELECT doc_id,
+         COUNT(*) AS score,
+         COUNT(DISTINCT t) AS n_terms
+  FROM toks WHERE t IN ('vector', 'hash', 'stream')
+  GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score
+FROM hits
+WHERE n_terms >= 2
+ORDER BY n_terms DESC, score DESC, doc_id
+LIMIT 10
+""",
+)
+def text_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean term retrieval + top-k ranking — the SEARCH() /
+    inverted-index primitive, relationally: documents matching >= 2
+    of the query terms {vector, hash, stream}, ranked by (distinct
+    terms matched, total occurrences), top 10. Scoring is pure
+    integer counting (deliberately tf-only — BM25's log-idf term is
+    libm and engine-specific; the idf FILTERING effect comes from the
+    multi-term AND-ish gate instead).
+
+    Scale shape: the token explode filters to query terms IMMEDIATELY
+    (the IN prunes inside the Generate stage, so only hit rows — a
+    tiny fraction of the token stream — reach the per-doc aggregate);
+    the final global top-10 is TakeOrderedAndProject (per-partition
+    heads merged on the driver, no global sort). At index-serving
+    scale the same query runs against a posting-list table
+    (token-partitioned sink) — identical aggregate shape."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("t"),
+    ).filter(F.col("t").isin("vector", "hash", "stream"))
+    hits = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        F.countDistinct("t").alias("n_terms"),
+    )
+    return (
+        hits.filter(F.col("n_terms") >= 2)
+        .select("doc_id", "n_terms", "score")
+        .orderBy(F.desc("n_terms"), F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -766,3 +766,12 @@ def test_pq_adc_topk_window_group_limit(spark):
     (running top-k), never a full corpus sort per query."""
     tree = tree_of(plan_of(all_queries()["embed_pq_adc"](spark, SF_DIR)))
     assert "WindowGroupLimit" in tree, tree
+
+
+def test_text_search_topk_take_ordered(spark):
+    """Search top-10 must be TakeOrderedAndProject (per-partition
+    heads, no global sort), and the term filter must prune the token
+    stream before the per-doc aggregate (no full-token shuffle)."""
+    tree = tree_of(plan_of(all_queries()["text_search_topk"](spark, SF_DIR)))
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "Sort" not in tree.replace("SortMergeJoin", ""), tree
