@@ -603,3 +603,77 @@ def multimodal_image_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(run, IMAGE_GRADIENT_SCHEMA)
+
+
+IMAGE_HISTOGRAM_SCHEMA = (
+    "doc_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint, n_pix bigint"
+)
+
+
+@query(
+    "multimodal_image_histogram",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h
+  FROM documents WHERE doc_id < 200
+)
+SELECT d.doc_id,
+       SUM(CASE WHEN ((d.doc_id + 7*x.i + 13*y.i + 29*c.i) % 256) // 64 = 0
+                THEN 1 ELSE 0 END) AS b0,
+       SUM(CASE WHEN ((d.doc_id + 7*x.i + 13*y.i + 29*c.i) % 256) // 64 = 1
+                THEN 1 ELSE 0 END) AS b1,
+       SUM(CASE WHEN ((d.doc_id + 7*x.i + 13*y.i + 29*c.i) % 256) // 64 = 2
+                THEN 1 ELSE 0 END) AS b2,
+       SUM(CASE WHEN ((d.doc_id + 7*x.i + 13*y.i + 29*c.i) % 256) // 64 = 3
+                THEN 1 ELSE 0 END) AS b3,
+       COUNT(*) AS n_pix
+FROM d,
+     LATERAL (SELECT unnest(range(d.w)) AS i) x,
+     LATERAL (SELECT unnest(range(d.h)) AS i) y,
+     LATERAL (SELECT unnest(range(3)) AS i) c
+GROUP BY d.doc_id
+""",
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intensity histogram (4 bands of 64) over REAL decoded BMP
+    pixels — the exposure/contrast profile an image-curation gate
+    bins on (all-dark, blown-out, low-dynamic-range rejects). Pixels
+    round-trip through the actual 24-bit BMP parser; the oracle
+    recomputes the bands from the generator's modular arithmetic, so
+    a codec stride/row-order bug that permutes pixels would still
+    hash right (histograms are order-free) but any VALUE corruption
+    breaks it — complementing multimodal_image_gradient, whose
+    order-sensitive features pin the layout.
+
+    Scale shape: mapInPandas per-partition Arrow batches; one
+    np.bincount per image; 5 scalars out per blob — pixels never
+    leave the executor."""
+    from gmt_dbt_spark.operators.codecs import bmp_payload_for, parse_bmp
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                px = parse_bmp(bmp_payload_for(int(doc_id))).astype(np.int64)
+                bands = np.bincount(px.ravel() // 64, minlength=4)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(bands[0]),
+                        int(bands[1]),
+                        int(bands[2]),
+                        int(bands[3]),
+                        int(px.size),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3", "n_pix"]
+            )
+
+    return docs.mapInPandas(run, IMAGE_HISTOGRAM_SCHEMA)
