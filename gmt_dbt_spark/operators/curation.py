@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from gmt_dbt_spark.catalog import table
 from gmt_dbt_spark.functions.text import _DUCK_TOKENS  # DuckDB twin of tokens_col
 from gmt_dbt_spark.operators.dedup import shingle_rows, tokens_col
-from gmt_dbt_spark.exprs import DEC, dec2dbl
+from gmt_dbt_spark.exprs import dsum
 from gmt_dbt_spark.registry import query
 
 MIN_TOKENS = 5
@@ -752,14 +752,15 @@ tot AS (SELECT CAST(CAST(SUM(CAST(SQRT(CAST(n AS DOUBLE)) AS DECIMAL(25,6)))
                      AS VARCHAR) AS DOUBLE) AS wsum FROM sz),
 rate AS (
   SELECT source, n,
-         CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) / tot.wsum * 5000000.0) AS BIGINT)
-           AS rate_ppm
+         LEAST(1000000, CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) / tot.wsum
+                                   * 5000000.0) AS BIGINT)) AS rate_ppm
   FROM sz CROSS JOIN tot
 )
 SELECT d.source,
        MAX(rate.n) AS n_docs,
        MAX(rate.rate_ppm) AS rate_ppm,
-       SUM(CASE WHEN (d.doc_id * 2654435761) % 1000000 < rate.rate_ppm
+       SUM(CASE WHEN ((d.doc_id % 1000000) * 2654435761) % 1000000
+                     < rate.rate_ppm
                 THEN 1 ELSE 0 END) AS n_sampled
 FROM documents d JOIN rate ON d.source = rate.source
 GROUP BY d.source
@@ -772,7 +773,11 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to raw proportional sampling — normalized so the overall
     keep rate is ~5x the uniform share, then applied as a
     DETERMINISTIC id-hash gate (Knuth multiplicative mod 1e6 ppm),
-    reproducible across runs and partitionings.
+    reproducible across runs and partitionings. Rates cap at 1e6 ppm
+    (a dominant source saturates to keep-everything rather than
+    reporting a >100% rate), and the gate reduces doc_id mod 1e6
+    BEFORE the Knuth multiply so the product never overflows bigint
+    at any document count.
 
     Exactness: sqrt is correctly-rounded IEEE (unlike log/exp, safe
     cross-engine), the normalizing division is deterministic double
@@ -790,23 +795,23 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sqrt itself is IEEE-exact, but a SUM of doubles is order-
     # dependent — route the reduction through DECIMAL like every
     # other cross-engine sum (exprs.py).
-    tot = sz.agg(
-        dec2dbl(F.sum(F.sqrt(F.col("n").cast("double")).cast(DEC))).alias("wsum")
-    )
+    tot = sz.agg(dsum(F.sqrt(F.col("n").cast("double"))).alias("wsum"))
     rate = sz.crossJoin(F.broadcast(tot)).select(
         "source",
         "n",
-        F.floor(
-            F.sqrt(F.col("n").cast("double")) / F.col("wsum") * 5000000.0
-        )
-        .cast("bigint")
-        .alias("rate_ppm"),
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.floor(
+                F.sqrt(F.col("n").cast("double")) / F.col("wsum") * 5000000.0
+            ).cast("bigint"),
+        ).alias("rate_ppm"),
     )
     gated = docs.select("doc_id", "source").join(F.broadcast(rate), "source")
     return gated.groupBy("source").agg(
         F.max("n").alias("n_docs"),
         F.max("rate_ppm").alias("rate_ppm"),
-        F.count_if((F.col("doc_id") * 2654435761) % 1000000 < F.col("rate_ppm")).alias(
-            "n_sampled"
-        ),
+        F.count_if(
+            ((F.col("doc_id") % 1000000) * 2654435761) % 1000000
+            < F.col("rate_ppm")
+        ).alias("n_sampled"),
     )

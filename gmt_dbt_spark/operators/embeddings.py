@@ -543,16 +543,30 @@ def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codes
 
 
+def _micro_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one shared (vec_id, micro-unit vector) projection every PQ
+    stage reads — defined once so index build and serving can never
+    drift apart."""
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", _micro_vec().alias("qv")
+    )
+
+
 def pq_codes(spark: SparkSession, sf_dir: str):
     """Shared PQ assignment: returns (codes DataFrame with vec_id,
     code0..code3, qerr; codebook as a python list of K micro-unit
     vectors). The codebook is the model — K x dims ints on the
     driver, like the kmeans/IVF centroid collects."""
-    s = table(spark, sf_dir, "embeddings").select("vec_id", _micro_vec().alias("qv"))
+    s = _micro_embeddings(spark, sf_dir)
     cb = sorted(
         s.filter(F.col("vec_id") < PQ_CODES).collect(), key=lambda r: r["vec_id"]
     )
     codebook = [[int(v) for v in r["qv"]] for r in cb]
+    return _pq_assign(s, codebook), codebook
+
+
+def _pq_assign(s: DataFrame, codebook: list[list[int]]) -> DataFrame:
+    spark = s.sparkSession
     carr = spark.createDataFrame([(codebook,)], "__cents array<array<bigint>>")
     out = s.crossJoin(F.broadcast(carr))
     cols = [F.col("vec_id")]
@@ -581,7 +595,7 @@ def pq_codes(spark: SparkSession, sf_dir: str):
         )
         best = F.array_min(dists)
         qerr = best if qerr is None else (qerr + best)
-    return out.select(*cols + [qerr.alias("qerr")]), codebook
+    return out.select(*cols + [qerr.alias("qerr")])
 
 
 PQ_QUERIES = (8, 12)  # query vec_ids [8, 12): not codebook members
@@ -649,16 +663,18 @@ def embed_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank). Ties break on vec_id for total determinism; everything
     is micro-unit bigint arithmetic, hash-exact vs the relational
     DuckDB re-derivation."""
-    codes, codebook = pq_codes(spark, sf_dir)
-    s = table(spark, sf_dir, "embeddings").select(
-        "vec_id", _micro_vec().alias("qv")
-    )
-    qrows = sorted(
-        s.filter(
-            (F.col("vec_id") >= PQ_QUERIES[0]) & (F.col("vec_id") < PQ_QUERIES[1])
-        ).collect(),
+    s = _micro_embeddings(spark, sf_dir)
+    # ONE collect covers both the codebook (vec_id < 8) and the query
+    # vectors (8..12) — one driver job over the shared projection.
+    head = sorted(
+        s.filter(F.col("vec_id") < PQ_QUERIES[1]).collect(),
         key=lambda r: r["vec_id"],
     )
+    codebook = [
+        [int(v) for v in r["qv"]] for r in head if r["vec_id"] < PQ_CODES
+    ]
+    qrows = [r for r in head if r["vec_id"] >= PQ_QUERIES[0]]
+    codes = _pq_assign(s, codebook)
     luts = []
     for r in qrows:
         qv = [int(v) for v in r["qv"]]

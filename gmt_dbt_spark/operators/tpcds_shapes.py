@@ -441,7 +441,7 @@ def tpcds_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.grouping("c_mktsegment") * 2 + F.grouping("o_orderpriority")).alias(
                 "gid"
             ),
-            dec2dbl(F.sum(F.col("o_totalprice").cast(DEC))).alias("rev"),
+            dsum("o_totalprice").alias("rev"),
         )
     )
     w = Window.partitionBy("gid", "c_mktsegment").orderBy(
