@@ -248,7 +248,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_train_test_split",
     oracle="""
 SELECT source,
-       CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+       CASE WHEN ((doc_id % 1000000) * 2654435761) % 1000 < 900 THEN 'train'
             ELSE 'eval' END AS split,
        COUNT(*) AS n_docs,
        SUM(n_chars) AS sum_chars
@@ -266,7 +266,10 @@ def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     X in?" without coordination. Disjointness and coverage pinned in
     tests."""
     docs = table(spark, sf_dir, "documents")
-    gate = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    # doc_id reduces mod 1e6 BEFORE the Knuth multiply so the product
+    # never overflows bigint at any document count (same guard as
+    # sample_temperature).
+    gate = ((F.col("doc_id") % 1000000) * F.lit(2654435761)) % 1000
     return (
         docs.withColumn(
             "split", F.when(gate < 900, F.lit("train")).otherwise(F.lit("eval"))
