@@ -677,3 +677,82 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(run, IMAGE_HISTOGRAM_SCHEMA)
+
+
+AUDIO_RESAMPLE_SCHEMA = (
+    "doc_id bigint, n_out bigint, dec_sum bigint, dec_min bigint, dec_max bigint"
+)
+
+
+@query(
+    "multimodal_audio_resample",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 800 + (doc_id % 5) * 160 AS n
+  FROM documents WHERE doc_id < 200
+),
+g AS (
+  SELECT d.doc_id,
+         ((((d.doc_id * 31 + (4 * u.g + 0) * 17) % 2003) - 1001)
+        + (((d.doc_id * 31 + (4 * u.g + 1) * 17) % 2003) - 1001)
+        + (((d.doc_id * 31 + (4 * u.g + 2) * 17) % 2003) - 1001)
+        + (((d.doc_id * 31 + (4 * u.g + 3) * 17) % 2003) - 1001)
+        + 4004) // 4 - 1001 AS mean_v
+  FROM d, LATERAL (SELECT unnest(range(d.n // 4)) AS g) u
+)
+SELECT doc_id,
+       COUNT(*) AS n_out,
+       SUM(mean_v) AS dec_sum,
+       MIN(mean_v) AS dec_min,
+       MAX(mean_v) AS dec_max
+FROM g GROUP BY doc_id
+""",
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4x decimation resample over REAL decoded PCM: each output
+    sample is the boxcar mean of 4 consecutive input samples — the
+    rate-reduction step an audio-curation pipeline runs before
+    feature extraction (16 kHz -> 4 kHz). Samples round-trip through
+    the actual RIFF parser; the oracle recomputes the decimated
+    stream from the generator's modular arithmetic.
+
+    Exactness: the frame mean biases the sum non-negative before
+    integer division ((s + 4004) div 4 - 1001) so floor-vs-truncate
+    division semantics can't diverge between numpy and SQL on
+    negative sums. Frame counts are always whole (n is a multiple of
+    4 by construction; a production resampler pads the tail).
+
+    Scale shape: mapInPandas per-partition Arrow batches; one reshape
+    + mean per blob; 4 scalars out per clip, samples never leave the
+    executor."""
+    from gmt_dbt_spark.operators.codecs import parse_wav, wav_payload_for
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                sm = parse_wav(wav_payload_for(int(doc_id)))["samples"].astype(
+                    np.int64
+                )
+                frames = sm.reshape(-1, 4).sum(axis=1)
+                dec = (frames + 4004) // 4 - 1001
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(dec.size),
+                        int(dec.sum()),
+                        int(dec.min()),
+                        int(dec.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_out", "dec_sum", "dec_min", "dec_max"]
+            )
+
+    return docs.mapInPandas(run, AUDIO_RESAMPLE_SCHEMA)
