@@ -566,3 +566,110 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView(name)
         except Exception:
             pass
+
+
+@query(
+    "stream_stream_left_outer",
+    oracle="""
+SELECT a.event_id AS click_id, b.event_id AS purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '60 minutes'
+""",
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — clicks with their following-
+    hour purchase or NULL. The outer side's null rows only emit once
+    the watermark passes each click's join-window expiry, and in a
+    bounded availableNow replay the watermark never advances past the
+    final batch — so this was blocked in r2. UNBLOCKED here with the
+    standard bounded-replay trick: two far-future SENTINEL batches
+    appended after the real data. Sentinel batch 1 advances the
+    watermark beyond every real click's expiry at its batch end;
+    sentinel batch 2 gives the engine a subsequent micro-batch in
+    which the expired left-side state emits its null matches.
+    Sentinels use negative event_ids / reserved user_ids and are
+    filtered from the result.
+
+    Production note: a live stream needs no sentinels (the watermark
+    advances with arriving data); the trick is purely the
+    bounded-replay equivalent of 'time passes'. State size is
+    bounded by (delay + window) x arrival rate exactly as in the
+    inner join."""
+    run_dir = os.path.join(SCRATCH, f"stream_sslo_{uuid.uuid4().hex[:8]}")
+    src_dir = os.path.join(run_dir, "src")
+    ckpt = os.path.join(run_dir, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    name = f"sslo_t_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = table(spark, sf_dir, "events")
+        write_replay(ev, src_dir)
+        # Sentinels: one per side-filter so BOTH input streams see
+        # their watermark advance; distinct reserved users 100 days
+        # apart so they can never join each other or real rows.
+        for i, (eid, uid, ts_s, etype) in enumerate(
+            [
+                (-1, -999999, "2024-06-01T00:00:00.000000", "click"),
+                (-2, -999998, "2024-06-01T00:00:00.000000", "purchase"),
+                (-3, -999997, "2024-09-01T00:00:00.000000", "click"),
+                (-4, -999996, "2024-09-01T00:00:00.000000", "purchase"),
+            ]
+        ):
+            with open(os.path.join(src_dir, f"part-9{i}.json"), "w") as f:
+                f.write(
+                    '{"event_id":%d,"ts":"%s","user_id":%d,'
+                    '"event_type":"%s","value":0.0,"props":"{}"}\n'
+                    % (eid, ts_s, uid, etype)
+                )
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src_dir)
+        )
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "40 days")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "40 days")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 60 MINUTES")),
+            "left_outer",
+        ).select("click_id", "purchase_id")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(name)
+            .filter(F.col("click_id") >= 0)
+            .distinct()
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
