@@ -673,3 +673,67 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView(name)
         except Exception:
             pass
+
+
+@query(
+    "stream_rate_source",
+    oracle="""
+SELECT COUNT(*) AS n,
+       SUM(v) AS value_sum,
+       MIN(v) AS value_min,
+       MAX(v) AS value_max
+FROM (SELECT unnest(range(2000)) AS v)
+""",
+)
+def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in rate source made deterministic (r2-blocked on
+    availableNow — rate is unbounded and refuses that trigger; now
+    UNBLOCKED): run with a normal micro-batch trigger, keep only the
+    deterministic ordinal prefix (value < 2000 — the rate source
+    numbers rows 0,1,2,... regardless of wall clock), poll the sink
+    until the prefix is complete, then stop the query. Wall-clock
+    timestamps never reach the output, so the result hashes exactly.
+
+    This is the load-generator harness pattern: rate feeds
+    synthetic-throughput tests in production too, and the ordinal
+    filter is how you make any of them reproducible."""
+    import time
+
+    name = f"rate_t_{uuid.uuid4().hex[:8]}"
+    n_rows = 2000
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 5000)
+        .load()
+        .filter(F.col("value") < n_rows)
+        .select("value")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= n_rows:
+                break
+            time.sleep(0.5)
+        else:
+            raise TimeoutError("rate source did not deliver the prefix in time")
+    finally:
+        q.stop()
+        q.awaitTermination()
+    out = spark.table(name).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("value_sum"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+    )
+    rows = out.collect()
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    return spark.createDataFrame(rows, out.schema)
