@@ -775,3 +775,46 @@ def test_text_search_topk_take_ordered(spark):
     tree = tree_of(plan_of(all_queries()["text_search_topk"](spark, SF_DIR)))
     assert "TakeOrderedAndProject" in tree, tree
     assert "Sort" not in tree.replace("SortMergeJoin", ""), tree
+
+
+def test_basket_lift_support_cut_before_item_joins(spark):
+    """Min-support must filter pairs BEFORE the item-count joins: the
+    plan's joins are all hash joins (no nested loop), and the
+    pair-count aggregate sits below the item joins with a Filter on
+    the counted column between them."""
+    tree = tree_of(plan_of(all_queries()["mart_basket_lift"](spark, SF_DIR)))
+    assert "BroadcastNestedLoopJoin" not in tree.replace(
+        "BroadcastNestedLoopJoin Cross", ""
+    ), tree  # the single-row n_orders cross join is the only allowed NLJ
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_events_burst_window_over_minute_matrix(spark):
+    """The trailing window must consume the aggregated (type, minute)
+    matrix — its Input columns are the aggregate's output (cnt), not
+    raw event columns."""
+    plan = plan_of(all_queries()["events_burst"](spark, SF_DIR))
+    m = re.search(r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "cnt" in m.group(1), m.group(1)
+    assert "event_id" not in m.group(1) and "value" not in m.group(1), m.group(1)
+
+
+def test_drift_tvd_reuses_cell_exchange(spark):
+    """dq_drift_tvd references the binned cell matrix twice (totals +
+    TVD rollup); the static plan shows two scan branches, but AQE's
+    runtime stage reuse must serve the cell aggregate ONCE — assert
+    ReusedExchange in the executed plan so the stream is effectively
+    scanned a single time."""
+    df = all_queries()["dq_drift_tvd"](spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
+
+
+def test_sample_temperature_broadcast_rates(spark):
+    """The derived per-source rates must broadcast back onto the
+    scan — the corpus is never shuffled for the rate join."""
+    tree = tree_of(plan_of(all_queries()["sample_temperature"](spark, SF_DIR)))
+    assert "SortMergeJoin" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
