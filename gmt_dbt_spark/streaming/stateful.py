@@ -597,6 +597,15 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-replay equivalent of 'time passes'. State size is
     bounded by (delay + window) x arrival rate exactly as in the
     inner join."""
+    return _stream_stream_outer_replay(spark, sf_dir, "left_outer")
+
+
+def _stream_stream_outer_replay(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
+    """Shared bounded-replay harness for watermark-dependent outer
+    stream-stream joins (see stream_stream_left_outer docstring for
+    the sentinel mechanism)."""
     run_dir = os.path.join(SCRATCH, f"stream_sslo_{uuid.uuid4().hex[:8]}")
     src_dir = os.path.join(run_dir, "src")
     ckpt = os.path.join(run_dir, "ckpt")
@@ -650,7 +659,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_user") == F.col("p_user"))
             & (F.col("p_ts") > F.col("c_ts"))
             & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 60 MINUTES")),
-            "left_outer",
+            how,
         ).select("click_id", "purchase_id")
         q = (
             joined.writeStream.outputMode("append")
@@ -663,7 +672,10 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         out = (
             spark.table(name)
-            .filter(F.col("click_id") >= 0)
+            .filter(
+                (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+                & (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+            )
             .distinct()
         )
         return spark.createDataFrame(out.collect(), out.schema)
@@ -673,6 +685,25 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView(name)
         except Exception:
             pass
+
+
+@query(
+    "stream_full_outer",
+    oracle="""
+SELECT a.event_id AS click_id, b.event_id AS purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '60 minutes'
+""",
+)
+def stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join — the sentinel mechanism from
+    stream_stream_left_outer generalizes unchanged: the sentinel
+    batches advance BOTH sides' watermarks, so unmatched clicks AND
+    unmatched purchases each emit their null row once their join
+    window expires. Hash-equal to the batch FULL JOIN."""
+    return _stream_stream_outer_replay(spark, sf_dir, "full_outer")
 
 
 @query(
