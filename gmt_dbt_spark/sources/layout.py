@@ -411,3 +411,101 @@ def sink_versioned_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "maint_vacuum_versions",
+    oracle="""
+WITH pre AS (
+  SELECT COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR)
+              AS DOUBLE) AS total
+  FROM orders WHERE year(o_orderdate) <= 1995
+),
+allrows AS (
+  SELECT COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR)
+              AS DOUBLE) AS total
+  FROM orders
+)
+SELECT 2 AS version, n, total, TRUE AS orphans_deleted FROM pre
+UNION ALL
+SELECT 3 AS version, n, total, TRUE AS orphans_deleted FROM allrows
+""",
+)
+def maint_vacuum_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM for the manifest-versioned layout: delete every data
+    file no LIVE manifest references, plus the expired manifests —
+    the retention pass every snapshot store needs or storage grows
+    without bound. Three commits exercise the interesting case:
+    v1 writes the pre-1996 slice, v2 COMPACTS it (rewrite — new
+    files, v1's become historical-only), v3 appends the remainder.
+    Vacuum with keep-last-2 must delete v1's manifest AND its
+    now-orphaned data files while both surviving versions stay
+    exactly readable (hash-pinned rollups), proving liveness is
+    computed from the manifest union, not file age.
+
+    Scale notes: the live-file set is the union of the kept
+    manifests' lists — O(metadata); deletion is per-file and safe to
+    parallelize/retry because data files are immutable and nothing
+    references them once the expired manifests are gone."""
+    import json
+
+    root = os.path.join(SCRATCH, f"vacuum_{uuid.uuid4().hex[:8]}")
+    o = table(spark, sf_dir, "orders")
+
+    def commit(version: int, df, prev_files: list[str]) -> list[str]:
+        d = os.path.join(root, "data", f"commit{version}")
+        df.write.mode("overwrite").parquet(d)
+        files = sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        with open(os.path.join(root, f"v{version}.json"), "w") as fh:
+            json.dump({"version": version, "files": prev_files + files}, fh)
+        return files
+
+    try:
+        pre = o.filter(F.year("o_orderdate") <= 1995)
+        f1 = commit(1, pre, [])
+        f2 = commit(2, pre.coalesce(1), [])  # compaction rewrite: v2 = new files only
+        commit(3, o.filter(F.year("o_orderdate") > 1995), f2)  # append on v2
+
+        # VACUUM keep-last-2: live = union of v2/v3 manifests.
+        keep = [2, 3]
+        live: set[str] = set()
+        for v in keep:
+            with open(os.path.join(root, f"v{v}.json")) as fh:
+                live.update(json.load(fh)["files"])
+        os.remove(os.path.join(root, "v1.json"))
+        for f in f1:
+            if f not in live:
+                os.remove(f)
+
+        orphans_deleted = not any(os.path.exists(f) for f in f1) and not os.path.exists(
+            os.path.join(root, "v1.json")
+        )
+
+        from gmt_dbt_spark.exprs import dsum
+
+        def rollup(v: int) -> DataFrame:
+            with open(os.path.join(root, f"v{v}.json")) as fh:
+                manifest = json.load(fh)
+            return (
+                spark.read.parquet(*manifest["files"])
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    dsum("o_totalprice").alias("total"),
+                )
+                .select(
+                    F.lit(v).alias("version"),
+                    "n",
+                    "total",
+                    F.lit(orphans_deleted).alias("orphans_deleted"),
+                )
+            )
+
+        out = rollup(2).unionByName(rollup(3))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
