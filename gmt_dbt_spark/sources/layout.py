@@ -509,3 +509,72 @@ def maint_vacuum_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_INDEX_VOCAB = (
+    "vector", "hash", "stream", "join", "scan", "merge", "window", "filter",
+)
+_QUERY_TERMS = ("vector", "stream")
+
+
+@query(
+    "sink_posting_lists",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+posting AS (
+  SELECT t AS term, doc_id, COUNT(*) AS tf
+  FROM toks WHERE t IN {str(_INDEX_VOCAB)}
+  GROUP BY t, doc_id
+)
+SELECT term,
+       COUNT(*) AS n_docs,
+       SUM(tf) AS total_tf,
+       SUM(doc_id) AS doc_checksum
+FROM posting
+WHERE term IN {str(_QUERY_TERMS)}
+GROUP BY term
+""",
+)
+def sink_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEARCH SERVING LAYOUT — the text twin of sink_ivf_partitioned:
+    persist an inverted index (term -> posting rows with term
+    frequency) PARTITIONED BY TERM, so a term query becomes
+    PARTITION PRUNING at the storage layer (PartitionFilters in the
+    probe scan, plan-guarded) — the engine opens only the queried
+    terms' directories, never the rest of the index. Build once,
+    serve every query with directory-pruned reads; this is what
+    text_search_topk's docstring escalates to at index-serving
+    scale.
+
+    The demo indexes a hot-term vocabulary (8 terms — production
+    partitions the full vocab by term hash-bucket to bound directory
+    count; same pruning mechanics) and probes 2 terms, rolling each
+    up to (doc count, total tf, id checksum) — hash-matched against
+    DuckDB recomputing the postings straight from the corpus."""
+    path = os.path.join(SCRATCH, f"postings_{uuid.uuid4().hex[:8]}")
+    try:
+        docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+        posting = (
+            docs.select(
+                "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+            )
+            .filter(F.col("term").isin(*_INDEX_VOCAB))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        posting.write.mode("overwrite").partitionBy("term").parquet(path)
+        probe = spark.read.parquet(path).filter(
+            F.col("term").isin(*_QUERY_TERMS)
+        )
+        out = probe.groupBy("term").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tf").alias("total_tf"),
+            F.sum("doc_id").alias("doc_checksum"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -818,3 +818,26 @@ def test_sample_temperature_broadcast_rates(spark):
     tree = tree_of(plan_of(all_queries()["sample_temperature"](spark, SF_DIR)))
     assert "SortMergeJoin" not in tree, tree
     assert "BroadcastHashJoin" in tree, tree
+
+
+def test_posting_lists_probe_prunes_partitions(spark, tmp_path):
+    """The inverted-index layout's contract: a term probe must hit
+    PartitionFilters (directory pruning) — only the queried terms'
+    directories are opened."""
+    from gmt_dbt_spark.catalog import table
+    from gmt_dbt_spark.sources.layout import _INDEX_VOCAB, _QUERY_TERMS
+
+    docs = table(spark, SF_DIR, "documents").filter(F.col("text").isNotNull())
+    posting = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.col("term").isin(*_INDEX_VOCAB))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    path = str(tmp_path / "postings")
+    posting.write.mode("overwrite").partitionBy("term").parquet(path)
+    probe = spark.read.parquet(path).filter(F.col("term").isin(*_QUERY_TERMS))
+    plan = plan_of(probe)
+    assert re.search(r"PartitionFilters: \[.*term.*\]", plan), plan
+    # pruning is real: the probe reads only the 2 queried directories
+    assert probe.select("term").distinct().count() == len(_QUERY_TERMS)
