@@ -381,3 +381,81 @@ def win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("med10_s"),
     )
+
+
+@query(
+    "win_slope",
+    oracle="""
+WITH b AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) // 1000000 - 1704067200 AS x,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events WHERE event_type = 'view'
+),
+w AS (
+  SELECT user_id, event_id,
+         COUNT(*)  OVER win AS n,
+         SUM(x)    OVER win AS sx,
+         SUM(y)    OVER win AS sy,
+         SUM(x*y)  OVER win AS sxy,
+         SUM(x*x)  OVER win AS sxx
+  FROM b
+  WINDOW win AS (PARTITION BY user_id ORDER BY x, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, n,
+       n * sxy - sx * sy AS slope_num,
+       n * sxx - sx * sx AS slope_den,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_cps
+FROM w WHERE n >= 3
+""",
+)
+def win_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing linear trend per user: least-squares slope of the
+    last 5 view values against event time — the feature-engineering
+    window behind 'is this metric trending up for this user'. The
+    closed form needs only running sums (Σx, Σy, Σxy, Σx², n), so it
+    fits plain windowed SUMs over per-row products — no second pass,
+    no UDAF, one user-keyed shuffle.
+
+    Exactness: time is integer seconds since 2024-01-01 (bounded so
+    x² sums stay far under 2⁶³), values are half-up-rounded integer
+    cents, numerator/denominator are bigint cross-multiplications
+    emitted alongside the deterministic double ratio (cents per
+    second). Degenerate windows (n<3 or zero time variance) are
+    filtered/NULLed exactly as the oracle does."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    b = ev.select(
+        "user_id",
+        "event_id",
+        (F.expr("unix_micros(ts) div 1000000") - F.lit(1704067200)).alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("x", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    w = b.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return w.filter(F.col("n") >= 3).select(
+        "user_id",
+        "event_id",
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias(
+            "slope_cps"
+        ),
+    )
