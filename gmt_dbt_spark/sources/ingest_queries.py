@@ -408,3 +408,59 @@ def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .select("file_name", "n_rows", "size_known")
     )
+
+
+@query(
+    "scan_agg_pushdown",
+    oracle="""
+SELECT COUNT(*) AS n,
+       MIN(l_orderkey) AS min_okey,
+       MAX(l_orderkey) AS max_okey,
+       MIN(l_partkey) AS min_pkey,
+       MAX(l_partkey) AS max_pkey
+FROM lineitem
+""",
+)
+def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-answered aggregation: COUNT/MIN/MAX with no filter
+    push down INTO the parquet scan (PushedAggregation) and are
+    served from ROW-GROUP FOOTER STATISTICS — zero data pages read.
+    At 100 TB this is the difference between an O(row-groups)
+    metadata sweep and a full-table scan for the most common
+    monitoring queries.
+
+    Needs the DataSource V2 parquet reader (`useV1SourceList=""`) +
+    `parquet.aggregatePushdown`; both are scoped to THIS query —
+    set, executed (the collect happens inside the scope), restored —
+    because globally switching the session to V2 scans would change
+    every other query's plan shape. The plan guard asserts
+    PushedAggregation actually fired under the same scope."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.sources.useV1SourceList",
+            "spark.sql.parquet.aggregatePushdown",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        out = li.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("min_okey"),
+            F.max("l_orderkey").alias("max_okey"),
+            F.min("l_partkey").alias("min_pkey"),
+            F.max("l_partkey").alias("max_pkey"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)

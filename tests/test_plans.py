@@ -841,3 +841,39 @@ def test_posting_lists_probe_prunes_partitions(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[.*term.*\]", plan), plan
     # pruning is real: the probe reads only the 2 queried directories
     assert probe.select("term").distinct().count() == len(_QUERY_TERMS)
+
+
+def test_scan_agg_pushdown_hits_footer_stats(spark):
+    """Under the V2 parquet reader with aggregatePushdown, an
+    unfiltered COUNT/MIN/MAX must push into the scan
+    (PushedAggregation) — answered from row-group footers, zero data
+    pages. Configs scoped + restored."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.sources.useV1SourceList",
+            "spark.sql.parquet.aggregatePushdown",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        agg = li.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("mn"),
+            F.max("l_orderkey").alias("mx"),
+        )
+        plan = plan_of(agg)
+        assert "PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]" in plan, plan
+        (row,) = agg.collect()
+        assert row["n"] > 0 and row["mn"] <= row["mx"]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
