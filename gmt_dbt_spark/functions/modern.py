@@ -450,3 +450,69 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+class _ParseFieldsUDTF:
+    """Polymorphic UDTF: output schema DERIVED from the constant
+    header argument at analysis time (the Spark 3.5+ `analyze()`
+    protocol) — one table function serves any column list, the way a
+    schema-flexible CSV/KV parser must."""
+
+    @staticmethod
+    def analyze(header, row):  # noqa: A002 - UDTF protocol
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        st = StructType()
+        for name in header.value.split(","):
+            st = st.add(name.strip(), StringType())
+        return AnalyzeResult(schema=st)
+
+    def eval(self, header: str, row: str):  # noqa: A002 - UDTF protocol
+        n = len(header.split(","))
+        parts = (row or "").split(",")
+        parts = (parts + [None] * n)[:n]
+        yield tuple(parts)
+
+
+@query(
+    "udtf_polymorphic",
+    oracle="""
+SELECT string_split(payload, ',')[1] AS custkey,
+       string_split(payload, ',')[2] AS segment,
+       string_split(payload, ',')[3] AS nation
+FROM (
+  SELECT c_custkey || ',' || c_mktsegment || ',' || CAST(c_nationkey AS VARCHAR)
+           AS payload
+  FROM customer WHERE c_custkey < 300
+)
+""",
+)
+def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF: the output schema is computed by the
+    class's static `analyze()` from the constant header argument —
+    `parse_fields('custkey,segment,nation', payload)` yields three
+    named string columns, a different header would yield different
+    columns from the same function. This is the schema-on-read
+    parser surface (CSV/KV/log lines) as a reusable table function;
+    short rows null-pad, long rows truncate, exactly like a
+    forgiving ingest parser. The Catalyst side resolves the schema
+    once at analysis — per-row work is plain splitting."""
+    from pyspark.sql.functions import udtf
+
+    parse_fields = udtf(_ParseFieldsUDTF)
+    spark.udtf.register("parse_fields_udtf", parse_fields)
+    table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 300
+    ).select(
+        F.concat_ws(
+            ",", "c_custkey", "c_mktsegment", F.col("c_nationkey").cast("string")
+        ).alias("payload")
+    ).createOrReplaceTempView("kv_payloads")
+    return spark.sql(
+        """
+        SELECT s.custkey, s.segment, s.nation
+        FROM kv_payloads p,
+             LATERAL parse_fields_udtf('custkey,segment,nation', p.payload) s
+        """
+    )
