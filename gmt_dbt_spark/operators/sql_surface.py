@@ -840,3 +840,39 @@ def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     safe-by-default projection for `sanitize → republish` flows."""
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql("SELECT * EXCEPT (c_name, c_acctbal) FROM customer")
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+         AS total_bal
+FROM customer
+WHERE c_acctbal > 0
+GROUP BY c_mktsegment
+HAVING COUNT(*) > 10
+""",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0, SQL:2023-adjacent `|>` operators):
+    the linear FROM → WHERE → AGGREGATE → WHERE chain that reads in
+    execution order instead of inside-out nesting — the same logical
+    plan as the classic GROUP BY + HAVING spelling (the oracle), so
+    Catalyst optimizes both identically; purely a parser surface, and
+    exactly the style BigQuery pipes / modern ELT SQL is converging
+    on."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        FROM customer
+        |> WHERE c_acctbal > 0
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS STRING)
+                          AS DOUBLE) AS total_bal
+           GROUP BY c_mktsegment
+        |> WHERE n > 10
+        |> SELECT c_mktsegment, n, total_bal
+        """
+    )
