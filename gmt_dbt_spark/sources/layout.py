@@ -578,3 +578,47 @@ def sink_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "sink_xml",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+FROM customer WHERE c_custkey % 25 = 0
+""",
+)
+def sink_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML sink + scan round-trip (the spark-xml datasource,
+    merged into Spark 4 core — no external jar): write a customer
+    slice as <row> elements, read it back with an explicit rowTag
+    and DECLARED schema (no re-inference drift) and hash-match the
+    original parquet values. XML is the interchange format half of
+    enterprise ELT still speaks (the reference's BigQuery world
+    ingests it via conversion jobs); ints and strings round-trip
+    exactly — doubles/timestamps need format pinning, same caveat as
+    sink_ndjson."""
+    path = os.path.join(SCRATCH, f"xml_customer_{uuid.uuid4().hex[:8]}")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    try:
+        (
+            table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") % 25 == 0)
+            .select(*cols)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "row")
+            .save(path)
+        )
+        out = (
+            spark.read.format("xml")
+            .option("rowTag", "row")
+            .schema(
+                "c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+                "c_mktsegment STRING"
+            )
+            .load(path)
+            .select(*cols)
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
