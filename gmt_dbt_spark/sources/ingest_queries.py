@@ -464,3 +464,60 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pass
             else:
                 spark.conf.set(k, v)
+
+
+@query(
+    "scan_json_variant",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
+FROM events
+WHERE event_id < 2000
+GROUP BY event_type
+""",
+)
+def scan_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingest as VARIANT (Spark 4): the whole JSON
+    document lands in ONE open-typed `variant` column
+    (`singleVariantColumn`) instead of a frozen inferred struct —
+    the schema-drift-proof landing pattern (new fields appear in the
+    data, nothing breaks, extraction is per-query via variant_get).
+    VARIANT stores a parsed binary form, so repeated path extraction
+    skips re-parsing the text — the columnar answer to JSON-string
+    columns. Round-trip: events re-serialized to NDJSON, landed as
+    variant, fields extracted with variant_get, rolled up per type,
+    hash-matched against DuckDB's json_extract over the original
+    table."""
+    import shutil
+    import uuid
+
+    path = os.path.join(SCRATCH, f"variant_events_{uuid.uuid4().hex[:8]}")
+    try:
+        from gmt_dbt_spark.catalog import table
+
+        ev = (
+            table(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 2000)
+            .select(
+                "event_id",
+                "event_type",
+                F.from_json("props", "k INT").alias("props"),
+            )
+        )
+        ev.write.mode("overwrite").json(path)
+        v = spark.read.option("singleVariantColumn", "v").json(path)
+        out = (
+            v.select(
+                F.expr("variant_get(v, '$.event_type', 'string')").alias(
+                    "event_type"
+                ),
+                F.expr("variant_get(v, '$.props.k', 'bigint')").alias("k"),
+            )
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_sum"))
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
