@@ -290,3 +290,52 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak_len").cast("bigint").alias("longest_streak"),
         F.min("streak_start").alias("first_active_day"),
     )
+
+
+@query(
+    "agg_session_window",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes' OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+seq AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS s
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM seq
+GROUP BY user_id, s
+""",
+)
+def agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN `session_window` aggregate in BATCH: one
+    groupBy(session_window(ts, gap), user) call replaces the whole
+    lag → new-session flag → running-sum → rollup pipeline
+    (`events_sessionize`) — and this oracle PROVES the equivalence:
+    DuckDB reconstructs sessions with the manual gaps-and-islands
+    spelling and the hash must match, pinning Spark's merging-window
+    semantics (window end = last event + gap) against the classical
+    formulation. One shuffle on the session key, merging handled
+    inside the aggregate — no window function pass at all."""
+    ev = table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy(sw, "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -876,3 +876,42 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT c_mktsegment, n, total_bal
         """
     )
+
+
+@query(
+    "sql_default_columns",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 'ORDERED', 100),
+  (2, 'new',     100),
+  (3, 'SHIPPED',   0),
+  (4, 'new',       0)
+) AS t(id, status, qty)
+""",
+)
+def sql_default_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL DEFAULT column values (Spark 3.4+): omitted columns and
+    the explicit DEFAULT keyword both resolve to the declared
+    constant at INSERT time — the schema-evolution affordance ELT
+    warehouses lean on (add a defaulted column, old writers keep
+    working). Defaults are substituted during analysis, so the
+    stored files carry materialized values — reads pay nothing."""
+    import uuid
+
+    name = f"default_demo_{uuid.uuid4().hex[:8]}"
+    try:
+        spark.sql(
+            f"""CREATE TABLE {name} (
+                  id INT,
+                  status STRING DEFAULT 'new',
+                  qty INT DEFAULT 0
+                ) USING parquet"""
+        )
+        spark.sql(f"INSERT INTO {name} VALUES (1, 'ORDERED', 100)")
+        spark.sql(f"INSERT INTO {name} (id, qty) VALUES (2, 100)")
+        spark.sql(f"INSERT INTO {name} VALUES (3, 'SHIPPED', DEFAULT)")
+        spark.sql(f"INSERT INTO {name} (id) VALUES (4)")
+        out = spark.table(name).select("id", "status", "qty")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
