@@ -915,3 +915,58 @@ def sql_default_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+@query(
+    "sql_insert_by_name",
+    oracle="""
+SELECT c_custkey AS id, c_mktsegment AS seg
+FROM customer WHERE c_custkey < 100
+""",
+)
+def sql_insert_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO ... BY NAME (Spark 3.5+): the writer's SELECT
+    binds to the target by COLUMN NAME, not position — the guard
+    against the classic silent-column-swap ELT bug when a source
+    query's column order drifts. The probe inserts with deliberately
+    reversed column order; BY NAME routes each to the right target
+    column."""
+    import uuid
+
+    name = f"byname_demo_{uuid.uuid4().hex[:8]}"
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    try:
+        spark.sql(f"CREATE TABLE {name} (id BIGINT, seg STRING) USING parquet")
+        spark.sql(
+            f"""INSERT INTO {name} BY NAME
+                SELECT c_mktsegment AS seg, c_custkey AS id
+                FROM customer WHERE c_custkey < 100"""
+        )
+        out = spark.table(name).select("id", "seg")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+@query(
+    "sql_named_arguments",
+    oracle="""
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(c_name,
+           '[A-Z]', 'Q', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked
+FROM customer WHERE c_custkey < 200
+""",
+)
+def sql_named_arguments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named function arguments (Spark 3.5+ `param => value`): only
+    the parameters that differ from defaults are spelled, in any
+    order — here `mask` overrides just upperChar while lowerChar and
+    digitChar keep their defaults. The oracle reproduces the masking
+    with explicit character-class replaces."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, mask(c_name, upperChar => 'Q') AS masked
+        FROM customer WHERE c_custkey < 200
+        """
+    )
