@@ -970,3 +970,44 @@ def sql_named_arguments(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer WHERE c_custkey < 200
         """
     )
+
+
+@query(
+    "sql_udf_table_valued",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS VARCHAR)
+            AS DOUBLE) AS total
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'MACHINERY'
+GROUP BY o.o_orderpriority
+""",
+)
+def sql_udf_table_valued(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLE-VALUED user function (CREATE FUNCTION ... RETURNS
+    TABLE ... RETURN SELECT): a parameterized, reusable relational
+    view — the dbt-macro / BigQuery-TVF affordance in pure SQL. The
+    body INLINES into the caller's plan at analysis time (no
+    materialization boundary: pushdown and join planning see through
+    it), proven by the per-priority rollup over the function's rows
+    hash-matching the direct join oracle."""
+    import uuid
+
+    fn = f"seg_orders_{uuid.uuid4().hex[:8]}"
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+        f"""CREATE TEMPORARY FUNCTION {fn}(seg STRING)
+            RETURNS TABLE(o_orderpriority STRING, o_totalprice DOUBLE)
+            RETURN SELECT o.o_orderpriority, o.o_totalprice
+                   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                   WHERE c.c_mktsegment = seg"""
+    )
+    return spark.sql(
+        f"""SELECT o_orderpriority, COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING)
+                        AS DOUBLE) AS total
+            FROM {fn}('MACHINERY')
+            GROUP BY o_orderpriority"""
+    )
