@@ -717,3 +717,86 @@ def mart_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec2dbl(den).alias("gini_den"),
         (dec2dbl(num) / dec2dbl(den)).alias("gini"),
     )
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+mx AS (SELECT MAX(day) AS max_day FROM ud),
+w AS (
+  SELECT user_id, day,
+         LAG(day)  OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+         LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+  FROM ud
+),
+labeled AS (
+  SELECT day,
+         CASE WHEN prev_day IS NULL THEN 'new'
+              WHEN prev_day = day - INTERVAL 1 DAY THEN 'retained'
+              ELSE 'resurrected' END AS cls
+  FROM w
+  UNION ALL
+  SELECT day + INTERVAL 1 DAY AS day, 'churned' AS cls
+  FROM w CROSS JOIN mx
+  WHERE (next_day IS NULL OR next_day > day + INTERVAL 1 DAY)
+    AND day + INTERVAL 1 DAY <= mx.max_day
+)
+SELECT CAST(day AS DATE) AS day,
+       SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS n_new,
+       SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+       SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS n_resurrected,
+       SUM(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) AS n_churned
+FROM labeled
+GROUP BY CAST(day AS DATE)
+""",
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING — the canonical DAU decomposition every
+    product org reports: each active user-day classified as NEW
+    (first day ever), RETAINED (active yesterday), or RESURRECTED
+    (returning after a gap), plus CHURNED (active yesterday, not
+    today) attributed to the day after the last active day. The
+    identity DAU(d) = new + retained + resurrected and
+    churned(d) = DAU(d-1) - retained(d) both hold by construction.
+
+    Scale shape: the event stream first collapses to distinct
+    (user, day) — the only full-volume pass; one user-keyed
+    LAG/LEAD window over user-days (|users| x active-days rows, far
+    smaller than events), a scan-side CASE label, and a day rollup.
+    The churn branch reuses the SAME window pass (lead gap), so the
+    whole report costs one distinct + one window + one aggregate."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    mx = ud.agg(F.max("day").alias("max_day"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    base = ud.select(
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    labeled = base.select(
+        "day",
+        F.when(F.col("prev_day").isNull(), "new")
+        .when(F.col("prev_day") == F.date_sub("day", 1), "retained")
+        .otherwise("resurrected")
+        .alias("cls"),
+    ).unionByName(
+        base.crossJoin(F.broadcast(mx))
+        .filter(
+            (
+                F.col("next_day").isNull()
+                | (F.col("next_day") > F.date_add("day", 1))
+            )
+            & (F.date_add("day", 1) <= F.col("max_day"))
+        )
+        .select(F.date_add("day", 1).alias("day"), F.lit("churned").alias("cls"))
+    )
+    return labeled.groupBy("day").agg(
+        F.count_if(F.col("cls") == "new").alias("n_new"),
+        F.count_if(F.col("cls") == "retained").alias("n_retained"),
+        F.count_if(F.col("cls") == "resurrected").alias("n_resurrected"),
+        F.count_if(F.col("cls") == "churned").alias("n_churned"),
+    )
