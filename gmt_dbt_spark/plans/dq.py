@@ -533,3 +533,68 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         exp_ppm.alias("exp_ppm"),
         (F.abs(obs_ppm - exp_ppm) < 30000).alias("benford_ok"),
     )
+
+
+@query(
+    "dq_anomaly_seasonal",
+    oracle="""
+WITH cells AS (
+  SELECT event_type,
+         CAST(ts AS DATE) AS day,
+         HOUR(ts) AS hod,
+         COUNT(*) AS cnt
+  FROM events
+  GROUP BY event_type, CAST(ts AS DATE), HOUR(ts)
+),
+base AS (
+  SELECT event_type, hod,
+         SUM(cnt) AS total, COUNT(*) AS n_days
+  FROM cells GROUP BY event_type, hod
+)
+SELECT c.event_type, c.day, c.hod, c.cnt,
+       b.total, b.n_days,
+       c.cnt * b.n_days * 10 > b.total * 30 AS spike,
+       c.cnt * b.n_days * 10 < b.total * 2 AS trough
+FROM cells c
+JOIN base b ON c.event_type = b.event_type AND c.hod = b.hod
+WHERE c.cnt * b.n_days * 10 > b.total * 30
+   OR c.cnt * b.n_days * 10 < b.total * 2
+""",
+)
+def dq_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-baseline anomaly detection: each (type, day, hour)
+    cell compares against the average for that type at that HOUR OF
+    DAY across the whole period — catching the 3 a.m. error spike
+    that a trailing-window detector (events_burst) normalizes away
+    because the neighborhood is equally broken, and the Tuesday-noon
+    trough that global stats (events_anomaly_zscore) miss because
+    noon is usually the peak. Flags: >3x the seasonal mean (spike) or
+    <0.2x (trough), multiplied through the average so no division.
+
+    Scale shape: one conditional aggregate to (type x day x hour)
+    cells; the baseline is a second aggregate over cells (types x 24
+    rows) joined back broadcast-size; output only the anomalous
+    cells."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    base = cells.groupBy("event_type", "hod").agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    j = cells.join(base, ["event_type", "hod"])
+    lhs = F.col("cnt") * F.col("n_days") * 10
+    spike = lhs > F.col("total") * 30
+    trough = lhs < F.col("total") * 2
+    return j.filter(spike | trough).select(
+        "event_type",
+        "day",
+        "hod",
+        "cnt",
+        "total",
+        "n_days",
+        spike.alias("spike"),
+        trough.alias("trough"),
+    )
