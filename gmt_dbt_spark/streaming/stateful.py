@@ -631,6 +631,14 @@ def _stream_stream_outer_replay(
                     '"event_type":"%s","value":0.0,"props":"{}"}\n'
                     % (eid, ts_s, uid, etype)
                 )
+        # Pin strictly increasing mtimes: batch admission orders files
+        # by modification time, and the sentinel mechanism depends on
+        # real data -> watermark-advance sentinels -> null-emit batch
+        # arriving in exactly that order (same guard as
+        # stream_session_timeout; same-tick writes would tie).
+        for i, fname in enumerate(sorted(os.listdir(src_dir))):
+            t = 1_700_000_000 + 10 * i
+            os.utime(os.path.join(src_dir, fname), (t, t))
         stream = (
             spark.readStream.schema(EVENT_SCHEMA)
             .option("maxFilesPerTrigger", 1)
@@ -768,3 +776,166 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
     return spark.createDataFrame(rows, out.schema)
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_last timestamp, "
+    "n_events bigint"
+)
+
+
+@query(
+    "stream_session_timeout",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes' OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+seq AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS s
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_last,
+       COUNT(*) AS n_events
+FROM seq
+GROUP BY user_id, s
+""",
+)
+def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMEOUT-CLOSED sessionization via applyInPandasWithState +
+    EventTimeTimeout — the custom-state spelling of session windows,
+    where the FINAL open session per user is flushed by a state-store
+    TIMER when the watermark passes last_event + gap (the built-in
+    session_window hides this; here the timer surface is explicit,
+    the pattern every custom stateful operator with expiry needs).
+    Mid-stream session closes emit inline when a gap-exceeding event
+    arrives; end-of-stream closes need event time to pass — which a
+    bounded replay provides via the same far-future sentinel batches
+    as stream_stream_left_outer (one advances the watermark, the
+    next fires the expired timers).
+
+    The replay splits by TIME (first/second half-month), not by id
+    parity: cross-batch event-time order is what lets single-pass
+    gap state be correct — an out-of-order replay would need the
+    buffering variant. Hash-equal to the batch gaps-and-islands
+    oracle."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    GAP_MS = 30 * 60 * 1000
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_last": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        if not rows:
+            return
+        batch = pd.concat(rows).sort_values(["ts", "event_id"])
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        out = []
+        for ts in batch["ts"]:
+            t_us = int(pd.Timestamp(ts).value) // 1000
+            if start_us is None:
+                start_us, last_us, n = t_us, t_us, 1
+            elif t_us - last_us <= GAP_MS * 1000:
+                last_us, n = t_us, n + 1
+            else:
+                out.append((key[0], start_us, last_us, n))
+                start_us, last_us, n = t_us, t_us, 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + GAP_MS)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "session_start": [pd.Timestamp(r[1], unit="us") for r in out],
+                    "session_last": [pd.Timestamp(r[2], unit="us") for r in out],
+                    "n_events": [r[3] for r in out],
+                }
+            )
+
+    run_dir = os.path.join(SCRATCH, f"stream_sesto_{uuid.uuid4().hex[:8]}")
+    src_dir = os.path.join(run_dir, "src")
+    ckpt = os.path.join(run_dir, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    name = f"sesto_t_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = table(spark, sf_dir, "events")
+        # time-split replay: single-pass gap state needs cross-batch
+        # event-time order (see docstring)
+        paths = []
+        for i, half in enumerate(
+            (
+                ev.filter(F.dayofmonth("ts") <= 15),
+                ev.filter(F.dayofmonth("ts") > 15),
+            )
+        ):
+            p = os.path.join(src_dir, f"part-{i}.json")
+            half.toPandas().to_json(
+                p, orient="records", lines=True, date_format="iso", date_unit="us",
+            )
+            paths.append(p)
+        for i, ts_s in enumerate(
+            ("2024-06-01T00:00:00.000000", "2024-09-01T00:00:00.000000")
+        ):
+            p = os.path.join(src_dir, f"part-9{i}.json")
+            with open(p, "w") as f:
+                f.write(
+                    '{"event_id":%d,"ts":"%s","user_id":%d,'
+                    '"event_type":"click","value":0.0,"props":"{}"}\n'
+                    % (-1 - i, ts_s, -999999 - i)
+                )
+            paths.append(p)
+        # The file source admits batches in MODIFICATION-TIME order;
+        # files written within the same clock tick would tie and the
+        # sentinel ordering (watermark-advance THEN timer-fire) would
+        # be luck. Pin strictly increasing mtimes.
+        for i, p in enumerate(paths):
+            os.utime(p, (1_700_000_000 + 10 * i, 1_700_000_000 + 10 * i))
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src_dir)
+            .withWatermark("ts", "40 days")
+        )
+        sessions = stream.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType="start_us bigint, last_us bigint, n bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name).filter(F.col("user_id") >= 0)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
