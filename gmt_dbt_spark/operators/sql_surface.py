@@ -997,17 +997,22 @@ def sql_udf_table_valued(spark: SparkSession, sf_dir: str) -> DataFrame:
     fn = f"seg_orders_{uuid.uuid4().hex[:8]}"
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    spark.sql(
-        f"""CREATE TEMPORARY FUNCTION {fn}(seg STRING)
-            RETURNS TABLE(o_orderpriority STRING, o_totalprice DOUBLE)
-            RETURN SELECT o.o_orderpriority, o.o_totalprice
-                   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-                   WHERE c.c_mktsegment = seg"""
-    )
-    return spark.sql(
-        f"""SELECT o_orderpriority, COUNT(*) AS n,
-                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING)
-                        AS DOUBLE) AS total
-            FROM {fn}('MACHINERY')
-            GROUP BY o_orderpriority"""
-    )
+    try:
+        spark.sql(
+            f"""CREATE TEMPORARY FUNCTION {fn}(seg STRING)
+                RETURNS TABLE(o_orderpriority STRING, o_totalprice DOUBLE)
+                RETURN SELECT o.o_orderpriority, o.o_totalprice
+                       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                       WHERE c.c_mktsegment = seg"""
+        )
+        out = spark.sql(
+            f"""SELECT o_orderpriority, COUNT(*) AS n,
+                       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING)
+                            AS DOUBLE) AS total
+                FROM {fn}('MACHINERY')
+                GROUP BY o_orderpriority"""
+        )
+        # materialize before dropping the function the plan references
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {fn}")

@@ -86,3 +86,28 @@ def get_spark(app_name: str = "gmt_dbt_spark", cpus: int | None = None) -> Spark
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return tune(spark)
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_conf(spark, **kv):
+    """Set runtime SQL confs for a scope and restore on exit (unset
+    if they were not explicitly set before). One definition replaces
+    the hand-rolled save/try/finally dance in every config-scoped
+    query and plan guard."""
+    saved = {k: spark.conf.get(k, None) for k in kv}
+    try:
+        for k, v in kv.items():
+            spark.conf.set(k, v)
+        yield spark
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)

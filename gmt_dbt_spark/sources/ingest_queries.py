@@ -435,16 +435,15 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     because globally switching the session to V2 scans would change
     every other query's plan shape. The plan guard asserts
     PushedAggregation actually fired under the same scope."""
-    saved = {
-        k: spark.conf.get(k, None)
-        for k in (
-            "spark.sql.sources.useV1SourceList",
-            "spark.sql.parquet.aggregatePushdown",
-        )
-    }
-    try:
-        spark.conf.set("spark.sql.sources.useV1SourceList", "")
-        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    from gmt_dbt_spark.session import scoped_conf
+
+    with scoped_conf(
+        spark,
+        **{
+            "spark.sql.sources.useV1SourceList": "",
+            "spark.sql.parquet.aggregatePushdown": "true",
+        },
+    ):
         li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
         out = li.agg(
             F.count(F.lit(1)).alias("n"),
@@ -455,15 +454,6 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                try:
-                    spark.conf.unset(k)
-                except Exception:
-                    pass
-            else:
-                spark.conf.set(k, v)
 
 
 @query(

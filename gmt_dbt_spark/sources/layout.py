@@ -517,6 +517,23 @@ _INDEX_VOCAB = (
 _QUERY_TERMS = ("vector", "stream")
 
 
+def build_postings(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Build the term-partitioned inverted index (ONE definition —
+    the registered query and the PartitionFilters plan guard both
+    call this, so the guard can never drift from the shipped
+    layout)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    posting = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        )
+        .filter(F.col("term").isin(*_INDEX_VOCAB))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    posting.write.mode("overwrite").partitionBy("term").parquet(path)
+
+
 @query(
     "sink_posting_lists",
     oracle=f"""
@@ -556,16 +573,7 @@ def sink_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB recomputing the postings straight from the corpus."""
     path = os.path.join(SCRATCH, f"postings_{uuid.uuid4().hex[:8]}")
     try:
-        docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-        posting = (
-            docs.select(
-                "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
-            )
-            .filter(F.col("term").isin(*_INDEX_VOCAB))
-            .groupBy("term", "doc_id")
-            .agg(F.count(F.lit(1)).alias("tf"))
-        )
-        posting.write.mode("overwrite").partitionBy("term").parquet(path)
+        build_postings(spark, sf_dir, path)
         probe = spark.read.parquet(path).filter(
             F.col("term").isin(*_QUERY_TERMS)
         )

@@ -50,6 +50,45 @@ EVENT_SCHEMA = (
 )
 
 
+def write_sentinels(src_dir: str, specs) -> None:
+    """Author far-future sentinel micro-batch files (one NDJSON event
+    each): specs = [(event_id, user_id, iso_ts, event_type), ...].
+    Shared by every watermark-dependent bounded-replay harness."""
+    for i, (eid, uid, ts_s, etype) in enumerate(specs):
+        with open(os.path.join(src_dir, f"part-9{i}.json"), "w") as f:
+            f.write(
+                '{"event_id":%d,"ts":"%s","user_id":%d,'
+                '"event_type":"%s","value":0.0,"props":"{}"}\n'
+                % (eid, ts_s, uid, etype)
+            )
+
+
+def pin_mtimes(src_dir: str) -> None:
+    """Pin strictly increasing file mtimes in lexicographic name
+    order: the file source admits batches in modification-time order,
+    and the sentinel mechanism depends on real data -> watermark-
+    advance sentinel -> emit batch arriving exactly in that order —
+    same-clock-tick writes would leave the ordering to a tie-break."""
+    for i, fname in enumerate(sorted(os.listdir(src_dir))):
+        t = 1_700_000_000 + 10 * i
+        os.utime(os.path.join(src_dir, fname), (t, t))
+
+
+def sentinel_times(ev, delay_days: int, margin_days: int = 2):
+    """Derive the two sentinel timestamps from the DATA: sentinel 1
+    must push the watermark (sentinel - delay) past every real
+    event's expiry, sentinel 2 past sentinel 1's — hard-coded dates
+    would silently stop emitting once the fixture's time span grows
+    (review finding)."""
+    import datetime as _dt
+
+    mx = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]
+    s1 = mx + _dt.timedelta(days=delay_days + margin_days)
+    s2 = s1 + _dt.timedelta(days=delay_days + margin_days)
+    fmt = "%Y-%m-%dT%H:%M:%S.%f"
+    return s1.strftime(fmt), s2.strftime(fmt)
+
+
 def write_replay(ev, src_dir: str, n_batches: int = 2) -> None:
     """Author the micro-batch replay files: the events split into
     n_batches NDJSON shards by event_id parity/modulus. The to_json
@@ -615,30 +654,20 @@ def _stream_stream_outer_replay(
         ev = table(spark, sf_dir, "events")
         write_replay(ev, src_dir)
         # Sentinels: one per side-filter so BOTH input streams see
-        # their watermark advance; distinct reserved users 100 days
-        # apart so they can never join each other or real rows.
-        for i, (eid, uid, ts_s, etype) in enumerate(
+        # their watermark advance; distinct reserved users so they can
+        # never join each other or real rows; timestamps DERIVED from
+        # max(ts) so the mechanism survives any fixture time span.
+        s1, s2 = sentinel_times(ev, delay_days=40)
+        write_sentinels(
+            src_dir,
             [
-                (-1, -999999, "2024-06-01T00:00:00.000000", "click"),
-                (-2, -999998, "2024-06-01T00:00:00.000000", "purchase"),
-                (-3, -999997, "2024-09-01T00:00:00.000000", "click"),
-                (-4, -999996, "2024-09-01T00:00:00.000000", "purchase"),
-            ]
-        ):
-            with open(os.path.join(src_dir, f"part-9{i}.json"), "w") as f:
-                f.write(
-                    '{"event_id":%d,"ts":"%s","user_id":%d,'
-                    '"event_type":"%s","value":0.0,"props":"{}"}\n'
-                    % (eid, ts_s, uid, etype)
-                )
-        # Pin strictly increasing mtimes: batch admission orders files
-        # by modification time, and the sentinel mechanism depends on
-        # real data -> watermark-advance sentinels -> null-emit batch
-        # arriving in exactly that order (same guard as
-        # stream_session_timeout; same-tick writes would tie).
-        for i, fname in enumerate(sorted(os.listdir(src_dir))):
-            t = 1_700_000_000 + 10 * i
-            os.utime(os.path.join(src_dir, fname), (t, t))
+                (-1, -999999, s1, "click"),
+                (-2, -999998, s1, "purchase"),
+                (-3, -999997, s2, "click"),
+                (-4, -999996, s2, "purchase"),
+            ],
+        )
+        pin_mtimes(src_dir)
         stream = (
             spark.readStream.schema(EVENT_SCHEMA)
             .option("maxFilesPerTrigger", 1)
@@ -761,21 +790,21 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             time.sleep(0.5)
         else:
             raise TimeoutError("rate source did not deliver the prefix in time")
+        out = spark.table(name).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         q.stop()
         q.awaitTermination()
-    out = spark.table(name).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("value").alias("value_sum"),
-        F.min("value").alias("value_min"),
-        F.max("value").alias("value_max"),
-    )
-    rows = out.collect()
-    try:
-        spark.catalog.dropTempView(name)
-    except Exception:
-        pass
-    return spark.createDataFrame(rows, out.schema)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
 
 
 SESSION_OUT_SCHEMA = (
@@ -878,37 +907,27 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sesto_t_{uuid.uuid4().hex[:8]}"
     try:
         ev = table(spark, sf_dir, "events")
-        # time-split replay: single-pass gap state needs cross-batch
-        # event-time order (see docstring)
-        paths = []
+        # time-split replay at the DATA-DERIVED midpoint: single-pass
+        # gap state needs cross-batch event-time order, and a
+        # calendar-based split (day-of-month) would interleave months
+        # if the fixture's span ever grows (review finding).
+        bounds = ev.agg(
+            F.min("ts").alias("mn"), F.max("ts").alias("mx")
+        ).collect()[0]
+        mid = bounds["mn"] + (bounds["mx"] - bounds["mn"]) / 2
         for i, half in enumerate(
-            (
-                ev.filter(F.dayofmonth("ts") <= 15),
-                ev.filter(F.dayofmonth("ts") > 15),
-            )
+            (ev.filter(F.col("ts") <= mid), ev.filter(F.col("ts") > mid))
         ):
-            p = os.path.join(src_dir, f"part-{i}.json")
             half.toPandas().to_json(
-                p, orient="records", lines=True, date_format="iso", date_unit="us",
+                os.path.join(src_dir, f"part-{i}.json"),
+                orient="records", lines=True, date_format="iso", date_unit="us",
             )
-            paths.append(p)
-        for i, ts_s in enumerate(
-            ("2024-06-01T00:00:00.000000", "2024-09-01T00:00:00.000000")
-        ):
-            p = os.path.join(src_dir, f"part-9{i}.json")
-            with open(p, "w") as f:
-                f.write(
-                    '{"event_id":%d,"ts":"%s","user_id":%d,'
-                    '"event_type":"click","value":0.0,"props":"{}"}\n'
-                    % (-1 - i, ts_s, -999999 - i)
-                )
-            paths.append(p)
-        # The file source admits batches in MODIFICATION-TIME order;
-        # files written within the same clock tick would tie and the
-        # sentinel ordering (watermark-advance THEN timer-fire) would
-        # be luck. Pin strictly increasing mtimes.
-        for i, p in enumerate(paths):
-            os.utime(p, (1_700_000_000 + 10 * i, 1_700_000_000 + 10 * i))
+        s1, s2 = sentinel_times(ev, delay_days=40)
+        write_sentinels(
+            src_dir,
+            [(-1, -999999, s1, "click"), (-2, -999998, s2, "click")],
+        )
+        pin_mtimes(src_dir)
         stream = (
             spark.readStream.schema(EVENT_SCHEMA)
             .option("maxFilesPerTrigger", 1)

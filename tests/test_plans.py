@@ -714,21 +714,17 @@ def test_runtime_bloom_filter_injection(spark):
     bloom_filter_agg on the fact scan — the semi-join pushdown that
     saves a full fact shuffle at 100 TB. Configs are restored so no
     other test/query sees the regime."""
-    saved = {
-        k: spark.conf.get(k, None)
-        for k in (
-            "spark.sql.autoBroadcastJoinThreshold",
-            "spark.sql.optimizer.runtime.bloomFilter.enabled",
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        )
-    }
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-            "0",
-        )
+    from gmt_dbt_spark.session import scoped_conf
+
+    with scoped_conf(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold": "0",
+        },
+    ):
         li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         ords = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
             F.col("o_orderpriority") == "1-URGENT"
@@ -743,12 +739,6 @@ def test_runtime_bloom_filter_injection(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
         (row,) = j.collect()
         assert row["count"] > 0
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
 
 def test_rollup_topk_window_group_limit(spark):
@@ -782,11 +772,21 @@ def test_basket_lift_support_cut_before_item_joins(spark):
     plan's joins are all hash joins (no nested loop), and the
     pair-count aggregate sits below the item joins with a Filter on
     the counted column between them."""
-    tree = tree_of(plan_of(all_queries()["mart_basket_lift"](spark, SF_DIR)))
+    plan = plan_of(all_queries()["mart_basket_lift"](spark, SF_DIR))
+    tree = tree_of(plan)
     assert "BroadcastNestedLoopJoin" not in tree.replace(
         "BroadcastNestedLoopJoin Cross", ""
     ), tree  # the single-row n_orders cross join is the only allowed NLJ
     assert "CartesianProduct" not in tree, tree
+    # the min-support Filter runs on the pair aggregate's output
+    # BEFORE the item-count joins: its Input is exactly the 3-column
+    # (pa, pb, pair_count) relation — a post-join filter would see
+    # the item-count columns too.
+    m = re.search(
+        r"\(\d+\) Filter[^\n]*\nInput \[3\]: \[pa#\d+L, pb#\d+L, pair_count#\d+L\]",
+        plan,
+    )
+    assert m, plan
 
 
 def test_events_burst_window_over_minute_matrix(spark):
@@ -824,18 +824,10 @@ def test_posting_lists_probe_prunes_partitions(spark, tmp_path):
     """The inverted-index layout's contract: a term probe must hit
     PartitionFilters (directory pruning) — only the queried terms'
     directories are opened."""
-    from gmt_dbt_spark.catalog import table
-    from gmt_dbt_spark.sources.layout import _INDEX_VOCAB, _QUERY_TERMS
+    from gmt_dbt_spark.sources.layout import _QUERY_TERMS, build_postings
 
-    docs = table(spark, SF_DIR, "documents").filter(F.col("text").isNotNull())
-    posting = (
-        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
-        .filter(F.col("term").isin(*_INDEX_VOCAB))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
     path = str(tmp_path / "postings")
-    posting.write.mode("overwrite").partitionBy("term").parquet(path)
+    build_postings(spark, SF_DIR, path)
     probe = spark.read.parquet(path).filter(F.col("term").isin(*_QUERY_TERMS))
     plan = plan_of(probe)
     assert re.search(r"PartitionFilters: \[.*term.*\]", plan), plan
@@ -848,16 +840,15 @@ def test_scan_agg_pushdown_hits_footer_stats(spark):
     unfiltered COUNT/MIN/MAX must push into the scan
     (PushedAggregation) — answered from row-group footers, zero data
     pages. Configs scoped + restored."""
-    saved = {
-        k: spark.conf.get(k, None)
-        for k in (
-            "spark.sql.sources.useV1SourceList",
-            "spark.sql.parquet.aggregatePushdown",
-        )
-    }
-    try:
-        spark.conf.set("spark.sql.sources.useV1SourceList", "")
-        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    from gmt_dbt_spark.session import scoped_conf
+
+    with scoped_conf(
+        spark,
+        **{
+            "spark.sql.sources.useV1SourceList": "",
+            "spark.sql.parquet.aggregatePushdown": "true",
+        },
+    ):
         li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         agg = li.agg(
             F.count(F.lit(1)).alias("n"),
@@ -865,15 +856,9 @@ def test_scan_agg_pushdown_hits_footer_stats(spark):
             F.max("l_orderkey").alias("mx"),
         )
         plan = plan_of(agg)
-        assert "PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]" in plan, plan
+        assert (
+            "PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]"
+            in plan
+        ), plan
         (row,) = agg.collect()
         assert row["n"] > 0 and row["mn"] <= row["mx"]
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                try:
-                    spark.conf.unset(k)
-                except Exception:
-                    pass
-            else:
-                spark.conf.set(k, v)
