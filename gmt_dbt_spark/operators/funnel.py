@@ -800,3 +800,125 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("cls") == "resurrected").alias("n_resurrected"),
         F.count_if(F.col("cls") == "churned").alias("n_churned"),
     )
+
+
+@query(
+    "mart_revenue_bridge",
+    oracle="""
+WITH cm AS (
+  SELECT o_custkey,
+         YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS m,
+         SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+  FROM orders GROUP BY o_custkey, YEAR(o_orderdate) * 12 + MONTH(o_orderdate)
+),
+mx AS (SELECT MAX(m) AS max_m FROM cm),
+pairs AS (
+  SELECT COALESCE(a.m + 1, b.m) AS t,
+         COALESCE(a.rev, 0) AS prev_rev,
+         COALESCE(b.rev, 0) AS cur_rev,
+         a.o_custkey IS NOT NULL AS had,
+         b.o_custkey IS NOT NULL AS has
+  FROM cm a FULL JOIN cm b
+    ON a.o_custkey = b.o_custkey AND b.m = a.m + 1
+),
+bridge AS (
+  SELECT t,
+         SUM(CASE WHEN had THEN prev_rev ELSE CAST(0 AS DECIMAL(25,6)) END) AS base,
+         SUM(CASE WHEN had AND has AND cur_rev > prev_rev
+                  THEN cur_rev - prev_rev ELSE CAST(0 AS DECIMAL(25,6)) END) AS expansion,
+         SUM(CASE WHEN had AND has AND cur_rev < prev_rev
+                  THEN prev_rev - cur_rev ELSE CAST(0 AS DECIMAL(25,6)) END) AS contraction,
+         SUM(CASE WHEN had AND NOT has THEN prev_rev ELSE CAST(0 AS DECIMAL(25,6)) END) AS churned,
+         SUM(CASE WHEN NOT had THEN cur_rev ELSE CAST(0 AS DECIMAL(25,6)) END) AS new_rev,
+         SUM(CASE WHEN had AND has THEN cur_rev ELSE CAST(0 AS DECIMAL(25,6)) END) AS retained_cur
+  FROM pairs CROSS JOIN mx
+  WHERE t <= mx.max_m
+  GROUP BY t
+)
+SELECT t,
+       CAST(CAST(base AS VARCHAR) AS DOUBLE) AS base,
+       CAST(CAST(expansion AS VARCHAR) AS DOUBLE) AS expansion,
+       CAST(CAST(contraction AS VARCHAR) AS DOUBLE) AS contraction,
+       CAST(CAST(churned AS VARCHAR) AS DOUBLE) AS churned,
+       CAST(CAST(new_rev AS VARCHAR) AS DOUBLE) AS new_rev,
+       CAST(CAST(retained_cur AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(base AS VARCHAR) AS DOUBLE) AS nrr
+FROM bridge
+WHERE base > 0
+""",
+)
+def mart_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE BRIDGE / NRR — the SaaS month-over-month revenue
+    decomposition: for each month transition, prior-month base splits
+    into expansion (same customers spending more), contraction
+    (spending less), churned (gone), with new-customer revenue
+    alongside; NRR = retained customers' current revenue / base. The
+    identity base - churned - contraction + expansion = retained_cur
+    holds exactly because every term accumulates in DECIMAL.
+
+    Scale shape: one (customer x month) aggregate, then a
+    SELF full-outer join keyed (custkey, adjacent months) —
+    co-partitioned on custkey so it shuffles the customer-month
+    matrix (dim x months), never raw orders; the bridge rollup is
+    months-sized. VARCHAR-route surfacing; the only division is the
+    final deterministic NRR ratio."""
+    o = table(spark, sf_dir, "orders")
+    cm = o.groupBy(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    mx = cm.agg(F.max("m").alias("max_m"))
+    a = cm.toDF("ck", "am", "arev")
+    b = cm.toDF("ck", "bm", "brev")
+    pairs = a.join(
+        b,
+        (a["ck"] == b["ck"]) & (b["bm"] == a["am"] + 1),
+        "full_outer",
+    ).select(
+        F.coalesce(a["am"] + 1, b["bm"]).alias("t"),
+        F.coalesce(a["arev"], F.lit(0).cast(DEC)).alias("prev_rev"),
+        F.coalesce(b["brev"], F.lit(0).cast(DEC)).alias("cur_rev"),
+        a["ck"].isNotNull().alias("had"),
+        b["ck"].isNotNull().alias("has"),
+    )
+    zero = F.lit(0).cast(DEC)
+    bridge = (
+        pairs.crossJoin(F.broadcast(mx))
+        .filter(F.col("t") <= F.col("max_m"))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("had"), F.col("prev_rev")).otherwise(zero)).alias(
+                "base_dec"
+            ),
+            F.sum(
+                F.when(
+                    F.col("had") & F.col("has") & (F.col("cur_rev") > F.col("prev_rev")),
+                    F.col("cur_rev") - F.col("prev_rev"),
+                ).otherwise(zero)
+            ).alias("exp_dec"),
+            F.sum(
+                F.when(
+                    F.col("had") & F.col("has") & (F.col("cur_rev") < F.col("prev_rev")),
+                    F.col("prev_rev") - F.col("cur_rev"),
+                ).otherwise(zero)
+            ).alias("con_dec"),
+            F.sum(
+                F.when(F.col("had") & ~F.col("has"), F.col("prev_rev")).otherwise(zero)
+            ).alias("chn_dec"),
+            F.sum(F.when(~F.col("had"), F.col("cur_rev")).otherwise(zero)).alias(
+                "new_dec"
+            ),
+            F.sum(
+                F.when(F.col("had") & F.col("has"), F.col("cur_rev")).otherwise(zero)
+            ).alias("ret_dec"),
+        )
+    )
+    return bridge.filter(F.col("base_dec") > 0).select(
+        "t",
+        dec2dbl(F.col("base_dec")).alias("base"),
+        dec2dbl(F.col("exp_dec")).alias("expansion"),
+        dec2dbl(F.col("con_dec")).alias("contraction"),
+        dec2dbl(F.col("chn_dec")).alias("churned"),
+        dec2dbl(F.col("new_dec")).alias("new_rev"),
+        (dec2dbl(F.col("ret_dec")) / dec2dbl(F.col("base_dec"))).alias("nrr"),
+    )
