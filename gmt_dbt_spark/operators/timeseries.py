@@ -348,3 +348,66 @@ def events_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("trail_n") >= 5)
         & (F.col("cnt") * F.col("trail_n") * 10 > F.col("trail_sum") * 30),
     )
+
+
+@query(
+    "events_backtest_snaive",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, HOUR(ts) AS hod, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, CAST(ts AS DATE), HOUR(ts)
+),
+mx AS (SELECT MAX(day) AS last_day FROM hourly),
+actual AS (
+  SELECT event_type, hod, cnt FROM hourly CROSS JOIN mx WHERE day = mx.last_day
+),
+forecast AS (
+  SELECT event_type, hod, cnt AS fc
+  FROM hourly CROSS JOIN mx WHERE day = mx.last_day - INTERVAL 1 DAY
+)
+SELECT a.event_type,
+       COUNT(*) AS n_hours,
+       SUM(ABS(a.cnt - COALESCE(f.fc, 0))) AS abs_err_sum,
+       SUM(a.cnt) AS actual_sum,
+       SUM(ABS(a.cnt - COALESCE(f.fc, 0))) * 100 <= SUM(a.cnt) * 100
+         AS mae_under_mean
+FROM actual a
+LEFT JOIN forecast f ON a.event_type = f.event_type AND a.hod = f.hod
+GROUP BY a.event_type
+""",
+)
+def events_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST with the seasonal-naive baseline (predict
+    each hour of the last day by the same hour of the previous day)
+    — the reference model every real forecaster must beat, and the
+    evaluation harness shape (holdout slice, per-series absolute
+    error, skill flag) is the deliverable here. Errors stay integer
+    (counts), the skill test multiplies through instead of dividing,
+    and missing forecast hours backfill as 0 exactly like the oracle.
+
+    Scale shape: the stream reduces to the (type x day x hour)
+    matrix once; holdout and forecast slices are two filters of that
+    matrix joined on (type, hour) — dim-sized; any number of series
+    backtests in one pass."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    mx = hourly.agg(F.max("day").alias("last_day"))
+    h = hourly.crossJoin(F.broadcast(mx))
+    actual = h.filter(F.col("day") == F.col("last_day")).select(
+        "event_type", "hod", "cnt"
+    )
+    forecast = h.filter(
+        F.col("day") == F.date_sub("last_day", 1)
+    ).select("event_type", "hod", F.col("cnt").alias("fc"))
+    j = actual.join(forecast, ["event_type", "hod"], "left")
+    err = F.abs(F.col("cnt") - F.coalesce(F.col("fc"), F.lit(0)))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(err).alias("abs_err_sum"),
+        F.sum("cnt").alias("actual_sum"),
+        (F.sum(err) * 100 <= F.sum("cnt") * 100).alias("mae_under_mean"),
+    )
