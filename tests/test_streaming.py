@@ -276,3 +276,54 @@ def test_python_stream_source_multibatch_progression(spark):
     finally:
         q.stop()
         spark.catalog.dropTempView(qname)
+
+
+def test_pin_mtimes_orders_lexicographically(tmp_path):
+    """pin_mtimes must produce strictly increasing mtimes in sorted
+    name order — the property batch admission depends on."""
+    import os
+
+    from gmt_dbt_spark.streaming.stateful import pin_mtimes
+
+    names = ["part-1.json", "part-90.json", "part-0.json", "part-91.json"]
+    for n in names:
+        (tmp_path / n).write_text("{}\n")
+    pin_mtimes(str(tmp_path))
+    mtimes = [os.path.getmtime(tmp_path / n) for n in sorted(names)]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+
+
+def test_sentinel_times_clear_all_real_expiries(spark):
+    """Derived sentinel 1 minus the watermark delay must land beyond
+    max(ts) (so every real expiry passes), and sentinel 2 beyond
+    sentinel 1 — for any data span."""
+    import datetime
+
+    from gmt_dbt_spark.catalog import table
+    from gmt_dbt_spark.streaming.stateful import sentinel_times
+    from tests.conftest import SF_DIR
+
+    ev = table(spark, SF_DIR, "events")
+    s1, s2 = sentinel_times(ev, delay_days=40)
+    fmt = "%Y-%m-%dT%H:%M:%S.%f"
+    t1 = datetime.datetime.strptime(s1, fmt)
+    t2 = datetime.datetime.strptime(s2, fmt)
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    assert t1 - datetime.timedelta(days=40) > mx
+    assert t2 - datetime.timedelta(days=40) > t1
+
+
+def test_scoped_conf_restores_on_error(spark):
+    """scoped_conf must restore (or unset) every key even when the
+    body raises."""
+    import pytest as _pytest
+
+    from gmt_dbt_spark.session import scoped_conf
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with _pytest.raises(RuntimeError):
+        with scoped_conf(spark, **{key: "7"}):
+            assert spark.conf.get(key) == "7"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
