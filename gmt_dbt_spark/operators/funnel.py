@@ -922,3 +922,110 @@ def mart_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec2dbl(F.col("new_dec")).alias("new_rev"),
         (dec2dbl(F.col("ret_dec")) / dec2dbl(F.col("base_dec"))).alias("nrr"),
     )
+
+
+@query(
+    "mart_ab_test",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id,
+         ((user_id % 1000000) * 2654435761) % 2 AS variant
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+conv AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value > 195
+),
+cells AS (
+  SELECT a.variant,
+         COUNT(*) AS n,
+         SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS conv
+  FROM assigned a LEFT JOIN conv c ON a.user_id = c.user_id
+  GROUP BY a.variant
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+    MAX(CASE WHEN variant = 0 THEN conv END) AS conv_a,
+    MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+    MAX(CASE WHEN variant = 1 THEN conv END) AS conv_b
+  FROM cells
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+       CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+       (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 / n_a + 1.0 / n_b)) AS z_stat,
+       ABS((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+FROM wide
+""",
+)
+def mart_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-assigned
+    to two variants (the overflow-safe Knuth gate — same assignment
+    every run, any worker can answer 'which bucket is user X in'),
+    conversion = ever made a high-value purchase (value > 195, ~25%
+    of users — a conversion that actually splits the population;
+    'ever purchased' is ~100% here and a degenerate 0/1 pooled rate
+    zeroes the variance), compared with the two-proportion
+    pooled z-test. Every arithmetic step is deterministic IEEE
+    (divisions in fixed order, sqrt correctly rounded), so even the
+    z-statistic and the 1.96 significance flag hash exactly across
+    engines — no stats library, no approximation.
+
+    Scale shape: distinct users + distinct converters are the only
+    stream passes; assignment is scan-side arithmetic; the readout
+    is a 2-row cell table pivoted to one row. (On a real experiment
+    the assignment hash keys on (user, experiment_salt) — same
+    gate.)"""
+    ev = table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    assigned = users.select(
+        "user_id",
+        (((F.col("user_id") % 1000000) * 2654435761) % 2).alias("variant"),
+    )
+    conv = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 195))
+        .select("user_id")
+        .distinct()
+        .withColumn("is_conv", F.lit(1))
+    )
+    cells = (
+        assigned.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("is_conv").alias("conv"),
+        )
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (rate_a - rate_b) / F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        z.alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
