@@ -630,3 +630,64 @@ def sink_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "sink_compression_codecs",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(doc_id) AS id_sum,
+         SUM(length(text)) AS chars
+  FROM src
+)
+SELECT codec, n, id_sum, chars, TRUE AS smaller_than_uncompressed
+FROM agg CROSS JOIN (VALUES ('snappy'), ('zstd'), ('gzip')) AS c(codec)
+""",
+)
+def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec surface: the same (compressible,
+    texty) data written under snappy / zstd / gzip and read back —
+    every codec must round-trip bit-identically (hash-pinned counts
+    and checksums) and actually compress (each file smaller than the
+    uncompressed write; asserted as a hashed boolean, not a brittle
+    byte count — sizes shift across parquet versions). At 100 TB the
+    codec choice is a first-order cost lever: zstd ~ gzip-class
+    ratios at snappy-class speeds, which is why it's the modern lake
+    default; the engine surface is just `parquet.compression`."""
+    root = os.path.join(SCRATCH, f"codecs_{uuid.uuid4().hex[:8]}")
+    src = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def dir_size(d: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    try:
+        base_dir = os.path.join(root, "none")
+        src.write.mode("overwrite").option("compression", "none").parquet(base_dir)
+        base_size = dir_size(base_dir)
+        rows = []
+        for codec in ("snappy", "zstd", "gzip"):
+            d = os.path.join(root, codec)
+            src.write.mode("overwrite").option("compression", codec).parquet(d)
+            back = spark.read.parquet(d)
+            (r,) = back.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("doc_id").alias("id_sum"),
+                F.sum(F.length("text")).alias("chars"),
+            ).collect()
+            rows.append(
+                (codec, r["n"], r["id_sum"], r["chars"], dir_size(d) < base_size)
+            )
+        return spark.createDataFrame(
+            rows,
+            "codec string, n bigint, id_sum bigint, chars bigint, "
+            "smaller_than_uncompressed boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
