@@ -399,10 +399,64 @@ class ModelProject:
         df.createOrReplaceTempView(model.name)
         return df
 
-    def run(self) -> dict[str, DataFrame]:
+    def select_nodes(self, selector: str) -> set[str]:
+        """dbt node-selection syntax (the `--select` subset this
+        engine supports): `name`, `+name` (node plus ancestors),
+        `name+` (node plus descendants), comma for union. Unknown
+        names raise, as dbt does."""
+        chosen: set[str] = set()
+        for part in (p.strip() for p in selector.split(",")):
+            want_anc = part.startswith("+")
+            want_desc = part.endswith("+")
+            name = part.strip("+")
+            if name not in self.models:
+                raise KeyError(f"--select references unknown model '{name}'")
+            chosen.add(name)
+            if want_anc:
+                chosen |= self._ancestors(name)
+            if want_desc:
+                chosen |= self._descendants(name)
+        return chosen
+
+    def _ancestors(self, name: str) -> set[str]:
+        out: set[str] = set()
+        stack = [d for d in self.models[name].depends_on if d in self.models]
+        while stack:
+            d = stack.pop()
+            if d not in out:
+                out.add(d)
+                stack.extend(
+                    x for x in self.models[d].depends_on if x in self.models
+                )
+        return out
+
+    def _descendants(self, name: str) -> set[str]:
+        out: set[str] = set()
+        changed = True
+        while changed:
+            changed = False
+            for m in self.models.values():
+                if m.name in out:
+                    continue
+                if any(d == name or d in out for d in m.depends_on):
+                    out.add(m.name)
+                    changed = True
+        return out
+
+    def run(self, select: str | None = None) -> dict[str, DataFrame]:
+        """Execute the DAG (or, with ``select``, the chosen subgraph —
+        closed over ancestors so every ref() resolves within THIS run;
+        dbt with `--defer` could instead read prior state, which a
+        file warehouse would support the same way)."""
+        models = self.models
+        if select is not None:
+            chosen = self.select_nodes(select)
+            for n in list(chosen):
+                chosen |= self._ancestors(n)
+            models = {k: v for k, v in self.models.items() if k in chosen}
         results: dict[str, DataFrame] = {}
         with ThreadPoolExecutor(max_workers=self.threads) as pool:
-            for level in _toposort_levels(self.models):
+            for level in _toposort_levels(models):
                 futures = {m.name: pool.submit(self._materialize, m) for m in level}
                 for name, fut in futures.items():
                     results[name] = fut.result()

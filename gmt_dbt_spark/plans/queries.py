@@ -807,3 +807,56 @@ def model_unit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("a.total").eqNullSafe(F.col("e.total"))
         ).alias("row_ok"),
     )
+
+
+@query(
+    "model_select_graph",
+    oracle="""
+SELECT n.n_name,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS VARCHAR)
+            AS DOUBLE) AS total_price,
+       TRUE AS unrelated_skipped
+FROM (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01') o
+JOIN (SELECT c_custkey, c_nationkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def model_select_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt NODE SELECTION (`--select +model`): run only the chosen
+    model and its ancestors — the daily-operations surface that makes
+    a 500-model project usable (rebuild one mart without paying for
+    the whole DAG). The project here adds an UNRELATED fourth model
+    whose materialization would write a table; selecting
+    `+mart_nation_orders` must leave it untouched, asserted by the
+    hashed `unrelated_skipped` boolean (its target table must NOT
+    exist after the run)."""
+    for t in ("orders", "customer", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"stg_{t}")
+    sources = {("stg", t): f"stg_{t}" for t in ("orders", "customer", "nation")}
+    unrelated = Model(
+        "unrelated_nation_copy",
+        """
+        {{ config(materialized='table') }}
+        SELECT n_nationkey, n_name FROM {{ source('stg', 'nation') }}
+        """,
+    )
+    project = ModelProject(
+        spark,
+        [Model(m.name, m.raw_sql) for m in _MODELS] + [unrelated],
+        sources,
+        warehouse_dir=os.path.join(SCRATCH, "model_warehouse_sel"),
+        threads=4,
+    )
+    spark.sql("DROP TABLE IF EXISTS unrelated_nation_copy")
+    results = project.run(select="+mart_nation_orders")
+    skipped = (
+        "unrelated_nation_copy" not in results
+        and not spark.catalog.tableExists("unrelated_nation_copy")
+    )
+    return results["mart_nation_orders"].withColumn(
+        "unrelated_skipped", F.lit(skipped)
+    )
