@@ -315,3 +315,33 @@ def test_contract_violation_aborts_before_write(spark, tmp_path):
     except ValueError as e:
         assert "retyped=['v']" in str(e)
     assert not os.path.exists(str(tmp_path / "contracted"))
+
+
+def test_select_nodes_syntax(spark):
+    """Selector algebra: name / +name / name+ / comma-union, unknown
+    names raise — over a known diamond DAG."""
+    import pytest as _pytest
+
+    from gmt_dbt_spark.plans.models import Model, ModelProject
+    from tests.conftest import SF_DIR
+    from gmt_dbt_spark.catalog import table
+
+    table(spark, SF_DIR, "nation").createOrReplaceTempView("stg_nation")
+    models = [
+        Model("a", "SELECT n_nationkey FROM {{ source('stg', 'nation') }}"),
+        Model("b", "SELECT * FROM {{ ref('a') }}"),
+        Model("c", "SELECT * FROM {{ ref('a') }}"),
+        Model("d", "SELECT * FROM {{ ref('b') }} UNION ALL SELECT * FROM {{ ref('c') }}"),
+    ]
+    proj = ModelProject(
+        spark, models, {("stg", "nation"): "stg_nation"},
+        warehouse_dir="/tmp/sel_test_wh",
+    )
+    assert proj.select_nodes("d") == {"d"}
+    assert proj.select_nodes("+d") == {"a", "b", "c", "d"}
+    assert proj.select_nodes("a+") == {"a", "b", "c", "d"}
+    assert proj.select_nodes("b+") == {"b", "d"}
+    assert proj.select_nodes("+b") == {"a", "b"}
+    assert proj.select_nodes("b,c") == {"b", "c"}
+    with _pytest.raises(KeyError):
+        proj.select_nodes("nope")
