@@ -223,11 +223,14 @@ def compile_model(
     return model
 
 
-def _toposort_levels(models: dict[str, Model]) -> list[list[Model]]:
+def _toposort_levels(
+    models: dict[str, Model], assume_done: set[str] | None = None
+) -> list[list[Model]]:
     """Kahn levels: each level's models are mutually independent and
-    run concurrently (dbt's thread scheduling unit)."""
+    run concurrently (dbt's thread scheduling unit). ``assume_done``
+    marks dependencies satisfied OUTSIDE this run (deferred state)."""
     remaining = dict(models)
-    done: set[str] = set()
+    done: set[str] = set(assume_done or ())
     levels: list[list[Model]] = []
     while remaining:
         ready = [
@@ -443,20 +446,53 @@ class ModelProject:
                     changed = True
         return out
 
-    def run(self, select: str | None = None) -> dict[str, DataFrame]:
-        """Execute the DAG (or, with ``select``, the chosen subgraph —
-        closed over ancestors so every ref() resolves within THIS run;
-        dbt with `--defer` could instead read prior state, which a
-        file warehouse would support the same way)."""
+    def manifest(self) -> dict[str, str]:
+        """dbt-style state manifest: model name -> sha256 of its
+        COMPILED SQL (or python source) — the artifact `state:modified`
+        compares against. Compiled (post-macro, post-ref-resolution)
+        text is the right level: a macro edit changes every consumer's
+        hash exactly as dbt's state comparison does."""
+        import hashlib
+        import inspect
+
+        out = {}
+        for m in self.models.values():
+            body = (
+                m.compiled_sql
+                if m.python_fn is None
+                else inspect.getsource(m.python_fn)
+            )
+            out[m.name] = hashlib.sha256(body.encode()).hexdigest()
+        return out
+
+    def modified_vs(self, prev_manifest: dict[str, str]) -> set[str]:
+        """`state:modified`: models whose compiled hash differs from
+        the prior manifest (new models count as modified)."""
+        cur = self.manifest()
+        return {n for n, h in cur.items() if prev_manifest.get(n) != h}
+
+    def run(
+        self, select: str | None = None, defer: bool = False
+    ) -> dict[str, DataFrame]:
+        """Execute the DAG or, with ``select``, the chosen subgraph.
+        Without ``defer`` the selection closes over ancestors so every
+        ref() resolves within THIS run; with ``defer`` (dbt
+        `--defer --state`) out-of-selection ancestors are assumed
+        already materialized from a prior run and are NOT rebuilt —
+        their refs resolve to the existing warehouse relations."""
         models = self.models
+        assume_done: set[str] = set()
         if select is not None:
             chosen = self.select_nodes(select)
-            for n in list(chosen):
-                chosen |= self._ancestors(n)
+            if defer:
+                assume_done = set(self.models) - chosen
+            else:
+                for n in list(chosen):
+                    chosen |= self._ancestors(n)
             models = {k: v for k, v in self.models.items() if k in chosen}
         results: dict[str, DataFrame] = {}
         with ThreadPoolExecutor(max_workers=self.threads) as pool:
-            for level in _toposort_levels(models):
+            for level in _toposort_levels(models, assume_done):
                 futures = {m.name: pool.submit(self._materialize, m) for m in level}
                 for name, fut in futures.items():
                     results[name] = fut.result()

@@ -860,3 +860,70 @@ def model_select_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return results["mart_nation_orders"].withColumn(
         "unrelated_skipped", F.lit(skipped)
     )
+
+
+@query(
+    "model_slim_ci",
+    oracle="""
+SELECT n.n_name,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS VARCHAR)
+            AS DOUBLE) AS total_price,
+       TRUE AS only_affected_ran
+FROM (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-02') o
+JOIN (SELECT c_custkey, c_nationkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def model_slim_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIM CI (`dbt --select state:modified+ --state prior/`): a
+    manifest of COMPILED-SQL hashes captures the prior state; after
+    one bronze model's SQL changes, the diff selects exactly that
+    model, its descendants rebuild (the mart), and — with --defer —
+    the untouched sibling bronze resolves to its PRIOR materialized
+    relation instead of re-running — the CI cost
+    model that keeps 500-model projects shippable. Asserted by the
+    hashed `only_affected_ran` boolean over the second run's result
+    keys; the mart's values are hash-checked against the EDITED
+    cutoff (1996-01-02), proving the rebuild actually picked up the
+    change."""
+    for t in ("orders", "customer", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"stg_{t}")
+    sources = {("stg", t): f"stg_{t}" for t in ("orders", "customer", "nation")}
+
+    def project_with(cutoff: str) -> ModelProject:
+        models = [
+            Model(
+                m.name,
+                m.raw_sql.replace("1996-01-01", cutoff)
+                if m.name == "bronze_orders"
+                else m.raw_sql,
+            )
+            for m in _MODELS
+        ]
+        return ModelProject(
+            spark,
+            models,
+            sources,
+            warehouse_dir=os.path.join(SCRATCH, "model_warehouse_ci"),
+            threads=4,
+        )
+
+    prior = project_with("1996-01-01")
+    prior.run()
+    state = prior.manifest()
+
+    edited = project_with("1996-01-02")
+    changed = edited.modified_vs(state)
+    selector = ",".join(f"{n}+" for n in sorted(changed))
+    results = edited.run(select=selector, defer=True)
+    only_affected = (
+        changed == {"bronze_orders"}
+        and set(results) == {"bronze_orders", "mart_nation_orders"}
+    )
+    return results["mart_nation_orders"].withColumn(
+        "only_affected_ran", F.lit(only_affected)
+    )
