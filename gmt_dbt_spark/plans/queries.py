@@ -927,3 +927,46 @@ def model_slim_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return results["mart_nation_orders"].withColumn(
         "only_affected_ran", F.lit(only_affected)
     )
+
+
+@query(
+    "model_docs_manifest",
+    oracle="""
+SELECT * FROM (VALUES
+  ('bronze_customer',    'view',  '',                              2),
+  ('bronze_orders',      'table', '',                              4),
+  ('mart_nation_orders', 'table', 'bronze_customer,bronze_orders', 3)
+) AS t(model, materialized, depends_on, n_columns)
+""",
+)
+def model_docs_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dbt docs generate`: the project introspected into a queryable
+    catalog artifact — one row per model with its materialization,
+    resolved ref() dependencies, and the POST-RUN column count read
+    back from the warehouse relation (docs reflect what actually
+    materialized, not what the SQL claims). This is the lineage
+    metadata a data portal ingests; the dependency column is the
+    edge list model_lineage expands."""
+    for t in ("orders", "customer", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"stg_{t}")
+    sources = {("stg", t): f"stg_{t}" for t in ("orders", "customer", "nation")}
+    project = ModelProject(
+        spark,
+        [Model(m.name, m.raw_sql) for m in _MODELS],
+        sources,
+        warehouse_dir=os.path.join(SCRATCH, "model_warehouse_docs"),
+        threads=4,
+    )
+    results = project.run()
+    rows = [
+        (
+            name,
+            project.models[name].materialized,
+            ",".join(sorted(project.models[name].depends_on)),
+            len(results[name].columns),
+        )
+        for name in sorted(project.models)
+    ]
+    return spark.createDataFrame(
+        rows, "model string, materialized string, depends_on string, n_columns int"
+    )
