@@ -929,7 +929,8 @@ def mart_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH assigned AS (
   SELECT user_id,
-         ((user_id % 1000000) * 2654435761) % 2 AS variant
+         (((user_id % 1000000) * 2654435761) % 4294967296) // 2147483648
+           AS variant
   FROM (SELECT DISTINCT user_id FROM events)
 ),
 conv AS (
@@ -967,8 +968,12 @@ FROM wide
 )
 def mart_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout: users deterministically hash-assigned
-    to two variants (the overflow-safe Knuth gate — same assignment
-    every run, any worker can answer 'which bucket is user X in'),
+    to two variants via the HIGH bit of the overflow-safe Knuth
+    product mod 2^32 — the low bit would be plain user_id parity
+    (the multiplier is odd), which correlates with anything else
+    keyed on even/odd ids; the high bit actually mixes. Same
+    assignment every run, any worker can answer 'which bucket is
+    user X in';
     conversion = ever made a high-value purchase (value > 195, ~25%
     of users — a conversion that actually splits the population;
     'ever purchased' is ~100% here and a degenerate 0/1 pooled rate
@@ -987,7 +992,9 @@ def mart_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = ev.select("user_id").distinct()
     assigned = users.select(
         "user_id",
-        (((F.col("user_id") % 1000000) * 2654435761) % 2).alias("variant"),
+        F.expr(
+            "(((user_id % 1000000) * 2654435761) % 4294967296) div 2147483648"
+        ).alias("variant"),
     )
     conv = (
         ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 195))

@@ -369,8 +369,7 @@ SELECT a.event_type,
        COUNT(*) AS n_hours,
        SUM(ABS(a.cnt - COALESCE(f.fc, 0))) AS abs_err_sum,
        SUM(a.cnt) AS actual_sum,
-       SUM(ABS(a.cnt - COALESCE(f.fc, 0))) * 100 <= SUM(a.cnt) * 100
-         AS mae_under_mean
+       SUM(ABS(a.cnt - COALESCE(f.fc, 0))) <= SUM(a.cnt) AS mae_under_mean
 FROM actual a
 LEFT JOIN forecast f ON a.event_type = f.event_type AND a.hod = f.hod
 GROUP BY a.event_type
@@ -382,8 +381,10 @@ def events_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the reference model every real forecaster must beat, and the
     evaluation harness shape (holdout slice, per-series absolute
     error, skill flag) is the deliverable here. Errors stay integer
-    (counts), the skill test multiplies through instead of dividing,
-    and missing forecast hours backfill as 0 exactly like the oracle.
+    (counts): the skill test compares MAE against the mean over the
+    SAME hour count, which reduces to two integer sums — no division
+    anywhere; missing forecast hours backfill as 0 exactly like the
+    oracle.
 
     Scale shape: the stream reduces to the (type x day x hour)
     matrix once; holdout and forecast slices are two filters of that
@@ -409,5 +410,5 @@ def events_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hours"),
         F.sum(err).alias("abs_err_sum"),
         F.sum("cnt").alias("actual_sum"),
-        (F.sum(err) * 100 <= F.sum("cnt") * 100).alias("mae_under_mean"),
+        (F.sum(err) <= F.sum("cnt")).alias("mae_under_mean"),
     )

@@ -409,6 +409,8 @@ class ModelProject:
         names raise, as dbt does."""
         chosen: set[str] = set()
         for part in (p.strip() for p in selector.split(",")):
+            if not part:
+                continue  # empty selector/segment selects nothing
             want_anc = part.startswith("+")
             want_desc = part.endswith("+")
             name = part.strip("+")
@@ -434,16 +436,18 @@ class ModelProject:
         return out
 
     def _descendants(self, name: str) -> set[str]:
+        children: dict[str, list[str]] = {n: [] for n in self.models}
+        for m in self.models.values():
+            for d in m.depends_on:
+                if d in children:
+                    children[d].append(m.name)
         out: set[str] = set()
-        changed = True
-        while changed:
-            changed = False
-            for m in self.models.values():
-                if m.name in out:
-                    continue
-                if any(d == name or d in out for d in m.depends_on):
-                    out.add(m.name)
-                    changed = True
+        stack = list(children[name])
+        while stack:
+            c = stack.pop()
+            if c not in out:
+                out.add(c)
+                stack.extend(children[c])
         return out
 
     def manifest(self) -> dict[str, str]:
@@ -471,6 +475,23 @@ class ModelProject:
         cur = self.manifest()
         return {n for n, h in cur.items() if prev_manifest.get(n) != h}
 
+    def _register_deferred(self, names: set[str]) -> None:
+        """Bind deferred (out-of-selection) models to their PRIOR
+        STATE: parquet-backed materializations re-register from the
+        warehouse directory (authoritative — never a lingering temp
+        view from some other project in the shared session), and
+        view models re-create their definitions; processed in topo
+        order so deferred views can reference deferred tables."""
+        sub = {n: self.models[n] for n in names}
+        for level in _toposort_levels(sub, set(self.models) - set(sub)):
+            for m in level:
+                path = os.path.join(self.warehouse_dir, m.name)
+                if os.path.exists(path):
+                    self.spark.read.parquet(path).createOrReplaceTempView(m.name)
+                elif m.materialized == "view" and m.compiled_sql:
+                    self.spark.sql(m.compiled_sql).createOrReplaceTempView(m.name)
+                # ephemeral: already inlined into consumers
+
     def run(
         self, select: str | None = None, defer: bool = False
     ) -> dict[str, DataFrame]:
@@ -486,6 +507,7 @@ class ModelProject:
             chosen = self.select_nodes(select)
             if defer:
                 assume_done = set(self.models) - chosen
+                self._register_deferred(assume_done)
             else:
                 for n in list(chosen):
                     chosen |= self._ancestors(n)

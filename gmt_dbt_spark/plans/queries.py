@@ -23,6 +23,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 SCRATCH = os.path.join(REPO, ".scratch")
 
 
+def stg_sources(spark, sf_dir, *tables):
+    """Register stg_<table> temp views for the given warehouse tables
+    and return the dbt-style source mapping — the one definition of
+    the staging convention every model-lifecycle query shares."""
+    from gmt_dbt_spark.catalog import table as _table
+
+    for t in tables:
+        _table(spark, sf_dir, t).createOrReplaceTempView(f"stg_{t}")
+    return {("stg", t): f"stg_{t}" for t in tables}
+
+
 _MODELS = [
     # bronze copies of staging sources — the reference's 8 models'
     # shape ({{config}} + select from {{source}}), with named columns
@@ -82,9 +93,7 @@ def model_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     compile (config/source/ref), toposort, 4-thread execution, table
     + view materializations — and return the mart's materialized
     read-back, proving the full `dbt run` lifecycle on Spark."""
-    for t in ("orders", "customer", "nation"):
-        table(spark, sf_dir, t).createOrReplaceTempView(f"stg_{t}")
-    sources = {("stg", t): f"stg_{t}" for t in ("orders", "customer", "nation")}
+    sources = stg_sources(spark, sf_dir, "orders", "customer", "nation")
     project = ModelProject(
         spark,
         [Model(m.name, m.raw_sql) for m in _MODELS],  # fresh copies per run
@@ -459,8 +468,7 @@ def model_ephemeral(spark: SparkSession, sf_dir: str) -> DataFrame:
     straight through it (filter pushdown crosses the model boundary;
     nothing is materialized or registered). The mart consumes the
     ephemeral via {{ ref() }} and is the only table written."""
-    for t in ("orders", "customer"):
-        table(spark, sf_dir, t).createOrReplaceTempView(f"stg_{t}")
+    stg_sources(spark, sf_dir, "orders", "customer")
     models = [
         Model(
             "big_orders",
@@ -584,9 +592,7 @@ def model_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract) → SQL mart consuming the Python model via ref(). The
     Python model materializes as a table like dbt requires, so the
     downstream SQL model reads an ordinary relation."""
-    for t in ("orders", "customer"):
-        table(spark, sf_dir, t).createOrReplaceTempView(f"stg_{t}")
-    sources = {("stg", t): f"stg_{t}" for t in ("orders", "customer")}
+    sources = stg_sources(spark, sf_dir, "orders", "customer")
     models = [
         Model(
             "bronze_orders_py",
@@ -697,8 +703,7 @@ def model_dir_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse-out lifecycle with zero Python model definitions."""
     from gmt_dbt_spark.plans.models import load_models_dir
 
-    for t in ("orders", "customer"):
-        table(spark, sf_dir, t).createOrReplaceTempView(f"stg_{t}")
+    stg_sources(spark, sf_dir, "orders", "customer")
     models, sources = load_models_dir(os.path.join(REPO, "fixtures", "models"))
     project = ModelProject(
         spark,
@@ -834,9 +839,7 @@ def model_select_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     `+mart_nation_orders` must leave it untouched, asserted by the
     hashed `unrelated_skipped` boolean (its target table must NOT
     exist after the run)."""
-    for t in ("orders", "customer", "nation"):
-        table(spark, sf_dir, t).createOrReplaceTempView(f"stg_{t}")
-    sources = {("stg", t): f"stg_{t}" for t in ("orders", "customer", "nation")}
+    sources = stg_sources(spark, sf_dir, "orders", "customer", "nation")
     unrelated = Model(
         "unrelated_nation_copy",
         """
@@ -890,9 +893,7 @@ def model_slim_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys; the mart's values are hash-checked against the EDITED
     cutoff (1996-01-02), proving the rebuild actually picked up the
     change."""
-    for t in ("orders", "customer", "nation"):
-        table(spark, sf_dir, t).createOrReplaceTempView(f"stg_{t}")
-    sources = {("stg", t): f"stg_{t}" for t in ("orders", "customer", "nation")}
+    sources = stg_sources(spark, sf_dir, "orders", "customer", "nation")
 
     def project_with(cutoff: str) -> ModelProject:
         models = [
@@ -918,6 +919,8 @@ def model_slim_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edited = project_with("1996-01-02")
     changed = edited.modified_vs(state)
+    # steady state (nothing edited) builds nothing and succeeds —
+    # an empty selector selects the empty set.
     selector = ",".join(f"{n}+" for n in sorted(changed))
     results = edited.run(select=selector, defer=True)
     only_affected = (
@@ -947,9 +950,7 @@ def model_docs_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized, not what the SQL claims). This is the lineage
     metadata a data portal ingests; the dependency column is the
     edge list model_lineage expands."""
-    for t in ("orders", "customer", "nation"):
-        table(spark, sf_dir, t).createOrReplaceTempView(f"stg_{t}")
-    sources = {("stg", t): f"stg_{t}" for t in ("orders", "customer", "nation")}
+    sources = stg_sources(spark, sf_dir, "orders", "customer", "nation")
     project = ModelProject(
         spark,
         [Model(m.name, m.raw_sql) for m in _MODELS],

@@ -658,7 +658,8 @@ def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios at snappy-class speeds, which is why it's the modern lake
     default; the engine surface is just `parquet.compression`."""
     root = os.path.join(SCRATCH, f"codecs_{uuid.uuid4().hex[:8]}")
-    src = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # one source scan serves all four writes
+    src = table(spark, sf_dir, "documents").select("doc_id", "text").persist()
 
     def dir_size(d: str) -> int:
         return sum(
@@ -690,4 +691,5 @@ def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "smaller_than_uncompressed boolean",
         )
     finally:
+        src.unpersist()
         shutil.rmtree(root, ignore_errors=True)
