@@ -345,3 +345,49 @@ def test_select_nodes_syntax(spark):
     assert proj.select_nodes("b,c") == {"b", "c"}
     with _pytest.raises(KeyError):
         proj.select_nodes("nope")
+
+
+def test_defer_resolves_from_warehouse(spark, tmp_path):
+    """run(select=..., defer=True) must bind deferred ancestors to
+    their WAREHOUSE prior state, not to session temp-view luck: after
+    a full run, drop every temp view, build a FRESH project over the
+    same warehouse and defer-run only the mart — the deferred table
+    ancestor must re-register from parquet and the result must match
+    the full run."""
+    from gmt_dbt_spark.catalog import table
+    from gmt_dbt_spark.plans.models import Model, ModelProject
+    from tests.conftest import SF_DIR
+
+    table(spark, SF_DIR, "nation").createOrReplaceTempView("stg_nation")
+    sources = {("stg", "nation"): "stg_nation"}
+    wh = str(tmp_path / "wh")
+
+    def make_project():
+        return ModelProject(
+            spark,
+            [
+                Model(
+                    "base_nations",
+                    "{{ config(materialized='table') }} "
+                    "SELECT n_nationkey, n_name FROM {{ source('stg', 'nation') }}",
+                ),
+                Model(
+                    "mart_n",
+                    "{{ config(materialized='table') }} "
+                    "SELECT COUNT(*) AS n FROM {{ ref('base_nations') }}",
+                ),
+            ],
+            sources,
+            warehouse_dir=wh,
+        )
+
+    full = make_project().run()
+    expected = full["mart_n"].collect()[0]["n"]
+
+    # simulate a fresh session for model relations
+    spark.catalog.dropTempView("base_nations")
+    spark.catalog.dropTempView("mart_n")
+
+    deferred = make_project().run(select="mart_n", defer=True)
+    assert set(deferred) == {"mart_n"}
+    assert deferred["mart_n"].collect()[0]["n"] == expected
