@@ -31,7 +31,12 @@ TABLES = (
 )
 
 # Small dimension tables that should always be broadcast in joins.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+# Tables safe to hint `F.broadcast` at ANY scale factor: only the
+# constant-cardinality dims (region = 5 rows, nation = 25 rows,
+# independent of sf). customer/supplier/part grow linearly with sf —
+# a forced hint on them is honored past autoBroadcastJoinThreshold
+# and OOMs at the 100 TB design point, so they are left to AQE.
+BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def default_sf_dir() -> str:

@@ -218,7 +218,7 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderkey,
        CAST(o_orderkey AS VARCHAR) AS key_str,
        CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
-       CAST(o_totalprice AS DECIMAL(18,6)) AS price_dec,
+       CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR) AS price_dec,
        CAST(o_orderdate AS DATE) AS order_date,
        CAST(o_orderkey % 2 AS BOOLEAN) AS odd_key
 FROM orders
@@ -227,13 +227,20 @@ FROM orders
 def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Casts across the §1.2 type lattice (the reference's converter
     `gcp_function.py:169-222` is the spec); decimal target uses scale
-    6 so no double lands on a rounding tie."""
+    6 so no double lands on a rounding tie.
+
+    The double→decimal cast is still the op under test, but the
+    COMPARED surface is its VARCHAR rendering (the repo's decimal
+    convention): a raw DECIMAL output hashes differently between
+    Spark (`Decimal('112946.260000')`) and the driver's DuckDB fetch
+    (float64 `112946.26`) even when every value matches — r2 FAIL was
+    purely representational."""
     o = table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
-        F.col("o_totalprice").cast("decimal(18,6)").alias("price_dec"),
+        F.col("o_totalprice").cast("decimal(18,6)").cast("string").alias("price_dec"),
         F.col("o_orderdate").cast("date").alias("order_date"),
         (F.col("o_orderkey") % 2).cast("boolean").alias("odd_key"),
     )

@@ -226,6 +226,13 @@ def verify_jaccard(
             F.col(id_col).alias("__tid"),
             F.array_distinct(tokens_col(F.col(text_col))).alias("__toks"),
         )
+    # Materialize the candidate token/shingle sets ONCE: the a/b
+    # self-join below otherwise recomputes the whole prune+shingle
+    # subtree per side (the two join exchanges partition on different
+    # keys, so ReuseExchange cannot dedup them). |candidates| rows ×
+    # one set each — small by construction, and the r2→r3 fix for
+    # dedup_fuzzy's +50% verify regression.
+    toks = toks.localCheckpoint(eager=True)
     a = toks.alias("a")
     b = toks.alias("b")
     return (
@@ -401,7 +408,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_docs = docs.join(cand_ids, "doc_id", "left_semi")
     toks = shingle_sets(cand_docs, "doc_id", "text").select(
         F.col("__id").alias("__tid"), F.col("__shs").alias("__toks")
-    )
+    ).localCheckpoint(eager=True)  # consumed by both self-join sides
     a, b = toks.alias("a"), toks.alias("b")
     return (
         pairs.join(a, F.col("id_a") == F.col("a.__tid"))

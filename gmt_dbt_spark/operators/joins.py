@@ -30,10 +30,15 @@ WHERE c_mktsegment = 'BUILDING'
 """,
 )
 def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inner equi-join, dimension side broadcast."""
+    """Inner equi-join. customer is SF-proportional, so no broadcast
+    hint (a hint is honored past autoBroadcastJoinThreshold and OOMs
+    the driver at the 100 TB design point — r2 VERDICT item 2): AQE
+    broadcasts the filtered dim while it fits and falls back to
+    shuffled SMJ when it doesn't. test_plans.py asserts BHJ is still
+    chosen hint-free at test sf."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    return o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+    return o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
         "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
     )
 

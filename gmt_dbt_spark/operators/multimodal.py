@@ -135,9 +135,13 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("cid"))
         .select("cid")
     )
+    # canon is corpus-proportional (one row per distinct payload), so
+    # no broadcast hint — AQE broadcasts while it fits and degrades to
+    # a shuffled join at 100 TB (same rule as the customer dim,
+    # r2 VERDICT item 2).
     return (
         mm.join(
-            F.broadcast(canon), mm.doc_id == F.col("cid"), "left"
+            canon, mm.doc_id == F.col("cid"), "left"
         )
         .select(
             "doc_id",

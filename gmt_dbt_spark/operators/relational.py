@@ -50,8 +50,17 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region with a date filter,
     group-sum, and descending sort. At scale: lineitem⋈orders is the
-    only big shuffle; customer/nation/region are broadcast so the
-    dimension joins never shuffle the fact table.
+    only big shuffle. nation (25 rows) and region (5 rows) are
+    CONSTANT-cardinality — they never grow with sf, so a broadcast
+    hint on them is always safe. customer grows linearly with sf
+    (×150k rows per TPC-H sf ⇒ far past the 8 GB broadcast cap at the
+    100 TB design point), so it carries NO hint: AQE picks
+    BroadcastHashJoin while customer fits under
+    autoBroadcastJoinThreshold and degrades to shuffled SMJ when it
+    doesn't — a degradation a forced `F.broadcast` hint would forbid
+    (hints are honored regardless of the threshold; r2 VERDICT item 2).
+    test_plans.py pins both facts: BHJ chosen at small sf WITHOUT the
+    hint, and the hint whitelist (region/nation only).
     """
     lineitem = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1996-01-01")
@@ -60,7 +69,7 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region")
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")

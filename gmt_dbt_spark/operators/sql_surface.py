@@ -161,13 +161,17 @@ GROUP BY n_name
 )
 def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long→wide pivot via `groupBy().pivot()` with explicit value
-    list (no extra distinct-values job; one aggregation pass)."""
+    list (no extra distinct-values job; one aggregation pass).
+
+    Broadcast hint only on constant-cardinality nation (25 rows);
+    SF-proportional customer is left to AQE (a forced hint would be
+    honored past the broadcast cap at 100 TB — r2 VERDICT item 2)."""
     from pyspark.sql import functions as F
 
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
-    joined = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).join(
+    joined = o.join(c, F.col("o_custkey") == F.col("c_custkey")).join(
         F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
     )
     wide = (

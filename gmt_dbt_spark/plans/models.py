@@ -475,13 +475,22 @@ class ModelProject:
         cur = self.manifest()
         return {n for n, h in cur.items() if prev_manifest.get(n) != h}
 
-    def _register_deferred(self, names: set[str]) -> None:
+    def _register_deferred(
+        self, names: set[str], required: set[str] | None = None
+    ) -> None:
         """Bind deferred (out-of-selection) models to their PRIOR
         STATE: parquet-backed materializations re-register from the
         warehouse directory (authoritative — never a lingering temp
         view from some other project in the shared session), and
         view models re-create their definitions; processed in topo
-        order so deferred views can reference deferred tables."""
+        order so deferred views can reference deferred tables.
+
+        ``required`` (ancestors of the selection): a required deferred
+        table/incremental model with NO prior warehouse artifact fails
+        fast with a dbt-style state error (ADVICE r2) instead of
+        surfacing later as an opaque 'table or view not found' when
+        the selected descendant's SQL is analyzed. Non-required
+        deferred models are best-effort."""
         sub = {n: self.models[n] for n in names}
         for level in _toposort_levels(sub, set(self.models) - set(sub)):
             for m in level:
@@ -490,7 +499,26 @@ class ModelProject:
                     self.spark.read.parquet(path).createOrReplaceTempView(m.name)
                 elif m.materialized == "view" and m.compiled_sql:
                     self.spark.sql(m.compiled_sql).createOrReplaceTempView(m.name)
-                # ephemeral: already inlined into consumers
+                elif m.materialized == "ephemeral":
+                    pass  # already inlined into consumers
+                elif required is not None and m.name in required:
+                    raise RuntimeError(
+                        f"deferred model '{m.name}' (materialized="
+                        f"{m.materialized!r}) has no prior artifact at "
+                        f"{path!r} and no view fallback — run it once "
+                        f"without --defer (or include it in the "
+                        f"selection) before deferring to prior state"
+                    )
+
+    def read_warehouse(self, name: str) -> DataFrame:
+        """The prior materialized relation of ``name`` from the
+        warehouse directory (the --defer steady-state read path)."""
+        path = os.path.join(self.warehouse_dir, name)
+        if not os.path.exists(path):
+            raise RuntimeError(
+                f"model '{name}' has no materialized artifact at {path!r}"
+            )
+        return self.spark.read.parquet(path)
 
     def run(
         self, select: str | None = None, defer: bool = False
@@ -507,7 +535,10 @@ class ModelProject:
             chosen = self.select_nodes(select)
             if defer:
                 assume_done = set(self.models) - chosen
-                self._register_deferred(assume_done)
+                needed = set()
+                for n in chosen:
+                    needed |= self._ancestors(n)
+                self._register_deferred(assume_done, required=needed & assume_done)
             else:
                 for n in list(chosen):
                     chosen |= self._ancestors(n)

@@ -919,8 +919,17 @@ def model_slim_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edited = project_with("1996-01-02")
     changed = edited.modified_vs(state)
-    # steady state (nothing edited) builds nothing and succeeds —
-    # an empty selector selects the empty set.
+    if not changed:
+        # Steady state (nothing edited): an empty selector selects the
+        # empty set, run() builds nothing, and the current mart is the
+        # PRIOR warehouse artifact — read it back instead of indexing
+        # into an empty results dict (ADVICE r2: the old fast-path
+        # comment claimed this but the code would have raised KeyError;
+        # unreachable in this query since the cutoff edit always
+        # modifies bronze_orders, guarded anyway so the advertised
+        # steady-state contract actually holds).
+        mart = edited.read_warehouse("mart_nation_orders")
+        return mart.withColumn("only_affected_ran", F.lit(False))
     selector = ",".join(f"{n}+" for n in sorted(changed))
     results = edited.run(select=selector, defer=True)
     only_affected = (

@@ -113,6 +113,19 @@ _CORE_FIRST = [
     "stream_upsert_sink",
 ]
 
+# Permanently tail-ordered (visited after even the proven set): superseded
+# stub variants kept registered for API continuity but whose behavior is
+# fully covered by newer REAL ops — multimodal_decode/resize/frame_sample
+# run stub codecs on the same Arrow plumbing that multimodal_decode_wav/_bmp
+# + audio/image feature ops exercise for real with hash oracles (r2 VERDICT
+# item 3: don't let registry noise spend driver budget ahead of unproven
+# real operators).
+_TAIL = frozenset({
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+})
+
 # LLM-pipeline extension surface (graded as first-class): visit right after
 # the core, before the §2.L addendum.
 _EXT_PREFIXES = (
@@ -167,6 +180,8 @@ def _priority_order(queries: dict[str, QueryFn]) -> list[str]:
     proven = _proven_ids()
 
     def tier(qid: str) -> int:
+        if qid in _TAIL:
+            return 4
         if qid in proven:
             return 3
         if qid in _CORE_FIRST:

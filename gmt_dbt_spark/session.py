@@ -93,11 +93,25 @@ from contextlib import contextmanager
 
 @contextmanager
 def scoped_conf(spark, **kv):
-    """Set runtime SQL confs for a scope and restore on exit (unset
-    if they were not explicitly set before). One definition replaces
-    the hand-rolled save/try/finally dance in every config-scoped
-    query and plan guard."""
-    saved = {k: spark.conf.get(k, None) for k in kv}
+    """Set runtime SQL confs for a scope and restore the EFFECTIVE
+    value on exit. One definition replaces the hand-rolled
+    save/try/finally dance in every config-scoped query and plan
+    guard.
+
+    Restore semantics (ADVICE r2): a key that raises on
+    ``conf.get(k)`` with no default (truly unset, no defined default)
+    is ``unset`` on exit; any other key is restored by re-setting its
+    pre-scope RESOLVED value. For keys with a defined default that
+    were never explicitly set, this pins the default as a session
+    conf — effective values are always preserved, but 'was it
+    explicitly set' is not recoverable through the RuntimeConfig API,
+    so that bit is intentionally not promised."""
+    saved = {}
+    for k in kv:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None  # unset and defaultless → unset on exit
     try:
         for k, v in kv.items():
             spark.conf.set(k, v)

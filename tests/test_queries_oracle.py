@@ -25,13 +25,21 @@ def oracle_con():
     return con
 
 
-def _norm(v):
+def _norm(v, side):
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if type(v).__name__ == "Decimal":
-        return str(v)
+        # Emulate the driver ASYMMETRICALLY (r2 fn_cast lesson): the
+        # driver hashes Spark decimals as their exact text
+        # ('112946.260000') but fetches DuckDB results through pandas,
+        # where DECIMAL becomes float64 ('112946.26').  Normalizing
+        # both sides the same way (r1–r2 did str() on both) hides that
+        # divergence and local green stops predicting driver green — a
+        # raw decimal output column must FAIL here unless both engines
+        # agree on the float rendering too.
+        return str(v) if side == "spark" else repr(float(v))
     if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
+        return tuple(_norm(x, side) for x in v)
     if isinstance(v, bool):
         return repr(v)
     if isinstance(v, (int, float)):
@@ -42,9 +50,9 @@ def _norm(v):
     return v
 
 
-def _tbl(rows, cols):
+def _tbl(rows, cols, side):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    out = [tuple(_norm(r[i], side) for i in order) for r in rows]
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
     return out
 
@@ -61,4 +69,4 @@ def test_query_matches_oracle(name, spark, oracle_con):
     orows = cur.fetchall()
     assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(orows)
-    assert _tbl(srows, scols) == _tbl(orows, ocols)
+    assert _tbl(srows, scols, "spark") == _tbl(orows, ocols, "oracle")

@@ -24,32 +24,38 @@ from gmt_dbt_spark.registry import all_oracles, all_queries  # noqa: E402
 from gmt_dbt_spark.session import get_spark  # noqa: E402
 
 
-def _norm_cell(v):
-    """Normalize a cell for comparison across engines."""
+def _norm_cell(v, side):
+    """Normalize a cell for comparison across engines.
+
+    Decimals are handled ASYMMETRICALLY to mirror the driver (r2
+    fn_cast lesson): Spark decimals hash as exact text, DuckDB
+    decimals pass through the driver's pandas fetch and become
+    float64 — so a raw decimal output column must fail here unless
+    both renderings agree."""
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return v
-    # timestamps/dates → ISO string; Decimal → str
+    # timestamps/dates → ISO string
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if type(v).__name__ == "Decimal":
-        return str(v)
+        return str(v) if side == "spark" else repr(float(v))
     if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
+        return tuple(_norm_cell(x, side) for x in v)
     if isinstance(v, dict):
-        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
+        return tuple(sorted((k, _norm_cell(x, side)) for k, x in v.items()))
     if isinstance(v, (bytes, bytearray)):
         return bytes(v)
     return v
 
 
-def _table(rows, cols):
+def _table(rows, cols, side):
     """→ sorted list of tuples with columns ordered by name."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out = [tuple(_norm_cell(r[i], side) for i in order) for r in rows]
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
     return out
 
@@ -91,7 +97,7 @@ def run(sf_dir: str, only: list[str]) -> int:
             print(f"FAIL  {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
             failures.append(name)
             continue
-        st, ot = _table(srows, scols), _table(orows, ocols)
+        st, ot = _table(srows, scols, "spark"), _table(orows, ocols, "oracle")
         if len(st) != len(ot):
             print(f"FAIL  {name}: rowcount spark={len(st)} oracle={len(ot)}")
             failures.append(name)
