@@ -239,7 +239,57 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_unigram_logprob")  # rows-only: ln() rounding is libm-specific
+def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_hapax, min_cnt, max_cnt, avg_neg_logprob)
+    — the full CCNet-style unigram-LM scoring frame (see
+    `text_unigram_logprob`). Exposed for callers that want the raw
+    float score; the registry query projects the oracle-safe surface.
+    Empty tokens are dropped on both engines (a doc whose text
+    normalizes to '' contributes nothing)."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.count()  # scalar: one job, no per-row driver work
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+            F.min("cnt").alias("min_cnt"),
+            F.max("cnt").alias("max_cnt"),
+            (-F.avg(F.log(F.col("cnt") / F.lit(float(total)))))
+            .alias("avg_neg_logprob"),
+        )
+        .withColumn("__total", F.lit(float(total)))
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g')), ' '), t -> t <> '') AS tk
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(tk) AS tok FROM norm),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(MIN(v.cnt) AS BIGINT) AS min_cnt,
+       CAST(MAX(v.cnt) AS BIGINT) AS max_cnt,
+       TRUE AS bound_ok
+FROM toks t JOIN vocab v USING (tok)
+GROUP BY t.doc_id
+HAVING COUNT(*) > 0
+""",
+)
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-style quality score (the CCNet filtering idea):
     build a unigram LM from the corpus itself (token → count/total),
@@ -249,25 +299,39 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: token counts aggregate to a SMALL vocab relation
     that broadcasts into the per-token join; the only full-corpus
     shuffles are the explode-groupBy pair. All arithmetic JVM-side
-    (`F.log`); rows-only oracle because libm ln() rounding is not
-    specified cross-engine."""
+    (`F.log`).
+
+    Oracle surface (r3; was rows-only): libm ln() rounding is not
+    specified cross-engine, so the float score itself is not hashed.
+    Instead the compared surface is the EXACT integer LM statistics
+    the score is a function of — per-doc token count, corpus-hapax
+    count, min/max corpus frequency (pins tokenization + vocab-join
+    + count semantics bit-exactly against DuckDB) — plus `bound_ok`:
+    the score lies in [ln(total/max_cnt), ln(total/min_cnt)], the
+    mathematically-guaranteed envelope of a mean of per-token neg
+    logprobs, which fails if the score ever stops being that mean
+    (same audit-boolean pattern as the r2 sketch oracles). The raw
+    score remains available via `unigram_logprob_scores`."""
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    scored = unigram_logprob_scores(docs)
+    eps = 1e-9
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "n_hapax",
+        "min_cnt",
+        "max_cnt",
+        (
+            (
+                F.col("avg_neg_logprob")
+                >= F.log(F.col("__total") / F.col("max_cnt")) - eps
+            )
+            & (
+                F.col("avg_neg_logprob")
+                <= F.log(F.col("__total") / F.col("min_cnt")) + eps
+            )
+        ).alias("bound_ok"),
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.count()  # scalar: one job, no per-row driver work
-    scored = (
-        toks.join(F.broadcast(vocab), "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                -F.avg(F.log(F.col("cnt") / F.lit(float(total)))), 4
-            ).alias("avg_neg_logprob"),
-        )
-    )
-    return scored
 
 
 _PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"

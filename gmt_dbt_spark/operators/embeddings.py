@@ -236,7 +236,83 @@ def kmeans_recompute(
     return [by_cluster.get(c, list(prev[c])) for c in range(len(prev))]
 
 
-@query("embed_kmeans")
+def _kmeans_oracle() -> str:
+    """DuckDB twin of the FULL Lloyd's iteration (r3; was rows-only):
+    because every step is exact integer micro-unit arithmetic with
+    pinned tie-breaks, the oracle can unroll all KMEANS_ITERS rounds
+    as CTEs — assignment = ROW_NUMBER over (distance, cluster),
+    recompute = pmod-floor-division, empty clusters COALESCE to the
+    previous round — exactly like `embed_pca_power`'s oracle. The
+    only float ops in the surface (sqrt, /1e6 on an exactly-summed
+    integer) are IEEE-correctly-rounded on both engines."""
+    rounds = []
+    prev = "cent0"
+    for r in range(1, KMEANS_ITERS + 1):
+        rounds.append(f"""
+dist{r} AS (
+  SELECT q.vec_id, c.cluster, SUM((q.qv - c.v) * (q.qv - c.v)) AS d
+  FROM cells q JOIN {prev} c ON q.i = c.i
+  GROUP BY q.vec_id, c.cluster
+),
+a{r} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM dist{r}) t{r} WHERE rn = 1
+),
+cent{r}n AS (
+  SELECT a.cluster, q.i,
+         (SUM(q.qv) - ((SUM(q.qv) % COUNT(*)) + COUNT(*)) % COUNT(*))
+           // COUNT(*) AS v
+  FROM a{r} a JOIN cells q USING (vec_id)
+  GROUP BY a.cluster, q.i
+),
+cent{r} AS (
+  SELECT p.cluster, p.i, COALESCE(n.v, p.v) AS v
+  FROM {prev} p LEFT JOIN cent{r}n n ON p.cluster = n.cluster AND p.i = n.i
+),""")
+        prev = f"cent{r}"
+    return f"""
+WITH cells AS (
+  SELECT vec_id, s.i,
+         CAST(floor(CAST(embedding[s.i + 1] AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS i) s
+),
+init_ids AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+           AS cluster
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {K_CLUSTERS}) t0
+),
+cent0 AS (
+  SELECT ii.cluster, c.i, c.qv AS v FROM init_ids ii JOIN cells c USING (vec_id)
+),{''.join(rounds)}
+distF AS (
+  SELECT q.vec_id, c.cluster, SUM((q.qv - c.v) * (q.qv - c.v)) AS d
+  FROM cells q JOIN {prev} c ON q.i = c.i
+  GROUP BY q.vec_id, c.cluster
+),
+aF AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM distF) tf WHERE rn = 1
+),
+norms AS (
+  SELECT cluster, sqrt(CAST(SUM(v * v) AS DOUBLE)) / 1000000.0
+           AS centroid_norm
+  FROM {prev} GROUP BY cluster
+)
+SELECT CAST(a.cluster AS INTEGER) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       MIN(a.vec_id) AS min_vec_id,
+       ANY_VALUE(n.centroid_norm) AS centroid_norm
+FROM aF a JOIN norms n USING (cluster)
+GROUP BY a.cluster
+"""
+
+
+@query("embed_kmeans", oracle=_kmeans_oracle())
 def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means over the embedding column — Lloyd's algorithm as
     3 rounds of (constant-folded assignment → k×dims mergeable
@@ -245,8 +321,9 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties pinned — the run is bit-reproducible on any cluster
     topology (float k-means is not: partial-sum order changes
     centroids). Per-iteration driver traffic is k×dims ints; data
-    never leaves the executors. Rows-only oracle (no SQL twin for
-    the iteration); cluster sizes pinned against a union-find-free
+    never leaves the executors. ORACLE-HASHED end-to-end since r3:
+    DuckDB replays the identical unrolled iteration (see
+    `_kmeans_oracle`); cluster sizes additionally pinned against a
     numpy reference in tests."""
     e = table(spark, sf_dir, "embeddings")
     # materialize the micro-unit vectors once: every Lloyd's round
@@ -260,8 +337,14 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(KMEANS_ITERS):
         centroids = kmeans_recompute(kmeans_assign(q, centroids), dims, centroids)
     final = kmeans_assign(q, centroids)
+    import math
+
+    # math.sqrt (not **0.5): IEEE-754 requires sqrt to be correctly
+    # rounded, so it matches DuckDB's sqrt bit-for-bit in the oracle;
+    # pow(x, 0.5) carries no such guarantee.
     cent_norms = {
-        i: float(sum(v * v for v in c)) ** 0.5 / 1e6 for i, c in enumerate(centroids)
+        i: math.sqrt(float(sum(v * v for v in c))) / 1e6
+        for i, c in enumerate(centroids)
     }
     norm_map = F.create_map(
         *[x for i, n in cent_norms.items() for x in (F.lit(i), F.lit(n))]

@@ -152,12 +152,50 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode")  # rows-only: stubbed decode, no SQL analogue
+def _hexbyte(i: int) -> str:
+    """SQL for byte ``i`` (0-indexed) of a sha256 hex digest held in
+    column ``h`` — two hex chars parsed via strpos arithmetic (DuckDB
+    1.0 has sha256(VARCHAR) but no hex→int cast)."""
+    c1, c2 = 2 * i + 1, 2 * i + 2
+    return (
+        f"(16 * (strpos('0123456789abcdef', substr(h, {c1}, 1)) - 1)"
+        f" + (strpos('0123456789abcdef', substr(h, {c2}, 1)) - 1))"
+    )
+
+
+def _decode_oracle() -> str:
+    feats = ", ".join(
+        f"CAST(round({_hexbyte(i)} / 255.0, 6) AS FLOAT)" for i in range(N_FEATURES)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS h
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       'application/x-fake' AS mime,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(16 + {_hexbyte(0)} % 64 AS INTEGER) AS width,
+       CAST(16 + {_hexbyte(1)} % 64 AS INTEGER) AS height,
+       [{feats}] AS features
+FROM d
+"""
+
+
+@query("multimodal_decode", oracle=_decode_oracle())
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInPandas decode pipeline with the deterministic stub
     codec: payload → (width, height, feature vector). Schema and
     batch plumbing are the real article; swap stub=False + a codec
-    for production."""
+    for production.
+
+    ORACLE-HASHED since r3 (was rows-only): the stub derives
+    everything from sha256 of the payload, and DuckDB's
+    sha256(VARCHAR) over the same UTF-8 text replays the derivation
+    exactly — hex-pair byte parsing for width/height, and all 256
+    possible round(b/255, 6) float32 feature values verified
+    bit-identical across engines. This pins the WHOLE Arrow seam:
+    payload encoding, batch iteration, schema, float truncation."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return decode_batches(attach_payload(docs), stub=True)
 
@@ -214,10 +252,14 @@ def sample_frames(payload: bytes, every_ms: int, stub: bool = True) -> list[dict
     if not stub:
         raise NotImplementedError("real frame sampling needs ffmpeg")
     digest = hashlib.sha256(payload).digest()
+    hexdigest = digest.hex()
     duration_ms = 1000 + int.from_bytes(digest[2:4], "big") % 9000
     frames = []
     for i, ts in enumerate(range(0, duration_ms, every_ms)):
-        fh = hashlib.sha256(digest + ts.to_bytes(4, "big")).hexdigest()[:16]
+        # hash over (hex digest, ts) as TEXT — same determinism as the
+        # old raw-bytes form, but expressible in any engine whose
+        # sha256 takes strings (the DuckDB oracle replays it).
+        fh = hashlib.sha256(f"{hexdigest}:{ts}".encode()).hexdigest()[:16]
         frames.append({"frame_idx": i, "frame_ts_ms": ts, "frame_hash": fh})
     return frames
 
@@ -242,18 +284,74 @@ def frame_sample_batches(
     return df.mapInPandas(run, FRAMES_SCHEMA)
 
 
-@query("multimodal_resize")  # rows-only: stubbed codec, no SQL analogue
+def _resize_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS h
+  FROM documents WHERE doc_id < 100
+),
+wh AS (
+  SELECT doc_id, n_bytes,
+         16 + {_hexbyte(0)} % 64 AS w,
+         16 + {_hexbyte(1)} % 64 AS hh
+  FROM d
+),
+s AS (
+  SELECT *, LEAST(32.0 / w, 32.0 / hh, 1.0) AS scale FROM wh
+),
+t AS (
+  SELECT *,
+         GREATEST(1, CAST(trunc(w * scale) AS INTEGER)) AS tw,
+         GREATEST(1, CAST(trunc(hh * scale) AS INTEGER)) AS th
+  FROM s
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(hh AS INTEGER) AS height,
+       tw AS target_width,
+       th AS target_height,
+       GREATEST(1, CAST(trunc(CAST(n_bytes * (tw * th) AS DOUBLE) / (w * hh))
+                        AS BIGINT)) AS resized_bytes
+FROM t
+"""
+
+
+@query("multimodal_resize", oracle=_resize_oracle())
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize over the binary payload column via
-    mapInPandas (stub codec, real plumbing)."""
+    mapInPandas (stub codec, real plumbing). ORACLE-HASHED since r3:
+    DuckDB replays the digest-derived dimensions and the
+    scale/truncate arithmetic (both engines truncate doubles the
+    IEEE way), pinning the mapInPandas 1-in-1-out batch seam."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return resize_batches(attach_payload(docs), target=32, stub=True)
 
 
-@query("multimodal_frame_sample")  # rows-only: stubbed codec
+def _frames_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id < 50
+),
+dur AS (
+  SELECT doc_id, h,
+         1000 + ({_hexbyte(2)} * 256 + {_hexbyte(3)}) % 9000 AS duration_ms
+  FROM d
+)
+SELECT doc_id,
+       CAST(ts // 1000 AS INTEGER) AS frame_idx,
+       CAST(ts AS BIGINT) AS frame_ts_ms,
+       substr(sha256(h || ':' || CAST(ts AS VARCHAR)), 1, 16) AS frame_hash
+FROM dur, LATERAL (SELECT unnest(range(0, duration_ms, 1000)) AS ts) g
+"""
+
+
+@query("multimodal_frame_sample", oracle=_frames_oracle())
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-video frame sampling (1 → N rows through mapInPandas),
-    deterministic stub timeline."""
+    deterministic stub timeline. ORACLE-HASHED since r3: the stub
+    timeline (digest-derived duration, per-frame hash over the hex
+    digest + timestamp text) is replayed by DuckDB — pinning the
+    1-in-N-out table-function shape through the Arrow boundary."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return frame_sample_batches(attach_payload(docs), every_ms=1000, stub=True)
 

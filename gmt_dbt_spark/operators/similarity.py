@@ -281,15 +281,89 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_embed_cosine")  # rows-only (approximate candidate generation)
+def _embed_cosine_oracle() -> str:
+    """DuckDB full replay of `dedup_embed_cosine` (r3; was rows-only).
+
+    The 16 hyperplanes are fixed-seed PRNG literals, so the SAME
+    Python call that inlines them into the Spark plan inlines them
+    here — DuckDB rebuilds the sign signatures, the 4×4-bit band
+    self-join, and the integer milli-unit cosine verify. Sign safety:
+    the smallest |plane·vec| on the fixture corpus is 5.9e-6 at any
+    sf, ~10^7 ulps above double accumulation error, so summation
+    order cannot flip a signature bit. The verify is EXACT integer
+    arithmetic on both engines (all products < 2^53, so even a
+    double-valued dot of integer lists is exact)."""
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(vec, {plane!r}) >= 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(hyperplanes())
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+vq AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM v
+),
+sig AS (SELECT vec_id, {sig_terms} AS s FROM v),
+banded AS (
+  SELECT vec_id, g.band, (s // (1 << (4 * g.band))) % 16 AS bkey
+  FROM sig, LATERAL (SELECT unnest(range(4)) AS band) g
+),
+pair_ids AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bkey = r.bkey AND l.vec_id < r.vec_id
+),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot_mil,
+         a.n2 AS na2_mil, b.n2 AS nb2_mil
+  FROM pair_ids p
+  JOIN vq a ON p.id_a = a.vec_id
+  JOIN vq b ON p.id_b = b.vec_id
+)
+SELECT id_a, id_b, dot_mil, na2_mil, nb2_mil
+FROM scored
+WHERE dot_mil >= 0
+  AND CAST(dot_mil AS HUGEINT) * dot_mil * 10000
+      >= CAST(1225 AS HUGEINT) * na2_mil * nb2_mil
+"""
+
+
+@query("dedup_embed_cosine", oracle=_embed_cosine_oracle())
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate detection: LSH-bucketed candidate
-    pairs (shared 8-bit band) verified against a cosine threshold —
+    pairs (shared 4-bit band) verified against a cosine threshold —
     the embedding-space sibling of dedup_fuzzy. (The synthetic
     embeddings are i.i.d. random — max pairwise cosine ≈ 0.44 — so
     the demo threshold 0.35 surfaces the top of the candidate
-    distribution; production near-dup would use ≥ 0.95.)"""
+    distribution; production near-dup would use ≥ 0.95.)
+
+    ORACLE-HASHED end-to-end since r3 (was rows-only): the verify
+    runs in the house integer micro-unit convention — milli-quantized
+    vectors, exact bigint dot, and `cos ≥ 0.35` as the cross-
+    multiplication dot²·10⁴ ≥ 1225·‖a‖²·‖b‖² in DECIMAL(38)/HUGEINT —
+    so the FULL-CORPUS pair set hashes identically on DuckDB, which
+    replays signatures, banding, and verify from the same hyperplane
+    literals (`_embed_cosine_oracle`). No float comparison anywhere
+    in the output surface."""
     v = _vecs(spark, sf_dir)
+    qv = F.transform(F.col("vec"), lambda x: F.floor(x * 1000.0).cast("bigint"))
+    vq = v.select(F.col("vec_id"), qv.alias("qv")).select(
+        "vec_id",
+        "qv",
+        F.aggregate(
+            F.transform(F.col("qv"), lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, y: acc + y,
+        ).alias("n2"),
+    )
     banded = _banded(_signature(v)).select("vec_id", "band", "bkey")
     l, r = banded.alias("l"), banded.alias("r")
     # narrow-id candidate dedup, vectors re-attached after (same
@@ -305,14 +379,36 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pairs = pair_ids.join(
-        v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a"
+        vq.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("qv").alias("qa"),
+            F.col("n2").alias("na2_mil"),
+        ),
+        "id_a",
     ).join(
-        v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b"
+        vq.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("qv").alias("qb"),
+            F.col("n2").alias("nb2_mil"),
+        ),
+        "id_b",
     )
+    dot_mil = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, y: acc + y,
+    )
+    dec = "decimal(38,0)"
     return (
-        pairs.withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
-        .filter(F.col("cos") >= 0.35)
-        .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
+        pairs.withColumn("dot_mil", dot_mil)
+        .filter(
+            (F.col("dot_mil") >= 0)
+            & (
+                F.col("dot_mil").cast(dec) * F.col("dot_mil") * 10000
+                >= F.lit(1225).cast(dec) * F.col("na2_mil") * F.col("nb2_mil")
+            )
+        )
+        .select("id_a", "id_b", "dot_mil", "na2_mil", "nb2_mil")
     )
 
 

@@ -113,13 +113,12 @@ _CORE_FIRST = [
     "stream_upsert_sink",
 ]
 
-# Permanently tail-ordered (visited after even the proven set): superseded
-# stub variants kept registered for API continuity but whose behavior is
-# fully covered by newer REAL ops — multimodal_decode/resize/frame_sample
-# run stub codecs on the same Arrow plumbing that multimodal_decode_wav/_bmp
-# + audio/image feature ops exercise for real with hash oracles (r2 VERDICT
-# item 3: don't let registry noise spend driver budget ahead of unproven
-# real operators).
+# Tail-ordered AMONG THE UNPROVEN (visited after every other unproven
+# query, before proven re-checks): the stub-codec variants whose behavior
+# is superseded by the REAL multimodal_decode_wav/_bmp ops (r2 VERDICT
+# item 3 — don't spend driver budget on stubs ahead of unproven real
+# operators). They did gain full sha256-replay oracles in r3, so once the
+# real unproven backlog drains they are worth a hash row each.
 _TAIL = frozenset({
     "multimodal_decode",
     "multimodal_resize",
@@ -179,9 +178,9 @@ def _proven_ids(root: str | None = None) -> set[str]:
 def _priority_order(queries: dict[str, QueryFn]) -> list[str]:
     proven = _proven_ids()
 
-    def tier(qid: str) -> int:
+    def tier(qid: str) -> float:
         if qid in _TAIL:
-            return 4
+            return 2.5 if qid not in proven else 4
         if qid in proven:
             return 3
         if qid in _CORE_FIRST:

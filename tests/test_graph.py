@@ -98,3 +98,63 @@ def test_components_match_union_find_on_random_graphs(spark):
             edf = spark.createDataFrame([], "src bigint, dst bigint")
         got = {r.id: r.comp for r in connected_components(nodes, edf).collect()}
         assert got == expect, f"trial {trial}: n={n} edges={edges}"
+
+
+def test_star_contraction_matches_union_find_on_random_graphs(spark):
+    """Large-star/small-star must agree with sequential union-find on
+    the same randomized graph shapes as the propagation test."""
+    import random
+
+    from gmt_dbt_spark.operators.graph import connected_components_star
+
+    rng = random.Random(20260814)
+    for trial in range(6):
+        n = rng.randint(2, 40)
+        m = rng.randint(0, 60)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        expect = _union_find_components(n, edges)
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+        if edges:
+            edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+        else:
+            edf = spark.createDataFrame([], "src bigint, dst bigint")
+        got = {
+            r.id: r.comp for r in connected_components_star(nodes, edf).collect()
+        }
+        assert got == expect, f"trial {trial}: n={n} edges={edges}"
+
+
+def test_star_contraction_handles_high_diameter_chain(spark):
+    """A 60-node path has diameter 59: min-label propagation cannot
+    converge within its 25-round budget (it raises — the documented
+    boundary), while star contraction collapses it in O(log² n)
+    rounds. This is exactly the regime the SoCC'14 algorithm exists
+    for."""
+    import pytest as _pytest
+
+    from gmt_dbt_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, chain)
+    got = {r.id: r.comp for r in connected_components_star(nodes, chain).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_dedup_clusters_star_equals_propagation(spark):
+    """Both CC algorithms must label the fixture corpus identically."""
+    qs = all_queries()
+    a = {(r.doc_id, r.cluster_id) for r in qs["dedup_clusters"](spark, SF_DIR).collect()}
+    b = {
+        (r.doc_id, r.cluster_id)
+        for r in qs["dedup_clusters_star"](spark, SF_DIR).collect()
+    }
+    assert a == b and len(a) > 0

@@ -67,17 +67,26 @@ def test_dot_cosine_exprs(spark):
 
 
 def test_ml_and_custom_minhash_agree(spark):
-    """The MLlib MinHashLSH pipeline and the custom banding pipeline
-    must verify the SAME near-dup pairs (both end in exact-Jaccard
-    verification at 0.6; candidate generation differs but may not
-    change the verified set on the fixed corpus)."""
+    """Both MinHash pipelines are pinned to the SAME slice ground
+    truth (r3: dedup_fuzzy_ml's registry surface IS the audited truth
+    + booleans): the ML audit booleans hold, every emitted truth pair
+    satisfies the threshold arithmetic, and the custom pipeline's
+    slice pairs cover the truth set (recall 1.0 on the fixture, the
+    same property dedup_recall_audit pins for dedup_fuzzy)."""
     from gmt_dbt_spark.registry import all_queries
 
     qs = all_queries()
     sf = "/root/testdata/sf0.001"
-    a = {(r.id_a, r.id_b) for r in qs["dedup_fuzzy"](spark, sf).collect()}
-    b = {(r.id_a, r.id_b) for r in qs["dedup_fuzzy_ml"](spark, sf).collect()}
-    assert a == b and len(a) > 0
+    rows = qs["dedup_fuzzy_ml"](spark, sf).collect()
+    assert rows and all(r.recall_ok and r.all_verified for r in rows)
+    assert all(r.n_inter * 10 >= r.n_union * 6 for r in rows)
+    truth = {(r.id_a, r.id_b) for r in rows}
+    fuzzy = {
+        (r.id_a, r.id_b)
+        for r in qs["dedup_fuzzy"](spark, sf).collect()
+        if r.id_a < 200 and r.id_b < 200
+    }
+    assert truth <= fuzzy
 
 
 def test_ivf_structure_and_recall(spark):

@@ -92,10 +92,16 @@ def test_unigram_logprob_sane(spark):
     made of its most common tokens (the property the filter uses)."""
     import math
 
+    from gmt_dbt_spark.functions.text import unigram_logprob_scores
+
     out = all_queries()["text_unigram_logprob"](spark, SF_DIR).collect()
     docs_n = table(spark, SF_DIR, "documents").count()
     assert len(out) == docs_n
-    assert all(r.avg_neg_logprob > 0 and math.isfinite(r.avg_neg_logprob) for r in out)
+    assert all(r.bound_ok for r in out)
+    scored = unigram_logprob_scores(table(spark, SF_DIR, "documents")).collect()
+    assert all(
+        r.avg_neg_logprob > 0 and math.isfinite(r.avg_neg_logprob) for r in scored
+    )
 
     # build common-only vs rare-only synthetic docs from the corpus vocab
     from gmt_dbt_spark.operators.dedup import tokens_col
