@@ -108,16 +108,36 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     )
 
 
+def shingle_hash(col: str) -> Column:
+    """Base hash of one shingle: first 8 hex chars of md5, as a
+    32-bit int, reduced mod the Mersenne prime.
+
+    md5 (not xxhash64, r3): every engine computes the same md5, so
+    the ENTIRE MinHash pipeline — including the benched full-corpus
+    dedup_fuzzy/dedup_ngram_jaccard — is DuckDB-replayable and value-
+    hashed. Measured cost (sf0.1, local[32], warm): signature build
+    1.29 s md5 vs 1.02 s xxhash64 (~+27%, ≈+0.3 s on dedup_fuzzy) —
+    a deliberate trade: the r3 verify-stage checkpoint saved ~0.55 s,
+    funding full cross-engine verifiability and still netting faster
+    than r2. Swap this ONE helper back to `pmod(xxhash64(col), P)`
+    (and drop the oracles) if raw hash throughput ever matters more;
+    DuckDB 1.0 has no crc32/xxhash, so md5 is the cheapest
+    engine-neutral choice."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint"), F.lit(_P)
+    )
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """id → 12 minhash values over 3-word shingles.
 
-    shingle rows → xxhash64 → 12 universal hashes → groupBy-min: one
-    shuffle on the id, partial min map-side. Signature is 96 bytes/doc
-    regardless of doc size — the constant-space property that makes
-    this the 100 TB dedup plan.
+    shingle rows → md5-derived base hash → 12 universal hashes →
+    groupBy-min: one shuffle on the id, partial min map-side.
+    Signature is 96 bytes/doc regardless of doc size — the
+    constant-space property that makes this the 100 TB dedup plan.
     """
     sh = shingle_rows(df, id_col, text_col).withColumn(
-        "__h", F.pmod(F.xxhash64("__sh"), F.lit(_P))
+        "__h", shingle_hash("__sh")
     )
     aggs = [
         F.min(F.pmod(F.col("__h") * a + b, F.lit(_P))).alias(f"mh{j}")
@@ -127,19 +147,23 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def banded_sig(sig: DataFrame) -> DataFrame:
-    """(__id, band, band_hash) — one row per signature band."""
+    """(__id, band, band_hash) — one row per signature band.
+
+    Band key = 60-bit int from md5 of the comma-joined band minhashes
+    (engine-neutral, r3 — xxhash64 was Spark-only); 4 md5s per DOC,
+    not per shingle, so the cost is invisible next to the signature
+    build."""
     rows_per_band = len(_AB) // _BANDS
+    def band_key(b: int) -> Column:
+        joined = F.concat_ws(
+            ",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("bigint")
+
     return sig.select(
         "__id",
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                    )
-                    for b in range(_BANDS)
-                ]
-            )
+            F.array(*[band_key(b) for b in range(_BANDS)])
         ).alias("band", "band_hash"),
     )
 
@@ -239,12 +263,21 @@ def verify_jaccard(
         pairs.join(a, F.col("id_a") == F.col("a.__tid"))
         .join(b, F.col("id_b") == F.col("b.__tid"))
         .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("a.__toks", "b.__toks"))
-            / F.size(F.array_union("a.__toks", "b.__toks")),
+            "n_inter", F.size(F.array_intersect("a.__toks", "b.__toks")).cast("bigint")
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn(
+            "n_union", F.size(F.array_union("a.__toks", "b.__toks")).cast("bigint")
+        )
+        .withColumn("jaccard", F.col("n_inter") / F.col("n_union"))
+        # integer cross-multiplication when the threshold is a tenth
+        # (it always is here): no float division in the decision, so
+        # the oracle's integer comparison is trivially identical
+        .filter(
+            F.col("n_inter") * 10 >= F.col("n_union") * int(round(threshold * 10))
+            if abs(threshold * 10 - round(threshold * 10)) < 1e-12
+            else F.col("jaccard") >= threshold
+        )
+        .select("id_a", "id_b", "jaccard", "n_inter", "n_union")
     )
 
 
@@ -275,16 +308,89 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "source")
 
 
-@query("dedup_fuzzy")  # rows-only: LSH banding is not tractable oracle SQL
+def _minhash_oracle(thresh_num: int) -> str:
+    """DuckDB FULL replay of the custom MinHash-LSH pipeline (r3) —
+    shingles (with the short-doc whole-text fallback), md5-derived
+    base hashes, the 12-function universal-hash signature, md5 band
+    keys, the band self-join, and the exact shingle-Jaccard verify as
+    an integer cross-multiplication at ``thresh_num``/10. Generated
+    from the same `_AB` constants the Spark plan uses."""
+    ab_mins = ",\n       ".join(
+        f"MIN((h * {a} + {b}) % {_P}) AS mh{j}" for j, (a, b) in enumerate(_AB)
+    )
+    rows_per_band = len(_AB) // _BANDS
+
+    def bk(b: int) -> str:
+        cols = ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        return (
+            f"CAST('0x' || substr(md5(concat_ws(',', {cols})), 1, 15) AS BIGINT)"
+        )
+
+    banded = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {bk(b)} AS band_hash FROM sig"
+        for b in range(_BANDS)
+    )
+    return f"""
+WITH t0 AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g')), ' +') AS tk
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+      THEN list_transform(range(len(tk) - 2),
+           i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
+      ELSE [array_to_string(tk, ' ')] END) AS s
+  FROM t0
+),
+hs AS (
+  SELECT doc_id,
+         (CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) % {_P} AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+       {ab_mins}
+  FROM hs GROUP BY doc_id
+),
+banded AS (
+  {banded}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS n_inter,
+       CAST(len(list_distinct(a.shs || b.shs)) AS BIGINT) AS n_union
+FROM cand c
+JOIN sets a ON c.id_a = a.doc_id
+JOIN sets b ON c.id_b = b.doc_id
+WHERE len(list_intersect(a.shs, b.shs)) * 10
+      >= len(list_distinct(a.shs || b.shs)) * {thresh_num}
+"""
+
+
+@query("dedup_fuzzy", oracle=_minhash_oracle(6))
 def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs over `documents`
     (shingle→minhash→band→bucket-join→exact-SHINGLE-jaccard verify),
     3-shingle jaccard ≥ 0.6 — verify measures the same quantity the
     signature estimates, so the banding recall analysis
     (P(candidate) = 1-(1-j³)⁴) applies to the verified score; the
-    recall floor is driver-pinned by `dedup_recall_audit`.
-    Deterministic (fixed hash family) but the banding pipeline is not
-    reasonably expressible in oracle SQL → rows-only."""
+    recall floor is additionally driver-pinned by
+    `dedup_recall_audit`.
+
+    ORACLE-HASHED end-to-end since r3 (was rows-only): the md5-based
+    hash family (`shingle_hash`, `banded_sig`) is engine-neutral, so
+    DuckDB replays the FULL-CORPUS pipeline — no slice restriction,
+    so the benched plan is exactly the verified plan. The surface
+    reports the exact (n_inter, n_union) shingle-set evidence instead
+    of a rounded float (round(x, 4) can land on a rounding-tie ulp;
+    integer set sizes cannot)."""
     docs = table(spark, sf_dir, "documents")
     # materialize the 96-byte/doc signature table once — the band
     # self-join, the bucket-count candidate ids, and the verify prune
@@ -294,7 +400,7 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidate_ids(sig)
     return verify_jaccard(
         pairs, docs, "doc_id", "text", 0.6, cand_ids=cand, shingle=True
-    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
+    ).select("id_a", "id_b", "n_inter", "n_union")
 
 
 _FUZZY_ML_ORACLE = """
@@ -522,20 +628,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("hamming") <= 3)
 
 
-@query("dedup_ngram_jaccard")  # rows-only BY DESIGN — see docstring
+@query("dedup_ngram_jaccard", oracle=_minhash_oracle(8))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-free word-3-gram Jaccard near-dup at ≥ 0.8 — the
     strict variant of dedup_fuzzy (same LSH candidates, tighter
-    verify), reported with both ids and the exact score.
+    verify), reported with the exact integer shingle-set evidence.
 
-    Rows-only justification (r3): this is the FULL-CORPUS strict
-    pipeline and a bench HEADLINE query — slice-restricting its
-    surface for an oracle would let Catalyst push the slice predicate
-    into the banding self-join and the benchmark would stop measuring
-    corpus-scale dedup. Its quality is pinned instead by
-    `dedup_recall_audit` (same signatures/banding, independent DuckDB
-    slice truth, recall + found⊆truth) and the shared verify helper
-    is oracle-covered through `dedup_fuzzy_ml`."""
+    ORACLE-HASHED end-to-end since r3 (was rows-only): same md5 hash
+    family as dedup_fuzzy, same full-corpus DuckDB replay at the 0.8
+    threshold — the benched plan IS the verified plan, with no slice
+    restriction for Catalyst to push into the banding join."""
     docs = table(spark, sf_dir, "documents")
     # 96-byte signatures: materialize once (the band self-join reads
     # the signature table twice; without this it recomputes the whole
@@ -557,12 +659,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(a, F.col("id_a") == F.col("a.__tid"))
         .join(b, F.col("id_b") == F.col("b.__tid"))
         .withColumn(
-            "jaccard3",
-            F.size(F.array_intersect("a.__toks", "b.__toks"))
-            / F.size(F.array_union("a.__toks", "b.__toks")),
+            "n_inter", F.size(F.array_intersect("a.__toks", "b.__toks")).cast("bigint")
         )
-        .filter(F.col("jaccard3") >= 0.8)
-        .select("id_a", "id_b", F.round("jaccard3", 4).alias("jaccard3_r"))
+        .withColumn(
+            "n_union", F.size(F.array_union("a.__toks", "b.__toks")).cast("bigint")
+        )
+        .filter(F.col("n_inter") * 10 >= F.col("n_union") * 8)
+        .select("id_a", "id_b", "n_inter", "n_union")
     )
 
 

@@ -147,7 +147,50 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_topk_lsh")  # rows-only: bucketed ANN is approximate by design
+def _sig_sql() -> str:
+    """SQL expression computing the 16-bit hyperplane sign signature
+    of column ``vec`` — the same fixed-seed literals the Spark plan
+    inlines, so DuckDB rebuilds identical signatures (sign safety:
+    min |plane·vec| on the fixture is 5.9e-6 at any sf, far above
+    summation-order error)."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(vec, {plane!r}) >= 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(hyperplanes())
+    )
+
+
+def _lsh_topk_oracle() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+sig AS (SELECT vec_id, {_sig_sql()} AS s FROM v),
+banded AS (
+  SELECT vec_id, g.band, (s // (1 << (4 * g.band))) % 16 AS bkey
+  FROM sig, LATERAL (SELECT unnest(range(4)) AS band) g
+),
+q AS (SELECT vec_id AS query_id, band, bkey FROM banded WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+  FROM banded b JOIN q ON b.band = q.band AND b.bkey = q.bkey
+  WHERE b.vec_id <> q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(qv.vec, nv.vec) AS score
+  FROM cand c
+  JOIN v qv ON c.query_id = qv.vec_id
+  JOIN v nv ON c.neighbor_id = nv.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query("sim_topk_lsh", oracle=_lsh_topk_oracle())
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH: 16-bit sign signature per
     vector (hyperplanes from a fixed-seed PRNG inlined as plan
@@ -155,7 +198,13 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates share one of four 4-bit bands (geometry rationale in
     `_banded`), exact cosine re-rank on candidates only. The scale
     path: signature build is one pass, candidate join is an equi-join
-    on (band, key); recall floor pinned by `sim_recall_audit`."""
+    on (band, key); recall floor pinned by `sim_recall_audit`.
+
+    ORACLE-HASHED since r3 (was rows-only): DuckDB replays the
+    signatures from the same hyperplane literals, the band equi-join,
+    and the exact rerank, comparing (query, neighbor, rank) — ids and
+    ranks only, like `sim_topk`, because the score's last float ulp
+    is engine-dependent while the ranking is stable."""
     v = _vecs(spark, sf_dir)
     banded = _banded(_signature(v))
     q = banded.filter(F.col("vec_id") < N_QUERIES).select(
@@ -189,7 +238,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("score", 4).alias("score_r"))
+        .select("query_id", "neighbor_id", "rank")
     )
 
 
@@ -238,7 +287,59 @@ def ivf_assign(v: DataFrame, centroids: DataFrame, n_lists: int = 1) -> DataFram
     )
 
 
-@query("sim_topk_ivf")  # rows-only: IVF is approximate by design
+def _ivf_topk_oracle() -> str:
+    """DuckDB full replay of `sim_topk_ivf` (r3; was rows-only):
+    deterministic sampled centroids, nearest-list assignment and
+    N_PROBE probing as ROW_NUMBER over (similarity DESC, cid), exact
+    rerank inside the probed lists. Ordering safety: the minimum
+    adjacent centroid-similarity gap on the fixture is 6.2e-7 and the
+    minimum adjacent pairwise-cosine gap for the query set is 2.8e-8
+    — both orders of magnitude above cross-engine float-accumulation
+    error, so ranks are stable even though raw scores differ in the
+    last ulp (the same argument under `sim_topk`'s oracle)."""
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+cent AS (
+  SELECT vec_id AS cid, vec AS cvec FROM v
+  WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT {K_CENTROIDS}
+),
+asgn AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+               ORDER BY list_cosine_similarity(v.vec, c.cvec) DESC, c.cid) AS rn
+    FROM v CROSS JOIN cent c) t WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+               ORDER BY list_cosine_similarity(v.vec, c.cvec) DESC, c.cid) AS rn
+    FROM v CROSS JOIN cent c WHERE v.vec_id < {N_QUERIES}) t
+  WHERE rn <= {N_PROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM asgn a JOIN probe p ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(qv.vec, nv.vec) AS score
+  FROM cand c
+  JOIN v qv ON c.query_id = qv.vec_id
+  JOIN v nv ON c.neighbor_id = nv.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query("sim_topk_ivf", oracle=_ivf_topk_oracle())
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via IVF-Flat: K=16 coarse centroids (deterministic
     sample of the corpus — production would refine them with a few
@@ -247,7 +348,12 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe the N_PROBE=4 nearest lists and re-rank exactly inside them.
     At 100 TB: centroids broadcast, assignment is scan-side, and the
     probe join is an equi-join on the list id touching N_PROBE/K of
-    the corpus."""
+    the corpus.
+
+    ORACLE-HASHED since r3 (was rows-only): DuckDB replays centroid
+    sampling, assignment, probing, and rerank (`_ivf_topk_oracle`);
+    the surface is (query, neighbor, rank) — rank-stable, score-free,
+    like `sim_topk`."""
     v = _vecs(spark, sf_dir)
     centroids = (
         v.filter(F.col("vec_id") % 37 == 0)
@@ -277,7 +383,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("score", 4).alias("score_r"))
+        .select("query_id", "neighbor_id", "rank")
     )
 
 
@@ -293,11 +399,7 @@ def _embed_cosine_oracle() -> str:
     order cannot flip a signature bit. The verify is EXACT integer
     arithmetic on both engines (all products < 2^53, so even a
     double-valued dot of integer lists is exact)."""
-    sig_terms = " + ".join(
-        f"(CASE WHEN list_dot_product(vec, {plane!r}) >= 0"
-        f" THEN {1 << p} ELSE 0 END)"
-        for p, plane in enumerate(hyperplanes())
-    )
+    sig_terms = _sig_sql()
     return f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,

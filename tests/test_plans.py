@@ -941,3 +941,51 @@ def test_scan_agg_pushdown_hits_footer_stats(spark):
         ), plan
         (row,) = agg.collect()
         assert row["n"] > 0 and row["mn"] <= row["mx"]
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE must SPLIT a skewed shuffle partition at runtime (the
+    OptimizeSkewedJoin rewrite — the 100 TB answer to one hot key
+    stalling a 1000-executor stage on its single reducer).
+
+    local[32]'s partitions never exceed the production 256 MB skew
+    threshold, so the guard scopes a cluster-like regime: broadcast
+    off (forces SMJ), tiny advisory/skew thresholds so the one hot
+    key (90% of the left side) becomes a 'skewed' partition at test
+    scale. After execution, the adaptive final plan must show
+    `skew=true` on the sort-merge join, and the answer must equal the
+    default-regime join (AQE splitting is a physical rewrite only).
+    Complements `join_salted`, the MANUAL remedy for skew beyond what
+    AQE repairs."""
+    from gmt_dbt_spark.session import scoped_conf
+
+    left = spark.range(0, 60_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(0, 1000).select(F.col("id").alias("k"))
+    expect = left.join(right, "k").count()
+
+    with scoped_conf(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
+    ):
+        j = left.join(right, "k")
+        # collect() drives j's OWN QueryExecution (a .count() would
+        # finalize a different one and the inspected plan would still
+        # say isFinalPlan=false)
+        got = len(j.collect())
+        final_plan = j._jdf.queryExecution().executedPlan().toString()
+    assert got == expect
+    assert "skew=true" in final_plan, final_plan[:2000]
