@@ -251,8 +251,13 @@ def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
     ).filter(F.col("tok") != "")
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = toks.count()  # scalar: one job, no per-row driver work
+    # NO broadcast hint on vocab (r3 review): the distinct-token
+    # vocabulary grows with the corpus (Heaps' law — unbounded with
+    # noisy tokens), so a forced hint is the same 100 TB OOM pattern
+    # as hinting customer; AQE broadcasts it while it fits and
+    # degrades to a shuffled join when it doesn't.
     return (
-        toks.join(F.broadcast(vocab), "tok")
+        toks.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -296,10 +301,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     score each document by its mean negative log-probability — high
     scores = improbable token mix = filter candidates.
 
-    Scale shape: token counts aggregate to a SMALL vocab relation
-    that broadcasts into the per-token join; the only full-corpus
-    shuffles are the explode-groupBy pair. All arithmetic JVM-side
-    (`F.log`).
+    Scale shape: token counts aggregate to a vocab relation that
+    AQE broadcasts into the per-token join while it fits (no forced
+    hint — the vocabulary grows with the corpus per Heaps' law, so a
+    hint would be the customer-dim OOM pattern at 100 TB); the
+    full-corpus shuffles are the explode-groupBy pair. All
+    arithmetic JVM-side (`F.log`).
 
     Oracle surface (r3; was rows-only): libm ln() rounding is not
     specified cross-engine, so the float score itself is not hashed.

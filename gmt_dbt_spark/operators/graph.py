@@ -199,43 +199,9 @@ def _star_edges(keyed: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "dedup_clusters",
-    oracle="""
-WITH RECURSIVE
-k1 AS (SELECT doc_id, md5(array_to_string(string_split(text,' ')[1:5],' ')) AS k
-       FROM documents),
-k2 AS (SELECT doc_id, md5(array_to_string(string_split(text,' ')[6:10],' ')) AS k
-       FROM documents),
-e1 AS (SELECT MIN(doc_id) OVER (PARTITION BY k) AS src, doc_id AS dst FROM k1),
-e2 AS (SELECT MIN(doc_id) OVER (PARTITION BY k) AS src, doc_id AS dst FROM k2),
-edges AS (SELECT src, dst FROM e1 WHERE src <> dst
-          UNION SELECT src, dst FROM e2 WHERE src <> dst),
-sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-reach(id, comp) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
-)
-SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id
-""",
-)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup CLUSTER assignment: candidate pairs from two staggered
-    5-token-window keys (star edges per key group), connected
-    components over their union, every document labeled with its
-    component's min doc_id (singletons label themselves). The oracle
-    recomputes the same components via a recursive transitive-closure
-    CTE — proving the iterative Spark loop equals the declarative
-    fixpoint."""
-    docs = table(spark, sf_dir, "documents")
-    k1 = docs.select("doc_id", _window_key(F.col("text"), 1, 5).alias("k"))
-    k2 = docs.select("doc_id", _window_key(F.col("text"), 6, 5).alias("k"))
-    edges = _star_edges(k1).union(_star_edges(k2)).distinct()
-    labels = connected_components(docs.select("doc_id"), edges, id_col="doc_id")
-    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
-
-
+# Shared by dedup_clusters AND dedup_clusters_star: the two queries
+# must stay label-identical (unit-test-pinned), so they verify against
+# the SAME recursive transitive-closure CTE and build the SAME edges.
 _CLUSTERS_ORACLE = """
 WITH RECURSIVE
 k1 AS (SELECT doc_id, md5(array_to_string(string_split(text,' ')[1:5],' ')) AS k
@@ -256,6 +222,28 @@ SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def _cluster_edges(docs: DataFrame) -> DataFrame:
+    k1 = docs.select("doc_id", _window_key(F.col("text"), 1, 5).alias("k"))
+    k2 = docs.select("doc_id", _window_key(F.col("text"), 6, 5).alias("k"))
+    return _star_edges(k1).union(_star_edges(k2)).distinct()
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTER assignment: candidate pairs from two staggered
+    5-token-window keys (star edges per key group), connected
+    components over their union, every document labeled with its
+    component's min doc_id (singletons label themselves). The oracle
+    recomputes the same components via a recursive transitive-closure
+    CTE — proving the iterative Spark loop equals the declarative
+    fixpoint."""
+    docs = table(spark, sf_dir, "documents")
+    labels = connected_components(
+        docs.select("doc_id"), _cluster_edges(docs), id_col="doc_id"
+    )
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
 @query("dedup_clusters_star", oracle=_CLUSTERS_ORACLE)
 def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`dedup_clusters` computed by the LARGE-STAR/SMALL-STAR
@@ -269,10 +257,9 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     optional item: graph.py's max_iter raise is no longer a dead
     end)."""
     docs = table(spark, sf_dir, "documents")
-    k1 = docs.select("doc_id", _window_key(F.col("text"), 1, 5).alias("k"))
-    k2 = docs.select("doc_id", _window_key(F.col("text"), 6, 5).alias("k"))
-    edges = _star_edges(k1).union(_star_edges(k2)).distinct()
-    labels = connected_components_star(docs.select("doc_id"), edges, id_col="doc_id")
+    labels = connected_components_star(
+        docs.select("doc_id"), _cluster_edges(docs), id_col="doc_id"
+    )
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
 

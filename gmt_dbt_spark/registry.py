@@ -113,12 +113,13 @@ _CORE_FIRST = [
     "stream_upsert_sink",
 ]
 
-# Tail-ordered AMONG THE UNPROVEN (visited after every other unproven
-# query, before proven re-checks): the stub-codec variants whose behavior
-# is superseded by the REAL multimodal_decode_wav/_bmp ops (r2 VERDICT
-# item 3 — don't spend driver budget on stubs ahead of unproven real
-# operators). They did gain full sha256-replay oracles in r3, so once the
-# real unproven backlog drains they are worth a hash row each.
+# Stub-codec variants superseded by the REAL multimodal_decode_wav/_bmp
+# ops (r2 VERDICT item 3 — don't spend driver budget on stubs ahead of
+# unproven real operators). Ordering: while UNPROVEN they rank tier 2.5
+# — after every other unproven query, before proven re-checks (they did
+# gain full sha256-replay oracles in r3, so they are worth a hash row
+# once the real backlog drains); once PROVEN they rank tier 4 — dead
+# last, after ordinary proven re-checks.
 _TAIL = frozenset({
     "multimodal_decode",
     "multimodal_resize",

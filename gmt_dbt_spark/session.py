@@ -110,8 +110,20 @@ def scoped_conf(spark, **kv):
     for k in kv:
         try:
             saved[k] = spark.conf.get(k)
-        except Exception:
-            saved[k] = None  # unset and defaultless → unset on exit
+        except Exception as e:
+            # Only a genuine missing-key error means "unset on exit".
+            # Anything else (Py4J hiccup, JVM-side failure) must NOT
+            # be misread as 'key was unset' — that would silently
+            # unset an explicitly-set conf when the scope closes
+            # (r3 review finding).
+            name = type(e).__name__
+            msg = str(e)
+            if "SQL_CONF_NOT_FOUND" in msg or "NoSuchElement" in name or (
+                "NoSuchElement" in msg
+            ):
+                saved[k] = None  # unset and defaultless → unset on exit
+            else:
+                raise
     try:
         for k, v in kv.items():
             spark.conf.set(k, v)

@@ -436,15 +436,13 @@ def _hinted_base_tables(df):
         if "ResolvedHint" not in line:
             continue
         base = indent(line)
-        derived = False
         for sub in lines[i + 1:]:
             if indent(sub) <= base:
                 break
             body = sub.lstrip(" :+-")
             if body.startswith(("Aggregate", "Range", "LocalRelation", "GlobalLimit")):
-                derived = True
-                break
-            m = re.match(r"Relation \[([a-z_]+?[a-z])\d*[#,]", sub.lstrip(" :+-"))
+                break  # derived tiny frame — not reported
+            m = re.match(r"Relation \[([a-z_]+?[a-z])\d*[#,]", body)
             if m:
                 col = m.group(1)
                 for pfx, tbl in sorted(_COL_TO_TABLE.items(), key=lambda kv: -len(kv[0])):
@@ -454,8 +452,6 @@ def _hinted_base_tables(df):
                 else:
                     out.append(col)
                 break
-        if derived:
-            continue
     return out
 
 
