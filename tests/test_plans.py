@@ -985,3 +985,26 @@ def test_aqe_skew_join_split(spark):
         final_plan = j._jdf.queryExecution().executedPlan().toString()
     assert got == expect
     assert "skew=true" in final_plan, final_plan[:2000]
+
+
+def test_lsh_family_plans_are_equi_joins(spark):
+    """The entire LSH near-dup/ANN family exists to turn O(n²)
+    similarity into banded EQUI joins — none of these plans may
+    contain a cartesian product or nested-loop join, at any stage
+    (signature build, band self-join, verify re-attach). The only
+    allowed cross join is a single-row broadcast scalar attach, which
+    plans as BroadcastNestedLoopJoin Cross over a one-row side and is
+    excluded from the assertion the same way the funnel guard does."""
+    qs = all_queries()
+    for name in [
+        "dedup_fuzzy",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "dedup_embed_cosine",
+        "sim_topk_lsh",
+        "dedup_fuzzy_ml",
+    ]:
+        tree = tree_of(plan_of(qs[name](spark, SF_DIR)))
+        stripped = tree.replace("BroadcastNestedLoopJoin Cross", "")
+        assert "BroadcastNestedLoopJoin" not in stripped, f"{name}:\n{tree}"
+        assert "CartesianProduct" not in tree, f"{name}:\n{tree}"
