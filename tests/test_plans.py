@@ -989,13 +989,18 @@ def test_aqe_skew_join_split(spark):
 
 def test_lsh_family_plans_are_equi_joins(spark):
     """The entire LSH near-dup/ANN family exists to turn O(n²)
-    similarity into banded EQUI joins — none of these plans may
-    contain a cartesian product or nested-loop join, at any stage
-    (signature build, band self-join, verify re-attach). The only
-    allowed cross join is a single-row broadcast scalar attach, which
-    plans as BroadcastNestedLoopJoin Cross over a one-row side and is
-    excluded from the assertion the same way the funnel guard does."""
+    similarity into banded EQUI joins — these plans may contain no
+    cartesian product and no nested-loop join at any stage (signature
+    build, band self-join, verify re-attach). Counts are pinned
+    EXACTLY (not pattern-stripped — a blanket 'ignore Cross BNLJ'
+    would also ignore a quadratic all-pairs regression, which at test
+    scale plans as BroadcastNestedLoopJoin Cross, r3 review finding):
+    the five pure pipelines allow ZERO nested-loop joins of any kind;
+    dedup_fuzzy_ml allows exactly its 3 single-row audit-stat
+    attaches (n_true × n_found × n_hit crossJoins — one-row sides by
+    construction) and nothing else."""
     qs = all_queries()
+    allowed_cross_bnlj = {"dedup_fuzzy_ml": 3}
     for name in [
         "dedup_fuzzy",
         "dedup_ngram_jaccard",
@@ -1005,6 +1010,8 @@ def test_lsh_family_plans_are_equi_joins(spark):
         "dedup_fuzzy_ml",
     ]:
         tree = tree_of(plan_of(qs[name](spark, SF_DIR)))
-        stripped = tree.replace("BroadcastNestedLoopJoin Cross", "")
-        assert "BroadcastNestedLoopJoin" not in stripped, f"{name}:\n{tree}"
+        n_cross = tree.count("BroadcastNestedLoopJoin Cross")
+        n_bnlj = tree.count("BroadcastNestedLoopJoin")
+        assert n_cross == allowed_cross_bnlj.get(name, 0), f"{name}:\n{tree}"
+        assert n_bnlj == n_cross, f"{name}: non-Cross BNLJ\n{tree}"
         assert "CartesianProduct" not in tree, f"{name}:\n{tree}"
