@@ -153,12 +153,23 @@ def connected_components_star(
             .distinct()
         )
 
+    prev_n = e.count()
     for _ in range(max_rounds):
         nxt = small_star(large_star(e)).localCheckpoint(eager=True)
-        changed = (
-            nxt.exceptAll(e).limit(1).count() + e.exceptAll(nxt).limit(1).count()
-        )
-        e = nxt
+        # cheap gate first: a changed edge COUNT proves non-convergence
+        # with one lightweight job; the exact two-sided exceptAll check
+        # (two shuffles) runs only when counts match — so most rounds
+        # pay one count() and only the candidate-final rounds pay the
+        # full set comparison (exactness preserved: equal counts with
+        # different sets still fail the exceptAll test).
+        n = nxt.count()
+        if n == prev_n:
+            changed = (
+                nxt.exceptAll(e).limit(1).count() + e.exceptAll(nxt).limit(1).count()
+            )
+        else:
+            changed = 1
+        e, prev_n = nxt, n
         if changed == 0:
             break
     else:
