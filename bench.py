@@ -43,6 +43,9 @@ HEADLINE = [
     "pipeline_reference_e2e",
     # late r2: cross-doc substring-duplication audit (gram-fp heavy)
     "dedup_substring",
+    # r3: fully-verified SimHash pipeline (md5 token hashes, ~1M pairs
+    # at sf0.1 on this duplicate-heavy fixture — the banding stress case)
+    "dedup_simhash",
 ]
 
 
