@@ -274,6 +274,55 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
 
+_KEEP_BEST_ORACLE = f"""
+WITH labels AS ({_CLUSTERS_ORACLE}),
+q AS (SELECT doc_id, length(text) AS n_chars FROM documents)
+SELECT l.cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(CASE WHEN rn = 1 THEN l.doc_id END) AS kept_doc_id,
+       CAST(MAX(q.n_chars) AS BIGINT) AS best_n_chars
+FROM (
+  SELECT l.doc_id, l.cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                            ORDER BY q.n_chars DESC, l.doc_id) AS rn
+  FROM labels l JOIN q USING (doc_id)
+) l JOIN q USING (doc_id)
+GROUP BY l.cluster_id
+"""
+
+
+@query("pipeline_cluster_keep_best", oracle=_KEEP_BEST_ORACLE)
+def pipeline_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step AFTER near-dup clustering in every curation pipeline:
+    per duplicate cluster, KEEP the best member (longest text, ties to
+    the lowest doc_id) and record the cluster's size — the policy that
+    turns a component labeling into an actual keep/drop decision.
+
+    Shape: cluster labels (min-label propagation over the staggered
+    window-key star edges — same plan as `dedup_clusters`) joined to a
+    per-doc quality scalar, then ONE per-cluster aggregate where the
+    argmax rides a lexicographic struct-max (max(struct(n_chars,
+    -doc_id))) — no window over the full corpus, deterministic ties,
+    exact integers end-to-end. Oracle = the recursive-CTE component
+    fixpoint nested as a subquery + ROW_NUMBER argmax."""
+    docs = table(spark, sf_dir, "documents")
+    labels = connected_components(
+        docs.select("doc_id"), _cluster_edges(docs), id_col="doc_id"
+    ).select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    q = docs.select("doc_id", F.length("text").alias("n_chars"))
+    joined = labels.join(q, "doc_id")
+    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")))
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            (-best.getField("neg_id")).alias("kept_doc_id"),
+            F.max("n_chars").cast("bigint").alias("best_n_chars"),
+        )
+        .select("cluster_id", "n_members", "kept_doc_id", "best_n_chars")
+    )
+
+
 _WINDOW_US = 60 * 60 * 1_000_000  # 60-minute interval, in microseconds
 
 

@@ -143,3 +143,37 @@ def test_audio_features_match_naive_loop(samples):
     assert peak == max(abs(s) for s in samples)
     assert clip == sum(1 for s in samples if abs(s) >= 1000)
     assert rms == math.sqrt(sum(s * s for s in samples) / len(samples))
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_md5_hash_family_cross_engine_parity(tokens):
+    """The r3 replay oracles all stand on ONE primitive: Spark's
+    `conv(substring(md5(x),1,8),16,10)` equals Python's
+    `int(md5(x)[:8], 16)` equals DuckDB's
+    `CAST('0x'||substr(md5(x),1,8) AS BIGINT)` for arbitrary unicode
+    input. Fuzz the Python↔DuckDB pair here (Spark↔DuckDB is pinned
+    by the 354-query oracle sweep over real data); md5 operates on
+    UTF-8 bytes in all three engines."""
+    import hashlib
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tokens:
+        expect = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+        got = con.execute(
+            "SELECT CAST('0x' || substr(md5(?), 1, 8) AS BIGINT)", [t]
+        ).fetchone()[0]
+        assert got == expect, t
