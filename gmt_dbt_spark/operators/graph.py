@@ -277,17 +277,17 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KEEP_BEST_ORACLE = f"""
 WITH labels AS ({_CLUSTERS_ORACLE}),
 q AS (SELECT doc_id, length(text) AS n_chars FROM documents)
-SELECT l.cluster_id,
+SELECT cluster_id,
        CAST(COUNT(*) AS BIGINT) AS n_members,
-       MIN(CASE WHEN rn = 1 THEN l.doc_id END) AS kept_doc_id,
-       CAST(MAX(q.n_chars) AS BIGINT) AS best_n_chars
+       MIN(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+       CAST(MIN(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS best_n_chars
 FROM (
-  SELECT l.doc_id, l.cluster_id,
+  SELECT l.doc_id, l.cluster_id, q.n_chars,
          ROW_NUMBER() OVER (PARTITION BY l.cluster_id
                             ORDER BY q.n_chars DESC, l.doc_id) AS rn
   FROM labels l JOIN q USING (doc_id)
-) l JOIN q USING (doc_id)
-GROUP BY l.cluster_id
+) r
+GROUP BY cluster_id
 """
 
 
@@ -306,20 +306,25 @@ def pipeline_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers end-to-end. Oracle = the recursive-CTE component
     fixpoint nested as a subquery + ROW_NUMBER argmax."""
     docs = table(spark, sf_dir, "documents")
-    labels = connected_components(
-        docs.select("doc_id"), _cluster_edges(docs), id_col="doc_id"
-    ).select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    labels = dedup_clusters(spark, sf_dir)  # same labeling, one recipe
     q = docs.select("doc_id", F.length("text").alias("n_chars"))
     joined = labels.join(q, "doc_id")
+    # ONE struct-max carries the whole argmax: n_chars maximized
+    # first, then -doc_id (= lowest id on ties); both output columns
+    # come from the same aggregate so they can never drift apart.
     best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")))
     return (
         joined.groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            (-best.getField("neg_id")).alias("kept_doc_id"),
-            F.max("n_chars").cast("bigint").alias("best_n_chars"),
+            best.alias("__best"),
         )
-        .select("cluster_id", "n_members", "kept_doc_id", "best_n_chars")
+        .select(
+            "cluster_id",
+            "n_members",
+            (-F.col("__best.neg_id")).alias("kept_doc_id"),
+            F.col("__best.n_chars").cast("bigint").alias("best_n_chars"),
+        )
     )
 
 

@@ -164,7 +164,7 @@ def test_md5_hash_family_cross_engine_parity(tokens):
     `int(md5(x)[:8], 16)` equals DuckDB's
     `CAST('0x'||substr(md5(x),1,8) AS BIGINT)` for arbitrary unicode
     input. Fuzz the Python↔DuckDB pair here (Spark↔DuckDB is pinned
-    by the 354-query oracle sweep over real data); md5 operates on
+    by the full oracle sweep over real data); md5 operates on
     UTF-8 bytes in all three engines."""
     import hashlib
 
