@@ -200,6 +200,105 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINE_W = 10  # tokens per synthetic "line" (fixture text has no newlines)
+
+
+@query(
+    "text_dedup_lines",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents WHERE text IS NOT NULL
+),
+d AS (
+  SELECT doc_id,
+         list_transform(range((len(tk) + {_LINE_W - 1}) // {_LINE_W}),
+             i -> array_to_string(tk[i * {_LINE_W} + 1 : i * {_LINE_W} + {_LINE_W}],
+                                  ' ')) AS lines
+  FROM t
+),
+lr AS (
+  SELECT d.doc_id, g.idx, d.lines[g.idx + 1] AS line,
+         md5(d.lines[g.idx + 1]) AS fp
+  FROM d, LATERAL (SELECT unnest(range(len(d.lines))) AS idx) g
+),
+k AS (
+  SELECT doc_id, idx, line,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, idx) = 1 AS kept
+  FROM lr
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY idx),
+                    '')) AS cleaned_md5
+FROM k GROUP BY doc_id
+""",
+)
+def text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-LINE removal with REWRITE (C4 §2.2: 'we
+    discarded all but one of any three-sentence span occurring more
+    than once') — the flagging ops (`dedup_substring`) tell you WHERE
+    duplication is; this one emits the cleaned corpus: every exact
+    duplicate line is kept only at its first occurrence
+    ((doc_id, idx)-minimal — deterministic, not sampling-dependent),
+    and each document is reassembled from its surviving lines. The
+    fixture has no newlines, so a 'line' is a fixed {_LINE_W}-token
+    window — swap the splitter for `split(text, '\n')` on real text;
+    the plan is identical.
+
+    Scale shape: line construction is scan-side (slice/transform over
+    a Generate-materialized token array — the house inlining-hazard
+    pattern); the ONLY full-corpus shuffles are the fp keeper group
+    (16-byte md5 keys, never text... the rejoin carries lines once)
+    and the per-doc reassembly; the keeper rule is a lexicographic
+    struct-min, so results are identical under any partitioning.
+    ORACLE: DuckDB replays chunking, fingerprints, the keeper window,
+    and the rebuilt-text md5 — the cleaned corpus itself is
+    value-hashed, not just the counts."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # materialize the token array ONCE behind a Generate barrier
+    # (transform/slice below reference it ~2× per line; inlined, each
+    # reference would re-run the regex split — measured 18×/2× hazards
+    # in dedup.py's shingle build)
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(F.filter(tokens_col(F.col("text")), lambda x: x != ""))
+        ).alias("__tk"),
+    )
+    tk = F.col("__tk")
+    n_lines_arr = F.ceil(F.size(tk) / F.lit(_LINE_W)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines_arr - 1),
+        lambda i: F.concat_ws(" ", F.slice(tk, i * _LINE_W + 1, _LINE_W)),
+    )
+    lr = tok.select(
+        "doc_id", F.posexplode(F.when(F.size(tk) > 0, lines)).alias("idx", "line")
+    ).withColumn("fp", F.md5("line"))
+    keeper = lr.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "idx")).alias("first_occ")
+    )
+    k = lr.join(keeper, "fp").withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("first_occ.doc_id"))
+        & (F.col("idx") == F.col("first_occ.idx")),
+    )
+    arr = F.sort_array(
+        F.collect_list(F.when(F.col("kept"), F.struct("idx", "line")))
+    )
+    return (
+        k.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+            F.md5(
+                F.concat_ws(" ", F.transform(arr, lambda x: x["line"]))
+            ).alias("cleaned_md5"),
+        )
+        .select("doc_id", "n_lines", "n_kept", "cleaned_md5")
+    )
+
+
 @query(
     "pack_sequences",
     oracle="""
