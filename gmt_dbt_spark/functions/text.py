@@ -42,7 +42,7 @@ _lex_values = ", ".join(f"('{w}', {p})" for w, p in SENTIMENT_LEXICON.items())
 # DuckDB twin of tokens_col: split on single space after squeezing
 # runs, drop empties.
 _DUCK_TOKENS = (
-    "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),"
+    "list_filter(string_split(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'))),"
     " ' '), t -> t <> '')"
 )
 
@@ -223,7 +223,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
 SELECT doc_id,
-       md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))) AS fp,
+       md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')))) AS fp,
        md5(text) AS fp_raw
 FROM documents
 """,
@@ -278,8 +278,8 @@ def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
     oracle="""
 WITH norm AS (
   SELECT doc_id,
-         list_filter(string_split(trim(regexp_replace(lower(text),
-             '[^a-z0-9 ]', ' ', 'g')), ' '), t -> t <> '') AS tk
+         list_filter(string_split(trim(lower(regexp_replace(text,
+             '[^a-zA-Z0-9 ]', ' ', 'g'))), ' '), t -> t <> '') AS tk
   FROM documents
 ),
 toks AS (SELECT doc_id, unnest(tk) AS tok FROM norm),

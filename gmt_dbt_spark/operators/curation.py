@@ -386,8 +386,8 @@ def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split(trim(regexp_replace(lower(text),
-             '[^a-z0-9 ]', ' ', 'g')), ' '), x -> x <> '') AS toks
+         list_filter(string_split(trim(lower(regexp_replace(text,
+             '[^a-zA-Z0-9 ]', ' ', 'g'))), ' '), x -> x <> '') AS toks
   FROM documents
 ),
 g AS (
@@ -753,8 +753,8 @@ surv AS (
 ),
 t0 AS (
   SELECT doc_id,
-         list_filter(string_split(trim(regexp_replace(lower(text),
-             '[^a-z0-9 ]', ' ', 'g')), ' '), t -> t <> '') AS tk
+         list_filter(string_split(trim(lower(regexp_replace(text,
+             '[^a-zA-Z0-9 ]', ' ', 'g'))), ' '), t -> t <> '') AS tk
   FROM surv WHERE text IS NOT NULL
 ),
 g AS (

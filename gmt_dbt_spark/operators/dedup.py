@@ -30,8 +30,17 @@ _BANDS = 4  # 4 bands × 3 rows — candidates at jaccard ≳ 0.6
 
 
 def normalize_text(c: Column) -> Column:
-    """lower + strip non-alnum + collapse spaces (shared by all text ops)."""
-    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "))
+    """strip non-alnum + lower + collapse spaces (shared by all text ops).
+
+    ORDER MATTERS (r3 unicode-fuzz finding): stripping to
+    [a-zA-Z0-9 ] BEFORE lowercasing means only ASCII ever reaches
+    lower(), where every engine agrees. The old lower-then-strip
+    order diverged cross-engine on Unicode special cases — e.g. JVM
+    lower('İ') is 'i' + COMBINING DOT (two chars) while DuckDB's is
+    plain 'i', so 'İstanbul' tokenized as ['i','stanbul'] vs
+    ['istanbul']. ASCII inputs (the fixture) are identical under both
+    orders."""
+    return F.trim(F.lower(F.regexp_replace(c, "[^a-zA-Z0-9 ]", " ")))
 
 
 def tokens_col(c: Column) -> Column:
@@ -333,8 +342,8 @@ def _minhash_oracle(thresh_num: int) -> str:
     return f"""
 WITH t0 AS (
   SELECT doc_id,
-         string_split_regex(trim(regexp_replace(lower(text),
-             '[^a-z0-9 ]', ' ', 'g')), ' +') AS tk
+         string_split_regex(trim(lower(regexp_replace(text,
+             '[^a-zA-Z0-9 ]', ' ', 'g'))), ' +') AS tk
   FROM documents WHERE text IS NOT NULL
 ),
 sh AS (
@@ -406,8 +415,8 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUZZY_ML_ORACLE = """
 WITH t0 AS (
   SELECT doc_id,
-         list_filter(string_split(trim(regexp_replace(lower(text),
-             '[^a-z0-9 ]', ' ', 'g')), ' '), t -> t <> '') AS tk
+         list_filter(string_split(trim(lower(regexp_replace(text,
+             '[^a-zA-Z0-9 ]', ' ', 'g'))), ' '), t -> t <> '') AS tk
   FROM documents WHERE doc_id < 200 AND text IS NOT NULL
 ),
 t AS (
@@ -521,8 +530,8 @@ _SIMHASH_ORACLE = """
 WITH toks AS (
   SELECT DISTINCT doc_id, tok FROM (
     SELECT doc_id,
-           unnest(list_filter(string_split_regex(trim(regexp_replace(
-               lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +'),
+           unnest(list_filter(string_split_regex(trim(lower(regexp_replace(
+               text, '[^a-zA-Z0-9 ]', ' ', 'g'))), ' +'),
                t -> t <> '')) AS tok
     FROM documents WHERE text IS NOT NULL) u
 ),
@@ -674,8 +683,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t0 AS (
   SELECT doc_id,
-         list_filter(string_split(trim(regexp_replace(lower(text),
-             '[^a-z0-9 ]', ' ', 'g')), ' '), t -> t <> '') AS tk
+         list_filter(string_split(trim(lower(regexp_replace(text,
+             '[^a-zA-Z0-9 ]', ' ', 'g'))), ' '), t -> t <> '') AS tk
   FROM documents WHERE doc_id < 200
 ),
 t AS (
@@ -766,8 +775,8 @@ def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t0 AS (
   SELECT doc_id,
-         list_filter(string_split(trim(regexp_replace(lower(text),
-             '[^a-z0-9 ]', ' ', 'g')), ' '), t -> t <> '') AS tk
+         list_filter(string_split(trim(lower(regexp_replace(text,
+             '[^a-zA-Z0-9 ]', ' ', 'g'))), ' '), t -> t <> '') AS tk
   FROM documents WHERE text IS NOT NULL
 ),
 g AS (
@@ -843,8 +852,8 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t0 AS (
   SELECT doc_id,
-         list_filter(string_split(trim(regexp_replace(lower(text),
-             '[^a-z0-9 ]', ' ', 'g')), ' '), t -> t <> '') AS tk
+         list_filter(string_split(trim(lower(regexp_replace(text,
+             '[^a-zA-Z0-9 ]', ' ', 'g'))), ' '), t -> t <> '') AS tk
   FROM documents WHERE doc_id < 200
 ),
 t AS (

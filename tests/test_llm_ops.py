@@ -526,3 +526,52 @@ def test_gini_in_unit_interval(spark):
     assert 0.0 < row["gini"] < 1.0
     assert abs(row["gini"] - row["gini_num"] / row["gini_den"]) < 1e-12
     assert row["n_customers"] > 0 and row["total_rev"] > 0
+
+
+def test_tokenization_parity_on_adversarial_unicode(spark, tmp_path):
+    """The Spark tokenizer and the DuckDB oracle recipe must agree on
+    NON-fixture text too — the fixture is pure lowercase ASCII, so
+    the 356-query sweep alone would never catch a Unicode divergence.
+    r3 fuzzing found one: with the old lower-then-strip order, JVM
+    lower('İ') yields 'i' + COMBINING DOT while DuckDB yields 'i'
+    ('İstanbul' → ['i','stanbul'] vs ['istanbul']). The recipe now
+    strips to ASCII FIRST, so only ASCII reaches lower() and the
+    engines cannot disagree; this test pins that on the cases that
+    did or could diverge (Turkish İ, ligatures, fullwidth forms,
+    final-sigma Greek, combining marks, emoji, control whitespace)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmt_dbt_spark.operators.dedup import tokens_col
+
+    texts = [
+        "héllo wörld ÄÖÜ", "ABC  def\tGhi", "aaaaa", "", "123 456-789",
+        "ß sharp", "İstanbul", "ΣΊΣΥΦΟΣ", "ǅungla", "ﬁ ligature",
+        "ＦＵＬＬｗｉｄｔｈ", "emoji 😀 text", "tab\tnewline\nmix", "ĳ", "ŉ",
+        "İ dot above", "café COMBINING é", "MIXED Case WORDS 42",
+    ]
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}), path
+    )
+    sdf = spark.read.parquet(path)
+    sp = {
+        r.doc_id: list(r.toks)
+        for r in sdf.select(
+            "doc_id",
+            F.filter(tokens_col(F.col("text")), lambda x: x != "").alias("toks"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    du = {
+        r[0]: r[1]
+        for r in con.execute(
+            "SELECT doc_id, list_filter(string_split(trim(lower("
+            "regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'))), ' '),"
+            " t -> t <> '') FROM documents"
+        ).fetchall()
+    }
+    for k in sp:
+        assert sp[k] == du[k], (texts[k], sp[k], du[k])
