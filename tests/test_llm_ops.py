@@ -551,6 +551,25 @@ def test_tokenization_parity_on_adversarial_unicode(spark, tmp_path):
         "ＦＵＬＬｗｉｄｔｈ", "emoji 😀 text", "tab\tnewline\nmix", "ĳ", "ŉ",
         "İ dot above", "café COMBINING é", "MIXED Case WORDS 42",
     ]
+    # plus a seeded random-unicode corpus: codepoints drawn across the
+    # BMP (skipping surrogates), interleaved with ASCII — one batched
+    # pass through both engines covers far more of the case-mapping /
+    # whitespace / category space than the curated list alone
+    import random
+
+    rng = random.Random(20260814)
+    for _ in range(300):
+        n = rng.randint(0, 30)
+        chars = []
+        for _c in range(n):
+            if rng.random() < 0.5:
+                chars.append(chr(rng.randint(32, 126)))
+            else:
+                cp = rng.randint(0x20, 0x2FFF)
+                if 0xD800 <= cp <= 0xDFFF:
+                    cp = 0x20
+                chars.append(chr(cp))
+        texts.append("".join(chars))
     path = str(tmp_path / "documents.parquet")
     pq.write_table(
         pa.table({"doc_id": list(range(len(texts))), "text": texts}), path
