@@ -917,3 +917,229 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("rate_ppm")
         ).alias("n_sampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UniMax mixture planning (Chung et al. 2023, "UniMax: Fairer and More
+# Effective Language Sampling for Large-Scale Multilingual Pretraining"):
+# allocate a total token budget across corpora as uniformly as possible
+# subject to a per-corpus epoch cap, via closed-form water-filling.
+# ---------------------------------------------------------------------------
+
+UNIMAX_EPOCH_CAP = 1  # at most one epoch of any corpus
+UNIMAX_BUDGET_NUM, UNIMAX_BUDGET_DEN = 9, 10  # budget = 9/10 of total tokens
+
+# DuckDB twin of _unimax_plan — shared CTE body so the planner and the
+# materializer oracles can never diverge from each other.
+_UNIMAX_PLAN_CTES = f"""
+sz AS (
+  SELECT source, SUM(len({_DUCK_TOKENS})) AS n_tokens
+  FROM documents WHERE text IS NOT NULL GROUP BY source
+),
+caps AS (
+  SELECT source, n_tokens, n_tokens * {UNIMAX_EPOCH_CAP} AS cap_tokens FROM sz
+),
+pl AS (
+  SELECT source, n_tokens, cap_tokens,
+         ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS i,
+         COALESCE(SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         COUNT(*) OVER () AS k,
+         SUM(n_tokens) OVER () AS total_tokens
+  FROM caps
+),
+flag AS (
+  SELECT *, ((total_tokens * {UNIMAX_BUDGET_NUM}) // {UNIMAX_BUDGET_DEN}) AS b,
+         cap_tokens * (k - i + 1)
+             <= ((total_tokens * {UNIMAX_BUDGET_NUM}) // {UNIMAX_BUDGET_DEN})
+                - cum_before AS capped
+  FROM pl
+),
+lvl AS (
+  SELECT *, SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS m,
+         COALESCE(SUM(CASE WHEN capped THEN cap_tokens END) OVER (), 0) AS c_m
+  FROM flag
+),
+alloc0 AS (
+  SELECT source, n_tokens, cap_tokens, capped AS is_capped,
+         CASE WHEN capped THEN cap_tokens
+              ELSE (b - c_m) // (k - m)
+                   + CASE WHEN i - m <= (b - c_m) % (k - m) THEN 1 ELSE 0 END
+         END AS alloc_tokens
+  FROM lvl
+),
+plan AS (
+  SELECT source, n_tokens, cap_tokens, alloc_tokens, is_capped,
+         (alloc_tokens * 1000000) // n_tokens AS epochs_ppm
+  FROM alloc0
+)"""
+
+
+def _unimax_plan(docs: DataFrame) -> DataFrame:
+    """Water-filling token allocation per corpus (the Spark twin of
+    ``_UNIMAX_PLAN_CTES``).
+
+    Closed form: sort corpora by capacity ascending. Corpus i is
+    CAPPED iff ``cap_i * (k - i + 1) <= B - C_{{i-1}}`` (the integer
+    cross-multiplied form of "cap_i fits under the water level given
+    everything smaller is capped"); this predicate is provably
+    monotone (once false it stays false — each failure subtracts less
+    than it shrinks the bound), so the capped set is a prefix of the
+    ascending order. With m capped corpora holding C_m tokens, every
+    uncapped corpus receives the common level ``(B - C_m) div (k-m)``,
+    and the division remainder goes one token apiece to the first
+    ``(B - C_m) mod (k-m)`` uncapped corpora — so ``sum(alloc) == B``
+    EXACTLY whenever total capacity covers the budget. Every quantity
+    is a BIGINT — integer arithmetic only, so both engines agree
+    bit-for-bit.
+
+    Scale shape: the per-corpus token rollup is one partial-aggregable
+    groupBy over scan-side token counts; the window runs over a
+    k-row frame (k = number of corpora — tens, not data-sized), so the
+    single-partition Window here is a deliberate k-row driver-scale
+    step, not a data-scale one. Overflow: ``alloc * 1e6`` stays inside
+    BIGINT until ~9.2e12 tokens per corpus (≈ 37 TB of text at 4
+    chars/token); past that, route the ppm product through
+    DECIMAL(38,0) on both engines — alloc/cap/n_tokens themselves are
+    plain sums, safe to ~9.2e18 total tokens."""
+    from pyspark.sql import Window
+
+    sz = (
+        docs.filter(F.col("text").isNotNull())
+        .select("source", F.size(tokens_col(F.col("text"))).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+        .withColumn("cap_tokens", F.col("n_tokens") * UNIMAX_EPOCH_CAP)
+    )
+    asc = Window.orderBy("cap_tokens", "source")
+    full = asc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pl = sz.select(
+        "source",
+        "n_tokens",
+        "cap_tokens",
+        F.row_number().over(asc).alias("i"),
+        F.coalesce(
+            F.sum("cap_tokens").over(
+                asc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("cum_before"),
+        F.count(F.lit(1)).over(full).alias("k"),
+        F.sum("n_tokens").over(full).alias("total_tokens"),
+    )
+    flag = pl.withColumn(
+        "b",
+        F.expr(
+            f"(total_tokens * {UNIMAX_BUDGET_NUM}) div {UNIMAX_BUDGET_DEN}"
+        ),
+    ).withColumn(
+        "capped", F.expr("cap_tokens * (k - i + 1) <= b - cum_before")
+    )
+    lvl = flag.select(
+        "*",
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).over(full).alias("m"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap_tokens"))).over(full),
+            F.lit(0).cast("bigint"),
+        ).alias("c_m"),
+    )
+    alloc0 = lvl.select(
+        "source",
+        "n_tokens",
+        "cap_tokens",
+        F.col("capped").alias("is_capped"),
+        F.expr(
+            "CASE WHEN capped THEN cap_tokens"
+            "     ELSE (b - c_m) div (k - m)"
+            "          + CASE WHEN i - m <= (b - c_m) % (k - m)"
+            "                 THEN 1 ELSE 0 END "
+            "END"
+        ).alias("alloc_tokens"),
+    )
+    return alloc0.select(
+        "source",
+        "n_tokens",
+        "cap_tokens",
+        "alloc_tokens",
+        "is_capped",
+        F.expr("(alloc_tokens * 1000000) div n_tokens").alias("epochs_ppm"),
+    )
+
+
+@query(
+    "sample_mixture_unimax",
+    oracle=f"""
+WITH {_UNIMAX_PLAN_CTES}
+SELECT source, n_tokens, cap_tokens, alloc_tokens, is_capped, epochs_ppm
+FROM plan
+""",
+)
+def sample_mixture_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture planner: distribute a token budget (9/10 of the
+    corpus total) across sources as uniformly as possible without
+    exceeding one epoch (UNIMAX_EPOCH_CAP) of any source — the
+    data-mixture step a multilingual/multi-domain pretraining run
+    executes before sampling. Small corpora hit the epoch cap and are
+    marked ``is_capped``; the freed budget water-fills into larger
+    ones. Pure integer arithmetic end-to-end (see _unimax_plan), so
+    the plan value-hashes exactly against the DuckDB replay."""
+    docs = table(spark, sf_dir, "documents")
+    return _unimax_plan(docs)
+
+
+@query(
+    "pipeline_mixture_materialize",
+    oracle=f"""
+WITH {_UNIMAX_PLAN_CTES},
+r AS (SELECT source, epochs_ppm AS ppm FROM plan),
+g AS (
+  SELECT d.doc_id, d.source,
+         (r.ppm // 1000000)
+         + CASE WHEN ((d.doc_id % 1000000) * 2654435761) % 1000000
+                     < r.ppm % 1000000 THEN 1 ELSE 0 END AS n_rep
+  FROM documents d JOIN r ON d.source = r.source
+  WHERE d.text IS NOT NULL
+)
+SELECT doc_id, source, CAST(u.rep_idx AS BIGINT) AS rep_idx
+FROM g, LATERAL (SELECT unnest(range(CAST(g.n_rep AS BIGINT))) AS rep_idx) u
+""",
+)
+def pipeline_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the UniMax plan into the actual training corpus:
+    each document is repeated ``floor(epochs)`` times plus one more
+    with probability ``frac(epochs)`` — decided by the same
+    deterministic Knuth id-gate as sample_temperature, so the realized
+    corpus is reproducible across runs and partitionings and its
+    expected per-source token mass equals the planned allocation.
+
+    Scale shape: the k-row plan broadcasts back onto the scan; the
+    repeat gate is scan-side integer arithmetic; the explode fans out
+    at most ``ceil(epochs) ≤ UNIMAX_EPOCH_CAP + 1`` rows per
+    document, so output partition sizes stay within a constant factor
+    of input — no shuffle anywhere in the materialization."""
+    docs = table(spark, sf_dir, "documents")
+    plan = _unimax_plan(docs)
+    r = plan.select("source", F.col("epochs_ppm").alias("ppm"))
+    g = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", "source")
+        .join(F.broadcast(r), "source")
+        .withColumn(
+            "n_rep",
+            F.expr(
+                "ppm div 1000000"
+                " + CASE WHEN ((doc_id % 1000000) * 2654435761) % 1000000"
+                " < ppm % 1000000 THEN 1 ELSE 0 END"
+            ),
+        )
+    )
+    return g.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.col("n_rep") > 0,
+                F.sequence(F.lit(0).cast("bigint"), F.col("n_rep") - 1),
+            )
+        ).alias("rep_idx"),
+    )

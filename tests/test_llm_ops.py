@@ -594,3 +594,67 @@ def test_tokenization_parity_on_adversarial_unicode(spark, tmp_path):
     }
     for k in sp:
         assert sp[k] == du[k], (texts[k], sp[k], du[k])
+
+
+def test_unimax_plan_invariants(spark, sf_dir):
+    """Water-filling correctness properties that hold at ANY scale
+    (the oracle sweep pins exact values; this pins the algebra):
+    allocations never exceed caps, the budget is never overspent,
+    capped sources receive exactly their cap, and uncapped sources
+    receive within-1 equal shares of what remains (integer floors)."""
+    from gmt_dbt_spark.operators.curation import (
+        UNIMAX_BUDGET_DEN,
+        UNIMAX_BUDGET_NUM,
+        sample_mixture_unimax,
+    )
+
+    rows = sample_mixture_unimax(spark, sf_dir).collect()
+    assert len(rows) > 1
+    total = sum(r.n_tokens for r in rows)
+    budget = total * UNIMAX_BUDGET_NUM // UNIMAX_BUDGET_DEN
+    assert all(0 <= r.alloc_tokens <= r.cap_tokens for r in rows)
+    for r in rows:
+        if r.is_capped:
+            assert r.alloc_tokens == r.cap_tokens
+    uncapped = [r.alloc_tokens for r in rows if not r.is_capped]
+    if uncapped:
+        # a single water level, remainder spread one token apiece
+        assert max(uncapped) - min(uncapped) <= 1
+        # budget is spent exactly when capacity covers it
+        assert sum(r.alloc_tokens for r in rows) == budget
+        # the level sits strictly between capped and uncapped caps
+        capped_caps = [r.cap_tokens for r in rows if r.is_capped]
+        if capped_caps:
+            assert max(capped_caps) <= min(uncapped) + 1
+    else:
+        assert sum(r.alloc_tokens for r in rows) <= budget
+
+
+def test_unimax_materialize_matches_plan(spark, sf_dir):
+    """The realized corpus must agree with the plan: every document
+    repeats floor(epochs) or floor(epochs)+1 times, a full-epoch
+    (capped, ppm == 1e6) source keeps every document exactly once,
+    and rep_idx is a dense 0..n_rep-1 sequence."""
+    from gmt_dbt_spark.operators.curation import (
+        pipeline_mixture_materialize,
+        sample_mixture_unimax,
+    )
+
+    plan = {r.source: r for r in sample_mixture_unimax(spark, sf_dir).collect()}
+    mat = (
+        pipeline_mixture_materialize(spark, sf_dir)
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rep"),
+            F.min("rep_idx").alias("lo"),
+            F.max("rep_idx").alias("hi"),
+        )
+        .collect()
+    )
+    assert mat
+    for r in mat:
+        ppm = plan[r.source].epochs_ppm
+        assert r.lo == 0 and r.hi == r.n_rep - 1  # dense sequence
+        assert r.n_rep in (ppm // 10**6, ppm // 10**6 + 1)
+        if ppm == 10**6:
+            assert r.n_rep == 1
