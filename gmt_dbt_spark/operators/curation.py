@@ -242,9 +242,9 @@ def text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate line is kept only at its first occurrence
     ((doc_id, idx)-minimal — deterministic, not sampling-dependent),
     and each document is reassembled from its surviving lines. The
-    fixture has no newlines, so a 'line' is a fixed {_LINE_W}-token
-    window — swap the splitter for `split(text, '\n')` on real text;
-    the plan is identical.
+    fixture has no newlines, so a 'line' is a fixed 10-token
+    (_LINE_W) window — swap the splitter for a newline split on real
+    text; the plan is identical.
 
     Scale shape: line construction is scan-side (slice/transform over
     a Generate-materialized token array — the house inlining-hazard
@@ -1006,7 +1006,15 @@ def _unimax_plan(docs: DataFrame) -> DataFrame:
 
     sz = (
         docs.filter(F.col("text").isNotNull())
-        .select("source", F.size(tokens_col(F.col("text"))).alias("nt"))
+        # filter empties before size: a doc normalizing to '' must
+        # count 0 tokens, matching _DUCK_TOKENS' list_filter (split
+        # of an empty string yields [''], i.e. a phantom token)
+        .select(
+            "source",
+            F.size(
+                F.filter(tokens_col(F.col("text")), lambda x: x != "")
+            ).alias("nt"),
+        )
         .groupBy("source")
         .agg(F.sum("nt").alias("n_tokens"))
         .withColumn("cap_tokens", F.col("n_tokens") * UNIMAX_EPOCH_CAP)

@@ -565,7 +565,7 @@ def test_tokenization_parity_on_adversarial_unicode(spark, tmp_path):
             if rng.random() < 0.5:
                 chars.append(chr(rng.randint(32, 126)))
             else:
-                cp = rng.randint(0x20, 0x2FFF)
+                cp = rng.randint(0x20, 0xFFFF)
                 if 0xD800 <= cp <= 0xDFFF:
                     cp = 0x20
                 chars.append(chr(cp))
@@ -658,3 +658,24 @@ def test_unimax_materialize_matches_plan(spark, sf_dir):
         assert r.n_rep in (ppm // 10**6, ppm // 10**6 + 1)
         if ppm == 10**6:
             assert r.n_rep == 1
+
+
+def test_unimax_token_count_ignores_empty_normalizations(spark):
+    """A document whose text normalizes to nothing (punctuation-only,
+    or non-ASCII-only under the strip-before-lower recipe) must count
+    ZERO tokens in the mixture plan — `split('')` yields [''] (one
+    phantom token) unless empties are filtered, and the DuckDB oracle
+    filters them (review finding, r3)."""
+    from gmt_dbt_spark.operators.curation import _unimax_plan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world", "s0"),
+            (2, "!!! ???", "s0"),  # normalizes to '' → 0 tokens
+            (3, "общий текст", "s1"),  # non-ASCII-only → 0 tokens
+            (4, "a b c", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r.n_tokens for r in _unimax_plan(docs).collect()}
+    assert got == {"s0": 2, "s1": 3}
