@@ -970,7 +970,8 @@ alloc0 AS (
 ),
 plan AS (
   SELECT source, n_tokens, cap_tokens, alloc_tokens, is_capped,
-         (alloc_tokens * 1000000) // n_tokens AS epochs_ppm
+         CASE WHEN n_tokens = 0 THEN 0
+              ELSE (alloc_tokens * 1000000) // n_tokens END AS epochs_ppm
   FROM alloc0
 )"""
 
@@ -1070,7 +1071,14 @@ def _unimax_plan(docs: DataFrame) -> DataFrame:
         "cap_tokens",
         "alloc_tokens",
         "is_capped",
-        F.expr("(alloc_tokens * 1000000) div n_tokens").alias("epochs_ppm"),
+        # n_tokens = 0 (every doc normalized to empty) must not hit
+        # the division: ANSI mode — the driver's vanilla-session
+        # default on Spark 4 — raises on div-by-zero where DuckDB
+        # yields NULL
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN 0L"
+            " ELSE (alloc_tokens * 1000000) div n_tokens END"
+        ).alias("epochs_ppm"),
     )
 
 

@@ -679,3 +679,49 @@ def test_unimax_token_count_ignores_empty_normalizations(spark):
     )
     got = {r.source: r.n_tokens for r in _unimax_plan(docs).collect()}
     assert got == {"s0": 2, "s1": 3}
+
+
+def test_unimax_edge_cases(spark):
+    """Water-fill algebra on corners the fixture never exercises:
+    budget above total capacity (all capped), a single corpus, a
+    zero-token corpus (div-by-zero guard — ANSI mode raises where
+    DuckDB NULLs), and exact ties in capacity."""
+    import gmt_dbt_spark.operators.curation as cur
+
+    def plan(rows, num=None, den=None):
+        saved = (cur.UNIMAX_BUDGET_NUM, cur.UNIMAX_BUDGET_DEN)
+        try:
+            if num is not None:
+                cur.UNIMAX_BUDGET_NUM, cur.UNIMAX_BUDGET_DEN = num, den
+            df = spark.createDataFrame(
+                rows, "doc_id long, text string, source string"
+            )
+            return {r.source: r for r in cur._unimax_plan(df).collect()}
+        finally:
+            cur.UNIMAX_BUDGET_NUM, cur.UNIMAX_BUDGET_DEN = saved
+
+    # budget = 2x total capacity → every source capped at its cap
+    p = plan(
+        [(1, "a b c", "s0"), (2, "d e", "s1")], num=2, den=1
+    )
+    assert all(r.is_capped and r.alloc_tokens == r.cap_tokens for r in p.values())
+    assert p["s0"].epochs_ppm == 10**6 and p["s1"].epochs_ppm == 10**6
+
+    # single corpus: gets the whole budget, uncapped
+    p = plan([(1, "a b c d e f g h i j", "s0")])
+    assert not p["s0"].is_capped
+    assert p["s0"].alloc_tokens == 10 * 9 // 10
+
+    # zero-token corpus: capped at 0, epochs 0, no division error
+    p = plan([(1, "a b c d", "s0"), (2, "!!! ???", "s1")])
+    assert p["s1"].n_tokens == 0 and p["s1"].alloc_tokens == 0
+    assert p["s1"].epochs_ppm == 0 and p["s1"].is_capped
+    assert p["s0"].alloc_tokens == 4 * 9 // 10
+
+    # exact capacity ties: allocations within 1, budget spent exactly
+    p = plan(
+        [(1, "a b c d e", "s0"), (2, "f g h i j", "s1"), (3, "k l m n o", "s2")]
+    )
+    allocs = [r.alloc_tokens for r in p.values()]
+    assert max(allocs) - min(allocs) <= 1
+    assert sum(allocs) == 15 * 9 // 10
