@@ -177,3 +177,69 @@ def test_md5_hash_family_cross_engine_parity(tokens):
             "SELECT CAST('0x' || substr(md5(?), 1, 8) AS BIGINT)", [t]
         ).fetchone()[0]
         assert got == expect, t
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # token count (0 = empty)
+            st.integers(min_value=0, max_value=7),  # source id
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_unimax_water_fill_sql_invariants(docs):
+    """Fuzz the SHIPPED water-fill SQL (the exact CTE text both the
+    planner oracle and the Spark twin mirror) over random corpora in
+    DuckDB: allocations are feasible (0 ≤ alloc ≤ cap), capped
+    sources get exactly their cap, the budget is spent exactly when
+    any source is uncapped, uncapped sources sit on one common level
+    (within the one-token remainder), no capped source's cap exceeds
+    the level, and epochs_ppm never divides by zero."""
+    import duckdb
+    import pandas as pd
+
+    from gmt_dbt_spark.operators.curation import (
+        _UNIMAX_PLAN_CTES,
+        UNIMAX_BUDGET_DEN,
+        UNIMAX_BUDGET_NUM,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": ["w " * nt if nt else "" for nt, _ in docs],
+            "source": [f"s{s}" for _, s in docs],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    rows = con.execute(
+        f"WITH {_UNIMAX_PLAN_CTES} SELECT * FROM plan"
+    ).fetchall()
+    cols = [d[0] for d in con.description]
+    rows = [dict(zip(cols, r)) for r in rows]
+    total = sum(r["n_tokens"] for r in rows)
+    budget = total * UNIMAX_BUDGET_NUM // UNIMAX_BUDGET_DEN
+    for r in rows:
+        assert 0 <= r["alloc_tokens"] <= r["cap_tokens"]
+        if r["is_capped"]:
+            assert r["alloc_tokens"] == r["cap_tokens"]
+        if r["n_tokens"] == 0:
+            assert r["epochs_ppm"] == 0 and r["alloc_tokens"] == 0
+        else:
+            assert (
+                r["epochs_ppm"]
+                == r["alloc_tokens"] * 10**6 // r["n_tokens"]
+            )
+    uncapped = [r["alloc_tokens"] for r in rows if not r["is_capped"]]
+    if uncapped:
+        assert sum(r["alloc_tokens"] for r in rows) == budget
+        assert max(uncapped) - min(uncapped) <= 1
+        capped_caps = [r["cap_tokens"] for r in rows if r["is_capped"]]
+        if capped_caps:
+            assert max(capped_caps) <= min(uncapped) + 1
+    else:
+        assert sum(r["alloc_tokens"] for r in rows) <= budget
