@@ -248,10 +248,11 @@ def text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: line construction is scan-side (slice/transform over
     a Generate-materialized token array — the house inlining-hazard
-    pattern); the ONLY full-corpus shuffles are the fp keeper group
-    (16-byte md5 keys, never text... the rejoin carries lines once)
-    and the per-doc reassembly; the keeper rule is a lexicographic
-    struct-min, so results are identical under any partitioning.
+    pattern); the ONLY full-corpus shuffles are the fp-partitioned
+    keeper window (16-byte md5 keys) and the per-doc reassembly —
+    two total, single subtree, no self-join; the keeper rule is
+    row_number over (doc_id, idx), lexicographic-first, so results
+    are identical under any partitioning.
     ORACLE: DuckDB replays chunking, fingerprints, the keeper window,
     and the rebuilt-text md5 — the cleaned corpus itself is
     value-hashed, not just the counts."""
@@ -275,13 +276,20 @@ def text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     lr = tok.select(
         "doc_id", F.posexplode(F.when(F.size(tk) > 0, lines)).alias("idx", "line")
     ).withColumn("fp", F.md5("line"))
-    keeper = lr.groupBy("fp").agg(
-        F.min(F.struct("doc_id", "idx")).alias("first_occ")
-    )
-    k = lr.join(keeper, "fp").withColumn(
+    # keeper decision as ONE fp-partitioned window (row_number over
+    # (doc_id, idx)) instead of groupBy-min + rejoin: the join route
+    # referenced lr twice, recomputing the whole line-build subtree
+    # (4 Generates, no ReusedExchange — partial-agg exchanges differ)
+    # and shuffling lines an extra time. Same deterministic
+    # lexicographic-first semantics, one shuffle on the 16-byte fp.
+    from pyspark.sql import Window
+
+    k = lr.withColumn(
         "kept",
-        (F.col("doc_id") == F.col("first_occ.doc_id"))
-        & (F.col("idx") == F.col("first_occ.idx")),
+        F.row_number().over(
+            Window.partitionBy("fp").orderBy("doc_id", "idx")
+        )
+        == 1,
     )
     arr = F.sort_array(
         F.collect_list(F.when(F.col("kept"), F.struct("idx", "line")))

@@ -1015,3 +1015,16 @@ def test_lsh_family_plans_are_equi_joins(spark):
         assert n_cross == allowed_cross_bnlj.get(name, 0), f"{name}:\n{tree}"
         assert n_bnlj == n_cross, f"{name}: non-Cross BNLJ\n{tree}"
         assert "CartesianProduct" not in tree, f"{name}:\n{tree}"
+
+
+def test_text_dedup_lines_single_subtree_two_shuffles(spark):
+    """The keeper decision is an fp-partitioned window, NOT a
+    groupBy-min + self-rejoin: the join route duplicated the whole
+    line-build subtree (4 Generates, no exchange reuse) and shuffled
+    lines an extra time. Pin the shape: exactly two Exchanges (fp
+    window + doc reassembly), the token/line Generates appearing
+    once, and no join anywhere."""
+    tree = tree_of(plan_of(all_queries()["text_dedup_lines"](spark, SF_DIR)))
+    assert tree.count("Exchange") == 2, tree
+    assert tree.count("Generate") == 2, tree
+    assert "Join" not in tree, tree
