@@ -46,6 +46,10 @@ HEADLINE = [
     # r3: fully-verified SimHash pipeline (md5 token hashes, ~1M pairs
     # at sf0.1 on this duplicate-heavy fixture — the banding stress case)
     "dedup_simhash",
+    # late r3: C4 line-rewrite dedup (window keeper, 2 shuffles) and the
+    # UniMax mixture plan + corpus materialization (k-row water-fill)
+    "text_dedup_lines",
+    "pipeline_mixture_materialize",
 ]
 
 
