@@ -44,7 +44,20 @@ def normalize_text(c: Column) -> Column:
 
 
 def tokens_col(c: Column) -> Column:
-    return F.split(normalize_text(c), " +")
+    """Normalized word tokens, EMPTIES DROPPED — the exact Spark twin
+    of ``_DUCK_TOKENS`` (functions/text.py), which list_filters
+    ``t <> ''``.
+
+    The empty-drop lives HERE, not at call sites (r3 review): Spark's
+    ``split('', ' +')`` yields ``['']`` — one phantom token for any
+    document that normalizes to nothing (punctuation-only, or
+    non-ASCII-only under strip-before-lower) — while the DuckDB twin
+    yields ``[]``. Every unfiltered call site was a latent hash-gate
+    divergence on real corpora (latent only because the fixture is
+    all-alnum). ``array_remove`` not ``F.filter``: interior empties
+    are impossible after trim+squeeze, and ArrayRemove avoids a
+    higher-order lambda in the hot shingle/token paths."""
+    return F.array_remove(F.split(normalize_text(c), " +"), "")
 
 
 def shingles_col(tokens: Column, n: int = 3) -> Column:
@@ -786,7 +799,12 @@ g AS (
            unnest(CASE WHEN len(tk) >= 8
                   THEN list_transform(range(len(tk) - 7),
                        i -> array_to_string(tk[i+1:i+8], ' '))
-                  ELSE [array_to_string(tk, ' ')] END) AS gram
+                  -- COALESCE: DuckDB array_to_string([], ' ') is NULL
+                  -- where Spark concat_ws gives '' — a zero-token doc
+                  -- must gram as '' on both engines so empty docs
+                  -- flag each other (consistent with the MinHash
+                  -- family, where empty docs pair at J=1.0)
+                  ELSE [COALESCE(array_to_string(tk, ' '), '')] END) AS gram
     FROM t0
   )
 ),

@@ -1,0 +1,103 @@
+"""Cross-engine sweep over an ADVERSARIAL documents corpus.
+
+The sf* fixtures are all-alnum lowercase ASCII, so the registry-wide
+oracle sweep can never catch divergences that only trigger on
+punctuation-only / empty / non-ASCII documents (the r3 phantom-token
+class: Spark split('') == [''] vs DuckDB list_filter == []). This
+test materializes a small corpus full of exactly those shapes and
+runs the documents-only text/mixture queries through the SAME
+comparator the driver mirrors."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+from selfcheck import _table  # noqa: E402
+
+from gmt_dbt_spark.registry import all_oracles, all_queries  # noqa: E402
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy dog",  # exact dup
+    "!!! ??? ...",  # punctuation-only → 0 tokens
+    "",  # empty
+    "   ",  # whitespace-only
+    "общий текст на русском",  # non-ASCII-only → 0 tokens
+    "日本語のテキストです",  # CJK → 0 tokens
+    "mixed ASCII und Ümläute 42",
+    "numbers 123 456 789 and words",
+    "HELLO hello HeLLo case folding test",
+    "a",  # single token
+    "short doc",
+    "the the the the repetition heavy doc doc doc",
+    "unique words appear exactly once here today",
+]
+
+QUERIES = [
+    "text_tokenize",
+    "text_tf",
+    "text_token_count",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_tfidf",
+    "text_ngram_tf",
+    "text_dedup_lines",
+    "pipeline_text_curation",
+    "sample_mixture_unimax",
+    "pipeline_mixture_materialize",
+    # shingle/minhash paths: empty-normalizing docs all collapse to
+    # the whole-text '' shingle and must pair up IDENTICALLY on both
+    # engines (sig → band → verify replay)
+    "dedup_fuzzy",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_substring",
+    "text_unigram_logprob",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("adv_sf")
+    texts = TEXTS * 3  # enough rows for per-source stats
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": [("en", "de", "ru")[i % 3] for i in range(len(texts))],
+                "source": [f"src{i % 4}" for i in range(len(texts))],
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_adversarial_corpus_matches_oracle(spark, adv_dir, name):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{adv_dir}/documents.parquet'"
+    )
+    sdf = all_queries()[name](spark, adv_dir)
+    srows, scols = sdf.collect(), sdf.columns
+    cur = con.execute(all_oracles()[name])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    st, ot = _table(srows, scols, "spark"), _table(orows, ocols, "oracle")
+    assert len(st) == len(ot), f"{name}: {len(st)} vs {len(ot)} rows"
+    for i, (a, b) in enumerate(zip(st, ot)):
+        assert a == b, f"{name}: mismatch at sorted-row {i}: {a} != {b}"

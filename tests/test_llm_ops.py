@@ -531,7 +531,7 @@ def test_gini_in_unit_interval(spark):
 def test_tokenization_parity_on_adversarial_unicode(spark, tmp_path):
     """The Spark tokenizer and the DuckDB oracle recipe must agree on
     NON-fixture text too — the fixture is pure lowercase ASCII, so
-    the 356-query sweep alone would never catch a Unicode divergence.
+    the full-registry sweep alone would never catch a Unicode divergence.
     r3 fuzzing found one: with the old lower-then-strip order, JVM
     lower('İ') yields 'i' + COMBINING DOT while DuckDB yields 'i'
     ('İstanbul' → ['i','stanbul'] vs ['istanbul']). The recipe now
@@ -579,7 +579,7 @@ def test_tokenization_parity_on_adversarial_unicode(spark, tmp_path):
         r.doc_id: list(r.toks)
         for r in sdf.select(
             "doc_id",
-            F.filter(tokens_col(F.col("text")), lambda x: x != "").alias("toks"),
+            tokens_col(F.col("text")).alias("toks"),  # raw: empties drop inside
         ).collect()
     }
     con = duckdb.connect()
