@@ -102,10 +102,31 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# WHERE clause shared by the cosine-ranking oracles: zero-norm vectors
+# have no cosine (ANSI mode — the driver default — raises
+# DIVIDE_BY_ZERO; non-ANSI yields NULL vs DuckDB NaN: divergent either
+# way). dot(v,v) > 0 is summation-order-independent (every term >= 0),
+# so the gate is engine-exact. Integer-arithmetic ops
+# (dedup_embed_cosine, embed_*, sink_ivf_partitioned) keep zero
+# vectors: they are division-free and handle them consistently.
+_NONZERO_SQL = (
+    "list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0"
+)
+
+
+def _ranked_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_vecs` minus zero-norm vectors — the vector universe for the
+    cosine-ranking queries (sim_topk / _lsh / _ivf). See _NONZERO_SQL
+    for the cross-engine rationale (r3 adversarial-corpus finding)."""
+    v = _vecs(spark, sf_dir)
+    return v.filter(dot(F.col("vec"), F.col("vec")) > 0)
+
+
 @query(
     "sim_topk",
     oracle=f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+     FROM embeddings WHERE {_NONZERO_SQL}),
      q AS (SELECT * FROM v WHERE vec_id < {N_QUERIES}),
      scored AS (
        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
@@ -126,7 +147,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is (query, neighbor, rank) — ids only, because the score's
     last float ulp is engine-dependent while the ranking is stable.
     """
-    v = _vecs(spark, sf_dir)
+    v = _ranked_vecs(spark, sf_dir)
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
@@ -162,7 +183,8 @@ def _sig_sql() -> str:
 
 def _lsh_topk_oracle() -> str:
     return f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+     FROM embeddings WHERE {_NONZERO_SQL}),
 sig AS (SELECT vec_id, {_sig_sql()} AS s FROM v),
 banded AS (
   SELECT vec_id, g.band, (s // (1 << (4 * g.band))) % 16 AS bkey
@@ -205,7 +227,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the exact rerank, comparing (query, neighbor, rank) — ids and
     ranks only, like `sim_topk`, because the score's last float ulp
     is engine-dependent while the ranking is stable."""
-    v = _vecs(spark, sf_dir)
+    v = _ranked_vecs(spark, sf_dir)
     banded = _banded(_signature(v))
     q = banded.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -298,7 +320,8 @@ def _ivf_topk_oracle() -> str:
     error, so ranks are stable even though raw scores differ in the
     last ulp (the same argument under `sim_topk`'s oracle)."""
     return f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+     FROM embeddings WHERE {_NONZERO_SQL}),
 cent AS (
   SELECT vec_id AS cid, vec AS cvec FROM v
   WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT {K_CENTROIDS}
@@ -354,7 +377,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling, assignment, probing, and rerank (`_ivf_topk_oracle`);
     the surface is (query, neighbor, rank) — rank-stable, score-free,
     like `sim_topk`."""
-    v = _vecs(spark, sf_dir)
+    v = _ranked_vecs(spark, sf_dir)
     centroids = (
         v.filter(F.col("vec_id") % 37 == 0)
         .orderBy("vec_id")

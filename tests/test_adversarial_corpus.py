@@ -101,3 +101,76 @@ def test_adversarial_corpus_matches_oracle(spark, adv_dir, name):
     assert len(st) == len(ot), f"{name}: {len(st)} vs {len(ot)} rows"
     for i, (a, b) in enumerate(zip(st, ot)):
         assert a == b, f"{name}: mismatch at sorted-row {i}: {a} != {b}"
+
+
+# sim_recall_audit is deliberately absent: its oracle is a
+# fixture-calibrated QUALITY floor (recall@5 >= 0.30), not an
+# engine-parity statement — a 40-vector random corpus legitimately
+# undershoots it. Its three underlying retrievers are all here.
+EMB_QUERIES = [
+    "sim_topk",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "dedup_embed_cosine",
+    "embed_centroid",
+    "embed_quantize",
+    "embed_normalize",
+    "embed_kmeans",
+    "embed_pca_power",
+    "embed_cosine_audit",
+    "embed_pq",
+    "embed_pq_adc",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_emb_dir(tmp_path_factory):
+    """64-dim corpus with the vector shapes real embedding dumps
+    contain and the sf fixture never does: the all-zero vector,
+    EXACT duplicates (cosine ties — rank determinism), sub-micro-unit
+    magnitudes (quantize to 0 / floor(-0.5) = -1 on negatives), an
+    all-equal vector, and sign flips."""
+    import random
+
+    rng = random.Random(20260814)
+    d = tmp_path_factory.mktemp("adv_emb")
+    vecs = []
+    base = [round(rng.uniform(-0.5, 0.5), 4) for _ in range(64)]
+    for i in range(40):
+        vecs.append([round(rng.uniform(-0.5, 0.5), 4) for _ in range(64)])
+    vecs[3] = [0.0] * 64  # zero vector
+    vecs[5] = list(base)  # exact duplicate pair (5, 17)
+    vecs[17] = list(base)
+    vecs[9] = [1e-7] * 64  # below quantization resolution
+    vecs[11] = [-3e-7] * 64  # negative sub-resolution (floor ≠ trunc)
+    vecs[13] = [0.25] * 64  # all-equal
+    vecs[19] = [-v for v in base]  # antipode of the dup pair
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": list(range(len(vecs))),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+                "label": [i % 10 for i in range(len(vecs))],
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_adversarial_embeddings_match_oracle(spark, adv_emb_dir, name):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{adv_emb_dir}/embeddings.parquet'"
+    )
+    sdf = all_queries()[name](spark, adv_emb_dir)
+    srows, scols = sdf.collect(), sdf.columns
+    cur = con.execute(all_oracles()[name])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    st, ot = _table(srows, scols, "spark"), _table(orows, ocols, "oracle")
+    assert len(st) == len(ot), f"{name}: {len(st)} vs {len(ot)} rows"
+    for i, (a, b) in enumerate(zip(st, ot)):
+        assert a == b, f"{name}: mismatch at sorted-row {i}: {a} != {b}"
