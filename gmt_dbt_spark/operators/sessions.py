@@ -207,8 +207,11 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH p AS (
   SELECT user_id,
-         array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>')
-           AS path
+         -- COALESCE: array_to_string of an all-NULL/empty list is
+         -- NULL in DuckDB where Spark concat_ws gives '' (mid-list
+         -- NULLs skip identically on both engines)
+         COALESCE(array_to_string(list(event_type ORDER BY ts, event_id)[1:5],
+                                  '>'), '') AS path
   FROM events GROUP BY user_id
 )
 SELECT path, COUNT(*) AS n_users

@@ -174,3 +174,112 @@ def test_adversarial_embeddings_match_oracle(spark, adv_emb_dir, name):
     assert len(st) == len(ot), f"{name}: {len(st)} vs {len(ot)} rows"
     for i, (a, b) in enumerate(zip(st, ot)):
         assert a == b, f"{name}: mismatch at sorted-row {i}: {a} != {b}"
+
+
+EVT_QUERIES = [
+    "events_funnel",
+    "events_retention",
+    "events_wau_sliding",
+    "events_window_funnel",
+    "events_dau_mau",
+    "events_growth_accounting",
+    "events_sessionize",
+    "events_transitions",
+    "events_anomaly_zscore",
+    "events_path_analysis",
+    "agg_session_window",
+    "events_ohlc",
+    "events_gap_fill",
+    "events_ema",
+    "events_locf",
+    "events_interarrival",
+    "events_burst",
+    "events_backtest_snaive",
+    "win_streaks",
+    "win_running_distinct",
+    "win_median_sliding",
+    "win_slope",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_evt_dir(tmp_path_factory):
+    """Event-stream shapes real telemetry contains and the generated
+    fixture never does: exact-duplicate rows, same-(user, ts) ties
+    with different types (window tie-break determinism), NULL
+    user_id/value/type, single-event users, zero/negative values,
+    and events landing exactly on day/session-gap boundaries."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(20260814)
+    d = tmp_path_factory.mktemp("adv_evt")
+    base = dt.datetime(2024, 1, 1)
+    types = ["view", "click", "purchase", "signup", "error"]
+    rows = []
+
+    def add(uid, ts, etype, value, props='{"k": 1}'):
+        rows.append((len(rows), ts, uid, etype, value, props))
+
+    # ordinary activity for a handful of users across several days
+    for uid in range(1, 8):
+        t = base + dt.timedelta(hours=uid)
+        for i in range(30):
+            t += dt.timedelta(minutes=rng.randint(1, 90))
+            add(uid, t, types[rng.randint(0, 4)], round(rng.uniform(0, 50), 2))
+    # same-(user, ts) tie with DIFFERENT event types
+    tie = base + dt.timedelta(days=1, hours=2)
+    add(50, tie, "view", 1.0)
+    add(50, tie, "click", 2.0)
+    add(50, tie, "purchase", 3.0)
+    # exact full-duplicate rows (distinct event_id only)
+    dup = base + dt.timedelta(days=1, hours=3)
+    add(51, dup, "click", 5.0)
+    add(51, dup, "click", 5.0)
+    # NULLs a real stream would carry
+    add(None, base + dt.timedelta(days=2), "view", 7.0)
+    add(52, base + dt.timedelta(days=2, hours=1), None, 8.0)
+    add(53, base + dt.timedelta(days=2, hours=2), "view", None)
+    add(54, base + dt.timedelta(days=2, hours=3), "view", 9.0, None)
+    # single-event user; zero and negative values
+    add(55, base + dt.timedelta(days=3), "purchase", 0.0)
+    add(56, base + dt.timedelta(days=3, hours=1), "purchase", -12.5)
+    # events exactly 30 minutes apart (the canonical session gap)
+    t = base + dt.timedelta(days=4)
+    for i in range(4):
+        add(57, t + dt.timedelta(minutes=30 * i), "view", 1.0)
+    # midnight-boundary events (day-rollup edges)
+    add(58, dt.datetime(2024, 1, 5, 0, 0, 0), "view", 1.0)
+    add(58, dt.datetime(2024, 1, 5, 23, 59, 59, 999999), "view", 1.0)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EVT_QUERIES)
+def test_adversarial_events_match_oracle(spark, adv_evt_dir, name):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{adv_evt_dir}/events.parquet'"
+    )
+    sdf = all_queries()[name](spark, adv_evt_dir)
+    srows, scols = sdf.collect(), sdf.columns
+    cur = con.execute(all_oracles()[name])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    st, ot = _table(srows, scols, "spark"), _table(orows, ocols, "oracle")
+    assert len(st) == len(ot), f"{name}: {len(st)} vs {len(ot)} rows"
+    for i, (a, b) in enumerate(zip(st, ot)):
+        assert a == b, f"{name}: mismatch at sorted-row {i}: {a} != {b}"
