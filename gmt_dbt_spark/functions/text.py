@@ -610,7 +610,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
-        F.filter(tokens_col(F.col("text")), lambda w: w != "").alias("toks"),
+        tokens_col(F.col("text")).alias("toks"),
     )
     m = t.select(
         "doc_id",

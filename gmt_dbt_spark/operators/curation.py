@@ -264,7 +264,7 @@ def text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id",
         F.explode(
-            F.array(F.filter(tokens_col(F.col("text")), lambda x: x != ""))
+            F.array(tokens_col(F.col("text")))
         ).alias("__tk"),
     )
     tk = F.col("__tk")
@@ -1021,7 +1021,7 @@ def _unimax_plan(docs: DataFrame) -> DataFrame:
         .select(
             "source",
             F.size(
-                F.filter(tokens_col(F.col("text")), lambda x: x != "")
+                tokens_col(F.col("text"))
             ).alias("nt"),
         )
         .groupBy("source")

@@ -474,7 +474,7 @@ def dedup_fuzzy_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     n_clean_tokens = F.size(
-        F.filter(tokens_col(F.col("text")), lambda x: x != "")
+        tokens_col(F.col("text"))
     )
     sl = docs.filter(
         (F.col("doc_id") < 200)
@@ -741,7 +741,7 @@ def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the same audit runs on any bounded slice."""
     docs = table(spark, sf_dir, "documents")
     n_clean_tokens = F.size(
-        F.filter(tokens_col(F.col("text")), lambda x: x != "")
+        tokens_col(F.col("text"))
     )
     sl = docs.filter(
         (F.col("doc_id") < 200)
@@ -903,7 +903,7 @@ def text_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens, full 3-grams only) matches the oracle token-for-token;
     the 0.8 cut is an integer cross-multiplication."""
     docs = table(spark, sf_dir, "documents")
-    n_clean_tokens = F.size(F.filter(tokens_col(F.col("text")), lambda x: x != ""))
+    n_clean_tokens = F.size(tokens_col(F.col("text")))
     sl = docs.filter(
         (F.col("doc_id") < 200)
         & F.col("text").isNotNull()
