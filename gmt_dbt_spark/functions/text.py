@@ -245,10 +245,11 @@ def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
     `text_unigram_logprob`). Exposed for callers that want the raw
     float score; the registry query projects the oracle-safe surface.
     Empty tokens are dropped on both engines (a doc whose text
-    normalizes to '' contributes nothing)."""
+    normalizes to '' contributes nothing — tokens_col drops empties
+    at the source)."""
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
-    ).filter(F.col("tok") != "")
+    )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = toks.count()  # scalar: one job, no per-row driver work
     # NO broadcast hint on vocab (r3 review): the distinct-token

@@ -772,7 +772,10 @@ g AS (
            unnest(CASE WHEN len(tk) >= 8
                   THEN list_transform(range(len(tk) - 7),
                        i -> array_to_string(tk[i+1:i+8], ' '))
-                  ELSE [array_to_string(tk, ' ')] END) AS gram
+                  -- COALESCE: array_to_string([], ' ') is NULL in
+                  -- DuckDB vs '' from Spark concat_ws (same fix as
+                  -- dedup_substring's gram CTE)
+                  ELSE [COALESCE(array_to_string(tk, ' '), '')] END) AS gram
     FROM t0
   )
 ),

@@ -290,7 +290,18 @@ def verify_jaccard(
         .withColumn(
             "n_union", F.size(F.array_union("a.__toks", "b.__toks")).cast("bigint")
         )
-        .withColumn("jaccard", F.col("n_inter") / F.col("n_union"))
+        # n_union = 0 happens when BOTH sides normalize to zero
+        # tokens (shingle=False path after tokens_col's empty-drop):
+        # identical-empty sets are duplicates by convention (the
+        # shingle path grades the same pair J=1.0 via the {''}
+        # whole-text shingle), and the raw division would be 0/0 —
+        # DIVIDE_BY_ZERO under ANSI, the driver default
+        .withColumn(
+            "jaccard",
+            F.when(
+                F.col("n_union") > 0, F.col("n_inter") / F.col("n_union")
+            ).otherwise(F.lit(1.0)),
+        )
         # integer cross-multiplication when the threshold is a tenth
         # (it always is here): no float division in the decision, so
         # the oracle's integer comparison is trivially identical
@@ -594,14 +605,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the ENTIRE pipeline — hashes, per-bit sign-sums, the
     half-signature banding self-join, and the Hamming verify — and
     the full pair set is value-hashed, not just recall-audited.
-    Empty tokens are filtered on both engines."""
+    Empty tokens never occur: tokens_col drops them at the source."""
     docs = table(spark, sf_dir, "documents")
     tok = (
         docs.select(
             "doc_id",
             F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok"),
         )
-        .filter(F.col("tok") != "")
         .withColumn(
             "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
         )

@@ -63,6 +63,7 @@ QUERIES = [
     "dedup_simhash",
     "dedup_substring",
     "text_unigram_logprob",
+    "pipeline_dedup_cascade",
 ]
 
 
@@ -85,13 +86,13 @@ def adv_dir(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", QUERIES)
-def test_adversarial_corpus_matches_oracle(spark, adv_dir, name):
+def _assert_parity(spark, sf_dir, view, name):
+    """Driver-mirror compare of one registered query vs its oracle on
+    an adversarial table directory (the comparator itself is
+    selfcheck's — one implementation, reused)."""
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{adv_dir}/documents.parquet'"
-    )
-    sdf = all_queries()[name](spark, adv_dir)
+    con.execute(f"CREATE VIEW {view} AS SELECT * FROM '{sf_dir}/{view}.parquet'")
+    sdf = all_queries()[name](spark, sf_dir)
     srows, scols = sdf.collect(), sdf.columns
     cur = con.execute(all_oracles()[name])
     ocols = [d[0] for d in cur.description]
@@ -101,6 +102,11 @@ def test_adversarial_corpus_matches_oracle(spark, adv_dir, name):
     assert len(st) == len(ot), f"{name}: {len(st)} vs {len(ot)} rows"
     for i, (a, b) in enumerate(zip(st, ot)):
         assert a == b, f"{name}: mismatch at sorted-row {i}: {a} != {b}"
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_adversarial_corpus_matches_oracle(spark, adv_dir, name):
+    _assert_parity(spark, adv_dir, "documents", name)
 
 
 # sim_recall_audit is deliberately absent: its oracle is a
@@ -160,20 +166,7 @@ def adv_emb_dir(tmp_path_factory):
 
 @pytest.mark.parametrize("name", EMB_QUERIES)
 def test_adversarial_embeddings_match_oracle(spark, adv_emb_dir, name):
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW embeddings AS SELECT * FROM '{adv_emb_dir}/embeddings.parquet'"
-    )
-    sdf = all_queries()[name](spark, adv_emb_dir)
-    srows, scols = sdf.collect(), sdf.columns
-    cur = con.execute(all_oracles()[name])
-    ocols = [d[0] for d in cur.description]
-    orows = cur.fetchall()
-    assert sorted(scols) == sorted(ocols)
-    st, ot = _table(srows, scols, "spark"), _table(orows, ocols, "oracle")
-    assert len(st) == len(ot), f"{name}: {len(st)} vs {len(ot)} rows"
-    for i, (a, b) in enumerate(zip(st, ot)):
-        assert a == b, f"{name}: mismatch at sorted-row {i}: {a} != {b}"
+    _assert_parity(spark, adv_emb_dir, "embeddings", name)
 
 
 EVT_QUERIES = [
@@ -269,17 +262,4 @@ def adv_evt_dir(tmp_path_factory):
 
 @pytest.mark.parametrize("name", EVT_QUERIES)
 def test_adversarial_events_match_oracle(spark, adv_evt_dir, name):
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW events AS SELECT * FROM '{adv_evt_dir}/events.parquet'"
-    )
-    sdf = all_queries()[name](spark, adv_evt_dir)
-    srows, scols = sdf.collect(), sdf.columns
-    cur = con.execute(all_oracles()[name])
-    ocols = [d[0] for d in cur.description]
-    orows = cur.fetchall()
-    assert sorted(scols) == sorted(ocols)
-    st, ot = _table(srows, scols, "spark"), _table(orows, ocols, "oracle")
-    assert len(st) == len(ot), f"{name}: {len(st)} vs {len(ot)} rows"
-    for i, (a, b) in enumerate(zip(st, ot)):
-        assert a == b, f"{name}: mismatch at sorted-row {i}: {a} != {b}"
+    _assert_parity(spark, adv_evt_dir, "events", name)
