@@ -89,8 +89,16 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH o AS (
   SELECT user_id, ts, value,
+         -- STRICT > (r3 adversarial finding): Spark's session_window
+         -- MERGES an event arriving at exactly prev_ts + gap (touching
+         -- windows coalesce), so only a gap STRICTLY greater than the
+         -- duration starts a new session. The >= spelling diverged on
+         -- events spaced exactly 30 minutes apart — a cadence the
+         -- random-timestamp fixture never produced. Matches
+         -- agg_session_window's oracle and events_sessionize's
+         -- gap > SESSION_GAP_S.
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   >= INTERVAL '30 minutes'
+                   > INTERVAL '30 minutes'
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events),
@@ -109,9 +117,10 @@ GROUP BY user_id, session_id
 )
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session window (30-minute gap) per user. Spark merges events
-    while ts < prev_end (= prev_ts + gap); the oracle's
-    gaps-and-islands uses the matching `>= gap` break condition, and
-    session_end = last_ts + gap on both sides."""
+    while ts <= prev_end (= prev_ts + gap — touching windows
+    coalesce); the oracle's gaps-and-islands uses the matching
+    STRICT `> gap` break condition, and session_end = last_ts + gap
+    on both sides."""
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

@@ -192,6 +192,15 @@ EVT_QUERIES = [
     "win_running_distinct",
     "win_median_sliding",
     "win_slope",
+    # true streaming (micro-batch replay) over the same hostile
+    # stream: caught the session-gap boundary divergence (Spark's
+    # session_window MERGES at exactly prev_ts + gap; the oracle's
+    # >= spelling split there — fixed to strict >)
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup",
+    "stream_watermark_late",
 ]
 
 
