@@ -98,10 +98,36 @@ def write_replay(ev, src_dir: str, n_batches: int = 2) -> None:
     test-harness authoring, not a production path — see module
     docstring)."""
     for i in range(n_batches):
-        ev.filter(F.col("event_id") % n_batches == i).toPandas().to_json(
-            os.path.join(src_dir, f"part-{i}.json"), orient="records",
-            lines=True, date_format="iso", date_unit="us",
+        write_json_shard(
+            ev.filter(F.col("event_id") % n_batches == i),
+            os.path.join(src_dir, f"part-{i}.json"),
         )
+
+
+def write_json_shard(df: DataFrame, path: str) -> None:
+    """Author ONE NDJSON replay shard with schema-faithful types.
+
+    NULL-robustness (r3 adversarial finding): toPandas degrades a
+    nullable int64 column to float64, so a shard containing ONE null
+    user_id serialized EVERY row's user_id as "1.0" — which fails the
+    bigint field parse and PERMISSIVE-nulls the whole row, silently
+    funneling the entire shard into the NULL-key state group.
+    Nullable Int64 keeps ints ints and NA as null. The to_json flags
+    are LOAD-BEARING for timestamp parity with EVENT_SCHEMA (iso
+    format, microsecond unit). Single definition for every replay
+    author (write_replay + the time-split sessionizer)."""
+    from pyspark.sql.types import IntegerType, LongType
+
+    pdf = df.toPandas()
+    for f in df.schema.fields:
+        if (
+            isinstance(f.dataType, (IntegerType, LongType))
+            and pdf[f.name].dtype.kind == "f"
+        ):
+            pdf[f.name] = pdf[f.name].astype("Int64")
+    pdf.to_json(
+        path, orient="records", lines=True, date_format="iso", date_unit="us"
+    )
 
 
 
@@ -175,26 +201,32 @@ def running_totals_stateful(stream: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        n, total_micro, last = (
-            state.get if state.exists else (0, 0, None)
+        n, n_vals, total_micro, last = (
+            state.get if state.exists else (0, 0, 0, None)
         )
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
             n += len(pdf)
+            # SQL SUM semantics (r3 adversarial finding): pandas sum
+            # skips NaN and returns 0.0 for an all-null key, where SQL
+            # SUM is NULL until the first non-null value arrives —
+            # track the non-null count so the emitted total matches
+            # the batch aggregate exactly.
+            n_vals += int(pdf["value"].notna().sum())
             # sum in integer micro-units: associative + exact (each
             # per-batch float sum is within 0.5 micro of the decimal
             # sum, so the rounded increment is exact per batch and
             # errors cannot accumulate across batches)
-            total_micro += int(round(float(pdf["value"].sum()) * 1e6))
+            total_micro += int(round(float(pdf["value"].sum(min_count=0) or 0.0) * 1e6))
             mx = pdf["ts"].max()
             last = mx if last is None or mx > last else last
-        state.update((n, total_micro, last))
+        state.update((n, n_vals, total_micro, last))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total": [total_micro / 1e6],
+                "total": [total_micro / 1e6 if n_vals else None],
                 "last_ts": [last],
             }
         )
@@ -202,7 +234,7 @@ def running_totals_stateful(stream: DataFrame) -> DataFrame:
     return stream.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=STATE_OUT_SCHEMA,
-        stateStructType="n bigint, total_micro bigint, last_ts timestamp",
+        stateStructType="n bigint, n_vals bigint, total_micro bigint, last_ts timestamp",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -266,7 +298,7 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id, max(ts) AS last_seen,
        CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total
-FROM events GROUP BY user_id
+FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 """,
 )
 def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,7 +316,14 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(run_dir, "ckpt")
     os.makedirs(src_dir, exist_ok=True)
     try:
-        ev = table(spark, sf_dir, "events")
+        # NULL upsert keys are excluded up front (r3 adversarial
+        # finding): MERGE ON t.user_id = s.user_id follows SQL
+        # equality — a NULL source key matches nothing and would
+        # INSERT a fresh row EVERY batch (BigQuery MERGE, which
+        # merge_upsert mirrors, behaves identically). A keyed upsert
+        # pipeline enforces key non-nullness at ingest; rows without
+        # a key belong in a quarantine path, not the keyed target.
+        ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
         # Seed target: all users, empty aggregate state.
         ev.select("user_id").distinct().select(
             "user_id",
@@ -353,26 +392,29 @@ class RunningTotalsProcessor:
         class _P(StatefulProcessor):
             def init(self, handle: StatefulProcessorHandle) -> None:
                 self.state = handle.getValueState(
-                    "agg", "n bigint, total_micro bigint, last_us bigint"
+                    "agg", "n bigint, n_vals bigint, total_micro bigint, last_us bigint"
                 )
 
             def handleInputRows(self, key, rows, timerValues):
-                n, total_micro, last_us = (
-                    self.state.get() if self.state.exists() else (0, 0, None)
+                n, n_vals, total_micro, last_us = (
+                    self.state.get() if self.state.exists() else (0, 0, 0, None)
                 )
                 for pdf in rows:
                     if len(pdf) == 0:
                         continue
                     n += len(pdf)
-                    total_micro += int(round(float(pdf["value"].sum()) * 1e6))
+                    # SQL SUM: NULL until a non-null value arrives
+                    # (see running_totals_stateful)
+                    n_vals += int(pdf["value"].notna().sum())
+                    total_micro += int(round(float(pdf["value"].sum(min_count=0) or 0.0) * 1e6))
                     mx = int(pdf["ts"].astype("int64").max()) // 1000
                     last_us = mx if last_us is None or mx > last_us else last_us
-                self.state.update((n, total_micro, last_us))
+                self.state.update((n, n_vals, total_micro, last_us))
                 yield pd.DataFrame(
                     {
                         "user_id": [key[0]],
                         "n_events": [n],
-                        "total": [total_micro / 1e6],
+                        "total": [total_micro / 1e6 if n_vals else None],
                         "last_us": [last_us],
                     }
                 )
@@ -918,10 +960,7 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, half in enumerate(
             (ev.filter(F.col("ts") <= mid), ev.filter(F.col("ts") > mid))
         ):
-            half.toPandas().to_json(
-                os.path.join(src_dir, f"part-{i}.json"),
-                orient="records", lines=True, date_format="iso", date_unit="us",
-            )
+            write_json_shard(half, os.path.join(src_dir, f"part-{i}.json"))
         s1, s2 = sentinel_times(ev, delay_days=40)
         write_sentinels(
             src_dir,
@@ -950,7 +989,13 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        out = spark.table(name).filter(F.col("user_id") >= 0)
+        # sentinel sessions carry user_id -999999/-999998; real NULL
+        # users must SURVIVE this cut (null >= 0 is null -> dropped by
+        # the bare comparison — r3 adversarial finding; the oracle's
+        # gaps-and-islands sessionizes the null user like any other)
+        out = spark.table(name).filter(
+            F.col("user_id").isNull() | (F.col("user_id") >= 0)
+        )
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)

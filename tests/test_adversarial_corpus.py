@@ -201,6 +201,15 @@ EVT_QUERIES = [
     "stream_session",
     "stream_dedup",
     "stream_watermark_late",
+    # custom stateful ops: caught the replay float-degradation bug
+    # (null int64 -> float64 -> whole shard PERMISSIVE-nulled), the
+    # pandas-sum-vs-SQL-SUM all-null divergence, the MERGE null-key
+    # duplicate insert, and the sentinel filter dropping null users
+    "stream_custom_state",
+    "stream_transform_with_state",
+    "stream_upsert_sink",
+    "stream_session_timeout",
+    "stream_stream_join",
 ]
 
 
