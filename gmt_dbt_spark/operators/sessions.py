@@ -299,16 +299,16 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_session_window",
     oracle="""
 WITH marked AS (
-  SELECT user_id, ts,
-         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL '30 minutes' OR
-                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_s
   FROM events
 ),
 seq AS (
   SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS s
   FROM marked
 )

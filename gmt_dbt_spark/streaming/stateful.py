@@ -107,27 +107,28 @@ def write_replay(ev, src_dir: str, n_batches: int = 2) -> None:
 def write_json_shard(df: DataFrame, path: str) -> None:
     """Author ONE NDJSON replay shard with schema-faithful types.
 
-    NULL-robustness (r3 adversarial finding): toPandas degrades a
-    nullable int64 column to float64, so a shard containing ONE null
-    user_id serialized EVERY row's user_id as "1.0" — which fails the
-    bigint field parse and PERMISSIVE-nulls the whole row, silently
-    funneling the entire shard into the NULL-key state group.
-    Nullable Int64 keeps ints ints and NA as null. The to_json flags
-    are LOAD-BEARING for timestamp parity with EVENT_SCHEMA (iso
-    format, microsecond unit). Single definition for every replay
-    author (write_replay + the time-split sessionizer)."""
-    from pyspark.sql.types import IntegerType, LongType
+    NULL-robustness (r3 adversarial finding): the original
+    toPandas().to_json() route degraded a nullable int64 column to
+    float64, so a shard containing ONE null user_id serialized EVERY
+    row's user_id as "1.0" — which fails the bigint field parse and
+    PERMISSIVE-nulls the whole row, silently funneling the entire
+    shard into the NULL-key state group. The Arrow route (review
+    pass) keeps int64 EXACT at any magnitude (the Int64-repair
+    variant was still lossy above 2^53 — the degradation happens
+    before the cast) and nulls stay null. Timestamps serialize as
+    ISO-with-microseconds, the format EVENT_SCHEMA's JSON reader
+    parses. Single definition for every replay author (write_replay +
+    the time-split sessionizer)."""
+    import json as _json
 
-    pdf = df.toPandas()
-    for f in df.schema.fields:
-        if (
-            isinstance(f.dataType, (IntegerType, LongType))
-            and pdf[f.name].dtype.kind == "f"
-        ):
-            pdf[f.name] = pdf[f.name].astype("Int64")
-    pdf.to_json(
-        path, orient="records", lines=True, date_format="iso", date_unit="us"
-    )
+    def _cell(v):
+        if hasattr(v, "isoformat"):  # datetime → ISO (micros included)
+            return v.isoformat(timespec="microseconds")
+        return v
+
+    with open(path, "w") as f:
+        for row in df.toArrow().to_pylist():
+            f.write(_json.dumps({k: _cell(v) for k, v in row.items()}) + "\n")
 
 
 
@@ -218,7 +219,7 @@ def running_totals_stateful(stream: DataFrame) -> DataFrame:
             # per-batch float sum is within 0.5 micro of the decimal
             # sum, so the rounded increment is exact per batch and
             # errors cannot accumulate across batches)
-            total_micro += int(round(float(pdf["value"].sum(min_count=0) or 0.0) * 1e6))
+            total_micro += int(round(float(pdf["value"].sum()) * 1e6))
             mx = pdf["ts"].max()
             last = mx if last is None or mx > last else last
         state.update((n, n_vals, total_micro, last))
@@ -406,7 +407,7 @@ class RunningTotalsProcessor:
                     # SQL SUM: NULL until a non-null value arrives
                     # (see running_totals_stateful)
                     n_vals += int(pdf["value"].notna().sum())
-                    total_micro += int(round(float(pdf["value"].sum(min_count=0) or 0.0) * 1e6))
+                    total_micro += int(round(float(pdf["value"].sum()) * 1e6))
                     mx = int(pdf["ts"].astype("int64").max()) // 1000
                     last_us = mx if last_us is None or mx > last_us else last_us
                 self.state.update((n, n_vals, total_micro, last_us))
@@ -859,7 +860,7 @@ SESSION_OUT_SCHEMA = (
     "stream_session_timeout",
     oracle="""
 WITH marked AS (
-  SELECT user_id, ts,
+  SELECT user_id, event_id, ts,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL '30 minutes' OR
                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -868,7 +869,7 @@ WITH marked AS (
 ),
 seq AS (
   SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS s
   FROM marked
 )

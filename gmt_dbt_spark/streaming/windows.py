@@ -88,7 +88,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session",
     oracle="""
 WITH o AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          -- STRICT > (r3 adversarial finding): Spark's session_window
          -- MERGES an event arriving at exactly prev_ts + gap (touching
          -- windows coalesce), so only a gap STRICTLY greater than the
@@ -97,13 +97,13 @@ WITH o AS (
          -- random-timestamp fixture never produced. Matches
          -- agg_session_window's oracle and events_sessionize's
          -- gap > SESSION_GAP_S.
-         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL '30 minutes'
-              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events),
  s AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_id
   FROM o)
 SELECT user_id,

@@ -210,6 +210,8 @@ EVT_QUERIES = [
     "stream_upsert_sink",
     "stream_session_timeout",
     "stream_stream_join",
+    "stream_stream_left_outer",
+    "stream_full_outer",
 ]
 
 
