@@ -317,7 +317,8 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_custkey,
        md5(c_name) AS name_md5,
        sha256(c_name) AS name_sha256,
-       md5(CONCAT(c_name, '|', CAST(c_nationkey AS VARCHAR))) AS row_digest
+       md5(CONCAT(COALESCE(c_name, chr(1)), '|',
+                  COALESCE(CAST(c_nationkey AS VARCHAR), chr(1)))) AS row_digest
 FROM customer
 """,
 )
@@ -331,8 +332,17 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.md5("c_name").alias("name_md5"),
         F.sha2("c_name", 256).alias("name_sha256"),
+        # NULL-sentinel digest (r3 adversarial finding): concat_ws
+        # SKIPS nulls, so (NULL, 5) and ('', 5) would collide — and
+        # Spark's skip disagreed with the oracle's CONCAT (which keeps
+        # the separator). A \x01 sentinel keeps the digest total and
+        # identical on both engines.
         F.md5(
-            F.concat_ws("|", F.col("c_name"), F.col("c_nationkey").cast("string"))
+            F.concat_ws(
+                "|",
+                F.coalesce(F.col("c_name"), F.lit("\x01")),
+                F.coalesce(F.col("c_nationkey").cast("string"), F.lit("\x01")),
+            )
         ).alias("row_digest"),
     )
 
@@ -502,9 +512,9 @@ def fn_csv_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey,
        regexp_replace(regexp_replace(regexp_replace(c_name,
-           '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+           '\\p{Lu}', 'X', 'g'), '\\p{Ll}', 'x', 'g'), '\\p{Nd}', 'n', 'g')
          AS masked_default,
-       regexp_replace(c_name, '[0-9]', '*', 'g') AS masked_digits_only
+       regexp_replace(c_name, '\\p{Nd}', '*', 'g') AS masked_digits_only
 FROM customer
 """,
 )

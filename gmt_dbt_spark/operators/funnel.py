@@ -643,13 +643,19 @@ def mart_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mart_gini",
     oracle="""
 WITH cust AS (
+  -- NULL hygiene (r3 adversarial finding): unattributed orders
+  -- (NULL custkey) and customers with no revenue observation
+  -- (all-NULL totals -> SUM NULL) are excluded on BOTH engines —
+  -- a NULL x otherwise ranks FIRST under Spark's default sort and
+  -- LAST under DuckDB's, shifting every Lorenz rank by one.
   SELECT o_custkey,
          CAST(FLOOR(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
                               AS VARCHAR) AS DOUBLE)) AS BIGINT) AS x
-  FROM orders GROUP BY o_custkey
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
 ),
 ranked AS (
   SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM cust
+  WHERE x IS NOT NULL
 ),
 s AS (
   SELECT COUNT(*) AS n, SUM(x) AS total,
@@ -690,12 +696,17 @@ def mart_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles into the hundreds of millions."""
     cust = (
         table(spark, sf_dir, "orders")
+        # unattributed orders and no-observation customers excluded —
+        # see the oracle's NULL-hygiene comment (a NULL x ranks FIRST
+        # on Spark, LAST on DuckDB)
+        .filter(F.col("o_custkey").isNotNull())
         .groupBy("o_custkey")
         .agg(
             F.floor(dec2dbl(F.sum(F.col("o_totalprice").cast(DEC))))
             .cast("bigint")
             .alias("x")
         )
+        .filter(F.col("x").isNotNull())
     )
     w = Window.orderBy("x", "o_custkey")
     ranked = cust.select("x", F.row_number().over(w).alias("i"))

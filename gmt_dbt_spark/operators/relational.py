@@ -91,7 +91,7 @@ def project_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_custkey,
        UPPER(c_name) AS name_upper,
        c_acctbal * 2.0 AS bal_x2,
-       CONCAT(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nat
+       CONCAT_WS(':', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat
 FROM customer
 """,
 )

@@ -55,7 +55,7 @@ SELECT o_custkey, o_orderkey, o_orderdate,
                  LAG(o_orderdate) OVER w,
                  o_orderdate) AS days_since_prev
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
 """,
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,11 +79,11 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_custkey, o_orderkey,
        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
          AS running_spend,
        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
          AS last3_spend
 FROM orders
@@ -110,7 +110,7 @@ def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_custkey, o_orderkey,
        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
             OVER (PARTITION BY o_custkey
-                  ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                  ORDER BY CAST(epoch(o_orderdate) AS BIGINT) NULLS FIRST
                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
          AS spend_30d
 FROM orders
@@ -136,12 +136,12 @@ def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_custkey, o_orderkey,
        FIRST_VALUE(o_orderkey) OVER w AS first_order,
        LAST_VALUE(o_orderkey)
-         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          AS last_order,
        NTH_VALUE(o_orderkey, 2) OVER w AS second_order
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
 """,
 )
 def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,7 +166,7 @@ SELECT c_custkey, c_mktsegment,
        percent_rank() OVER w AS pr,
        cume_dist()    OVER w AS cd
 FROM customer
-WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal NULLS FIRST, c_custkey)
 """,
 )
 def win_pct_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,8 +192,8 @@ SELECT o_custkey, o_orderkey,
        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER wf
             AS VARCHAR) AS DOUBLE) AS running_total
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
 )
@@ -214,8 +214,8 @@ def win_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER wf
                     AS STRING) AS DOUBLE) AS running_total
         FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-               wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey),
+               wf AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """
     )
@@ -225,11 +225,11 @@ def win_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_range_interval",
     oracle="""
 SELECT o_orderkey, o_custkey,
-       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST
                       RANGE BETWEEN INTERVAL '30 days' PRECEDING
                             AND CURRENT ROW) AS n_30d,
        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
-                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST
                        RANGE BETWEEN INTERVAL '30 days' PRECEDING
                              AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
          AS sum_30d
@@ -247,11 +247,11 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey,
-               COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+               COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST
                               RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
                                     AND CURRENT ROW) AS n_30d,
                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
-                         OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                         OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST
                                RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
                                      AND CURRENT ROW) AS STRING) AS DOUBLE)
                  AS sum_30d
@@ -264,7 +264,7 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_ntile",
     oracle="""
 SELECT c_custkey,
-       ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS balance_decile
+       ntile(10) OVER (ORDER BY c_acctbal NULLS FIRST, c_custkey) AS balance_decile
 FROM customer
 """,
 )

@@ -283,3 +283,165 @@ def adv_evt_dir(tmp_path_factory):
 @pytest.mark.parametrize("name", EVT_QUERIES)
 def test_adversarial_events_match_oracle(spark, adv_evt_dir, name):
     _assert_parity(spark, adv_evt_dir, "events", name)
+
+
+ORD_QUERIES = [
+    "win_lag_lead",
+    "win_frame_rows",
+    "win_frame_range",
+    "win_first_last",
+    "win_named_window",
+    "win_range_interval",
+    "topk",
+    "filter_pred",
+    "agg_argmax",
+    "agg_bool",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_histogram",
+    "agg_percentile_disc",
+    "agg_rollup",
+    "agg_string_agg",
+    "mart_gini",
+    "mart_ltv",
+    "mart_rfm",
+    "dq_outlier_iqr",
+    "dq_outlier_mad",
+    "dq_benford",
+    "dq_accepted_values",
+    "fn_date",
+    "fn_cond",
+    "fn_cast",
+    "fn_try",
+    "cdc_diff",
+    "join_null_safe",
+    "sql_unpivot_syntax",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_ord_dir(tmp_path_factory):
+    """Orders with the shapes a real (non-TPC-H) feed contains:
+    NULL custkey/orderdate/totalprice/status/priority, duplicate
+    (custkey, orderdate) pairs (window tie-breaks + NULLS FIRST-vs-
+    LAST divergence bait on nullable sort keys), zero and negative
+    totals, single-order customers, and repeated exact totals."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(20260814)
+    d = tmp_path_factory.mktemp("adv_ord")
+    statuses = ["F", "O", "P"]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    rows = []
+
+    def add(key, cust, status, total, date, prio):
+        rows.append((key, cust, status, total, date, prio))
+
+    k = 0
+    for cust in range(1, 15):
+        for _ in range(rng.randint(2, 9)):
+            add(
+                k,
+                cust,
+                statuses[rng.randint(0, 2)],
+                round(rng.uniform(900.0, 450000.0), 2),
+                dt.datetime(1992 + rng.randint(0, 6), rng.randint(1, 12),
+                            rng.randint(1, 28)),
+                prios[rng.randint(0, 4)],
+            )
+            k += 1
+    tie_day = dt.datetime(1995, 6, 15)
+    for i in range(3):  # duplicate (custkey, orderdate), distinct totals
+        add(k, 20, "O", 1000.0 + i, tie_day, "2-HIGH"); k += 1
+    add(k, 21, "F", 5000.0, tie_day, "5-LOW"); k += 1
+    add(k, 21, "F", 5000.0, tie_day, "5-LOW2"[:5], ); k += 1  # exact total tie
+    add(k, None, "O", 7777.77, dt.datetime(1996, 1, 2), "1-URGENT"); k += 1
+    add(k, 22, None, 8888.88, dt.datetime(1996, 2, 3), "3-MEDIUM"); k += 1
+    add(k, 23, "P", None, dt.datetime(1996, 3, 4), "4-NOT SPECIFIED"); k += 1
+    add(k, 24, "F", 0.0, None, "5-LOW"); k += 1  # NULL date
+    add(k, 25, "O", -120.5, dt.datetime(1997, 7, 8), None); k += 1
+    add(k, 26, "F", 42.42, dt.datetime(1998, 8, 1), "1-URGENT"); k += 1
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+                "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+                "o_orderdate": pa.array([r[4] for r in rows], pa.timestamp("us")),
+                "o_orderpriority": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ORD_QUERIES)
+def test_adversarial_orders_match_oracle(spark, adv_ord_dir, name):
+    _assert_parity(spark, adv_ord_dir, "orders", name)
+
+
+CUST_QUERIES = [
+    "win_ntile",
+    "win_pct_dist",
+    "win_rank",
+    "sort_order",
+    "agg_percentile",
+    "fn_hash",
+    "fn_mask",
+    "fn_math",
+    "project_exprs",
+    "sql_offset_paging",
+    "sql_star_except",
+    "sql_pipe_syntax",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_cust_dir(tmp_path_factory):
+    """Customers with NULL balances/segments/names, exact balance
+    ties (rank/ntile determinism), negative and zero balances, and
+    unicode names — the dimension-table shapes TPC-H generators
+    never emit."""
+    import random
+
+    rng = random.Random(20260814)
+    d = tmp_path_factory.mktemp("adv_cust")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    rows = []
+    for i in range(40):
+        rows.append(
+            (i, f"Customer#{i:09d}", i % 25,
+             round(rng.uniform(-999.0, 9999.0), 2), segs[i % 5])
+        )
+    rows += [
+        (40, "Customer#tie-a", 3, 5000.0, "BUILDING"),
+        (41, "Customer#tie-b", 4, 5000.0, "BUILDING"),  # exact balance tie
+        (42, None, 5, 123.45, "MACHINERY"),  # NULL name
+        (43, "Customer#null-bal", 6, None, "FURNITURE"),  # NULL balance
+        (44, "Customer#null-seg", 7, 777.0, None),  # NULL segment
+        (45, "Cüstømer#ünïcode", 8, 0.0, "AUTOMOBILE"),
+        (46, "Customer#zero", 9, 0.0, "HOUSEHOLD"),
+        (47, "Customer#negative", 10, -500.5, "BUILDING"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                "c_name": pa.array([r[1] for r in rows], pa.string()),
+                "c_nationkey": pa.array([r[2] for r in rows], pa.int64()),
+                "c_acctbal": pa.array([r[3] for r in rows], pa.float64()),
+                "c_mktsegment": pa.array([r[4] for r in rows], pa.string()),
+            }
+        ),
+        str(d / "customer.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", CUST_QUERIES)
+def test_adversarial_customer_match_oracle(spark, adv_cust_dir, name):
+    _assert_parity(spark, adv_cust_dir, "customer", name)
