@@ -67,6 +67,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(ts_type, T.TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        # EVENT-TIME CONTRACT (r3 adversarial finding): ts is the
+        # timeline backbone — Spark's own event-time operators
+        # (window, session_window, watermarks) silently DROP null-ts
+        # rows while plain analytic windows ORDER them (NULLS FIRST,
+        # differently from DuckDB's NULLS LAST), so a null-ts event
+        # gives inconsistent, engine-dependent placement query by
+        # query. The engine enforces the contract once, here: rows
+        # without event time are invisible to event analytics (a real
+        # pipeline quarantines them at ingest). The scan-side filter
+        # pushes into the parquet reader. Every oracle assumes the
+        # same contract (driver testdata satisfies it by
+        # construction).
+        df = df.filter(F.col("ts").isNotNull())
     return df
 
 

@@ -445,3 +445,39 @@ def adv_cust_dir(tmp_path_factory):
 @pytest.mark.parametrize("name", CUST_QUERIES)
 def test_adversarial_customer_match_oracle(spark, adv_cust_dir, name):
     _assert_parity(spark, adv_cust_dir, "customer", name)
+
+
+def test_null_event_time_is_invisible(spark, tmp_path):
+    """The event-time contract: a row with NULL ts is quarantined at
+    the catalog scan — otherwise Spark's event-time ops (window /
+    session_window) DROP it while plain analytic windows ORDER it
+    (NULLS FIRST, vs DuckDB's NULLS LAST), giving engine- and
+    query-dependent placement. Pin both that the filter applies and
+    that it reaches the parquet scan as a pushed filter."""
+    import datetime as dt
+
+    from gmt_dbt_spark.catalog import table as cat_table
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 1), 1, "view", 1.0, "{}"),
+        (1, None, 1, "click", 2.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 2), 2, "view", 3.0, "{}"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    ev = cat_table(spark, str(tmp_path), "events")
+    assert ev.count() == 2
+    assert ev.filter("ts IS NULL").count() == 0
+    plan = ev._jdf.queryExecution().executedPlan().toString()
+    assert "isnotnull(ts" in plan, plan
