@@ -657,7 +657,12 @@ def test_time_band_matrix_single_scan(spark):
     assert tree.count("Scan parquet") == 1
     assert tree.count("HashAggregate") == 2
     assert "Join" not in tree
-    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan
+    # IsNotNull(ts) is the catalog's event-time contract (null-ts
+    # quarantine) riding the same pushed-filter list
+    assert (
+        "PushedFilters: [IsNotNull(ts), IsNotNull(event_type),"
+        " EqualTo(event_type,click)]" in plan
+    )
 
 
 def test_exists_projection_plans_existence_join(spark):
