@@ -86,12 +86,17 @@ def adv_dir(tmp_path_factory):
     return str(d)
 
 
-def _assert_parity(spark, sf_dir, view, name):
+def _assert_parity(spark, sf_dir, view, name, view_sql=None):
     """Driver-mirror compare of one registered query vs its oracle on
     an adversarial table directory (the comparator itself is
-    selfcheck's — one implementation, reused)."""
+    selfcheck's — one implementation, reused). ``view_sql`` lets a
+    family state a catalog-level contract (e.g. the events null-ts
+    quarantine) on the oracle side."""
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW {view} AS SELECT * FROM '{sf_dir}/{view}.parquet'")
+    body = (view_sql or "SELECT * FROM '{path}'").format(
+        path=f"{sf_dir}/{view}.parquet"
+    )
+    con.execute(f"CREATE VIEW {view} AS {body}")
     sdf = all_queries()[name](spark, sf_dir)
     srows, scols = sdf.collect(), sdf.columns
     cur = con.execute(all_oracles()[name])
@@ -250,6 +255,10 @@ def adv_evt_dir(tmp_path_factory):
     add(51, dup, "click", 5.0)
     add(51, dup, "click", 5.0)
     # NULLs a real stream would carry
+    # (a NULL ts exercises the catalog's event-time contract: the
+    # row must be invisible on BOTH engines — see the events view
+    # below, which states the same contract the catalog pushes)
+    add(60, None, "view", 9.9)
     add(None, base + dt.timedelta(days=2), "view", 7.0)
     add(52, base + dt.timedelta(days=2, hours=1), None, 8.0)
     add(53, base + dt.timedelta(days=2, hours=2), "view", None)
@@ -282,7 +291,14 @@ def adv_evt_dir(tmp_path_factory):
 
 @pytest.mark.parametrize("name", EVT_QUERIES)
 def test_adversarial_events_match_oracle(spark, adv_evt_dir, name):
-    _assert_parity(spark, adv_evt_dir, "events", name)
+    # the oracle-side statement of the catalog's event-time contract
+    # (catalog.table quarantines null-ts rows at the scan; the
+    # driver's generator never emits them, so its raw views satisfy
+    # the contract by construction)
+    _assert_parity(
+        spark, adv_evt_dir, "events", name,
+        view_sql="SELECT * FROM '{path}' WHERE ts IS NOT NULL",
+    )
 
 
 ORD_QUERIES = [
@@ -356,7 +372,7 @@ def adv_ord_dir(tmp_path_factory):
     for i in range(3):  # duplicate (custkey, orderdate), distinct totals
         add(k, 20, "O", 1000.0 + i, tie_day, "2-HIGH"); k += 1
     add(k, 21, "F", 5000.0, tie_day, "5-LOW"); k += 1
-    add(k, 21, "F", 5000.0, tie_day, "5-LOW2"[:5], ); k += 1  # exact total tie
+    add(k, 21, "F", 5000.0, tie_day, "2-HIGH"); k += 1  # exact total tie, distinct priority
     add(k, None, "O", 7777.77, dt.datetime(1996, 1, 2), "1-URGENT"); k += 1
     add(k, 22, None, 8888.88, dt.datetime(1996, 2, 3), "3-MEDIUM"); k += 1
     add(k, 23, "P", None, dt.datetime(1996, 3, 4), "4-NOT SPECIFIED"); k += 1
