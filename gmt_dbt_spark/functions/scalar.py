@@ -283,7 +283,13 @@ SELECT l_orderkey,
        len(list_filter(qtys, x -> x >= 40)) AS n_large,
        list_aggregate(list_transform(qtys, x -> x * 2), 'sum') AS sum_doubled,
        list_contains(qtys, 50.0) AS has_max
-FROM (SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
+FROM (SELECT l_orderkey,
+             -- collect_list SKIPS nulls on Spark; DuckDB's list()
+             -- keeps them (r3 adversarial finding) — filter + an
+             -- empty-list fallback for an all-NULL group (FILTERed
+             -- list() of zero rows is NULL, Spark's is [])
+             list_sort(COALESCE(list(l_quantity)
+                                FILTER (l_quantity IS NOT NULL), [])) AS qtys
       FROM lineitem GROUP BY l_orderkey)
 """,
 )

@@ -167,8 +167,15 @@ WITH m AS (
 )
 SELECT l_returnflag, n, sx, sy, sxy,
        ((n * sxy) - (sx * sy)) / n AS cov_pop_scaled,
-       ((n * sxy) - (sx * sy))
-         / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))) AS corr_xy
+       -- zero-variance guard (r3 adversarial finding): correlation
+       -- of a constant series is UNDEFINED -> NULL on both engines
+       -- (Spark 4 ANSI raises DIVIDE_BY_ZERO even for doubles; the
+       -- moments are exact, so the zero test is engine-identical)
+       CASE WHEN (sqrt((n * sxx) - (sx * sx))
+                  * sqrt((n * syy) - (sy * sy))) = 0 THEN NULL
+            ELSE ((n * sxy) - (sx * sy))
+                 / (sqrt((n * sxx) - (sx * sx))
+                    * sqrt((n * syy) - (sy * sy))) END AS corr_xy
 FROM m
 """,
 )
@@ -197,6 +204,8 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     num = (n * sxy) - (sx * sy)
+    # zero-variance guard — see the oracle comment (ANSI doubles raise)
+    den = F.sqrt((n * sxx) - (sx * sx)) * F.sqrt((n * syy) - (sy * sy))
     return m.select(
         "l_returnflag",
         "n",
@@ -204,9 +213,7 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sy",
         "sxy",
         (num / n).alias("cov_pop_scaled"),
-        (num / (F.sqrt((n * sxx) - (sx * sx)) * F.sqrt((n * syy) - (sy * sy)))).alias(
-            "corr_xy"
-        ),
+        F.when(den != 0.0, num / den).alias("corr_xy"),
     )
 
 
@@ -331,20 +338,25 @@ WITH m AS (
               AS VARCHAR) AS DOUBLE) AS s4
   FROM lineitem GROUP BY l_returnflag
 )
-SELECT l_returnflag, n,
-       ((s2 / n) - ((s1 / n) * (s1 / n))) AS m2,
-       (((s3 / n) - (((s1 / n) * 3.0) * (s2 / n)))
-         + (((s1 / n) * (s1 / n)) * ((s1 / n) * 2.0))) AS m3,
-       ((((s3 / n) - (((s1 / n) * 3.0) * (s2 / n)))
-         + (((s1 / n) * (s1 / n)) * ((s1 / n) * 2.0)))
-         / (sqrt((s2 / n) - ((s1 / n) * (s1 / n)))
-            * ((s2 / n) - ((s1 / n) * (s1 / n))))) AS skew_pop,
-       (((((s4 / n) - (((s1 / n) * 4.0) * (s3 / n)))
-           + ((((s1 / n) * (s1 / n)) * 6.0) * (s2 / n)))
-          - ((((s1 / n) * (s1 / n)) * ((s1 / n) * (s1 / n))) * 3.0))
-         / (((s2 / n) - ((s1 / n) * (s1 / n)))
-            * ((s2 / n) - ((s1 / n) * (s1 / n)))) - 3.0) AS kurt_excess
-FROM m
+, c AS (
+  SELECT l_returnflag, n,
+         ((s2 / n) - ((s1 / n) * (s1 / n))) AS m2,
+         (((s3 / n) - (((s1 / n) * 3.0) * (s2 / n)))
+           + (((s1 / n) * (s1 / n)) * ((s1 / n) * 2.0))) AS m3,
+         ((((s4 / n) - (((s1 / n) * 4.0) * (s3 / n)))
+            + ((((s1 / n) * (s1 / n)) * 6.0) * (s2 / n)))
+           - ((((s1 / n) * (s1 / n)) * ((s1 / n) * (s1 / n))) * 3.0)) AS m4
+  FROM m
+)
+SELECT l_returnflag, n, m2, m3,
+       -- zero-variance guard (r3): skew/kurtosis of a constant
+       -- series are UNDEFINED -> NULL on both engines (Spark 4 ANSI
+       -- raises DIVIDE_BY_ZERO even for doubles)
+       CASE WHEN m2 = 0 THEN NULL
+            ELSE (m3 / (sqrt(m2) * m2)) END AS skew_pop,
+       CASE WHEN m2 = 0 THEN NULL
+            ELSE ((m4 / (m2 * m2)) - 3.0) END AS kurt_excess
+FROM c
 """,
 )
 def agg_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,13 +392,14 @@ def agg_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s4") / n) - ((mean * F.lit(4.0)) * (F.col("s3") / n)))
         + (((mean * mean) * F.lit(6.0)) * (F.col("s2") / n))
     ) - (((mean * mean) * (mean * mean)) * F.lit(3.0))
+    # zero-variance guard — see the oracle comment (ANSI doubles raise)
     return m.select(
         "l_returnflag",
         "n",
         m2.alias("m2"),
         m3.alias("m3"),
-        (m3 / (F.sqrt(m2) * m2)).alias("skew_pop"),
-        ((m4 / (m2 * m2)) - F.lit(3.0)).alias("kurt_excess"),
+        F.when(m2 != 0.0, m3 / (F.sqrt(m2) * m2)).alias("skew_pop"),
+        F.when(m2 != 0.0, (m4 / (m2 * m2)) - F.lit(3.0)).alias("kurt_excess"),
     )
 
 
@@ -507,9 +520,14 @@ WITH m AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
-       (((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))) AS slope,
-       ((sy / n) - ((((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)))
-                    * (sx / n))) AS intercept
+       -- zero-variance x guard (r3): OLS over a constant regressor is
+       -- UNDEFINED -> NULL slope AND intercept on both engines
+       CASE WHEN ((n * sxx) - (sx * sx)) = 0 THEN NULL
+            ELSE (((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))) END AS slope,
+       CASE WHEN ((n * sxx) - (sx * sx)) = 0 THEN NULL
+            ELSE ((sy / n) - ((((n * sxy) - (sx * sy))
+                               / ((n * sxx) - (sx * sx))) * (sx / n))) END
+         AS intercept
 FROM m
 """,
 )
@@ -533,12 +551,14 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, sxy = F.col("sxx"), F.col("sxy")
-    slope = ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))
+    sden = (n * sxx) - (sx * sx)
+    slope = ((n * sxy) - (sx * sy)) / sden
+    # constant-regressor guard — see the oracle comment
     return m.select(
         "l_returnflag",
         "n",
-        slope.alias("slope"),
-        ((sy / n) - (slope * (sx / n))).alias("intercept"),
+        F.when(sden != 0.0, slope).alias("slope"),
+        F.when(sden != 0.0, (sy / n) - (slope * (sx / n))).alias("intercept"),
     )
 
 

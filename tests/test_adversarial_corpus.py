@@ -497,3 +497,99 @@ def test_null_event_time_is_invisible(spark, tmp_path):
     assert ev.filter("ts IS NULL").count() == 0
     plan = ev._jdf.queryExecution().executedPlan().toString()
     assert "isnotnull(ts" in plan, plan
+
+
+LI_QUERIES = [
+    "agg_approx_distinct",
+    "agg_bit_ops",
+    "agg_collect",
+    "agg_corr",
+    "agg_cube",
+    "agg_filter_clause",
+    "agg_group",
+    "agg_grouping_id",
+    "agg_median",
+    "agg_mode",
+    "agg_multi_distinct",
+    "agg_regression",
+    "agg_skew",
+    "agg_var_exact",
+    "agg_weighted_avg",
+    "fn_array_set",
+    "fn_higher_order",
+    "mart_abc_analysis",
+    "mart_basket_lift",
+    "sql_pivot_syntax",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_li_dir(tmp_path_factory):
+    """Lineitem with the aggregate-breaking shapes: zero-variance
+    groups (corr/regression/skew denominators), single-row groups,
+    frequency TIES for mode, NULL quantities/prices/discounts/flags,
+    zero and negative quantities, duplicate exact rows."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(20260814)
+    d = tmp_path_factory.mktemp("adv_li")
+    rows = []
+
+    def add(ok, pk, sk, ln, qty, price, disc, tax, rf, ls, ship):
+        rows.append((ok, pk, sk, ln, qty, price, disc, tax, rf, ls, ship))
+
+    k = 0
+    flags = [("A", "F"), ("N", "O"), ("R", "F")]
+    for ok in range(1, 30):
+        rf, ls = flags[ok % 3]
+        for ln in range(1, rng.randint(2, 6)):
+            add(ok, rng.randint(1, 40), rng.randint(1, 10), ln,
+                float(rng.randint(1, 50)),
+                round(rng.uniform(900.0, 90000.0), 2),
+                round(rng.choice([0.0, 0.02, 0.05, 0.08, 0.1]), 2),
+                round(rng.choice([0.0, 0.03, 0.06]), 2),
+                rf, ls, dt.datetime(1995 + ok % 4, 1 + ok % 12, 1 + ok % 27))
+            k += 1
+    # zero-variance group: every value identical (corr/skew/regression
+    # denominators are exactly 0)
+    for ln in range(1, 5):
+        add(90, 7, 7, ln, 10.0, 5000.0, 0.05, 0.0, "Z", "V", dt.datetime(1996, 5, 5))
+    # single-row group (sample variance n-1 = 0)
+    add(91, 8, 8, 1, 3.0, 123.45, 0.0, 0.0, "S", "1", dt.datetime(1996, 6, 6))
+    # frequency tie for mode: two quantities equally common in group
+    for ln in range(1, 3):
+        add(92, 9, 9, ln, 11.0, 100.0, 0.0, 0.0, "T", "T", dt.datetime(1996, 7, 7))
+    for ln in range(3, 5):
+        add(92, 9, 9, ln, 22.0, 100.0, 0.0, 0.0, "T", "T", dt.datetime(1996, 7, 7))
+    # NULLs
+    add(93, 10, 10, 1, None, 500.0, 0.05, 0.0, "A", "F", dt.datetime(1996, 8, 8))
+    add(93, 10, 10, 2, 5.0, None, None, None, "A", "F", dt.datetime(1996, 8, 8))
+    add(94, 11, 11, 1, 5.0, 700.0, 0.02, 0.0, None, None, None)
+    # zero / negative quantity (returns)
+    add(95, 12, 12, 1, 0.0, 0.0, 0.0, 0.0, "R", "F", dt.datetime(1996, 9, 9))
+    add(95, 12, 12, 2, -4.0, -250.0, 0.0, 0.0, "R", "F", dt.datetime(1996, 9, 9))
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in rows], pa.int64()),
+                "l_linenumber": pa.array([r[3] for r in rows], pa.int64()),
+                "l_quantity": pa.array([r[4] for r in rows], pa.float64()),
+                "l_extendedprice": pa.array([r[5] for r in rows], pa.float64()),
+                "l_discount": pa.array([r[6] for r in rows], pa.float64()),
+                "l_tax": pa.array([r[7] for r in rows], pa.float64()),
+                "l_returnflag": pa.array([r[8] for r in rows], pa.string()),
+                "l_linestatus": pa.array([r[9] for r in rows], pa.string()),
+                "l_shipdate": pa.array([r[10] for r in rows], pa.timestamp("us")),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", LI_QUERIES)
+def test_adversarial_lineitem_match_oracle(spark, adv_li_dir, name):
+    _assert_parity(spark, adv_li_dir, "lineitem", name)
