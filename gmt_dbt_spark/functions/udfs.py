@@ -212,14 +212,19 @@ def udaf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 columns=["c_custkey", "n_orders", "total_cents", "over_extended"]
             )
-        total = int((orders_pdf["o_totalprice"] * 100).round().astype("int64").sum())
-        bal_cents = int(round(float(cust_pdf["c_acctbal"].iloc[0]) * 100))
+        # SQL-SUM semantics (r3 adversarial finding): NULL totals are
+        # skipped (astype would raise IntCastingNaNError on NaN), and
+        # a NULL balance makes the comparison NULL, not a crash
+        vals = orders_pdf["o_totalprice"].dropna()
+        total = int((vals * 100).round().astype("int64").sum()) if len(vals) else 0
+        bal = cust_pdf["c_acctbal"].iloc[0]
+        over = None if pd.isna(bal) else total > int(round(float(bal) * 100)) * 100
         return pd.DataFrame(
             {
                 "c_custkey": [int(key[0])],
                 "n_orders": [int(len(orders_pdf))],
                 "total_cents": [total],
-                "over_extended": [total > bal_cents * 100],
+                "over_extended": [over],
             }
         )
 

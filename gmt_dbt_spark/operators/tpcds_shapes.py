@@ -140,9 +140,13 @@ j AS (
 w AS (
   SELECT c_nationkey, c_custkey,
          CAST(CAST(sdec AS VARCHAR) AS DOUBLE) AS sales,
-         CAST(CAST(sdec AS VARCHAR) AS DOUBLE)
-           / CAST(CAST(SUM(sdec) OVER (PARTITION BY c_nationkey) AS VARCHAR)
-                  AS DOUBLE) AS nation_share,
+         -- zero-total nation guard (r3): share of nothing is
+         -- UNDEFINED -> NULL (Spark 4 ANSI raises on double /0)
+         CASE WHEN CAST(CAST(SUM(sdec) OVER (PARTITION BY c_nationkey)
+                            AS VARCHAR) AS DOUBLE) = 0 THEN NULL
+              ELSE CAST(CAST(sdec AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(SUM(sdec) OVER (PARTITION BY c_nationkey)
+                               AS VARCHAR) AS DOUBLE) END AS nation_share,
          RANK() OVER (PARTITION BY c_nationkey
                       ORDER BY sdec DESC, c_custkey) AS sales_rank
   FROM j
@@ -173,9 +177,11 @@ def tpcds_share_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "c_custkey",
         dec2dbl(F.col("sdec")).alias("sales"),
-        (dec2dbl(F.col("sdec")) / dec2dbl(F.sum("sdec").over(wpart))).alias(
-            "nation_share"
-        ),
+        # zero-total nation guard — see the oracle comment
+        F.when(
+            dec2dbl(F.sum("sdec").over(wpart)) != 0.0,
+            dec2dbl(F.col("sdec")) / dec2dbl(F.sum("sdec").over(wpart)),
+        ).alias("nation_share"),
         F.rank().over(worder).alias("sales_rank"),
     )
     return w.filter(F.col("sales_rank") <= 10)

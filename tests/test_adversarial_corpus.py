@@ -593,3 +593,54 @@ def adv_li_dir(tmp_path_factory):
 @pytest.mark.parametrize("name", LI_QUERIES)
 def test_adversarial_lineitem_match_oracle(spark, adv_li_dir, name):
     _assert_parity(spark, adv_li_dir, "lineitem", name)
+
+
+JOIN_QUERIES = [
+    "join_inner_equi",
+    "join_left",
+    "join_anti",
+    "join_semi",
+    "dq_not_null",
+    "sql_exists_projection",
+    "sql_not_in_nulls",
+    "tpcds_count_band",
+    "tpcds_multi_intersect",
+    "tpcds_rollup_topk",
+    "tpcds_share_rank",
+    "udaf_cogrouped",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_join_dir(adv_ord_dir, adv_cust_dir, tmp_path_factory):
+    """Two-table corpus for the join family: the hostile orders and
+    customers side by side — dangling FKs both directions (orders for
+    custkeys 20-26 have no customer row; customers 15-47 have no
+    orders), a NULL o_custkey order, and NULL customer attributes."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("adv_join")
+    shutil.copy(f"{adv_ord_dir}/orders.parquet", f"{d}/orders.parquet")
+    shutil.copy(f"{adv_cust_dir}/customer.parquet", f"{d}/customer.parquet")
+    return str(d)
+
+
+def _assert_parity2(spark, sf_dir, views, name):
+    con = duckdb.connect()
+    for v in views:
+        con.execute(f"CREATE VIEW {v} AS SELECT * FROM '{sf_dir}/{v}.parquet'")
+    sdf = all_queries()[name](spark, sf_dir)
+    srows, scols = sdf.collect(), sdf.columns
+    cur = con.execute(all_oracles()[name])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    st, ot = _table(srows, scols, "spark"), _table(orows, ocols, "oracle")
+    assert len(st) == len(ot), f"{name}: {len(st)} vs {len(ot)} rows"
+    for i, (a, b) in enumerate(zip(st, ot)):
+        assert a == b, f"{name}: mismatch at sorted-row {i}: {a} != {b}"
+
+
+@pytest.mark.parametrize("name", JOIN_QUERIES)
+def test_adversarial_joins_match_oracle(spark, adv_join_dir, name):
+    _assert_parity2(spark, adv_join_dir, ["orders", "customer"], name)
