@@ -548,7 +548,13 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p_partkey,
        regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
        len(regexp_extract_all(p_name, '[a-z]+')) AS n_words,
-       array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|') AS words_csv,
+       -- COALESCE: array_to_string([], '|') is NULL in DuckDB where
+       -- Spark array_join gives '' (the r3 empty-list class); a NULL
+       -- p_name stays NULL via the CASE
+       CASE WHEN p_name IS NULL THEN NULL
+            ELSE COALESCE(array_to_string(
+                     regexp_extract_all(p_name, '[a-z]+'), '|'), '') END
+         AS words_csv,
        regexp_matches(p_name, '^(red|blue) ') AS is_primary_color,
        regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
 FROM part

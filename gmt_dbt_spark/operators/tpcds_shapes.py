@@ -222,14 +222,20 @@ def tpcds_count_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpcds_cumulative_compare",
     oracle="""
 WITH store AS (
+  -- undated rows are excluded on BOTH engines (r3): a NULL month
+  -- cannot sit on the cumulative timeline, and its null-spine rows
+  -- would order NULLS FIRST on Spark vs NULLS LAST on DuckDB,
+  -- shifting every running total
   SELECT strftime(o_orderdate, '%Y-%m') AS mth,
          COUNT(*) AS n
-  FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY strftime(o_orderdate, '%Y-%m')
 ),
 web AS (
   SELECT strftime(l_shipdate, '%Y-%m') AS mth,
          COUNT(*) AS n
-  FROM lineitem GROUP BY strftime(l_shipdate, '%Y-%m')
+  FROM lineitem WHERE l_shipdate IS NOT NULL
+  GROUP BY strftime(l_shipdate, '%Y-%m')
 ),
 j AS (
   SELECT COALESCE(s.mth, w.mth) AS mth,
@@ -254,11 +260,16 @@ def tpcds_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned window is bounded by the calendar, not the data."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
-    store = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("mth")).agg(
-        F.count(F.lit(1)).alias("store_n")
+    # undated rows excluded — see the oracle comment
+    store = (
+        o.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("mth"))
+        .agg(F.count(F.lit(1)).alias("store_n"))
     )
-    web = li.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("mth")).agg(
-        F.count(F.lit(1)).alias("web_n")
+    web = (
+        li.filter(F.col("l_shipdate").isNotNull())
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("mth"))
+        .agg(F.count(F.lit(1)).alias("web_n"))
     )
     j = (
         store.join(web, "mth", "full_outer")

@@ -644,3 +644,85 @@ def _assert_parity2(spark, sf_dir, views, name):
 @pytest.mark.parametrize("name", JOIN_QUERIES)
 def test_adversarial_joins_match_oracle(spark, adv_join_dir, name):
     _assert_parity2(spark, adv_join_dir, ["orders", "customer"], name)
+
+
+PART_QUERIES = [
+    "fn_string",
+    "fn_regexp",
+    "fn_array",
+    "fn_map",
+    "join_fuzzy_block",
+    "udf_scalar",
+    "udf_sql_registered",
+    "unpivot_long",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_part_dir(tmp_path_factory):
+    """Parts with NULL/empty/unicode/whitespace names, NULL brands
+    and types, regex metacharacters in names, zero/negative sizes
+    and prices — the string-function gauntlet."""
+    d = tmp_path_factory.mktemp("adv_part")
+    rows = [
+        (0, "small ring", "Brand#2", "ECONOMY", 11, 900.0),
+        (1, "large shiny bolt", "Brand#1", "STANDARD", 5, 1200.5),
+        (2, None, "Brand#3", "PROMO", 7, 333.3),          # NULL name
+        (3, "", "Brand#1", "ECONOMY", 2, 10.0),            # empty name
+        (4, "   ", None, "STANDARD", 3, 20.0),             # ws name, NULL brand
+        (5, "ünïcode Ring Ø", "Brand#2", None, 9, 55.5),   # unicode, NULL type
+        (6, "dot.star[*] (paren)+?", "Brand#4", "PROMO", 1, 7.77),  # regex metas
+        (7, "tab\tand\nnewline", "Brand#4", "ECONOMY", 0, 0.0),     # ctl ws, zero
+        (8, "negative", "Brand#5", "STANDARD", -3, -12.5),
+        (9, "UPPER lower 123", "Brand#5", "PROMO", 42, 4242.0),
+        (10, "ring ring ring", "Brand#2", "ECONOMY", 13, 130.0),
+    ] * 3
+    rows = [(i,) + r[1:] for i, r in enumerate(rows)]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+                "p_name": pa.array([r[1] for r in rows], pa.string()),
+                "p_brand": pa.array([r[2] for r in rows], pa.string()),
+                "p_type": pa.array([r[3] for r in rows], pa.string()),
+                "p_size": pa.array([r[4] for r in rows], pa.int64()),
+                "p_retailprice": pa.array([r[5] for r in rows], pa.float64()),
+            }
+        ),
+        str(d / "part.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", PART_QUERIES)
+def test_adversarial_part_match_oracle(spark, adv_part_dir, name):
+    _assert_parity(spark, adv_part_dir, "part", name)
+
+
+LO_QUERIES = [
+    "dq_unique",
+    "graph_bfs_levels",
+    "graph_pagerank",
+    "join_hint_strategies",
+    "tpcds_channel_rollup",
+    "tpcds_cumulative_compare",
+    "tpcds_frequent_buyers",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_lo_dir(adv_ord_dir, adv_li_dir, tmp_path_factory):
+    """Hostile lineitem x hostile orders: the order keys only partly
+    overlap (dangling FK edges for the graph builders), plus all the
+    per-table NULL/tie shapes."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("adv_lo")
+    shutil.copy(f"{adv_ord_dir}/orders.parquet", f"{d}/orders.parquet")
+    shutil.copy(f"{adv_li_dir}/lineitem.parquet", f"{d}/lineitem.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", LO_QUERIES)
+def test_adversarial_lineitem_orders_match_oracle(spark, adv_lo_dir, name):
+    _assert_parity2(spark, adv_lo_dir, ["orders", "lineitem"], name)
