@@ -726,3 +726,86 @@ def adv_lo_dir(adv_ord_dir, adv_li_dir, tmp_path_factory):
 @pytest.mark.parametrize("name", LO_QUERIES)
 def test_adversarial_lineitem_orders_match_oracle(spark, adv_lo_dir, name):
     _assert_parity2(spark, adv_lo_dir, ["orders", "lineitem"], name)
+
+
+TPCH_QUERIES = [f"tpch_q{i}" for i in range(1, 23)] + [
+    "flagship_revenue_by_region",
+    "join_salted",
+    "pivot_wide",
+    "join_full",
+    "join_theta",
+    "join_spatial_grid",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_tpch_dir(adv_ord_dir, adv_cust_dir, adv_li_dir, adv_part_dir, tmp_path_factory):
+    """The full hostile warehouse: every per-table hostile fixture
+    plus small nation/region/supplier dims with NULL FKs and names.
+    TPC-H ratio queries (market share, promo revenue, avg-quantity
+    gates) meet empty denominators; joins meet dangling and NULL
+    keys everywhere."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("adv_tpch")
+    for src, t in [
+        (adv_ord_dir, "orders"),
+        (adv_cust_dir, "customer"),
+        (adv_li_dir, "lineitem"),
+        (adv_part_dir, "part"),
+    ]:
+        shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+    regions = ["AFRICA", "AMERICA", "ASIA", "EUROPE", None]
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array(list(range(5)), pa.int64()),
+                "r_name": pa.array(regions, pa.string()),
+            }
+        ),
+        str(d / "region.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(list(range(26)), pa.int64()),
+                "n_name": pa.array(
+                    [f"NATION_{i}" for i in range(25)] + [None], pa.string()
+                ),
+                "n_regionkey": pa.array(
+                    [i % 5 for i in range(25)] + [None], pa.int64()
+                ),
+            }
+        ),
+        str(d / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(list(range(12)), pa.int64()),
+                "s_name": pa.array(
+                    [f"Supplier#{i:09d}" for i in range(10)] + [None, "Supplier#dup"],
+                    pa.string(),
+                ),
+                "s_nationkey": pa.array(
+                    [i % 25 for i in range(10)] + [None, 3], pa.int64()
+                ),
+                "s_acctbal": pa.array(
+                    [round(100.0 * i - 250, 2) for i in range(10)] + [None, 0.0],
+                    pa.float64(),
+                ),
+            }
+        ),
+        str(d / "supplier.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", TPCH_QUERIES)
+def test_adversarial_tpch_match_oracle(spark, adv_tpch_dir, name):
+    _assert_parity2(
+        spark,
+        adv_tpch_dir,
+        ["orders", "customer", "lineitem", "part", "nation", "region", "supplier"],
+        name,
+    )
