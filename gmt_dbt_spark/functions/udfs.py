@@ -214,11 +214,25 @@ def udaf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         # SQL-SUM semantics (r3 adversarial finding): NULL totals are
         # skipped (astype would raise IntCastingNaNError on NaN), and
-        # a NULL balance makes the comparison NULL, not a crash
+        # a NULL balance makes the comparison NULL, not a crash.
+        # Rounding is HALF-AWAY-FROM-ZERO (review pass): pandas
+        # .round() / Python round() are half-to-even, but the
+        # oracle's SQL ROUND is half-away — a half-cent price
+        # (x.xx5) would diverge by one cent under banker's rounding.
+        import numpy as np
+
+        def cents(series):
+            v = series.to_numpy(dtype="float64") * 100.0
+            return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
+
         vals = orders_pdf["o_totalprice"].dropna()
-        total = int((vals * 100).round().astype("int64").sum()) if len(vals) else 0
+        total = int(cents(vals).sum()) if len(vals) else 0
         bal = cust_pdf["c_acctbal"].iloc[0]
-        over = None if pd.isna(bal) else total > int(round(float(bal) * 100)) * 100
+        over = (
+            None
+            if pd.isna(bal)
+            else total > int(cents(pd.Series([float(bal)]))[0]) * 100
+        )
         return pd.DataFrame(
             {
                 "c_custkey": [int(key[0])],

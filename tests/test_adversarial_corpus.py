@@ -89,14 +89,16 @@ def adv_dir(tmp_path_factory):
 def _assert_parity(spark, sf_dir, view, name, view_sql=None):
     """Driver-mirror compare of one registered query vs its oracle on
     an adversarial table directory (the comparator itself is
-    selfcheck's — one implementation, reused). ``view_sql`` lets a
-    family state a catalog-level contract (e.g. the events null-ts
-    quarantine) on the oracle side."""
+    selfcheck's — one implementation, reused). ``view`` may be one
+    table name or a list; ``view_sql`` lets a family state a
+    catalog-level contract (e.g. the events null-ts quarantine) on
+    the oracle side."""
     con = duckdb.connect()
-    body = (view_sql or "SELECT * FROM '{path}'").format(
-        path=f"{sf_dir}/{view}.parquet"
-    )
-    con.execute(f"CREATE VIEW {view} AS {body}")
+    for v in [view] if isinstance(view, str) else view:
+        body = (view_sql or "SELECT * FROM '{path}'").format(
+            path=f"{sf_dir}/{v}.parquet"
+        )
+        con.execute(f"CREATE VIEW {v} AS {body}")
     sdf = all_queries()[name](spark, sf_dir)
     srows, scols = sdf.collect(), sdf.columns
     cur = con.execute(all_oracles()[name])
@@ -370,7 +372,11 @@ def adv_ord_dir(tmp_path_factory):
             k += 1
     tie_day = dt.datetime(1995, 6, 15)
     for i in range(3):  # duplicate (custkey, orderdate), distinct totals
-        add(k, 20, "O", 1000.0 + i, tie_day, "2-HIGH"); k += 1
+        # custkey 120: NO customer row exists (orders-side dangling FK)
+        add(k, 120, "O", 1000.0 + i, tie_day, "2-HIGH"); k += 1
+    # half-cent price: pins half-away-from-zero rounding parity (pandas
+    # banker's rounding would drop a cent vs SQL ROUND)
+    add(k, 121, "F", 1000.125, tie_day, "3-MEDIUM"); k += 1
     add(k, 21, "F", 5000.0, tie_day, "5-LOW"); k += 1
     add(k, 21, "F", 5000.0, tie_day, "2-HIGH"); k += 1  # exact total tie, distinct priority
     add(k, None, "O", 7777.77, dt.datetime(1996, 1, 2), "1-URGENT"); k += 1
@@ -615,7 +621,7 @@ JOIN_QUERIES = [
 def adv_join_dir(adv_ord_dir, adv_cust_dir, tmp_path_factory):
     """Two-table corpus for the join family: the hostile orders and
     customers side by side — dangling FKs both directions (orders for
-    custkeys 20-26 have no customer row; customers 15-47 have no
+    custkeys 120-121 have no customer row; customers 27-47 have no
     orders), a NULL o_custkey order, and NULL customer attributes."""
     import shutil
 
@@ -625,25 +631,9 @@ def adv_join_dir(adv_ord_dir, adv_cust_dir, tmp_path_factory):
     return str(d)
 
 
-def _assert_parity2(spark, sf_dir, views, name):
-    con = duckdb.connect()
-    for v in views:
-        con.execute(f"CREATE VIEW {v} AS SELECT * FROM '{sf_dir}/{v}.parquet'")
-    sdf = all_queries()[name](spark, sf_dir)
-    srows, scols = sdf.collect(), sdf.columns
-    cur = con.execute(all_oracles()[name])
-    ocols = [d[0] for d in cur.description]
-    orows = cur.fetchall()
-    assert sorted(scols) == sorted(ocols)
-    st, ot = _table(srows, scols, "spark"), _table(orows, ocols, "oracle")
-    assert len(st) == len(ot), f"{name}: {len(st)} vs {len(ot)} rows"
-    for i, (a, b) in enumerate(zip(st, ot)):
-        assert a == b, f"{name}: mismatch at sorted-row {i}: {a} != {b}"
-
-
 @pytest.mark.parametrize("name", JOIN_QUERIES)
 def test_adversarial_joins_match_oracle(spark, adv_join_dir, name):
-    _assert_parity2(spark, adv_join_dir, ["orders", "customer"], name)
+    _assert_parity(spark, adv_join_dir, ["orders", "customer"], name)
 
 
 PART_QUERIES = [
@@ -725,7 +715,7 @@ def adv_lo_dir(adv_ord_dir, adv_li_dir, tmp_path_factory):
 
 @pytest.mark.parametrize("name", LO_QUERIES)
 def test_adversarial_lineitem_orders_match_oracle(spark, adv_lo_dir, name):
-    _assert_parity2(spark, adv_lo_dir, ["orders", "lineitem"], name)
+    _assert_parity(spark, adv_lo_dir, ["orders", "lineitem"], name)
 
 
 TPCH_QUERIES = [f"tpch_q{i}" for i in range(1, 23)] + [
@@ -803,7 +793,7 @@ def adv_tpch_dir(adv_ord_dir, adv_cust_dir, adv_li_dir, adv_part_dir, tmp_path_f
 
 @pytest.mark.parametrize("name", TPCH_QUERIES)
 def test_adversarial_tpch_match_oracle(spark, adv_tpch_dir, name):
-    _assert_parity2(
+    _assert_parity(
         spark,
         adv_tpch_dir,
         ["orders", "customer", "lineitem", "part", "nation", "region", "supplier"],
