@@ -605,7 +605,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the ENTIRE pipeline — hashes, per-bit sign-sums, the
     half-signature banding self-join, and the Hamming verify — and
     the full pair set is value-hashed, not just recall-audited.
-    Empty tokens never occur: tokens_col drops them at the source."""
+    Empty tokens never occur: tokens_col drops them at the source.
+
+    The 16-byte/doc signature frame is localCheckpoint'd before the
+    band self-join (r3 perf pass): ReuseExchange does NOT dedup the
+    two join sides here (measured — the executed plan carries two
+    full copies of the tokenize→md5→32-sum subtree), so without the
+    checkpoint the whole signature build runs twice. Same pattern as
+    dedup_fuzzy/dedup_ngram_jaccard's sig checkpoint; measured
+    2.16 → 2.00 s at sf0.1 (min-of-3), and at 100 TB it halves the
+    dominant corpus pass."""
     docs = table(spark, sf_dir, "documents")
     tok = (
         docs.select(
@@ -629,7 +638,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)))
             for b in range(32)
         ).alias("simhash"),
-    )
+    ).localCheckpoint(eager=True)
     banded = sim.select(
         "doc_id",
         "simhash",
