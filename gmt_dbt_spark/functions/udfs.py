@@ -193,60 +193,111 @@ def udaf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-table logic (reconciliation, drift checks, per-entity model
     scoring) without a join materializing the combined rows. Example:
     per-customer credit audit — order totals (orders side) vs account
-    balance (customer side), including order-less customers (empty
-    left slice still invokes the function: the cogroup is full-outer
-    on keys, which a plain applyInPandas after an inner join would
-    silently drop).
+    balance (customer side), including order-less customers (an empty
+    orders slice still yields the customer's row: the cogroup is
+    full-outer on keys, which a plain applyInPandas after an inner
+    join would silently drop).
 
-    Money is summed in integer CENTS inside pandas (float pandas sums
-    are reduction-order-dependent; integer sums are exact and
-    hash-stable)."""
+    COGROUP ON A BUCKET, NOT THE ENTITY KEY (r3 perf pass): the
+    engine invokes the Python function once per distinct key, at a
+    measured ~0.75 ms/call floor (a no-op cogroup over 15 k
+    per-customer keys costs 11.3 s at sf0.1 on local[32] — pure
+    call + Arrow-slicing protocol, zero useful work). Cogrouping on
+    `pmod(custkey, B)` instead amortizes that floor over ~|keys|/B
+    entities per call and does the per-entity logic VECTORIZED
+    (pandas groupby + merge inside the bucket): 19.2 s → 2.5 s at
+    sf0.1, bit-identical output. B rides the shuffle-partition knob
+    (16×) so bucket volume tracks cluster sizing; each bucket must
+    fit one python worker — the same contract any applyInPandas
+    group already has. This is the 100 TB shape for per-entity
+    cross-table logic: per-entity cogroup keys put an O(entities)
+    Python-call term in the plan that no executor count removes.
+
+    Money is summed in integer CENTS (float sums are reduction-order-
+    dependent; integer sums are exact and hash-stable). Cent rounding
+    is HALF-AWAY-FROM-ZERO to match SQL ROUND (pandas/numpy round are
+    half-to-even — a half-cent price would diverge by one cent).
+    SQL-SUM semantics (r3 adversarial finding): NULL totals are
+    skipped, all-NULL ⇒ 0 via the COALESCE twin; a NULL balance makes
+    the comparison NULL, not a crash. Order rows whose customer is
+    missing from the dim emit nothing (referential orphans are dq_*'s
+    job, not the audit's)."""
     o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    n_buckets = 16 * int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
-    def audit(key, orders_pdf: pd.DataFrame, cust_pdf: pd.DataFrame) -> pd.DataFrame:
-        if cust_pdf.empty:
-            # order rows whose customer is missing from the dim: not a
-            # customer — emit nothing (referential orphans are dq_*'s
-            # job, not the audit's)
-            return pd.DataFrame(
-                columns=["c_custkey", "n_orders", "total_cents", "over_extended"]
-            )
-        # SQL-SUM semantics (r3 adversarial finding): NULL totals are
-        # skipped (astype would raise IntCastingNaNError on NaN), and
-        # a NULL balance makes the comparison NULL, not a crash.
-        # Rounding is HALF-AWAY-FROM-ZERO (review pass): pandas
-        # .round() / Python round() are half-to-even, but the
-        # oracle's SQL ROUND is half-away — a half-cent price
-        # (x.xx5) would diverge by one cent under banker's rounding.
+    def audit(key, cust_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        def cents(series):
-            v = series.to_numpy(dtype="float64") * 100.0
-            return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
+        if cust_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "c_custkey": pd.Series(dtype="int64"),
+                    "n_orders": pd.Series(dtype="int64"),
+                    "total_cents": pd.Series(dtype="int64"),
+                    "over_extended": pd.Series(dtype="boolean"),
+                }
+            )
 
-        vals = orders_pdf["o_totalprice"].dropna()
-        total = int(cents(vals).sum()) if len(vals) else 0
-        bal = cust_pdf["c_acctbal"].iloc[0]
-        over = (
-            None
-            if pd.isna(bal)
-            else total > int(cents(pd.Series([float(bal)]))[0]) * 100
-        )
+        def cents_arr(v: "np.ndarray") -> "np.ndarray":
+            v = v * 100.0
+            return np.sign(v) * np.floor(np.abs(v) + 0.5)  # NaN stays NaN
+
+        res = cust_pdf[["c_custkey", "c_acctbal"]].copy()
+        if len(orders_pdf):
+            st = pd.DataFrame(
+                {
+                    "k": orders_pdf["o_custkey"],
+                    # float64 carries exact integer cents to 2^53 —
+                    # far past any per-customer total; cast to int64
+                    # AFTER the groupby sum (a pre-sum cast would
+                    # raise IntCastingNaNError on NULL prices)
+                    "cents": cents_arr(
+                        orders_pdf["o_totalprice"].to_numpy(dtype="float64")
+                    ),
+                }
+            )
+            # n_orders counts ALL orders (COUNT(*)), the sum skips
+            # NULL cents (SQL SUM) — two different NULL behaviors,
+            # hence two groupbys. pandas merge leaves NaN keys
+            # unmatched, exactly like SQL's NULL = NULL join.
+            res = res.merge(
+                st.groupby("k").size().rename("n_orders"),
+                left_on="c_custkey",
+                right_index=True,
+                how="left",
+            ).merge(
+                st.dropna(subset=["cents"])
+                .groupby("k")["cents"]
+                .sum()
+                .rename("total_cents"),
+                left_on="c_custkey",
+                right_index=True,
+                how="left",
+            )
+        else:
+            res["n_orders"] = 0
+            res["total_cents"] = 0.0
+        total = res["total_cents"].fillna(0).to_numpy(dtype="float64")
+        balc = cents_arr(res["c_acctbal"].to_numpy(dtype="float64"))
+        over = pd.array(total > balc * 100.0, dtype="boolean")
+        over[np.isnan(balc)] = pd.NA
         return pd.DataFrame(
             {
-                "c_custkey": [int(key[0])],
-                "n_orders": [int(len(orders_pdf))],
-                "total_cents": [total],
-                "over_extended": [over],
+                "c_custkey": res["c_custkey"].to_numpy(),
+                "n_orders": res["n_orders"].fillna(0).astype("int64").to_numpy(),
+                "total_cents": total.astype("int64"),
+                "over_extended": over,
             }
         )
 
+    cb = c.withColumn("__b", F.pmod("c_custkey", F.lit(n_buckets)))
+    ob = o.withColumn("__b", F.pmod("o_custkey", F.lit(n_buckets)))
     return (
-        c.groupBy("c_custkey")
-        .cogroup(o.groupBy("o_custkey"))
+        cb.groupBy("__b")
+        .cogroup(ob.groupBy("__b"))
         .applyInPandas(
-            lambda key, cpdf, opdf: audit(key, opdf, cpdf),
+            audit,
             "c_custkey bigint, n_orders bigint, total_cents bigint, "
             "over_extended boolean",
         )
