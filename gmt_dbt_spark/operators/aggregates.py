@@ -92,15 +92,29 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-count for 100 TB.  HLL estimates are engine-specific, so
     the raw estimate can't be oracle-hashed; instead the query emits
     the exact count PLUS a ``within_bound`` boolean asserting the
-    estimate lands within 5% of the exact value computed in the same
-    pass — deterministic, hash-exact, and it actually checks the
-    sketch's error bound (r1 `no_oracle` fix)."""
+    estimate lands within 5% of the exact value — deterministic,
+    hash-exact, and it actually checks the sketch's error bound
+    (r1 `no_oracle` fix).
+
+    BOTH aggregates run over one distinct projection (r3 perf pass):
+    mixing COUNT(DISTINCT) with a sketch aggregate in a single
+    Aggregate makes phase 1 group by (flag, partkey) AND carry the
+    ~10 KB rsd=0.01 HLL buffer per group — measured 2.74 s vs 0.73 s
+    (sketch alone) + 0.29 s (exact alone) at sf0.1. HLL is
+    duplicate-insensitive (identical registers, verified identical
+    estimates on the fixture), so running it after the distinct
+    changes nothing about the sketch while the exact count needs the
+    distinct anyway: 2.74 → 0.94 s, one scan, one shuffle of
+    (flag, partkey) pairs. Production counts with NO exactness check
+    should of course run the sketch alone over the raw table —
+    that's the whole point of HLL — this query's job is to verify
+    the sketch against truth."""
+    d = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey").distinct()
     return (
-        table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
+        d.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.count(F.lit(1)).alias("exact_parts"),
         )
         .select(
             "l_returnflag",
