@@ -40,6 +40,7 @@ from gmt_dbt_spark.catalog import table
 from gmt_dbt_spark.exprs import dsum
 from gmt_dbt_spark.operators.upsert import merge_upsert
 from gmt_dbt_spark.registry import query
+from gmt_dbt_spark.session import replay_conf
 
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SCRATCH = os.path.join(REPO, ".scratch")
@@ -50,17 +51,25 @@ EVENT_SCHEMA = (
 )
 
 
-def write_sentinels(src_dir: str, specs) -> None:
-    """Author far-future sentinel micro-batch files (one NDJSON event
-    each): specs = [(event_id, user_id, iso_ts, event_type), ...].
-    Shared by every watermark-dependent bounded-replay harness."""
-    for i, (eid, uid, ts_s, etype) in enumerate(specs):
+def write_sentinels(src_dir: str, batches) -> None:
+    """Author far-future sentinel micro-batch files: batches =
+    [batch, ...] where each batch is a LIST of
+    (event_id, user_id, iso_ts, event_type) events written into ONE
+    file = ONE micro-batch (maxFilesPerTrigger=1). Sentinels that
+    only need to arrive TOGETHER (e.g. both sides of a stream-stream
+    join advancing their watermarks at the same epoch) belong in the
+    same batch — every extra file is a full micro-batch of state-
+    store machinery (~2-4 s each in these replays; r3 perf pass
+    halved the outer-join sentinel batches this way). Shared by
+    every watermark-dependent bounded-replay harness."""
+    for i, batch in enumerate(batches):
         with open(os.path.join(src_dir, f"part-9{i}.json"), "w") as f:
-            f.write(
-                '{"event_id":%d,"ts":"%s","user_id":%d,'
-                '"event_type":"%s","value":0.0,"props":"{}"}\n'
-                % (eid, ts_s, uid, etype)
-            )
+            for eid, uid, ts_s, etype in batch:
+                f.write(
+                    '{"event_id":%d,"ts":"%s","user_id":%d,'
+                    '"event_type":"%s","value":0.0,"props":"{}"}\n'
+                    % (eid, ts_s, uid, etype)
+                )
 
 
 def pin_mtimes(src_dir: str) -> None:
@@ -270,16 +279,17 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .json(src_dir)
         )
-        q = (
-            running_totals_stateful(stream)
-            .writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with replay_conf(spark):
+            q = (
+                running_totals_stateful(stream)
+                .writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         # memory sink in update mode appends every per-batch state
         # update; n_events strictly grows per user, so the final
         # state is the max-n_events row — no reliance on row order.
@@ -344,14 +354,15 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged = merge_upsert(target, batch, ["user_id"]).localCheckpoint(eager=True)
             merged.write.mode("overwrite").parquet(target_path)
 
-        q = (
-            agg.writeStream.outputMode("complete")
-            .foreachBatch(upsert_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with replay_conf(spark):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .foreachBatch(upsert_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         final = spark.read.parquet(target_path)
         final = spark.createDataFrame(final.collect(), final.schema)  # detach from path
         return final
@@ -474,15 +485,16 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-        q = (
-            out.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with replay_conf(spark):
+            q = (
+                out.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         final: dict[int, tuple] = {}
         for r in spark.table(name).collect():
             cur = final.get(r.user_id)
@@ -568,15 +580,16 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 60 MINUTES")),
             "inner",
         ).select("click_id", "purchase_id")
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with replay_conf(spark):
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         out = spark.table(name).distinct()  # join emits each match once; defensive
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
@@ -631,15 +644,16 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c_mktsegment", "event_type")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with replay_conf(spark):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         out = spark.table(name)
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
@@ -701,13 +715,14 @@ def _stream_stream_outer_replay(
         # never join each other or real rows; timestamps DERIVED from
         # max(ts) so the mechanism survives any fixture time span.
         s1, s2 = sentinel_times(ev, delay_days=40)
+        # one FILE per epoch (not per side): both sides' sentinels
+        # must merely arrive together — same batch advances both
+        # watermarks; separate files would double the micro-batches
         write_sentinels(
             src_dir,
             [
-                (-1, -999999, s1, "click"),
-                (-2, -999998, s1, "purchase"),
-                (-3, -999997, s2, "click"),
-                (-4, -999996, s2, "purchase"),
+                [(-1, -999999, s1, "click"), (-2, -999998, s1, "purchase")],
+                [(-3, -999997, s2, "click"), (-4, -999996, s2, "purchase")],
             ],
         )
         pin_mtimes(src_dir)
@@ -741,15 +756,16 @@ def _stream_stream_outer_replay(
             & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 60 MINUTES")),
             how,
         ).select("click_id", "purchase_id")
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with replay_conf(spark):
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         out = (
             spark.table(name)
             .filter(
@@ -963,9 +979,12 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ):
             write_json_shard(half, os.path.join(src_dir, f"part-{i}.json"))
         s1, s2 = sentinel_times(ev, delay_days=40)
+        # two single-event batches: these MUST be separate files —
+        # s1 advances the watermark, s2's batch is when the engine
+        # flushes the state that s1 expired
         write_sentinels(
             src_dir,
-            [(-1, -999999, s1, "click"), (-2, -999998, s2, "click")],
+            [[(-1, -999999, s1, "click")], [(-2, -999998, s2, "click")]],
         )
         pin_mtimes(src_dir)
         stream = (
@@ -981,15 +1000,16 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
-        q = (
-            sessions.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with replay_conf(spark):
+            q = (
+                sessions.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         # sentinel sessions carry user_id -999999/-999998; real NULL
         # users must SURVIVE this cut (null >= 0 is null -> dropped by
         # the bare comparison — r3 adversarial finding; the oracle's
