@@ -257,20 +257,16 @@ def udaf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 }
             )
-            # n_orders counts ALL orders (COUNT(*)), the sum skips
-            # NULL cents (SQL SUM) — two different NULL behaviors,
-            # hence two groupbys. pandas merge leaves NaN keys
-            # unmatched, exactly like SQL's NULL = NULL join.
+            # ONE groupby covers both NULL behaviors (review pass):
+            # size counts NaN rows (COUNT(*)) while sum skips them
+            # (SQL SUM; an all-NaN group sums to 0.0, same value the
+            # COALESCE twin lands on). NULL custkeys are safe only
+            # because groupby drops NaN KEYS from this index — a raw
+            # merge would happily match NaN==NaN, unlike SQL.
             res = res.merge(
-                st.groupby("k").size().rename("n_orders"),
-                left_on="c_custkey",
-                right_index=True,
-                how="left",
-            ).merge(
-                st.dropna(subset=["cents"])
-                .groupby("k")["cents"]
-                .sum()
-                .rename("total_cents"),
+                st.groupby("k")["cents"].agg(
+                    n_orders="size", total_cents="sum"
+                ),
                 left_on="c_custkey",
                 right_index=True,
                 how="left",

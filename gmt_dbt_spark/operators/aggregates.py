@@ -114,16 +114,26 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-            F.count(F.lit(1)).alias("exact_parts"),
+            # count(l_partkey), NOT count(*): the distinct projection
+            # keeps a (flag, NULL) pair, which COUNT(DISTINCT) and
+            # the HLL sketch both ignore (review finding)
+            F.count("l_partkey").alias("exact_parts"),
         )
         .select(
             "l_returnflag",
             "exact_parts",
-            (
+            # exact = 0 (a group whose only partkey is NULL) makes
+            # the relative-error division an ANSI DIVIDE_BY_ZERO
+            # crash — the sketch is within bound iff it also says 0
+            F.when(
+                F.col("exact_parts") == 0, F.col("approx_parts") == 0
+            )
+            .otherwise(
                 F.abs(F.col("approx_parts") - F.col("exact_parts"))
                 / F.col("exact_parts")
                 <= F.lit(0.05)
-            ).alias("within_bound"),
+            )
+            .alias("within_bound"),
         )
     )
 

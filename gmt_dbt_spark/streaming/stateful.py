@@ -98,6 +98,29 @@ def sentinel_times(ev, delay_days: int, margin_days: int = 2):
     return s1.strftime(fmt), s2.strftime(fmt)
 
 
+def run_replay(df: DataFrame, ckpt: str, *, mode: str, name: str | None = None,
+               foreach=None) -> None:
+    """Execute one bounded availableNow replay to completion under
+    `replay_conf` (8 state partitions — see session.replay_conf for
+    the measured rationale). Sink is the named memory table unless a
+    `foreach` batch function is given. ONE definition for the
+    conf-scope + trigger + await dance every replay harness repeats
+    (review pass — seven hand-rolled copies before)."""
+    spark = df.sparkSession
+    with replay_conf(spark):
+        w = df.writeStream.outputMode(mode)
+        if foreach is not None:
+            w = w.foreachBatch(foreach)
+        else:
+            w = w.format("memory").queryName(name)
+        q = (
+            w.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 def write_replay(ev, src_dir: str, n_batches: int = 2) -> None:
     """Author the micro-batch replay files: the events split into
     n_batches NDJSON shards by event_id parity/modulus. The to_json
@@ -279,17 +302,7 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .json(src_dir)
         )
-        with replay_conf(spark):
-            q = (
-                running_totals_stateful(stream)
-                .writeStream.outputMode("update")
-                .format("memory")
-                .queryName(name)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+        run_replay(running_totals_stateful(stream), ckpt, mode="update", name=name)
         # memory sink in update mode appends every per-batch state
         # update; n_events strictly grows per user, so the final
         # state is the max-n_events row — no reliance on row order.
@@ -354,15 +367,7 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged = merge_upsert(target, batch, ["user_id"]).localCheckpoint(eager=True)
             merged.write.mode("overwrite").parquet(target_path)
 
-        with replay_conf(spark):
-            q = (
-                agg.writeStream.outputMode("complete")
-                .foreachBatch(upsert_batch)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+        run_replay(agg, ckpt, mode="complete", foreach=upsert_batch)
         final = spark.read.parquet(target_path)
         final = spark.createDataFrame(final.collect(), final.schema)  # detach from path
         return final
@@ -485,16 +490,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-        with replay_conf(spark):
-            q = (
-                out.writeStream.outputMode("update")
-                .format("memory")
-                .queryName(name)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+        run_replay(out, ckpt, mode="update", name=name)
         final: dict[int, tuple] = {}
         for r in spark.table(name).collect():
             cur = final.get(r.user_id)
@@ -580,16 +576,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 60 MINUTES")),
             "inner",
         ).select("click_id", "purchase_id")
-        with replay_conf(spark):
-            q = (
-                joined.writeStream.outputMode("append")
-                .format("memory")
-                .queryName(name)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+        run_replay(joined, ckpt, mode="append", name=name)
         out = spark.table(name).distinct()  # join emits each match once; defensive
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
@@ -644,16 +631,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c_mktsegment", "event_type")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        with replay_conf(spark):
-            q = (
-                agg.writeStream.outputMode("complete")
-                .format("memory")
-                .queryName(name)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+        run_replay(agg, ckpt, mode="complete", name=name)
         out = spark.table(name)
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
@@ -756,16 +734,7 @@ def _stream_stream_outer_replay(
             & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 60 MINUTES")),
             how,
         ).select("click_id", "purchase_id")
-        with replay_conf(spark):
-            q = (
-                joined.writeStream.outputMode("append")
-                .format("memory")
-                .queryName(name)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+        run_replay(joined, ckpt, mode="append", name=name)
         out = (
             spark.table(name)
             .filter(
@@ -1000,16 +969,7 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
-        with replay_conf(spark):
-            q = (
-                sessions.writeStream.outputMode("append")
-                .format("memory")
-                .queryName(name)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+        run_replay(sessions, ckpt, mode="append", name=name)
         # sentinel sessions carry user_id -999999/-999998; real NULL
         # users must SURVIVE this cut (null >= 0 is null -> dropped by
         # the bare comparison — r3 adversarial finding; the oracle's

@@ -575,6 +575,14 @@ def adv_li_dir(tmp_path_factory):
     # zero / negative quantity (returns)
     add(95, 12, 12, 1, 0.0, 0.0, 0.0, 0.0, "R", "F", dt.datetime(1996, 9, 9))
     add(95, 12, 12, 2, -4.0, -250.0, 0.0, 0.0, "R", "F", dt.datetime(1996, 9, 9))
+    # NULL partkey inside a populated flag group (COUNT(DISTINCT) and
+    # the HLL sketch both ignore it — a count(*) over the distinct
+    # projection would not; review finding) ...
+    add(96, None, 13, 1, 2.0, 400.0, 0.0, 0.0, "A", "F", dt.datetime(1996, 10, 1))
+    # ... and a flag group whose ONLY partkey is NULL: exact count 0,
+    # where an unguarded |approx-exact|/exact bound check is an ANSI
+    # DIVIDE_BY_ZERO crash, not just a divergence
+    add(97, None, 14, 1, 1.0, 100.0, 0.0, 0.0, "X", "X", dt.datetime(1996, 10, 2))
     pq.write_table(
         pa.table(
             {
