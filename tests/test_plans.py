@@ -1033,3 +1033,44 @@ def test_text_dedup_lines_single_subtree_two_shuffles(spark):
     assert tree.count("Exchange") == 2, tree
     assert tree.count("Generate") == 2, tree
     assert "Join" not in tree, tree
+
+
+def test_approx_distinct_no_sketch_through_expand(spark):
+    """agg_approx_distinct runs the HLL sketch AND the exact count
+    off ONE distinct projection (r3 perf pass: mixing COUNT(DISTINCT)
+    with a sketch aggregate in a single Aggregate carried the ~10 KB
+    rsd=0.01 buffer per (flag, partkey) phase-1 group — 2.74 s vs
+    0.94 s at sf0.1). Pin the shape: two Exchanges (distinct + final
+    rollup), and no Expand node (the multi-distinct rewrite that the
+    old formulation triggered)."""
+    tree = tree_of(plan_of(all_queries()["agg_approx_distinct"](spark, SF_DIR)))
+    assert tree.count("Exchange") == 2, tree
+    assert "Expand" not in tree, tree
+
+
+def test_cogroup_partitions_on_bucket_not_entity(spark):
+    """udaf_cogrouped cogroups on pmod(custkey, B) buckets, not the
+    per-entity key (r3 perf pass: ~0.75 ms/key Python-call floor →
+    19.2 s at sf0.1 for 15 k customers). Pin: one
+    FlatMapCoGroupsInPandas whose two Exchanges hash-partition on the
+    synthetic __b bucket column, not on c_custkey/o_custkey."""
+    plan = plan_of(all_queries()["udaf_cogrouped"](spark, SF_DIR))
+    tree = tree_of(plan)
+    assert tree.count("FlatMapCoGroupsInPandas") == 1, tree
+    assert tree.count("Exchange") == 2, tree
+    parts = re.findall(r"hashpartitioning\(([^,)]+)", plan)
+    assert parts and all(p.startswith("__b") for p in parts), parts
+
+
+def test_simhash_band_join_reads_checkpointed_signature(spark):
+    """dedup_simhash localCheckpoints the 16-byte/doc signature frame
+    before the band self-join (r3 perf pass: ReuseExchange does NOT
+    dedup the two sides, so without the checkpoint the whole
+    tokenize→md5→32-sum build ran twice). Pin: both join sides scan
+    the materialized RDD and the signature aggregation pipeline is
+    absent from the final plan."""
+    tree = tree_of(plan_of(all_queries()["dedup_simhash"](spark, SF_DIR)))
+    assert tree.count("Scan ExistingRDD") == 2, tree
+    # the only aggregate left is the pair-dedup distinct, not the
+    # 32-bit-sum signature build (which ran at checkpoint time)
+    assert tree.count("HashAggregate") == 2, tree
