@@ -121,19 +121,98 @@ def run_replay(df: DataFrame, ckpt: str, *, mode: str, name: str | None = None,
         q.awaitTermination()
 
 
-def write_replay(ev, src_dir: str, n_batches: int = 2) -> None:
+def _replay_cache_dir(
+    sf_dir: str, n_batches: int, split: str, variant: str
+) -> str | None:
+    """Cache key for authored replay shards: the shards are a pure
+    function of (events.parquet content, n_batches, split, the
+    caller's frame variant), so key on the source file's
+    (path, mtime_ns, size) fingerprint — any regeneration of the
+    testdata invalidates automatically. ``variant`` is the explicit
+    tag for callers that author a NON-default frame (e.g. the upsert
+    replay's null-key ingest filter) — without it two callers with
+    different pre-filters would serve each other's shards (caught by
+    the hostile-events sweep: the null-user row leaked into the
+    upsert replay, 17 vs 16 rows). Returns None when the source
+    layout isn't the one-file-per-table fixture shape (then the
+    caller authors uncached)."""
+    import hashlib
+
+    p = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    try:
+        st = os.stat(p)
+    except OSError:
+        return None
+    key = hashlib.md5(
+        f"{p}|{st.st_mtime_ns}|{st.st_size}|{n_batches}|{split}|{variant}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(SCRATCH, "replay_cache", key)
+
+
+def write_replay(
+    ev, src_dir: str, n_batches: int = 2, sf_dir: str | None = None,
+    split: str = "mod", variant: str = "",
+) -> None:
     """Author the micro-batch replay files: the events split into
-    n_batches NDJSON shards by event_id parity/modulus. The to_json
-    flags are LOAD-BEARING for timestamp parity with EVENT_SCHEMA
-    (iso format, microsecond unit) — this is the single definition
-    every streaming query replays through (driver-side by design:
-    test-harness authoring, not a production path — see module
-    docstring)."""
-    for i in range(n_batches):
-        write_json_shard(
-            ev.filter(F.col("event_id") % n_batches == i),
-            os.path.join(src_dir, f"part-{i}.json"),
-        )
+    n_batches NDJSON shards — by event_id modulus (``split="mod"``),
+    or into two time halves at the data-derived midpoint
+    (``split="mid"``, the cross-batch event-time order the
+    single-pass session state needs). The to_json flags inside
+    write_json_shard are LOAD-BEARING for timestamp parity with
+    EVENT_SCHEMA (iso format, microsecond unit) — this is the single
+    definition every streaming query replays through (driver-side by
+    design: test-harness authoring, not a production path — see
+    module docstring).
+
+    CACHED when ``sf_dir`` is given (r3 perf pass): authoring rows
+    driver-side costs ~2 s at sf0.1 and was re-paid on EVERY
+    invocation of every replay query; the shards are deterministic in
+    the source parquet, so they are authored once per (source
+    fingerprint, n_batches, split) under SCRATCH/replay_cache and
+    hardlinked into each run dir. pin_mtimes on hardlinks touches the
+    shared inode, but the pinned values are deterministic and
+    identical across run dirs, so that is idempotent."""
+    def author(into: str) -> None:
+        if split == "mid":
+            bounds = ev.agg(
+                F.min("ts").alias("mn"), F.max("ts").alias("mx")
+            ).collect()[0]
+            mid = bounds["mn"] + (bounds["mx"] - bounds["mn"]) / 2
+            halves = (ev.filter(F.col("ts") <= mid), ev.filter(F.col("ts") > mid))
+            for i, half in enumerate(halves):
+                write_json_shard(half, os.path.join(into, f"part-{i}.json"))
+        else:
+            for i in range(n_batches):
+                write_json_shard(
+                    ev.filter(F.col("event_id") % n_batches == i),
+                    os.path.join(into, f"part-{i}.json"),
+                )
+
+    n_shards = 2 if split == "mid" else n_batches
+    cache = (
+        _replay_cache_dir(sf_dir, n_batches, split, variant) if sf_dir else None
+    )
+    if cache is None:
+        author(src_dir)
+        return
+    if not os.path.exists(os.path.join(cache, "_OK")):
+        tmp = cache + "." + uuid.uuid4().hex[:6]
+        os.makedirs(tmp, exist_ok=True)
+        author(tmp)
+        with open(os.path.join(tmp, "_OK"), "w"):
+            pass
+        try:
+            os.rename(tmp, cache)
+        except OSError:
+            # a concurrent author won the rename — use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+    for i in range(n_shards):
+        src = os.path.join(cache, f"part-{i}.json")
+        dst = os.path.join(src_dir, f"part-{i}.json")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy(src, dst)
 
 
 def write_json_shard(df: DataFrame, path: str) -> None:
@@ -296,7 +375,7 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"state_t_{uuid.uuid4().hex[:8]}"
     try:
         ev = table(spark, sf_dir, "events")
-        write_replay(ev, src_dir)
+        write_replay(ev, src_dir, sf_dir=sf_dir)
         stream = (
             spark.readStream.schema(EVENT_SCHEMA)
             .option("maxFilesPerTrigger", 1)
@@ -355,7 +434,10 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("total"),
         ).write.parquet(target_path)
         # Source files: two replayed chunks (micro-batch fodder).
-        write_replay(ev, src_dir)
+        # variant tag: this is the ONE caller authoring a pre-filtered
+        # frame — without it the cache would serve the unfiltered
+        # shards (or vice versa) to the other harnesses
+        write_replay(ev, src_dir, sf_dir=sf_dir, variant="nonnull_user")
 
         stream = spark.readStream.schema(EVENT_SCHEMA).json(src_dir)
         agg = stream.groupBy("user_id").agg(
@@ -478,7 +560,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
         ev = table(spark, sf_dir, "events")
-        write_replay(ev, src_dir)
+        write_replay(ev, src_dir, sf_dir=sf_dir)
         stream = (
             spark.readStream.schema(EVENT_SCHEMA)
             .option("maxFilesPerTrigger", 1)
@@ -545,7 +627,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"ssj_t_{uuid.uuid4().hex[:8]}"
     try:
         ev = table(spark, sf_dir, "events")
-        write_replay(ev, src_dir)
+        write_replay(ev, src_dir, sf_dir=sf_dir)
         stream = (
             spark.readStream.schema(EVENT_SCHEMA)
             .option("maxFilesPerTrigger", 1)
@@ -616,7 +698,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"ssj2_t_{uuid.uuid4().hex[:8]}"
     try:
         ev = table(spark, sf_dir, "events")
-        write_replay(ev, src_dir)
+        write_replay(ev, src_dir, sf_dir=sf_dir)
         stream = (
             spark.readStream.schema(EVENT_SCHEMA)
             .option("maxFilesPerTrigger", 1)
@@ -687,7 +769,7 @@ def _stream_stream_outer_replay(
     name = f"sslo_t_{uuid.uuid4().hex[:8]}"
     try:
         ev = table(spark, sf_dir, "events")
-        write_replay(ev, src_dir)
+        write_replay(ev, src_dir, sf_dir=sf_dir)
         # Sentinels: one per side-filter so BOTH input streams see
         # their watermark advance; distinct reserved users so they can
         # never join each other or real rows; timestamps DERIVED from
@@ -939,14 +1021,7 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         # gap state needs cross-batch event-time order, and a
         # calendar-based split (day-of-month) would interleave months
         # if the fixture's span ever grows (review finding).
-        bounds = ev.agg(
-            F.min("ts").alias("mn"), F.max("ts").alias("mx")
-        ).collect()[0]
-        mid = bounds["mn"] + (bounds["mx"] - bounds["mn"]) / 2
-        for i, half in enumerate(
-            (ev.filter(F.col("ts") <= mid), ev.filter(F.col("ts") > mid))
-        ):
-            write_json_shard(half, os.path.join(src_dir, f"part-{i}.json"))
+        write_replay(ev, src_dir, sf_dir=sf_dir, split="mid")
         s1, s2 = sentinel_times(ev, delay_days=40)
         # two single-event batches: these MUST be separate files —
         # s1 advances the watermark, s2's batch is when the engine
