@@ -327,3 +327,62 @@ def test_scoped_conf_restores_on_error(spark):
             assert spark.conf.get(key) == "7"
             raise RuntimeError("boom")
     assert spark.conf.get(key) == before
+
+
+def test_replay_cache_variant_and_invalidation(spark, tmp_path):
+    """The replay-shard cache must (a) reuse the authored shards for
+    an identical (source, split, variant) request, (b) keep different
+    frame VARIANTS in different entries — the hostile-events sweep
+    caught variant-less keys serving the upsert harness the
+    unfiltered shards — and (c) invalidate when the source parquet
+    is regenerated."""
+    import os
+
+    from gmt_dbt_spark.streaming.stateful import _replay_cache_dir, write_replay
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    ev = spark.range(10).selectExpr(
+        "id AS event_id",
+        "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,CAST(id AS INT),0) AS ts",
+        "CASE WHEN id = 3 THEN NULL ELSE id % 4 END AS user_id",
+        "'click' AS event_type",
+        "CAST(id AS DOUBLE) AS value",
+        "'{}' AS props",
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    part = [f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet")][0]
+    os.rename(tmp_path / "stage" / part, os.path.join(sf, "events.parquet"))
+
+    key_plain = _replay_cache_dir(sf, 2, "mod", "")
+    key_var = _replay_cache_dir(sf, 2, "mod", "nonnull_user")
+    assert key_plain != key_var
+
+    d1 = str(tmp_path / "run1"); os.makedirs(d1)
+    write_replay(ev, d1, sf_dir=sf)
+    assert os.path.exists(os.path.join(key_plain, "_OK"))
+    authored = os.stat(os.path.join(key_plain, "part-0.json")).st_ino
+
+    # reuse: second run hardlinks the same inode, no re-author
+    d2 = str(tmp_path / "run2"); os.makedirs(d2)
+    write_replay(ev, d2, sf_dir=sf)
+    assert os.stat(os.path.join(d2, "part-0.json")).st_ino == authored
+
+    # variant separation: the filtered frame authors its own shards
+    d3 = str(tmp_path / "run3"); os.makedirs(d3)
+    write_replay(
+        ev.filter(F.col("user_id").isNotNull()), d3, sf_dir=sf,
+        variant="nonnull_user",
+    )
+    lines = open(os.path.join(d3, "part-0.json")).read() + open(
+        os.path.join(d3, "part-1.json")
+    ).read()
+    assert '"user_id": null' not in lines and '"user_id":null' not in lines
+    plain_lines = open(os.path.join(d2, "part-0.json")).read() + open(
+        os.path.join(d2, "part-1.json")
+    ).read()
+    assert "null" in plain_lines  # the unfiltered shards keep the null row
+
+    # invalidation: touching the source parquet changes the key
+    os.utime(os.path.join(sf, "events.parquet"))
+    assert _replay_cache_dir(sf, 2, "mod", "") != key_plain
