@@ -121,37 +121,79 @@ def run_replay(df: DataFrame, ckpt: str, *, mode: str, name: str | None = None,
         q.awaitTermination()
 
 
+def _frame_fingerprint(ev) -> str:
+    """Session-stable fingerprint of the frame a caller authors: the
+    ANALYZED logical plan with per-session expression ids (``#123``)
+    stripped. Deriving this here — instead of trusting each caller to
+    tag its pre-filters — closes the whole 'forgot the variant kwarg'
+    class (pattern-10 item 19: the upsert harness's null-key filter
+    was served the unfiltered shards). Two frames with different
+    filters/projections/sources analyze to different plan text; a
+    Spark-version change of the plan rendering at worst costs one
+    cache miss, never a false hit."""
+    import hashlib
+    import re as _re
+
+    plan = ev._jdf.queryExecution().analyzed().toString()
+    return hashlib.md5(_re.sub(r"#\d+", "", plan).encode()).hexdigest()[:8]
+
+
 def _replay_cache_dir(
-    sf_dir: str, n_batches: int, split: str, variant: str
+    sf_dir: str, n_batches: int, split: str, frame_fp: str
 ) -> str | None:
     """Cache key for authored replay shards: the shards are a pure
     function of (events.parquet content, n_batches, split, the
-    caller's frame variant), so key on the source file's
-    (path, mtime_ns, size) fingerprint — any regeneration of the
-    testdata invalidates automatically. ``variant`` is the explicit
-    tag for callers that author a NON-default frame (e.g. the upsert
-    replay's null-key ingest filter) — without it two callers with
-    different pre-filters would serve each other's shards (caught by
-    the hostile-events sweep: the null-user row leaked into the
-    upsert replay, 17 vs 16 rows). Returns None when the source
-    layout isn't the one-file-per-table fixture shape (then the
-    caller authors uncached)."""
+    authored frame), so key on the source FILE's
+    (path, mtime_ns, size) fingerprint plus `_frame_fingerprint` —
+    any regeneration of the testdata invalidates automatically.
+    Returns None when events.parquet is not a regular file (e.g. a
+    Spark-written dataset DIRECTORY, whose stat does not change when
+    an inner part file is rewritten — review finding): then the
+    caller authors uncached, exactly as documented."""
     import hashlib
+    import stat as _stat
 
     p = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     try:
         st = os.stat(p)
     except OSError:
         return None
+    if not _stat.S_ISREG(st.st_mode):
+        return None
     key = hashlib.md5(
-        f"{p}|{st.st_mtime_ns}|{st.st_size}|{n_batches}|{split}|{variant}".encode()
+        f"{p}|{st.st_mtime_ns}|{st.st_size}|{n_batches}|{split}|{frame_fp}".encode()
     ).hexdigest()[:16]
     return os.path.join(SCRATCH, "replay_cache", key)
 
 
+def _prune_replay_cache(root: str, keep_s: float = 7 * 86400) -> None:
+    """Best-effort eviction: mtime-keyed entries strand on every
+    testdata regeneration, so drop _OK-stamped entries older than a
+    week (and any .tmp litter from crashed authors)."""
+    import time as _time
+
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    now = _time.time()
+    for e in entries:
+        d = os.path.join(root, e)
+        try:
+            if "." in e:
+                # crashed author's tmp litter — but never a CONCURRENT
+                # author's live tmp, so only past a generous age
+                if now - os.stat(d).st_mtime > 3600:
+                    shutil.rmtree(d, ignore_errors=True)
+            elif now - os.stat(os.path.join(d, "_OK")).st_mtime > keep_s:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def write_replay(
     ev, src_dir: str, n_batches: int = 2, sf_dir: str | None = None,
-    split: str = "mod", variant: str = "",
+    split: str = "mod",
 ) -> None:
     """Author the micro-batch replay files: the events split into
     n_batches NDJSON shards — by event_id modulus (``split="mod"``),
@@ -167,11 +209,14 @@ def write_replay(
     CACHED when ``sf_dir`` is given (r3 perf pass): authoring rows
     driver-side costs ~2 s at sf0.1 and was re-paid on EVERY
     invocation of every replay query; the shards are deterministic in
-    the source parquet, so they are authored once per (source
-    fingerprint, n_batches, split) under SCRATCH/replay_cache and
-    hardlinked into each run dir. pin_mtimes on hardlinks touches the
-    shared inode, but the pinned values are deterministic and
-    identical across run dirs, so that is idempotent."""
+    (source parquet, split, the caller's frame — fingerprinted from
+    its analyzed plan), so they are authored once under
+    SCRATCH/replay_cache and hardlinked into each run dir (copy
+    fallback across filesystems). Shard mtimes are pinned to
+    pin_mtimes' deterministic values AT AUTHOR TIME, so a hardlinked
+    inode never transiently exposes an authored-now mtime to a
+    concurrent worker's file-source listing (review finding), and the
+    run-dir pin_mtimes re-sets the identical values — idempotent."""
     def author(into: str) -> None:
         if split == "mid":
             bounds = ev.agg(
@@ -187,32 +232,50 @@ def write_replay(
                     ev.filter(F.col("event_id") % n_batches == i),
                     os.path.join(into, f"part-{i}.json"),
                 )
+        # pre-pin shard mtimes to the exact values pin_mtimes assigns
+        # them in the run dir (shards sort lexicographically before
+        # the part-9x sentinels, so index i is stable)
+        for i in range(n_shards):
+            t = 1_700_000_000 + 10 * i
+            os.utime(os.path.join(into, f"part-{i}.json"), (t, t))
 
     n_shards = 2 if split == "mid" else n_batches
     cache = (
-        _replay_cache_dir(sf_dir, n_batches, split, variant) if sf_dir else None
+        _replay_cache_dir(sf_dir, n_batches, split, _frame_fingerprint(ev))
+        if sf_dir
+        else None
     )
     if cache is None:
         author(src_dir)
         return
     if not os.path.exists(os.path.join(cache, "_OK")):
+        _prune_replay_cache(os.path.dirname(cache))
         tmp = cache + "." + uuid.uuid4().hex[:6]
         os.makedirs(tmp, exist_ok=True)
-        author(tmp)
-        with open(os.path.join(tmp, "_OK"), "w"):
-            pass
         try:
+            author(tmp)
+            with open(os.path.join(tmp, "_OK"), "w"):
+                pass
             os.rename(tmp, cache)
         except OSError:
-            # a concurrent author won the rename — use theirs
+            # concurrent author won the rename, or the cache fs is
+            # unusable — clean up and fall through: the link loop
+            # below handles a usable winner, the author(src_dir)
+            # fallback handles everything else
             shutil.rmtree(tmp, ignore_errors=True)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)  # crashed author
+            raise
+    if not os.path.exists(os.path.join(cache, "_OK")):
+        author(src_dir)  # no usable cache entry — author directly
+        return
     for i in range(n_shards):
         src = os.path.join(cache, f"part-{i}.json")
         dst = os.path.join(src_dir, f"part-{i}.json")
         try:
             os.link(src, dst)
         except OSError:
-            shutil.copy(src, dst)
+            shutil.copy2(src, dst)
 
 
 def write_json_shard(df: DataFrame, path: str) -> None:
@@ -434,10 +497,10 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("total"),
         ).write.parquet(target_path)
         # Source files: two replayed chunks (micro-batch fodder).
-        # variant tag: this is the ONE caller authoring a pre-filtered
-        # frame — without it the cache would serve the unfiltered
-        # shards (or vice versa) to the other harnesses
-        write_replay(ev, src_dir, sf_dir=sf_dir, variant="nonnull_user")
+        # This caller authors a pre-filtered frame; the cache key
+        # derives that from the analyzed plan (_frame_fingerprint),
+        # so no manual tag is needed — or forgettable.
+        write_replay(ev, src_dir, sf_dir=sf_dir)
 
         stream = spark.readStream.schema(EVENT_SCHEMA).json(src_dir)
         agg = stream.groupBy("user_id").agg(

@@ -331,14 +331,25 @@ def test_scoped_conf_restores_on_error(spark):
 
 def test_replay_cache_variant_and_invalidation(spark, tmp_path):
     """The replay-shard cache must (a) reuse the authored shards for
-    an identical (source, split, variant) request, (b) keep different
-    frame VARIANTS in different entries — the hostile-events sweep
-    caught variant-less keys serving the upsert harness the
-    unfiltered shards — and (c) invalidate when the source parquet
-    is regenerated."""
+    an identical (source, split, frame) request, (b) key DIFFERENT
+    frames into different entries WITHOUT any caller-supplied tag —
+    the hostile-events sweep caught the first cut serving the upsert
+    harness's filtered frame the unfiltered shards, and the fix
+    derives the variant from the analyzed plan so it cannot be
+    forgotten — and (c) invalidate when the source parquet is
+    regenerated. Run dirs live under SCRATCH like the real harnesses
+    (hardlinks need one filesystem; elsewhere the copy fallback is
+    exercised instead, which this test does not assert on)."""
     import os
+    import shutil
+    import uuid
 
-    from gmt_dbt_spark.streaming.stateful import _replay_cache_dir, write_replay
+    from gmt_dbt_spark.streaming.stateful import (
+        SCRATCH,
+        _frame_fingerprint,
+        _replay_cache_dir,
+        write_replay,
+    )
 
     sf = str(tmp_path / "sf")
     os.makedirs(sf)
@@ -354,35 +365,52 @@ def test_replay_cache_variant_and_invalidation(spark, tmp_path):
     part = [f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet")][0]
     os.rename(tmp_path / "stage" / part, os.path.join(sf, "events.parquet"))
 
-    key_plain = _replay_cache_dir(sf, 2, "mod", "")
-    key_var = _replay_cache_dir(sf, 2, "mod", "nonnull_user")
-    assert key_plain != key_var
+    filtered = ev.filter(F.col("user_id").isNotNull())
+    fp_plain, fp_filt = _frame_fingerprint(ev), _frame_fingerprint(filtered)
+    assert fp_plain != fp_filt  # different frames → different keys, no tag needed
+    key_plain = _replay_cache_dir(sf, 2, "mod", fp_plain)
 
-    d1 = str(tmp_path / "run1"); os.makedirs(d1)
-    write_replay(ev, d1, sf_dir=sf)
-    assert os.path.exists(os.path.join(key_plain, "_OK"))
-    authored = os.stat(os.path.join(key_plain, "part-0.json")).st_ino
+    base = os.path.join(SCRATCH, f"replay_cache_test_{uuid.uuid4().hex[:8]}")
+    try:
+        d1 = os.path.join(base, "run1"); os.makedirs(d1)
+        write_replay(ev, d1, sf_dir=sf)
+        assert os.path.exists(os.path.join(key_plain, "_OK"))
+        authored = os.stat(os.path.join(key_plain, "part-0.json")).st_ino
 
-    # reuse: second run hardlinks the same inode, no re-author
-    d2 = str(tmp_path / "run2"); os.makedirs(d2)
-    write_replay(ev, d2, sf_dir=sf)
-    assert os.stat(os.path.join(d2, "part-0.json")).st_ino == authored
+        # reuse: second run hardlinks the same inode, no re-author
+        d2 = os.path.join(base, "run2"); os.makedirs(d2)
+        write_replay(ev, d2, sf_dir=sf)
+        assert os.stat(os.path.join(d2, "part-0.json")).st_ino == authored
 
-    # variant separation: the filtered frame authors its own shards
-    d3 = str(tmp_path / "run3"); os.makedirs(d3)
-    write_replay(
-        ev.filter(F.col("user_id").isNotNull()), d3, sf_dir=sf,
-        variant="nonnull_user",
-    )
-    lines = open(os.path.join(d3, "part-0.json")).read() + open(
-        os.path.join(d3, "part-1.json")
-    ).read()
-    assert '"user_id": null' not in lines and '"user_id":null' not in lines
-    plain_lines = open(os.path.join(d2, "part-0.json")).read() + open(
-        os.path.join(d2, "part-1.json")
-    ).read()
-    assert "null" in plain_lines  # the unfiltered shards keep the null row
+        # frame separation: the filtered frame authors its own shards
+        d3 = os.path.join(base, "run3"); os.makedirs(d3)
+        write_replay(filtered, d3, sf_dir=sf)
+        lines = open(os.path.join(d3, "part-0.json")).read() + open(
+            os.path.join(d3, "part-1.json")
+        ).read()
+        assert '"user_id": null' not in lines and '"user_id":null' not in lines
+        plain_lines = open(os.path.join(d2, "part-0.json")).read() + open(
+            os.path.join(d2, "part-1.json")
+        ).read()
+        assert "null" in plain_lines  # the unfiltered shards keep the null row
 
-    # invalidation: touching the source parquet changes the key
-    os.utime(os.path.join(sf, "events.parquet"))
-    assert _replay_cache_dir(sf, 2, "mod", "") != key_plain
+        # shard mtimes are pre-pinned at author time (never expose an
+        # authored-now mtime through a shared inode)
+        assert os.stat(os.path.join(key_plain, "part-0.json")).st_mtime == 1_700_000_000
+
+        # invalidation: touching the source parquet changes the key
+        os.utime(os.path.join(sf, "events.parquet"))
+        assert _replay_cache_dir(sf, 2, "mod", fp_plain) != key_plain
+
+        # a dataset DIRECTORY named events.parquet is never cached
+        dsf = str(tmp_path / "sfdir"); os.makedirs(os.path.join(dsf, "events.parquet"))
+        assert _replay_cache_dir(dsf, 2, "mod", fp_plain) is None
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        for k in {
+            _replay_cache_dir(sf, 2, "mod", fp_plain),
+            _replay_cache_dir(sf, 2, "mod", fp_filt),
+            key_plain,
+        }:
+            if k:
+                shutil.rmtree(k, ignore_errors=True)
