@@ -344,3 +344,95 @@ def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = merge_upsert(target, upserts, ["o_orderkey"])
     return merged.join(F.broadcast(deletes), "o_orderkey", "left_anti")
+
+
+def merge_upsert_evolve(
+    target: DataFrame, staging: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Schema-EVOLVING MERGE: the `mergeSchema` semantics of
+    Delta/Iceberg MERGE (and BigQuery's ALTER-then-MERGE migration
+    path), reimplemented from first principles on plain DataFrames
+    because neither lakehouse jar ships in this build:
+
+    - columns present only in STAGING are ADDED to the target
+      (NULL-backfilled on every kept row) — the additive evolution an
+      ingest pipeline hits whenever an upstream producer starts
+      emitting a new field;
+    - columns present only in the TARGET are PRESERVED, with NULL on
+      inserted/updated rows (the reference's generated MERGE updates
+      every staging column, so a column the producer stopped sending
+      reads NULL going forward — never a dropped column);
+    - then the usual replace-matched ∪ insert-unmatched
+      (`merge_upsert`).
+
+    Scale shape: widening is METADATA-ONLY on the plan (a NULL
+    literal column — no data pass, no shuffle); the merge itself
+    stays the one target-side anti-join shuffle, and at 100 TB the
+    rewrite scopes to touched partitions exactly like
+    upsert_partitioned. Column TYPE conflicts are refused loudly
+    (evolution here is additive; silent cross-type coercion is how
+    lakehouse tables rot)."""
+    if not keys:
+        raise ValueError("merge_upsert_evolve requires at least one key column")
+    for c in set(target.columns) & set(staging.columns):
+        if target.schema[c].dataType != staging.schema[c].dataType:
+            raise ValueError(
+                f"column {c!r} type conflict: target "
+                f"{target.schema[c].dataType.simpleString()} vs staging "
+                f"{staging.schema[c].dataType.simpleString()} — additive "
+                "evolution only, migrate types explicitly"
+            )
+    widened = target
+    for c in staging.columns:
+        if c not in target.columns:
+            widened = widened.withColumn(
+                c, F.lit(None).cast(staging.schema[c].dataType)
+            )
+    filled = staging
+    for c in target.columns:
+        if c not in staging.columns:
+            filled = filled.withColumn(
+                c, F.lit(None).cast(target.schema[c].dataType)
+            )
+    return merge_upsert(widened, filled.select(*widened.columns), keys)
+
+
+@query(
+    "merge_upsert_evolve",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 7 <> 0
+),
+s AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS priority_rank
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice,
+       CAST(NULL AS BIGINT) AS priority_rank
+FROM t
+WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice,
+       priority_rank
+FROM s
+""",
+)
+def merge_upsert_evolve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift in BOTH directions in one batch: the staging feed
+    gained `priority_rank` (added to the target, NULL on kept rows)
+    and stopped sending `o_totalprice` (preserved, NULL on
+    merged-in rows). Raw column values pass through unchanged on
+    both engines (no arithmetic), so the full row set is
+    value-hashed directly."""
+    o = table(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    staging = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("priority_rank"),
+    )
+    return merge_upsert_evolve(target, staging, ["o_orderkey"])

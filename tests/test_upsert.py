@@ -14,6 +14,7 @@ from gmt_dbt_spark.operators.upsert import (
     dedupe_staging,
     final_load,
     merge_upsert,
+    merge_upsert_evolve,
     upsert_partitioned,
 )
 
@@ -130,3 +131,49 @@ def test_delete_keys_touches_only_affected_partitions(spark, tmp_path):
     # b and c untouched byte-for-byte (same files, same mtimes)
     assert files_of("b") == before_b
     assert files_of("c") == before_c
+
+
+def test_evolve_adds_staging_column_null_backfilled(spark, target, staging):
+    """A column the producer STARTED sending is added to the target
+    with NULLs on every kept row; merged-in rows carry its values."""
+    s2 = staging.withColumn("score", F.length("val").cast("bigint"))
+    out = merge_upsert_evolve(target, s2, ["id"]).collect()
+    by_id = {r.id: r for r in out}
+    assert set(by_id) == {f"k{i}" for i in range(9)}
+    for i in range(3):  # kept rows: new column NULL-backfilled
+        assert by_id[f"k{i}"].score is None
+        assert by_id[f"k{i}"].val == f"old{i}"
+    for i in range(3, 9):  # staged rows carry the new column
+        assert by_id[f"k{i}"].score == len(f"new{i}")
+
+
+def test_evolve_preserves_target_only_column(spark, target, staging):
+    """A column the producer STOPPED sending survives in the schema;
+    matched rows are replaced by their staging version, so it reads
+    NULL for them (the reference's update-every-column contract)."""
+    s2 = staging.drop("updated_at")
+    out = merge_upsert_evolve(target, s2, ["id"])
+    assert set(out.columns) == {"id", "val", "updated_at"}
+    by_id = {r.id: r for r in out.collect()}
+    for i in range(3):
+        assert by_id[f"k{i}"].updated_at == "2024-01-01"
+    for i in range(3, 9):
+        assert by_id[f"k{i}"].updated_at is None
+
+
+def test_evolve_idempotent(spark, target, staging):
+    """Evolving-merging the same batch twice ≡ once (the widened
+    schemas make the second merge a plain merge)."""
+    s2 = staging.withColumn("score", F.lit(7).cast("bigint"))
+    once = merge_upsert_evolve(target, s2, ["id"])
+    twice = merge_upsert_evolve(once, s2, ["id"])
+    assert once.exceptAll(twice).count() == 0
+    assert twice.exceptAll(once).count() == 0
+
+
+def test_evolve_type_conflict_refused(spark, target, staging):
+    """Additive evolution only: a changed TYPE on a shared column is
+    an explicit error, not a silent coercion."""
+    s2 = staging.withColumn("val", F.length("val"))
+    with pytest.raises(ValueError, match="type conflict"):
+        merge_upsert_evolve(target, s2, ["id"])
