@@ -943,3 +943,74 @@ def text_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True).alias("contained"),
         )
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+WITH corpus AS (
+  SELECT md5(text) AS fp, min(doc_id) AS keeper
+  FROM documents WHERE doc_id % 5 <> 0 AND text IS NOT NULL
+  GROUP BY md5(text)
+),
+batch AS (
+  SELECT doc_id, md5(text) AS fp FROM documents
+  WHERE doc_id % 5 = 0 AND text IS NOT NULL
+)
+SELECT b.doc_id, b.fp
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+  AND b.doc_id = (SELECT min(doc_id) FROM batch b2 WHERE b2.fp = b.fp)
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup against a materialized fingerprint store —
+    the operational shape at 100 TB: a daily batch must not re-scan
+    (or re-LSH) the accumulated corpus. The corpus exists only as its
+    16-byte-per-doc fp store (here round-tripped through a real
+    parquet sink, as in production); the batch computes its own fps,
+    dedups WITHIN itself (first doc_id per fp), then anti-joins the
+    store. Survivors and their fps would be appended to the store —
+    the append is the only store write, and the store is the only
+    thing ever re-read.
+
+    Scale shape: the batch-side shuffle carries 16-byte fps; the
+    store probe is a fp-keyed anti-join (batch side broadcasts in
+    the common small-batch case, and a bucketed store makes the probe
+    merge-free at any size — the sink_ivf_partitioned layout lesson
+    applied to dedup). The corpus documents' BODIES are never read
+    after their fps were first extracted. Near-dup variant: store
+    MinHash band keys instead of md5 fps and anti-join on
+    (band, band_hash) — same store discipline, same probe shape."""
+    import os
+    import shutil
+    import uuid
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    store = os.path.join(repo, ".scratch", f"fp_store_{uuid.uuid4().hex[:8]}")
+    try:
+        docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        # materialize the store: one fp row per distinct content
+        (
+            corpus.groupBy(F.md5("text").alias("fp"))
+            .agg(F.min("doc_id").alias("keeper"))
+            .write.mode("overwrite")
+            .parquet(store)
+        )
+        fp_store = spark.read.parquet(store)
+        batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id", F.md5("text").alias("fp")
+        )
+        # within-batch first-occurrence keeper (groupBy-min + semi,
+        # the dedup_exact shape), then the store probe
+        first = batch.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        survivors = (
+            batch.join(first, ["fp", "doc_id"], "left_semi")
+            .join(fp_store, "fp", "left_anti")
+            .select("doc_id", "fp")
+        )
+        # detach from the store path before the cleanup below
+        return spark.createDataFrame(survivors.collect(), survivors.schema)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
