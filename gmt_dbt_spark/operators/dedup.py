@@ -1014,3 +1014,138 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(survivors.collect(), survivors.schema)
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+def _incremental_minhash_oracle() -> str:
+    """DuckDB full replay of `dedup_incremental_minhash`: both sides'
+    signatures from the shared md5 hash family (`_AB`), the band
+    probe, and the signature-component verify — generated from the
+    same constants the Spark plan uses, like `_minhash_oracle`."""
+    ab_mins = ",\n       ".join(
+        f"MIN((h * {a} + {b}) % {_P}) AS mh{j}" for j, (a, b) in enumerate(_AB)
+    )
+    rows_per_band = len(_AB) // _BANDS
+
+    def bk(b: int) -> str:
+        cols = ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        return f"CAST('0x' || substr(md5(concat_ws(',', {cols})), 1, 15) AS BIGINT)"
+
+    def banded(src: str) -> str:
+        return "\n  UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, {bk(b)} AS band_hash FROM {src}"
+            for b in range(_BANDS)
+        )
+
+    n_match = " + ".join(
+        f"CASE WHEN bs.mh{j} = cs.mh{j} THEN 1 ELSE 0 END" for j in range(len(_AB))
+    )
+    return f"""
+WITH t0 AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(regexp_replace(text,
+             '[^a-zA-Z0-9 ]', ' ', 'g'))), ' +') AS tk
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+      THEN list_transform(range(len(tk) - 2),
+           i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
+      ELSE [array_to_string(tk, ' ')] END) AS s
+  FROM t0
+),
+hs AS (
+  SELECT doc_id,
+         (CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) % {_P} AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+       {ab_mins}
+  FROM hs GROUP BY doc_id
+),
+csig AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
+bsig AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
+cband AS (
+  {banded("csig")}
+),
+bband AS (
+  {banded("bsig")}
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+  FROM bband b JOIN cband c
+    ON b.band = c.band AND b.band_hash = c.band_hash
+)
+SELECT cand.batch_id, cand.corpus_id,
+       CAST({n_match} AS BIGINT) AS n_match
+FROM cand
+JOIN bsig bs ON bs.doc_id = cand.batch_id
+JOIN csig cs ON cs.doc_id = cand.corpus_id
+WHERE {n_match} >= 8
+"""
+
+
+@query("dedup_incremental_minhash", oracle=_incremental_minhash_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup incremental dedup against a SIGNATURE store — the
+    `dedup_incremental` discipline applied to MinHash: the corpus
+    persists only its 96-byte/doc signature table (real parquet
+    round-trip); a new batch computes its own signatures, probes the
+    store on band keys (equi-join, never all-pairs), and verifies
+    candidates by SIGNATURE-component agreement (≥ 8 of 12 matching
+    minhashes ≈ estimated Jaccard ≥ 2/3). The verify is honest about
+    being estimate-based: corpus TEXT is gone by design — that is
+    the point of the store — so the exact-shingle verify of
+    dedup_fuzzy is unavailable, and the stored signature IS the
+    verification evidence. Store both (fp for exact, sig for near)
+    and a daily batch needs neither corpus bodies nor corpus
+    re-hashing.
+
+    Scale shape: the probe shuffles band keys (16 B) and signatures
+    (96 B); candidate count rides the banding cut exactly as in
+    dedup_fuzzy; nothing scales with accumulated corpus TEXT size.
+    ORACLE: full DuckDB replay from the shared md5 hash family —
+    signatures, band keys, probe, and component-match verify
+    (`_incremental_minhash_oracle`)."""
+    import os
+    import shutil
+    import uuid
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    store = os.path.join(repo, ".scratch", f"sig_store_{uuid.uuid4().hex[:8]}")
+    try:
+        docs = table(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        # materialize the store: 96-byte signature per corpus doc
+        minhash_signature(corpus, "doc_id", "text").write.mode("overwrite").parquet(
+            store
+        )
+        csig = spark.read.parquet(store)
+        bsig = minhash_signature(batch, "doc_id", "text").localCheckpoint(eager=True)
+        cband = banded_sig(csig).select(
+            F.col("__id").alias("corpus_id"), "band", "band_hash"
+        )
+        bband = banded_sig(bsig).select(
+            F.col("__id").alias("batch_id"), "band", "band_hash"
+        )
+        cand = (
+            bband.join(cband, ["band", "band_hash"])
+            .select("batch_id", "corpus_id")
+            .distinct()
+        )
+        n_match = sum(
+            F.when(F.col(f"b.mh{j}") == F.col(f"c.mh{j}"), 1).otherwise(0)
+            for j in range(len(_AB))
+        )
+        out = (
+            cand.join(bsig.alias("b"), F.col("batch_id") == F.col("b.__id"))
+            .join(csig.alias("c"), F.col("corpus_id") == F.col("c.__id"))
+            .withColumn("n_match", n_match.cast("bigint"))
+            .filter(F.col("n_match") >= 8)
+            .select("batch_id", "corpus_id", "n_match")
+        )
+        # detach from the store path before cleanup
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
