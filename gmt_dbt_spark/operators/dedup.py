@@ -17,11 +17,18 @@ h ∈ [0, 2^31), a,b < 2^15, p = 2^31-1 (Mersenne prime).
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmt_dbt_spark.catalog import table
 from gmt_dbt_spark.registry import query
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+SCRATCH = os.path.join(REPO, ".scratch")
 
 # Fixed universal-hash parameters (deterministic across runs/sessions).
 _P = 2_147_483_647  # 2^31 - 1
@@ -341,30 +348,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "source")
 
 
-def _minhash_oracle(thresh_num: int) -> str:
-    """DuckDB FULL replay of the custom MinHash-LSH pipeline (r3) —
-    shingles (with the short-doc whole-text fallback), md5-derived
-    base hashes, the 12-function universal-hash signature, md5 band
-    keys, the band self-join, and the exact shingle-Jaccard verify as
-    an integer cross-multiplication at ``thresh_num``/10. Generated
-    from the same `_AB` constants the Spark plan uses."""
+def _sig_cte_prefix() -> str:
+    """The shared tokenize → shingle → md5-hash → 12-min signature
+    CTE prefix (t0/sh/hs/sig), generated ONCE from the `_AB`/`_P`
+    constants — `_minhash_oracle` and `_incremental_minhash_oracle`
+    both build on it (review pass: two hand-maintained copies of
+    this SQL would silently diverge on the next hash-family change,
+    the exact drift the generate-from-constants design prevents)."""
     ab_mins = ",\n       ".join(
         f"MIN((h * {a} + {b}) % {_P}) AS mh{j}" for j, (a, b) in enumerate(_AB)
     )
-    rows_per_band = len(_AB) // _BANDS
-
-    def bk(b: int) -> str:
-        cols = ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
-        return (
-            f"CAST('0x' || substr(md5(concat_ws(',', {cols})), 1, 15) AS BIGINT)"
-        )
-
-    banded = "\n  UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {bk(b)} AS band_hash FROM sig"
-        for b in range(_BANDS)
-    )
-    return f"""
-WITH t0 AS (
+    return f"""t0 AS (
   SELECT doc_id,
          string_split_regex(trim(lower(regexp_replace(text,
              '[^a-zA-Z0-9 ]', ' ', 'g'))), ' +') AS tk
@@ -386,9 +380,37 @@ sig AS (
   SELECT doc_id,
        {ab_mins}
   FROM hs GROUP BY doc_id
-),
+)"""
+
+
+def _banded_sql(src: str) -> str:
+    """UNION-ALL banding of a signature CTE — the SQL twin of
+    `banded_sig`, shared by both replay oracles."""
+    rows_per_band = len(_AB) // _BANDS
+
+    def bk(b: int) -> str:
+        cols = ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        return (
+            f"CAST('0x' || substr(md5(concat_ws(',', {cols})), 1, 15) AS BIGINT)"
+        )
+
+    return "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {bk(b)} AS band_hash FROM {src}"
+        for b in range(_BANDS)
+    )
+
+
+def _minhash_oracle(thresh_num: int) -> str:
+    """DuckDB FULL replay of the custom MinHash-LSH pipeline (r3) —
+    shingles (with the short-doc whole-text fallback), md5-derived
+    base hashes, the 12-function universal-hash signature, md5 band
+    keys, the band self-join, and the exact shingle-Jaccard verify as
+    an integer cross-multiplication at ``thresh_num``/10. Generated
+    from the same `_AB` constants the Spark plan uses."""
+    return f"""
+WITH {_sig_cte_prefix()},
 banded AS (
-  {banded}
+  {_banded_sql("sig")}
 ),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -979,15 +1001,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the common small-batch case, and a bucketed store makes the probe
     merge-free at any size — the sink_ivf_partitioned layout lesson
     applied to dedup). The corpus documents' BODIES are never read
-    after their fps were first extracted. Near-dup variant: store
-    MinHash band keys instead of md5 fps and anti-join on
-    (band, band_hash) — same store discipline, same probe shape."""
-    import os
-    import shutil
-    import uuid
-
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    store = os.path.join(repo, ".scratch", f"fp_store_{uuid.uuid4().hex[:8]}")
+    after their fps were first extracted. Near-dup variant:
+    `dedup_incremental_minhash` (signature store)."""
+    store = os.path.join(SCRATCH, f"fp_store_{uuid.uuid4().hex[:8]}")
     try:
         docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
         corpus = docs.filter(F.col("doc_id") % 5 != 0)
@@ -1002,16 +1018,17 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = docs.filter(F.col("doc_id") % 5 == 0).select(
             "doc_id", F.md5("text").alias("fp")
         )
-        # within-batch first-occurrence keeper (groupBy-min + semi,
-        # the dedup_exact shape), then the store probe
+        # within-batch first-occurrence keeper: the groupBy-min IS the
+        # deduped (fp, doc_id) set — no other columns to recover, so
+        # no semi-join back (review pass; dedup_exact needs the semi
+        # only to carry non-grouped columns), then the store probe
         first = batch.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-        survivors = (
-            batch.join(first, ["fp", "doc_id"], "left_semi")
-            .join(fp_store, "fp", "left_anti")
-            .select("doc_id", "fp")
-        )
-        # detach from the store path before the cleanup below
-        return spark.createDataFrame(survivors.collect(), survivors.schema)
+        survivors = first.join(fp_store, "fp", "left_anti").select("doc_id", "fp")
+        # localCheckpoint detaches from the store path before the
+        # cleanup below without a driver round-trip (the final_load
+        # lineage-cut idiom; the old collect()+createDataFrame pulled
+        # every survivor through the driver)
+        return survivors.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(store, ignore_errors=True)
 
@@ -1019,57 +1036,21 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _incremental_minhash_oracle() -> str:
     """DuckDB full replay of `dedup_incremental_minhash`: both sides'
     signatures from the shared md5 hash family (`_AB`), the band
-    probe, and the signature-component verify — generated from the
-    same constants the Spark plan uses, like `_minhash_oracle`."""
-    ab_mins = ",\n       ".join(
-        f"MIN((h * {a} + {b}) % {_P}) AS mh{j}" for j, (a, b) in enumerate(_AB)
-    )
-    rows_per_band = len(_AB) // _BANDS
-
-    def bk(b: int) -> str:
-        cols = ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
-        return f"CAST('0x' || substr(md5(concat_ws(',', {cols})), 1, 15) AS BIGINT)"
-
-    def banded(src: str) -> str:
-        return "\n  UNION ALL ".join(
-            f"SELECT doc_id, {b} AS band, {bk(b)} AS band_hash FROM {src}"
-            for b in range(_BANDS)
-        )
-
+    probe, and the signature-component verify — built on the SAME
+    `_sig_cte_prefix`/`_banded_sql` generators as `_minhash_oracle`,
+    so a hash-family change can never diverge the two oracles."""
     n_match = " + ".join(
         f"CASE WHEN bs.mh{j} = cs.mh{j} THEN 1 ELSE 0 END" for j in range(len(_AB))
     )
     return f"""
-WITH t0 AS (
-  SELECT doc_id,
-         string_split_regex(trim(lower(regexp_replace(text,
-             '[^a-zA-Z0-9 ]', ' ', 'g'))), ' +') AS tk
-  FROM documents WHERE text IS NOT NULL
-),
-sh AS (
-  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
-      THEN list_transform(range(len(tk) - 2),
-           i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
-      ELSE [array_to_string(tk, ' ')] END) AS s
-  FROM t0
-),
-hs AS (
-  SELECT doc_id,
-         (CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) % {_P} AS h
-  FROM sh
-),
-sig AS (
-  SELECT doc_id,
-       {ab_mins}
-  FROM hs GROUP BY doc_id
-),
+WITH {_sig_cte_prefix()},
 csig AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
 bsig AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
 cband AS (
-  {banded("csig")}
+  {_banded_sql("csig")}
 ),
 bband AS (
-  {banded("bsig")}
+  {_banded_sql("bsig")}
 ),
 cand AS (
   SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
@@ -1107,12 +1088,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE: full DuckDB replay from the shared md5 hash family —
     signatures, band keys, probe, and component-match verify
     (`_incremental_minhash_oracle`)."""
-    import os
-    import shutil
-    import uuid
-
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    store = os.path.join(repo, ".scratch", f"sig_store_{uuid.uuid4().hex[:8]}")
+    store = os.path.join(SCRATCH, f"sig_store_{uuid.uuid4().hex[:8]}")
     try:
         docs = table(spark, sf_dir, "documents")
         corpus = docs.filter(F.col("doc_id") % 5 != 0)
@@ -1145,7 +1121,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n_match") >= 8)
             .select("batch_id", "corpus_id", "n_match")
         )
-        # detach from the store path before cleanup
-        return spark.createDataFrame(out.collect(), out.schema)
+        # lineage-cut detach from the store path (no driver round-trip)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(store, ignore_errors=True)

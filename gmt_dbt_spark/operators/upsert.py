@@ -374,23 +374,43 @@ def merge_upsert_evolve(
     lakehouse tables rot)."""
     if not keys:
         raise ValueError("merge_upsert_evolve requires at least one key column")
-    for c in set(target.columns) & set(staging.columns):
-        if target.schema[c].dataType != staging.schema[c].dataType:
+    # Column identity is CASE-INSENSITIVE, matching Spark's default
+    # resolution (review pass): a case-sensitive Python `in` would
+    # classify `Val` as staging-only while withColumn("Val", NULL)
+    # case-insensitively REPLACES target's `val` — silently nulling
+    # real data on both sides. Key columns must exist in BOTH schemas
+    # BEFORE widening: NULL-backfilling a missing key would slip past
+    # merge_upsert's guard and append every staging row under a NULL
+    # key instead of raising.
+    t_by_lower = {c.lower(): c for c in target.columns}
+    s_by_lower = {c.lower(): c for c in staging.columns}
+    missing_keys = [
+        k for k in keys if k.lower() not in t_by_lower or k.lower() not in s_by_lower
+    ]
+    if missing_keys:
+        raise ValueError(
+            f"key columns must exist on both sides before evolution: {missing_keys}"
+        )
+    for lc in set(t_by_lower) & set(s_by_lower):
+        # simpleString ignores nullability — parquet's containsNull
+        # flags must not refuse identical logical types
+        tt = target.schema[t_by_lower[lc]].dataType.simpleString()
+        st = staging.schema[s_by_lower[lc]].dataType.simpleString()
+        if tt != st:
             raise ValueError(
-                f"column {c!r} type conflict: target "
-                f"{target.schema[c].dataType.simpleString()} vs staging "
-                f"{staging.schema[c].dataType.simpleString()} — additive "
-                "evolution only, migrate types explicitly"
+                f"column {t_by_lower[lc]!r} type conflict: target {tt} vs "
+                f"staging {st} — additive evolution only, migrate types "
+                "explicitly"
             )
     widened = target
     for c in staging.columns:
-        if c not in target.columns:
+        if c.lower() not in t_by_lower:
             widened = widened.withColumn(
                 c, F.lit(None).cast(staging.schema[c].dataType)
             )
     filled = staging
     for c in target.columns:
-        if c not in staging.columns:
+        if c.lower() not in s_by_lower:
             filled = filled.withColumn(
                 c, F.lit(None).cast(target.schema[c].dataType)
             )

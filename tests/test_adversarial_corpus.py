@@ -64,6 +64,11 @@ QUERIES = [
     "dedup_substring",
     "text_unigram_logprob",
     "pipeline_dedup_cascade",
+    # store-probe incremental family (r3): NULL-text dropped on both
+    # engines, empty-normalizing docs fingerprint/signature like any
+    # other content
+    "dedup_incremental",
+    "dedup_incremental_minhash",
 ]
 
 

@@ -177,3 +177,55 @@ def test_evolve_type_conflict_refused(spark, target, staging):
     s2 = staging.withColumn("val", F.length("val"))
     with pytest.raises(ValueError, match="type conflict"):
         merge_upsert_evolve(target, s2, ["id"])
+
+
+def test_evolve_case_variant_column_is_same_column(spark, target, staging):
+    """Spark resolves columns case-insensitively; a case-variant
+    rename (val -> Val) must be treated as the SAME column, not as a
+    staging-only addition that would NULL out both sides (review
+    finding)."""
+    s2 = staging.withColumnRenamed("val", "Val")
+    out = merge_upsert_evolve(target, s2, ["id"])
+    assert len(out.columns) == 3  # no phantom 4th column
+    by_id = {r.id: r for r in out.collect()}
+    assert by_id["k0"].val == "old0"      # kept rows keep their data
+    assert by_id["k4"][1] == "new4"       # staged rows carry theirs
+
+
+def test_evolve_missing_key_refused(spark, target, staging):
+    """A staging batch without the key column must raise, never be
+    NULL-backfilled into a NULL-keyed append (review finding)."""
+    with pytest.raises(ValueError, match="key columns"):
+        merge_upsert_evolve(target, staging.drop("id"), ["id"])
+
+
+def test_evolve_nullability_variance_not_a_conflict(spark):
+    """containsNull/nullable flags are not logical type conflicts:
+    parquet round-trips flip them routinely (review finding)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    t = spark.createDataFrame(
+        [("a", [1, 2])],
+        StructType(
+            [
+                StructField("id", StringType(), False),
+                StructField("xs", ArrayType(LongType(), containsNull=False), True),
+            ]
+        ),
+    )
+    s = spark.createDataFrame(
+        [("b", [3])],
+        StructType(
+            [
+                StructField("id", StringType(), True),
+                StructField("xs", ArrayType(LongType(), containsNull=True), True),
+            ]
+        ),
+    )
+    assert merge_upsert_evolve(t, s, ["id"]).count() == 2
