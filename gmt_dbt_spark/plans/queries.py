@@ -204,6 +204,86 @@ def dq_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_suite_single_pass",
+    oracle="""
+WITH j AS (
+  SELECT o.*, c.c_custkey AS parent_key
+  FROM orders o
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+),
+agg AS (
+  SELECT COUNT(*) FILTER (WHERE o_custkey IS NULL) AS null_custkey,
+         COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O','F','P')) AS bad_status,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_rows,
+         COUNT(*) FILTER (WHERE o_custkey IS NOT NULL
+                          AND parent_key IS NULL) AS orphans
+  FROM j
+)
+SELECT 'not_null: o_custkey' AS check_name,
+       CAST(null_custkey AS BIGINT) AS n_violations FROM agg
+UNION ALL SELECT 'accepted_values: o_orderstatus',
+       CAST(bad_status AS BIGINT) FROM agg
+UNION ALL SELECT 'unique: o_orderkey (excess rows)',
+       CAST(dup_rows AS BIGINT) FROM agg
+UNION ALL SELECT 'relationships: o_custkey -> customer',
+       CAST(orphans AS BIGINT) FROM agg
+""",
+)
+def dq_suite_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE dbt test suite for a table in ONE scan — the scale
+    lesson the per-check ops above deliberately don't teach: running
+    not_null, accepted_values, unique, and relationships as four
+    separate queries scans the 100 TB fact FOUR times; batched as
+    conditional aggregates over a single broadcast-joined pass it
+    scans ONCE. The FK check rides the same pass as a LEFT join to
+    the (distinct, broadcast) parent key set — an unmatched parent
+    key is an orphan — so even referential integrity adds no extra
+    fact scan. The unique check reports EXCESS ROWS
+    (count − count distinct), the one uniqueness metric computable in
+    the same aggregate (dbt's per-key violation list needs the
+    groupBy shape of `dq_unique`). Parent keys are pre-distincted so
+    a (buggy) duplicated dim could never inflate the fact rows and
+    corrupt the other checks' denominators. stack() unpivots the
+    one-row aggregate into the (check_name, n_violations) report.
+    Plan-guarded: exactly one orders scan."""
+    orders = table(spark, sf_dir, "orders")
+    cust_keys = (
+        table(spark, sf_dir, "customer").select("c_custkey").distinct()
+    )
+    j = orders.join(
+        F.broadcast(cust_keys),
+        orders["o_custkey"] == cust_keys["c_custkey"],
+        "left",
+    )
+    agg = j.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkey"),
+        F.count(
+            F.when(
+                F.col("o_orderstatus").isNotNull()
+                & ~F.col("o_orderstatus").isin("O", "F", "P"),
+                1,
+            )
+        ).alias("bad_status"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_rows"),
+        F.count(
+            F.when(
+                F.col("o_custkey").isNotNull() & F.col("c_custkey").isNull(), 1
+            )
+        ).alias("orphans"),
+    )
+    return agg.selectExpr(
+        "stack(4, "
+        "'not_null: o_custkey', null_custkey, "
+        "'accepted_values: o_orderstatus', bad_status, "
+        "'unique: o_orderkey (excess rows)', dup_rows, "
+        "'relationships: o_custkey -> customer', orphans) "
+        "AS (check_name, n_violations)"
+    )
+
+
+@query(
     "model_incremental",
     oracle="""
 SELECT o_orderkey, o_custkey,

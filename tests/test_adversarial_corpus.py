@@ -627,6 +627,10 @@ JOIN_QUERIES = [
     "tpcds_rollup_topk",
     "tpcds_share_rank",
     "udaf_cogrouped",
+    # one-scan DQ suite (r3): NULL custkeys hit three checks at once
+    # (not_null count, orphan exclusion, join-miss), dangling FKs hit
+    # the orphan count
+    "dq_suite_single_pass",
 ]
 
 

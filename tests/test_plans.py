@@ -1074,3 +1074,14 @@ def test_simhash_band_join_reads_checkpointed_signature(spark):
     # the only aggregate left is the pair-dedup distinct, not the
     # 32-bit-sum signature build (which ran at checkpoint time)
     assert tree.count("HashAggregate") == 2, tree
+
+
+def test_dq_suite_is_one_fact_scan(spark):
+    """dq_suite_single_pass exists to prove N checks ≠ N scans: the
+    four checks (incl. the FK orphan count, riding a broadcast left
+    join) must read `orders` exactly ONCE. The customer side appears
+    once too (the distinct key broadcast)."""
+    plan = plan_of(all_queries()["dq_suite_single_pass"](spark, SF_DIR))
+    assert plan.count("orders.parquet") == 1, plan
+    tree = tree_of(plan)
+    assert tree.count("BroadcastHashJoin") == 1, tree
