@@ -127,11 +127,24 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes the EXACT counts plus a ``within_bound`` boolean asserting
     each estimate (including the union-merged ALL rollup) lands within
     5% of the exact value — deterministic against the oracle's TRUE
-    (r1 untestable-sketch fix)."""
+    (r1 untestable-sketch fix).
+
+    Everything derives from ONE distinct (event_type, user_id)
+    projection (r3, the agg_approx_distinct lesson): mixing
+    COUNT(DISTINCT) with a sketch aggregate carries the sketch
+    buffer per phase-1 (type, user) group, and the old ALL-rollup
+    exact count re-scanned events entirely; sketches are
+    duplicate-insensitive, so building them after the distinct the
+    exact counts need anyway changes nothing — one events scan
+    total, plan-guarded."""
     ev = table(spark, sf_dir, "events")
-    sketches = ev.groupBy("event_type").agg(
+    # three consumers (per-type sketches+counts, the union rollup,
+    # the overall exact) — materialize the small distinct-pair frame
+    # once or each re-runs the scan+distinct
+    d = ev.select("event_type", "user_id").distinct().localCheckpoint(eager=True)
+    sketches = d.groupBy("event_type").agg(
         F.expr("hll_sketch_agg(user_id)").alias("sk"),
-        F.countDistinct("user_id").alias("exact_users"),
+        F.count("user_id").alias("exact_users"),
     )
 
     def bound(est, exact):
@@ -145,7 +158,11 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     overall_est = sketches.agg(
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_all")
     )
-    overall_exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    overall_exact = (
+        d.select("user_id")
+        .distinct()
+        .agg(F.count("user_id").alias("exact_users"))
+    )
     overall = overall_exact.crossJoin(overall_est).select(
         F.lit("ALL").alias("event_type"),
         "exact_users",
