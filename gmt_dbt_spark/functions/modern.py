@@ -136,7 +136,9 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count re-scanned events entirely; sketches are
     duplicate-insensitive, so building them after the distinct the
     exact counts need anyway changes nothing — one events scan
-    total, plan-guarded."""
+    total (by construction: the single materialized projection is
+    the only thing the three consumers read; the checkpoint
+    truncates lineage, so this is not plan-assertable downstream)."""
     ev = table(spark, sf_dir, "events")
     # three consumers (per-type sketches+counts, the union rollup,
     # the overall exact) — materialize the small distinct-pair frame
@@ -148,7 +150,14 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def bound(est, exact):
-        return (F.abs(est - exact) / exact <= F.lit(0.05)).alias("within_bound")
+        # exact = 0 (a group whose only user_id is NULL) makes the
+        # relative-error division an ANSI DIVIDE_BY_ZERO crash — the
+        # agg_approx_distinct guard, ported (review finding)
+        return (
+            F.when(exact == 0, est == 0)
+            .otherwise(F.abs(est - exact) / exact <= F.lit(0.05))
+            .alias("within_bound")
+        )
 
     per_type = sketches.select(
         "event_type",

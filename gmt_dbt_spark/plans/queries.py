@@ -216,7 +216,7 @@ agg AS (
   SELECT COUNT(*) FILTER (WHERE o_custkey IS NULL) AS null_custkey,
          COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
                           AND o_orderstatus NOT IN ('O','F','P')) AS bad_status,
-         COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_rows,
+         COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS dup_rows,
          COUNT(*) FILTER (WHERE o_custkey IS NOT NULL
                           AND parent_key IS NULL) AS orphans
   FROM j
@@ -266,7 +266,11 @@ def dq_suite_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             )
         ).alias("bad_status"),
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_rows"),
+        # count(key), not count(*): dbt's unique test EXCLUDES NULL
+        # keys (they're not duplicates of each other — they're a
+        # not_null problem); count(*) would double-report every
+        # NULL-keyed row under both checks (review finding)
+        (F.count("o_orderkey") - F.countDistinct("o_orderkey")).alias("dup_rows"),
         F.count(
             F.when(
                 F.col("o_custkey").isNotNull() & F.col("c_custkey").isNull(), 1

@@ -204,6 +204,9 @@ EVT_QUERIES = [
     "win_running_distinct",
     "win_median_sliding",
     "win_slope",
+    # mergeable-sketch rollup: the all-NULL-user 'refund' type makes
+    # exact_users 0 — pins the zero-guard in the bound check
+    "agg_hll_sketch",
     # true streaming (micro-batch replay) over the same hostile
     # stream: caught the session-gap boundary divergence (Spark's
     # session_window MERGES at exactly prev_ts + gap; the oracle's
@@ -280,6 +283,10 @@ def adv_evt_dir(tmp_path_factory):
     # midnight-boundary events (day-rollup edges)
     add(58, dt.datetime(2024, 1, 5, 0, 0, 0), "view", 1.0)
     add(58, dt.datetime(2024, 1, 5, 23, 59, 59, 999999), "view", 1.0)
+    # an event_type whose ONLY user_id is NULL: exact distinct-user
+    # count 0 — an unguarded relative-error bound check divides by
+    # zero under ANSI (agg_hll_sketch review finding)
+    add(None, dt.datetime(2024, 1, 5, 12, 0, 0), "refund", 3.0)
     pq.write_table(
         pa.table(
             {

@@ -391,3 +391,54 @@ def test_defer_resolves_from_warehouse(spark, tmp_path):
     deferred = make_project().run(select="mart_n", defer=True)
     assert set(deferred) == {"mart_n"}
     assert deferred["mart_n"].collect()[0]["n"] == expected
+
+
+def test_dq_suite_unique_excludes_null_keys(spark, tmp_path):
+    """dbt's unique test excludes NULL keys (they are a not_null
+    problem, not duplicates of each other); the one-scan suite's
+    excess-rows metric must agree — count(key) − count(distinct key),
+    not count(*) (review finding: count(*) double-reported every
+    NULL-keyed row under both checks)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmt_dbt_spark.registry import all_queries
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    ts = dt.datetime(2024, 1, 1)
+    # two NULL-keyed rows, all non-null keys unique, one real dup pair
+    keys = [1, 2, 3, None, None, 4, 4]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "o_custkey": pa.array([10] * 7, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 7, pa.string()),
+                "o_totalprice": pa.array([100.0] * 7, pa.float64()),
+                "o_orderdate": pa.array([ts] * 7, pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * 7, pa.string()),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([10], pa.int64()),
+                  "c_name": pa.array(["c"], pa.string()),
+                  "c_acctbal": pa.array([5.0], pa.float64()),
+                  "c_nationkey": pa.array([1], pa.int64()),
+                  "c_mktsegment": pa.array(["B"], pa.string())}),
+        str(d / "customer.parquet"),
+    )
+    out = {
+        r.check_name: r.n_violations
+        for r in all_queries()["dq_suite_single_pass"](spark, str(d)).collect()
+    }
+    # exactly ONE excess row (the 4/4 dup) — the two NULL keys are
+    # not uniqueness violations; they are also not not_null
+    # violations for o_custkey (which is populated)
+    assert out["unique: o_orderkey (excess rows)"] == 1
+    assert out["not_null: o_custkey"] == 0
+    assert out["relationships: o_custkey -> customer"] == 0
