@@ -29,7 +29,8 @@ from gmt_dbt_spark.registry import query
     oracle="""
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS sum_k,
        MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
 FROM events
 GROUP BY event_type
@@ -209,7 +210,8 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_grouped_arrow",
     oracle="""
 SELECT user_id, COUNT(*) AS n,
-       SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS total_micro
+       CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS total_micro
 FROM events
 GROUP BY user_id
 """,

@@ -224,7 +224,15 @@ def udaf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     job, not the audit's)."""
     o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    n_buckets = 16 * int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        n_buckets = 16 * int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except ValueError:
+        # some runtimes resolve the conf to a non-numeric value
+        # (e.g. 'auto' under vendor AQE) — any fixed fan-out is
+        # correct here, it only shapes the cogroup bucket count
+        n_buckets = 16 * 200
 
     def audit(key, cust_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

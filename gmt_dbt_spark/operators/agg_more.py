@@ -31,7 +31,7 @@ from gmt_dbt_spark.registry import query
 SELECT o_orderpriority,
        bool_and(o_totalprice > 1000.0)      AS all_over_1k,
        bool_or(o_orderstatus = 'F')         AS any_finished,
-       count_if(o_totalprice > 150000.0)    AS n_big,
+       CAST(count_if(o_totalprice > 150000.0) AS BIGINT) AS n_big,
        COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open
 FROM orders GROUP BY o_orderpriority
 """,

@@ -65,7 +65,7 @@ deduped AS (
 )
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        CAST(CAST(SUM(CAST(length(text) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
          / COUNT(*) AS avg_chars
 FROM deduped
@@ -358,7 +358,7 @@ SELECT source,
        CASE WHEN ((doc_id % 1000000) * 2654435761) % 1000 < 900 THEN 'train'
             ELSE 'eval' END AS split,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS sum_chars
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 GROUP BY source, split
 """,
@@ -790,8 +790,8 @@ SELECT d.source,
        COUNT(*) AS n_docs,
        COUNT(k.doc_id) AS n_after_exact,
        COUNT(c.doc_id) AS n_contaminated,
-       SUM(CASE WHEN k.doc_id IS NOT NULL AND c.doc_id IS NULL
-                THEN 1 ELSE 0 END) AS n_kept
+       CAST(SUM(CASE WHEN k.doc_id IS NOT NULL AND c.doc_id IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM documents d
 LEFT JOIN keep k ON d.doc_id = k.doc_id
 LEFT JOIN contam c ON d.doc_id = c.doc_id
@@ -872,9 +872,9 @@ rate AS (
 SELECT d.source,
        MAX(rate.n) AS n_docs,
        MAX(rate.rate_ppm) AS rate_ppm,
-       SUM(CASE WHEN ((d.doc_id % 1000000) * 2654435761) % 1000000
+       CAST(SUM(CASE WHEN ((d.doc_id % 1000000) * 2654435761) % 1000000
                      < rate.rate_ppm
-                THEN 1 ELSE 0 END) AS n_sampled
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
 FROM documents d JOIN rate ON d.source = rate.source
 GROUP BY d.source
 """,
@@ -1097,7 +1097,12 @@ def _unimax_plan(docs: DataFrame) -> DataFrame:
     "sample_mixture_unimax",
     oracle=f"""
 WITH {_UNIMAX_PLAN_CTES}
-SELECT source, n_tokens, cap_tokens, alloc_tokens, is_capped, epochs_ppm
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cap_tokens AS BIGINT) AS cap_tokens,
+       CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+       is_capped,
+       CAST(epochs_ppm AS BIGINT) AS epochs_ppm
 FROM plan
 """,
 )

@@ -598,7 +598,7 @@ SELECT vec_id,
        MAX(CASE WHEN m = 1 THEN c END) AS code1,
        MAX(CASE WHEN m = 2 THEN c END) AS code2,
        MAX(CASE WHEN m = 3 THEN c END) AS code3,
-       SUM(d2) AS qerr
+       CAST(SUM(d2) AS BIGINT) AS qerr
 FROM picked
 WHERE rn = 1
 GROUP BY vec_id
@@ -719,7 +719,7 @@ lut AS (
   WHERE vec_id >= {PQ_QUERIES[0]} AND vec_id < {PQ_QUERIES[1]}
 ),
 adc AS (
-  SELECT lut.qid, codes.vec_id, SUM(lut.d2) AS adc_d2
+  SELECT lut.qid, codes.vec_id, CAST(SUM(lut.d2) AS BIGINT) AS adc_d2
   FROM codes JOIN lut ON codes.m = lut.m AND codes.c = lut.c
   GROUP BY lut.qid, codes.vec_id
 )

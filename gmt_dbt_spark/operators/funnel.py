@@ -427,9 +427,11 @@ per_uc AS (
   SELECT user_id, channel, COUNT(*) AS cnt FROM t GROUP BY user_id, channel
 )
 SELECT per_uc.channel,
-       SUM(CASE WHEN per_uc.channel = per_u.first_ch THEN 1 ELSE 0 END) AS n_first,
-       SUM(CASE WHEN per_uc.channel = per_u.last_ch THEN 1 ELSE 0 END) AS n_last,
-       SUM(per_uc.cnt * (1000000 // per_u.n)) AS linear_micro
+       CAST(SUM(CASE WHEN per_uc.channel = per_u.first_ch THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_first,
+       CAST(SUM(CASE WHEN per_uc.channel = per_u.last_ch THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_last,
+       CAST(SUM(per_uc.cnt * (1000000 // per_u.n)) AS BIGINT) AS linear_micro
 FROM per_uc JOIN per_u ON per_uc.user_id = per_u.user_id
 GROUP BY per_uc.channel
 """,
@@ -663,7 +665,7 @@ s AS (
   FROM ranked
 )
 SELECT n AS n_customers,
-       total AS total_rev,
+       CAST(total AS BIGINT) AS total_rev,
        CAST(CAST(2 * wsum - (n + 1) * total AS VARCHAR) AS DOUBLE) AS gini_num,
        CAST(CAST(CAST(n AS HUGEINT) * total AS VARCHAR) AS DOUBLE) AS gini_den,
        CAST(CAST(2 * wsum - (n + 1) * total AS VARCHAR) AS DOUBLE)
@@ -756,10 +758,13 @@ labeled AS (
     AND day + INTERVAL 1 DAY <= mx.max_day
 )
 SELECT CAST(day AS DATE) AS day,
-       SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS n_new,
-       SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS n_retained,
-       SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS n_resurrected,
-       SUM(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) AS n_churned
+       CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resurrected,
+       CAST(SUM(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_churned
 FROM labeled
 GROUP BY CAST(day AS DATE)
 """,
@@ -951,7 +956,8 @@ conv AS (
 cells AS (
   SELECT a.variant,
          COUNT(*) AS n,
-         SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS conv
+         CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS conv
   FROM assigned a LEFT JOIN conv c ON a.user_id = c.user_id
   GROUP BY a.variant
 ),

@@ -720,14 +720,14 @@ WITH d AS (
   FROM documents WHERE doc_id < 200
 )
 SELECT d.doc_id,
-       SUM(CASE WHEN ((d.doc_id + 7*x.i + 13*y.i + 29*c.i) % 256) // 64 = 0
-                THEN 1 ELSE 0 END) AS b0,
-       SUM(CASE WHEN ((d.doc_id + 7*x.i + 13*y.i + 29*c.i) % 256) // 64 = 1
-                THEN 1 ELSE 0 END) AS b1,
-       SUM(CASE WHEN ((d.doc_id + 7*x.i + 13*y.i + 29*c.i) % 256) // 64 = 2
-                THEN 1 ELSE 0 END) AS b2,
-       SUM(CASE WHEN ((d.doc_id + 7*x.i + 13*y.i + 29*c.i) % 256) // 64 = 3
-                THEN 1 ELSE 0 END) AS b3,
+       CAST(SUM(CASE WHEN ((d.doc_id + 7*x.i + 13*y.i + 29*c.i) % 256) // 64 = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+       CAST(SUM(CASE WHEN ((d.doc_id + 7*x.i + 13*y.i + 29*c.i) % 256) // 64 = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+       CAST(SUM(CASE WHEN ((d.doc_id + 7*x.i + 13*y.i + 29*c.i) % 256) // 64 = 2
+                THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+       CAST(SUM(CASE WHEN ((d.doc_id + 7*x.i + 13*y.i + 29*c.i) % 256) // 64 = 3
+                THEN 1 ELSE 0 END) AS BIGINT) AS b3,
        COUNT(*) AS n_pix
 FROM d,
      LATERAL (SELECT unnest(range(d.w)) AS i) x,
@@ -804,7 +804,7 @@ g AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_out,
-       SUM(mean_v) AS dec_sum,
+       CAST(SUM(mean_v) AS BIGINT) AS dec_sum,
        MIN(mean_v) AS dec_min,
        MAX(mean_v) AS dec_max
 FROM g GROUP BY doc_id

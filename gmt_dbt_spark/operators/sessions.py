@@ -52,7 +52,7 @@ SELECT user_id, session_seq,
        MIN(ts) AS session_start,
        MAX(ts) AS session_end,
        date_diff('second', MIN(ts), MAX(ts)) AS duration_s,
-       count_if(event_type = 'purchase') AS n_purchases
+       CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchases
 FROM s GROUP BY user_id, session_seq
 """,
 )
@@ -160,7 +160,8 @@ s AS (
 )
 SELECT e.event_type, s.mean, s.std,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       count_if(abs(e.value - s.mean) > (3.0 * s.std)) AS n_outliers
+       CAST(count_if(abs(e.value - s.mean) > (3.0 * s.std)) AS BIGINT)
+         AS n_outliers
 FROM events e JOIN s USING (event_type)
 GROUP BY e.event_type, s.mean, s.std
 """,

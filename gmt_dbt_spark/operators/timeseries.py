@@ -309,7 +309,7 @@ trail AS (
              RANGE BETWEEN 10 PRECEDING AND 1 PRECEDING) AS trail_n
   FROM mins
 )
-SELECT event_type, me, cnt, trail_sum, trail_n,
+SELECT event_type, me, cnt, CAST(trail_sum AS BIGINT) AS trail_sum, trail_n,
        trail_n >= 5 AND cnt * trail_n * 10 > trail_sum * 30 AS burst
 FROM trail
 """,
@@ -367,8 +367,8 @@ forecast AS (
 )
 SELECT a.event_type,
        COUNT(*) AS n_hours,
-       SUM(ABS(a.cnt - COALESCE(f.fc, 0))) AS abs_err_sum,
-       SUM(a.cnt) AS actual_sum,
+       CAST(SUM(ABS(a.cnt - COALESCE(f.fc, 0))) AS BIGINT) AS abs_err_sum,
+       CAST(SUM(a.cnt) AS BIGINT) AS actual_sum,
        SUM(ABS(a.cnt - COALESCE(f.fc, 0))) <= SUM(a.cnt) AS mae_under_mean
 FROM actual a
 LEFT JOIN forecast f ON a.event_type = f.event_type AND a.hod = f.hod

@@ -404,8 +404,8 @@ w AS (
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 )
 SELECT user_id, event_id, n,
-       n * sxy - sx * sy AS slope_num,
-       n * sxx - sx * sx AS slope_den,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
        CASE WHEN n * sxx - sx * sx > 0
             THEN CAST(n * sxy - sx * sy AS DOUBLE)
                  / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_cps

@@ -409,10 +409,10 @@ tot AS (
   SELECT event_type, SUM(a) AS na, SUM(b) AS nb FROM cell GROUP BY event_type
 )
 SELECT cell.event_type,
-       MAX(tot.na) AS n_a,
-       MAX(tot.nb) AS n_b,
-       SUM(ABS(cell.a * 1000000 // tot.na - cell.b * 1000000 // tot.nb)) // 2
-         AS tv_ppm,
+       CAST(MAX(tot.na) AS BIGINT) AS n_a,
+       CAST(MAX(tot.nb) AS BIGINT) AS n_b,
+       CAST(SUM(ABS(cell.a * 1000000 // tot.na - cell.b * 1000000 // tot.nb)) // 2
+         AS BIGINT) AS tv_ppm,
        SUM(ABS(cell.a * 1000000 // tot.na - cell.b * 1000000 // tot.nb)) // 2
          > 100000 AS drifted
 FROM cell JOIN tot ON cell.event_type = tot.event_type
@@ -552,7 +552,7 @@ base AS (
   FROM cells GROUP BY event_type, hod
 )
 SELECT c.event_type, c.day, c.hod, c.cnt,
-       b.total, b.n_days,
+       CAST(b.total AS BIGINT) AS total, b.n_days,
        c.cnt * b.n_days * 10 > b.total * 30 AS spike,
        c.cnt * b.n_days * 10 < b.total * 2 AS trough
 FROM cells c

@@ -71,7 +71,40 @@ def all_oracles() -> dict[str, str]:
 # §2.A-K core inventory plus this round's must-recheck IDs, in the order we
 # want the driver to visit them.  IDs not present in the registry are ignored.
 _CORE_FIRST = [
-    # r1 FAIL / no-comparison — fixed this round, recheck first.
+    # r3 HUGEINT oracle class — all 29 oracles whose output widened to
+    # int128 under DuckDB (degrading to float64 through the driver's
+    # pandas fetch). Fixed in r4 by CAST(... AS BIGINT); the 8 that the
+    # r3 sample hit (all FAIL) plus the 21 latent ones recheck first.
+    "multimodal_image_histogram",
+    "multimodal_audio_resample",
+    "pipeline_text_curation",
+    "pipeline_train_test_split",
+    "pipeline_dedup_cascade",
+    "sample_temperature",
+    "sample_mixture_unimax",
+    "embed_pq",
+    "embed_pq_adc",
+    "win_slope",
+    "scan_json_variant",
+    "stream_rate_source",
+    "dq_drift_tvd",
+    "dq_anomaly_seasonal",
+    "sql_case_pivot",
+    "tpch_q12",
+    "fn_variant",
+    "udaf_grouped_arrow",
+    "sink_posting_lists",
+    "sink_compression_codecs",
+    "mart_attribution",
+    "mart_gini",
+    "events_growth_accounting",
+    "mart_ab_test",
+    "events_sessionize",
+    "events_anomaly_zscore",
+    "agg_bool",
+    "events_burst",
+    "events_backtest_snaive",
+    # r1 FAIL / no-comparison — fixed in r2, recheck first.
     "fn_math",
     "agg_approx_distinct",
     "agg_approx_percentile",

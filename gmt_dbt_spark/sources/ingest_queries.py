@@ -461,7 +461,7 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
 FROM events
 WHERE event_id < 2000
 GROUP BY event_type

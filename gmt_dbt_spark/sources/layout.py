@@ -548,8 +548,8 @@ posting AS (
 )
 SELECT term,
        COUNT(*) AS n_docs,
-       SUM(tf) AS total_tf,
-       SUM(doc_id) AS doc_checksum
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
 FROM posting
 WHERE term IN {str(_QUERY_TERMS)}
 GROUP BY term
@@ -639,8 +639,8 @@ WITH src AS (
   SELECT doc_id, text FROM documents
 ),
 agg AS (
-  SELECT COUNT(*) AS n, SUM(doc_id) AS id_sum,
-         SUM(length(text)) AS chars
+  SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+         CAST(SUM(length(text)) AS BIGINT) AS chars
   FROM src
 )
 SELECT codec, n, id_sum, chars, TRUE AS smaller_than_uncompressed

@@ -130,12 +130,20 @@ def _frame_fingerprint(ev) -> str:
     was served the unfiltered shards). Two frames with different
     filters/projections/sources analyze to different plan text; a
     Spark-version change of the plan rendering at worst costs one
-    cache miss, never a false hit."""
+    cache miss, never a false hit for frames this fingerprint can
+    tell apart. Spark truncates toString() past
+    spark.sql.debug.maxToStringFields (default 25), so two frames
+    differing only in elided fields would render identically (r3
+    advisor finding) — the schema JSON (never truncated) is hashed
+    alongside the plan text to close that alias."""
     import hashlib
     import re as _re
 
     plan = ev._jdf.queryExecution().analyzed().toString()
-    return hashlib.md5(_re.sub(r"#\d+", "", plan).encode()).hexdigest()[:8]
+    schema = ev.schema.json()
+    return hashlib.md5(
+        (_re.sub(r"#\d+", "", plan) + "\x00" + schema).encode()
+    ).hexdigest()[:8]
 
 
 def _replay_cache_dir(
@@ -920,7 +928,7 @@ def stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_rate_source",
     oracle="""
 SELECT COUNT(*) AS n,
-       SUM(v) AS value_sum,
+       CAST(SUM(v) AS BIGINT) AS value_sum,
        MIN(v) AS value_min,
        MAX(v) AS value_max
 FROM (SELECT unnest(range(2000)) AS v)

