@@ -342,6 +342,110 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(tk) - 1),
+                i -> tk[i+1] || ' ' || tk[i+2])) AS bg
+  FROM norm WHERE len(tk) >= 2
+),
+bcnt AS (SELECT bg, COUNT(*) AS cb FROM big GROUP BY bg),
+ccnt AS (
+  SELECT string_split(bg, ' ')[1] AS w1, COUNT(*) AS cc
+  FROM big GROUP BY string_split(bg, ' ')[1]
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN bc.cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(MIN(bc.cb) AS BIGINT) AS min_big_cnt,
+       CAST(MAX(bc.cb) AS BIGINT) AS max_big_cnt,
+       CAST(MAX(cc.cc) AS BIGINT) AS max_ctx_cnt,
+       TRUE AS bound_ok
+FROM big b
+JOIN bcnt bc USING (bg)
+JOIN ccnt cc ON string_split(b.bg, ' ')[1] = cc.w1
+GROUP BY b.doc_id
+""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (r4) — the conditional-probability
+    step up from `text_unigram_logprob`, approximating the KenLM-
+    perplexity filters real curation stacks run: build a corpus
+    bigram model P(w₂|w₁) = c(w₁w₂)/c(w₁·), score each document by
+    its mean negative conditional log-probability. High scores =
+    improbable word TRANSITIONS — catches scrambled/boilerplate-
+    stitched text that a unigram model (which only sees the word mix)
+    passes.
+
+    Scale shape: one pass builds the bigram stream scan-side
+    (`transform(sequence(...))` over the token array — no shuffle);
+    the bigram-count and context-count relations aggregate from it
+    and AQE broadcasts them into the scoring join while they fit (no
+    forced hint — bigram vocabulary grows faster than Heaps' law, so
+    a hint would be the customer-dim OOM pattern at 100 TB).
+
+    Oracle surface (the house libm pattern): ln() rounding is engine-
+    specific, so the hashed surface is the EXACT integer LM evidence
+    — per-doc bigram count, corpus-hapax bigrams, min/max corpus
+    bigram frequency, max context frequency — plus `bound_ok`: every
+    per-bigram neg-logprob is ln(c(w₁·)/c(w₁w₂)) with
+    c(w₁w₂) ≤ c(w₁·) by construction, so the mean lies in
+    [0, ln(max_ctx_cnt)], which fails if the score ever stops being
+    that mean."""
+    docs = table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens_col(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    big = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> concat_ws(' ', tk[i-1], tk[i]))"
+            )
+        ).alias("bg"),
+    )
+    bcnt = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    ccnt = (
+        big.select(F.split("bg", " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    scored = (
+        big.join(bcnt, "bg")
+        .join(ccnt, F.split(big["bg"], " ").getItem(0) == ccnt["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("cb") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+            F.min("cb").alias("min_big_cnt"),
+            F.max("cb").alias("max_big_cnt"),
+            F.max("cc").alias("max_ctx_cnt"),
+            F.avg(F.log(F.col("cc") / F.col("cb"))).alias("__score"),
+        )
+    )
+    eps = 1e-9
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "n_hapax",
+        "min_big_cnt",
+        "max_big_cnt",
+        "max_ctx_cnt",
+        (
+            (F.col("__score") >= -eps)
+            & (F.col("__score") <= F.log(F.col("max_ctx_cnt")) + eps)
+        ).alias("bound_ok"),
+    )
+
+
 _PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
 _PII_PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
 
@@ -752,6 +856,168 @@ def text_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vowel",
         pct("n_alpha").alias("alpha_pct"),
         pct("n_vowel").alias("vowel_pct"),
+    )
+
+
+_BM25_TERMS = ("vector", "hash", "stream")
+
+
+@query(
+    "text_bm25",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents WHERE text IS NOT NULL
+),
+tkd AS (
+  SELECT doc_id, tk, len(tk) AS dl FROM norm WHERE len(tk) >= 1
+),
+corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_len
+  FROM tkd
+),
+hits AS (
+  SELECT doc_id, dl, t
+  FROM (SELECT doc_id, dl, unnest(tk) AS t FROM tkd)
+  WHERE t IN ('vector', 'hash', 'stream')
+),
+dfs AS (
+  SELECT
+    CAST(COUNT(DISTINCT CASE WHEN t = 'vector' THEN doc_id END) AS BIGINT)
+      AS df_vector,
+    CAST(COUNT(DISTINCT CASE WHEN t = 'hash' THEN doc_id END) AS BIGINT)
+      AS df_hash,
+    CAST(COUNT(DISTINCT CASE WHEN t = 'stream' THEN doc_id END) AS BIGINT)
+      AS df_stream
+  FROM hits
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(MAX(dl) AS BIGINT) AS dl,
+         CAST(SUM(CASE WHEN t = 'vector' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tf_vector,
+         CAST(SUM(CASE WHEN t = 'hash' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tf_hash,
+         CAST(SUM(CASE WHEN t = 'stream' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tf_stream
+  FROM hits GROUP BY doc_id
+)
+SELECT doc_id, dl, tf_vector, tf_hash, tf_stream,
+       CAST((tf_vector > 0)::INT + (tf_hash > 0)::INT
+            + (tf_stream > 0)::INT AS INTEGER) AS n_terms,
+       df_vector, df_hash, df_stream, n_docs, total_len,
+       TRUE AS bound_ok
+FROM per_doc CROSS JOIN corpus CROSS JOIN dfs
+""",
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 retrieval scoring (k₁ = 1.2, b = 0.75) over the
+    query terms {vector, hash, stream} — the ranked-retrieval step up
+    from `text_search_topk`'s tf-only counting, and the scorer a
+    posting-list serving layout (`sink_posting_lists`) would back.
+
+    score(d) = Σ_t ln(1 + (N−df+½)/(df+½)) · tf(k₁+1) /
+                    (tf + k₁(1−b+b·dl/avgdl))
+
+    Scale shape: the token explode filters to the 3 query terms
+    INSIDE the Generate stage (only hit rows reach any shuffle); the
+    corpus stats (N, total token length) and per-term document
+    frequencies are two one-row aggregates attached by broadcast —
+    the same bounded-crossJoin pattern as the dedup audit stats. No
+    data-scale join anywhere: cost = two pushed-down corpus scans
+    (one for the length stats, one for the term hits — cheaper than
+    materializing the tokenized corpus to save the second) + a
+    hit-row aggregate.
+
+    Oracle surface (the house libm pattern): the idf log is engine-
+    specific, so the hashed surface is the COMPLETE exact-integer
+    input of the score — (tf per term, dl) per doc and
+    (df per term, N, total_len) corpus constants pinned on every row
+    — plus `bound_ok`: each term's tf-saturation weight w_t is an
+    exact rational (44·tf·L) / (20·tf·L + 6·L + 18·dl·N) (k₁, b
+    cleared of denominators), and x/(1+x) < ln(1+x) < x bounds every
+    idf, so the score must lie in (Σ w_t·x_t/(1+x_t), Σ w_t·x_t) —
+    the check fails if the score ever stops being BM25 of the hashed
+    evidence. (The float score is computed in-plan for the check;
+    rank consumers read it by dropping the final projection.)"""
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tkd = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("tk")
+    ).filter(F.size("tk") >= 1)
+    corpus = tkd.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("tk")).cast("bigint").alias("total_len"),
+    )
+    hits = tkd.select(
+        "doc_id", F.size("tk").alias("dl"), F.explode("tk").alias("t")
+    ).filter(F.col("t").isin(*_BM25_TERMS))
+    # per_doc is tiny (docs containing a query term) and read twice
+    # (df aggregate + output) — checkpoint it so `documents` is
+    # scanned exactly twice (corpus stats + hits), never three times
+    per_doc = (
+        hits.groupBy("doc_id")
+        .agg(
+            F.max("dl").cast("bigint").alias("dl"),
+            *[
+                F.sum(F.when(F.col("t") == term, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"tf_{term}")
+                for term in _BM25_TERMS
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+    # df_t == number of per_doc rows with tf_t > 0 (each doc appears
+    # once), off the checkpointed frame — no extra corpus pass
+    dfs = per_doc.agg(
+        *[
+            F.sum((F.col(f"tf_{term}") > 0).cast("bigint")).alias(f"df_{term}")
+            for term in _BM25_TERMS
+        ]
+    )
+    out = per_doc.crossJoin(F.broadcast(corpus)).crossJoin(F.broadcast(dfs))
+
+    def w(term):  # exact-rational tf-saturation weight, as double
+        tf, l, n = F.col(f"tf_{term}"), F.col("total_len"), F.col("n_docs")
+        num = 44 * tf * l
+        den = 20 * tf * l + 6 * l + 18 * F.col("dl") * n
+        return num / den
+
+    def x(term):  # exact-rational idf argument (2N−2df+1)/(2df+1)
+        df = F.col(f"df_{term}")
+        return (2 * F.col("n_docs") - 2 * df + 1) / (2 * df + 1)
+
+    score = sum(
+        F.when(F.col(f"tf_{t}") > 0, w(t) * F.log(F.lit(1.0) + x(t))).otherwise(
+            F.lit(0.0)
+        )
+        for t in _BM25_TERMS
+    )
+    lower = sum(
+        F.when(
+            F.col(f"tf_{t}") > 0, w(t) * x(t) / (F.lit(1.0) + x(t))
+        ).otherwise(F.lit(0.0))
+        for t in _BM25_TERMS
+    )
+    upper = sum(
+        F.when(F.col(f"tf_{t}") > 0, w(t) * x(t)).otherwise(F.lit(0.0))
+        for t in _BM25_TERMS
+    )
+    eps = 1e-9
+    return out.select(
+        "doc_id",
+        "dl",
+        *[f"tf_{t}" for t in _BM25_TERMS],
+        (
+            sum((F.col(f"tf_{t}") > 0).cast("int") for t in _BM25_TERMS)
+        ).alias("n_terms"),
+        *[f"df_{t}" for t in _BM25_TERMS],
+        "n_docs",
+        "total_len",
+        (
+            (score >= lower * (1 - eps) - eps)
+            & (score <= upper * (1 + eps) + eps)
+        ).alias("bound_ok"),
     )
 
 

@@ -786,3 +786,212 @@ def embed_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= PQ_TOPK)
     )
+
+
+IVFPQ_COARSE = 16  # coarse-quantizer lists (same deterministic sample as IVF)
+IVFPQ_PROBE = 4  # lists probed per query
+
+_IVFPQ_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cb AS (SELECT vec_id AS c, qv AS cv FROM q WHERE vec_id < {PQ_CODES}),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cqv
+  FROM (SELECT vec_id, qv FROM q WHERE vec_id % 37 = 0
+        ORDER BY vec_id LIMIT {IVFPQ_COARSE})
+),
+cdist AS (
+  SELECT q.vec_id, c.cid,
+         list_sum(list_transform(range(64),
+             d -> (q.qv[CAST(d AS INT)+1] - c.cqv[CAST(d AS INT)+1])
+                * (q.qv[CAST(d AS INT)+1] - c.cqv[CAST(d AS INT)+1]))) AS d2
+  FROM q CROSS JOIN cent c
+),
+asgn AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM cdist) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM cdist WHERE vec_id >= {PQ_QUERIES[0]} AND vec_id < {PQ_QUERIES[1]})
+  WHERE rn <= {IVFPQ_PROBE}
+),
+pairs AS (
+  SELECT q.vec_id, cb.c, d.d // {PQ_SUB} AS m,
+         (q.qv[CAST(d.d AS INT) + 1] - cb.cv[CAST(d.d AS INT) + 1])
+           * (q.qv[CAST(d.d AS INT) + 1] - cb.cv[CAST(d.d AS INT) + 1]) AS sq
+  FROM q
+  CROSS JOIN cb
+  CROSS JOIN LATERAL (SELECT unnest(range(64)) AS d) d
+),
+dist AS (
+  SELECT vec_id, c, m, SUM(sq) AS d2
+  FROM pairs GROUP BY vec_id, c, m
+),
+codes AS (
+  SELECT vec_id, m, c FROM (
+    SELECT vec_id, m, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS qid, c, m, d2 FROM dist
+  WHERE vec_id >= {PQ_QUERIES[0]} AND vec_id < {PQ_QUERIES[1]}
+),
+cand AS (
+  SELECT p.qid, a.vec_id
+  FROM probes p JOIN asgn a ON p.cid = a.cid
+  WHERE a.vec_id <> p.qid
+),
+adc AS (
+  SELECT lut.qid, codes.vec_id, CAST(SUM(lut.d2) AS BIGINT) AS adc_d2
+  FROM codes
+  JOIN lut ON codes.m = lut.m AND codes.c = lut.c
+  JOIN cand ON cand.qid = lut.qid AND cand.vec_id = codes.vec_id
+  GROUP BY lut.qid, codes.vec_id
+)
+SELECT qid, vec_id, adc_d2, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, vec_id) AS rk
+  FROM adc
+) WHERE rk <= {PQ_TOPK}
+"""
+
+
+@query("sim_topk_ivf_pq", oracle=_IVFPQ_ORACLE)
+def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN serving (r4) — the combined production path the two
+    halves already shipped separately: the IVF coarse quantizer
+    (sim_topk_ivf) prunes each query to IVFPQ_PROBE of IVFPQ_COARSE
+    inverted lists, then PQ asymmetric-distance computation
+    (embed_pq_adc) ranks the survivors from a 4×8 integer lookup
+    table — no float and no per-dimension work at scan time. This is
+    the Faiss IVFPQ layout (by_residual=false variant: codes encode
+    raw vectors, not residuals — residual encoding only changes the
+    codebook math, not the plan shape).
+
+    Scale shape: ONE corpus pass computes both the coarse list id and
+    the 4 PQ codes scan-side (centroids + codebook ride as one
+    broadcast row); the probe join is an equi-join on the list id
+    touching PROBE/COARSE of the corpus; ADC is 4 array lookups per
+    candidate; rk ≤ 5 plans as a running top-k per query. At 100 TB
+    the corpus never moves — only (vec_id, cid, 4 codes) ≈ 13 B/vec.
+
+    Fully value-hashed (unlike sim_topk_ivf's rank-only surface):
+    every distance — coarse assignment, probe selection, LUT, ADC —
+    is exact micro-unit bigint arithmetic, so DuckDB replays the
+    ENTIRE index build + query path and the (qid, neighbor, adc_d2,
+    rank) table hashes exactly. Ties break (d2, cid)/(adc_d2, vec_id)
+    everywhere for total determinism."""
+    s = _micro_embeddings(spark, sf_dir)
+    # one driver job covers codebook (vec_id < 8) + query vectors
+    head = sorted(
+        s.filter(F.col("vec_id") < PQ_QUERIES[1]).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    codebook = [
+        [int(v) for v in r["qv"]] for r in head if r["vec_id"] < PQ_CODES
+    ]
+    qrows = [r for r in head if r["vec_id"] >= PQ_QUERIES[0]]
+    cent_rows = sorted(
+        s.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(IVFPQ_COARSE)
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = [[int(v) for v in r["qv"]] for r in cent_rows]
+
+    # ONE corpus pass: coarse list id + 4 PQ codes, all scan-side.
+    carr = spark.createDataFrame(
+        [(codebook, cents)],
+        "__cb array<array<bigint>>, __cc array<array<bigint>>",
+    )
+    v = s.crossJoin(F.broadcast(carr))
+
+    def l2_full(c):
+        return F.aggregate(
+            F.zip_with("qv", c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda a, b: a + b,
+        )
+
+    cdists = F.transform(F.col("__cc"), l2_full)
+    cols = [
+        F.col("vec_id"),
+        (F.array_position(cdists, F.array_min(cdists)) - 1)
+        .cast("int")
+        .alias("cid"),
+    ]
+    def subspace_dist_fn(m):
+        # closure factory: the returned callable must take exactly ONE
+        # parameter (pyspark derives the HOF lambda arity from the
+        # Python signature — default args would make it look 3-ary)
+        sub = F.slice("qv", PQ_SUB * m + 1, PQ_SUB)
+
+        def dist_to(c):
+            return F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.slice(c, PQ_SUB * m + 1, PQ_SUB),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda a, b: a + b,
+            )
+
+        return dist_to
+
+    for m in range(PQ_M):
+        dists = F.transform(F.col("__cb"), subspace_dist_fn(m))
+        cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).alias(f"code{m}")
+        )
+    corpus = v.select(*cols)
+
+    # per-query probes + ADC lookup tables: model math on K×M ints,
+    # driver-side like every codebook/centroid collect in this module
+    rows = []
+    for r in qrows:
+        qv = [int(x) for x in r["qv"]]
+        d2s = sorted(
+            (sum((qv[d] - c[d]) ** 2 for d in range(64)), i)
+            for i, c in enumerate(cents)
+        )
+        probes = [i for (_, i) in d2s[:IVFPQ_PROBE]]
+        lut = [
+            sum(
+                (qv[m * PQ_SUB + d] - codebook[c][m * PQ_SUB + d]) ** 2
+                for d in range(PQ_SUB)
+            )
+            for m in range(PQ_M)
+            for c in range(PQ_CODES)
+        ]
+        rows.append((int(r["vec_id"]), probes, lut))
+    qdf = spark.createDataFrame(
+        rows, "qid bigint, probes array<int>, lut array<bigint>"
+    )
+    probe = qdf.select("qid", "lut", F.explode("probes").alias("cid"))
+    cand = corpus.join(F.broadcast(probe), "cid").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            "lut", (F.lit(m * PQ_CODES) + F.col(f"code{m}") + 1).cast("int")
+        )
+        adc = term if adc is None else (adc + term)
+    scored = cand.select("qid", "vec_id", adc.alias("adc_d2"))
+    w = Window.partitionBy("qid").orderBy("adc_d2", "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PQ_TOPK)
+    )

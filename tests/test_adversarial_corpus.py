@@ -73,6 +73,10 @@ QUERIES = [
     # other content
     "dedup_incremental",
     "dedup_incremental_minhash",
+    # r4 additions: bigram LM (transition stats over hostile token
+    # shapes) and BM25 (empty hit set on a corpus with no query term)
+    "text_bigram_logprob",
+    "text_bm25",
 ]
 
 
@@ -191,6 +195,7 @@ EMB_QUERIES = [
     "embed_cosine_audit",
     "embed_pq",
     "embed_pq_adc",
+    "sim_topk_ivf_pq",
 ]
 
 

@@ -1142,3 +1142,42 @@ def test_unpartitioned_windows_sit_above_aggregates(spark):
     assert not offenders, (
         f"data-scale unpartitioned Window(s) outside the whitelist: {offenders}"
     )
+
+
+def test_bm25_is_two_corpus_passes_no_data_join(spark):
+    """text_bm25's only data-scale work is two pushed-down corpus
+    passes (length stats at plan time + the term-hit aggregate at
+    checkpoint time). Pin: the final plan holds exactly ONE parquet
+    scan (corpus stats), two reads of the checkpointed per-doc hit
+    frame, the two one-row stat attaches (broadcast BNLJ), and no
+    data-scale join of any kind."""
+    tree = tree_of(plan_of(all_queries()["text_bm25"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Scan ExistingRDD") == 2, tree
+    assert tree.count("BroadcastNestedLoopJoin Cross") == 2, tree
+    assert tree.count("SortMergeJoin") == 0, tree
+    assert tree.count("BroadcastHashJoin") == 0, tree
+
+
+def test_ivf_pq_single_corpus_pass_running_topk(spark):
+    """sim_topk_ivf_pq: ONE corpus pass computes coarse list + PQ
+    codes scan-side (centroids/codebook ride as one broadcast row —
+    the single Cross BNLJ); the probe is an equi-join; the per-query
+    top-k is a running WindowGroupLimit, never a full sort of the
+    candidates."""
+    tree = tree_of(plan_of(all_queries()["sim_topk_ivf_pq"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("BroadcastNestedLoopJoin Cross") == 1, tree
+    assert tree.count("BroadcastHashJoin") == 1, tree  # probe equi-join
+    assert tree.count("SortMergeJoin") == 0, tree
+    assert tree.count("WindowGroupLimit") == 2, tree  # partial + final
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_bigram_logprob_no_nested_loop(spark):
+    """text_bigram_logprob's two LM-count joins must stay hash joins
+    (AQE picks broadcast while the vocab fits); a nested-loop here
+    would be the all-pairs regression."""
+    tree = tree_of(plan_of(all_queries()["text_bigram_logprob"](spark, SF_DIR)))
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
