@@ -693,3 +693,50 @@ def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         src.unpersist()
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "scan_text_lines",
+    oracle="""
+SELECT text AS line, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+WHERE text IS NOT NULL AND text <> ''
+  AND NOT contains(text, chr(10)) AND NOT contains(text, chr(13))
+""",
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw line-per-document text ingest (`spark.read.text`) — the
+    entry point for Pile/C4-style corpus shards that arrive as plain
+    text, one document per line, before any schema exists. Round-trip
+    proof: documents.text written as a text corpus (one UTF-8 line per
+    doc), read back with the text datasource, value-hashed against
+    the original rows — any encoding or line-splitting drift fails
+    the hash. Newline/CR-bearing and empty docs are excluded on both
+    engines: a line-oriented format cannot represent them (that is
+    WHY real corpora ship as JSONL once documents contain newlines —
+    `scan_json_infer` is that path).
+
+    Scale shape: text files split on line boundaries, so the read
+    parallelizes across `maxPartitionBytes` chunks like any scan; no
+    shuffle anywhere in the round-trip (write is scan-side, read is a
+    scan)."""
+    path = os.path.join(SCRATCH, f"text_corpus_{uuid.uuid4().hex[:8]}")
+    try:
+        docs = (
+            table(spark, sf_dir, "documents")
+            .filter(
+                F.col("text").isNotNull()
+                & (F.col("text") != "")
+                & ~F.col("text").contains("\n")
+                & ~F.col("text").contains("\r")
+            )
+            .select("text")
+        )
+        docs.write.mode("overwrite").text(path)
+        out = spark.read.text(path).select(
+            F.col("value").alias("line"),
+            F.length("value").cast("bigint").alias("n_chars"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -74,9 +74,12 @@ QUERIES = [
     "dedup_incremental",
     "dedup_incremental_minhash",
     # r4 additions: bigram LM (transition stats over hostile token
-    # shapes) and BM25 (empty hit set on a corpus with no query term)
+    # shapes), BM25 (empty hit set on a corpus with no query term),
+    # and the raw-text round-trip (non-ASCII/whitespace-only lines
+    # must survive the UTF-8 write+read byte-exactly)
     "text_bigram_logprob",
     "text_bm25",
+    "scan_text_lines",
 ]
 
 
