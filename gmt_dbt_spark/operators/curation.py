@@ -1175,3 +1175,186 @@ def pipeline_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rep_idx"),
     )
+
+
+# --- the grand composite: the full pretraining-corpus build ---------------
+
+_PIPE_FUZZY_MIN_MATCH = 8  # of 12 signature components ≈ est. Jaccard ≥ 2/3
+
+
+def _pretrain_oracle() -> str:
+    """DuckDB full replay of `pipeline_pretrain_corpus`: every stage
+    reuses the exact CTE generator its standalone operator uses
+    (`_DUCK_TOKENS`, `_sig_cte_prefix`, `_banded_sql`, `_FP5`), so a
+    definition change in any stage diverges HERE first, not in
+    production. Signatures are computed over all documents and
+    filtered to exact-dedup keepers — identical to computing them on
+    keepers only, since a signature depends on nothing but the doc's
+    own text."""
+    from gmt_dbt_spark.operators.dedup import _AB, _banded_sql, _sig_cte_prefix
+
+    n_match = " + ".join(
+        f"CASE WHEN ls.mh{j} = rs.mh{j} THEN 1 ELSE 0 END"
+        for j in range(len(_AB))
+    )
+    return f"""
+WITH {_sig_cte_prefix()},
+train AS (
+  SELECT doc_id, text, source FROM documents
+  WHERE text IS NOT NULL AND source NOT IN {_EVAL_SRC}
+),
+tk AS (
+  SELECT doc_id, text, source, len({_DUCK_TOKENS}) AS n_tokens FROM train
+),
+gated AS (
+  SELECT * FROM tk
+  WHERE n_tokens >= {MIN_TOKENS} AND length(text) >= {MIN_CHARS}
+),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+keepers AS (SELECT g.* FROM gated g JOIN keep k USING (doc_id)),
+ksig AS (SELECT s.* FROM sig s JOIN keepers k USING (doc_id)),
+kband AS (
+  {_banded_sql("ksig")}
+),
+fdup AS (
+  SELECT DISTINCT r.doc_id
+  FROM kband l
+  JOIN kband r ON l.band = r.band AND l.band_hash = r.band_hash
+              AND l.doc_id < r.doc_id
+  JOIN ksig ls ON ls.doc_id = l.doc_id
+  JOIN ksig rs ON rs.doc_id = r.doc_id
+  WHERE {n_match} >= {_PIPE_FUZZY_MIN_MATCH}
+),
+fuzzy AS (
+  SELECT k.* FROM keepers k ANTI JOIN fdup USING (doc_id)
+),
+evalfp AS (
+  SELECT DISTINCT {_FP5} AS k FROM documents
+  WHERE text IS NOT NULL AND source IN {_EVAL_SRC}
+),
+final AS (
+  SELECT f.* FROM (SELECT *, {_FP5} AS k FROM fuzzy) f
+  ANTI JOIN evalfp USING (k)
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(COALESCE(g.n, 0) AS BIGINT) AS n_quality,
+       CAST(COALESCE(e.n, 0) AS BIGINT) AS n_exact,
+       CAST(COALESCE(z.n, 0) AS BIGINT) AS n_fuzzy,
+       CAST(COALESCE(f.n, 0) AS BIGINT) AS n_final,
+       CAST(COALESCE(f.toks, 0) AS BIGINT) AS total_tokens
+FROM train t
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM gated GROUP BY source) g
+       ON t.source = g.source
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM keepers GROUP BY source) e
+       ON t.source = e.source
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM fuzzy GROUP BY source) z
+       ON t.source = z.source
+LEFT JOIN (SELECT source, COUNT(*) AS n, SUM(n_tokens) AS toks
+           FROM final GROUP BY source) f
+       ON t.source = f.source
+GROUP BY t.source, g.n, e.n, z.n, f.n, f.toks
+"""
+
+
+@query("pipeline_pretrain_corpus", oracle=_pretrain_oracle())
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composite: the full pretraining-corpus build as one
+    dataflow — raw → quality gate → exact dedup (md5 keeper) → fuzzy
+    dedup (MinHash bands, ≥8/12 signature-component verify, later doc
+    drops) → eval decontamination (first-5-token fingerprint vs the
+    held-out sources) → per-source funnel report (doc counts at every
+    stage + final token budget). Every stage IS its standalone
+    operator's definition (quality_gate, dedup_keep_canonical,
+    minhash_signature/banded_sig, fp5_col), so this query certifies
+    the stages COMPOSE — the thing a real curation run actually does.
+
+    Scale shape: the gate is scan-side; exact dedup shuffles 16-byte
+    fingerprints; fuzzy dedup shuffles 96-byte signatures and band
+    keys (candidates via equi-join, verify on signature components —
+    no text moves after the one tokenize pass); decontamination
+    broadcasts the eval fingerprint set; the report is five
+    dim-sized aggregates joined on source. At 100 TB each stage
+    boundary would be a materialized checkpoint table (here the
+    signature frame is localCheckpoint'd — the same role); nothing
+    anywhere scales super-linearly in corpus size.
+
+    Output: (source, n_raw, n_quality, n_exact, n_fuzzy, n_final,
+    total_tokens) — a monotone funnel, every value an exact BIGINT.
+    """
+    from gmt_dbt_spark.operators.dedup import (
+        _AB,
+        banded_sig,
+        minhash_signature,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs = docs.filter(F.col("text").isNotNull())
+    train = docs.filter(~F.col("source").isin(EVAL_SRC_LIST))
+    gated = quality_gate(train).withColumn("n_tokens", F.size("toks"))
+    keepers = dedup_keep_canonical(gated)
+
+    sig = minhash_signature(keepers, "doc_id", "text").localCheckpoint(eager=True)
+    banded = banded_sig(sig)
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    ls = sig.select(F.col("__id").alias("id_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(len(_AB))])
+    rs = sig.select(F.col("__id").alias("id_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(len(_AB))])
+    n_match = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(len(_AB))
+    )
+    fdup = (
+        cand.join(ls, "id_a")
+        .join(rs, "id_b")
+        .filter(n_match >= _PIPE_FUZZY_MIN_MATCH)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    fuzzy = keepers.join(fdup, "doc_id", "left_anti")
+
+    evalfp = (
+        docs.filter(F.col("source").isin(EVAL_SRC_LIST))
+        .select(fp5_col().alias("k"))
+        .distinct()
+    )
+    final = fuzzy.withColumn("k", fp5_col()).join(
+        F.broadcast(evalfp), "k", "left_anti"
+    )
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+
+    zero = F.lit(0).cast("bigint")
+    report = (
+        cnt(train, "n_raw")
+        .join(cnt(gated, "n_quality"), "source", "left")
+        .join(cnt(keepers, "n_exact"), "source", "left")
+        .join(cnt(fuzzy, "n_fuzzy"), "source", "left")
+        .join(
+            final.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_final"),
+                F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            ),
+            "source",
+            "left",
+        )
+    )
+    return report.select(
+        "source",
+        "n_raw",
+        F.coalesce("n_quality", zero).alias("n_quality"),
+        F.coalesce("n_exact", zero).alias("n_exact"),
+        F.coalesce("n_fuzzy", zero).alias("n_fuzzy"),
+        F.coalesce("n_final", zero).alias("n_final"),
+        F.coalesce("total_tokens", zero).alias("total_tokens"),
+    )

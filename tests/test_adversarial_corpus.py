@@ -80,6 +80,10 @@ QUERIES = [
     "text_bigram_logprob",
     "text_bm25",
     "scan_text_lines",
+    # the grand composite: on this corpus every source is an eval
+    # source (src0-3 ⊂ EVAL_SRC), so the train side is EMPTY — the
+    # empty-funnel edge must agree on both engines
+    "pipeline_pretrain_corpus",
 ]
 
 
