@@ -50,6 +50,10 @@ HEADLINE = [
     # UniMax mixture plan + corpus materialization (k-row water-fill)
     "text_dedup_lines",
     "pipeline_mixture_materialize",
+    # r4: the grand curation composite (quality → exact → fuzzy →
+    # decontam → funnel report) and the BM25 retrieval scorer
+    "pipeline_pretrain_corpus",
+    "text_bm25",
 ]
 
 

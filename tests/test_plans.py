@@ -1181,3 +1181,16 @@ def test_bigram_logprob_no_nested_loop(spark):
     tree = tree_of(plan_of(all_queries()["text_bigram_logprob"](spark, SF_DIR)))
     assert "BroadcastNestedLoopJoin" not in tree, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_pretrain_composite_no_quadratic_shape(spark):
+    """pipeline_pretrain_corpus chains five stages; the one thing the
+    composition must never introduce is a quadratic join (the fuzzy
+    stage's band self-join and the decontamination anti-join are
+    equi-joins by construction). The per-stage funnel counts do
+    re-derive stage frames (9 parquet scans at plan time — at 100 TB
+    each stage boundary is a materialized table instead, documented),
+    which is linear, so only the join SHAPES are pinned here."""
+    tree = tree_of(plan_of(all_queries()["pipeline_pretrain_corpus"](spark, SF_DIR)))
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
