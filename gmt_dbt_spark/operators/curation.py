@@ -1203,15 +1203,19 @@ train AS (
   SELECT doc_id, text, source FROM documents
   WHERE text IS NOT NULL AND source NOT IN {_EVAL_SRC}
 ),
-tk AS (
-  SELECT doc_id, text, source, len({_DUCK_TOKENS}) AS n_tokens FROM train
+flags AS (
+  SELECT doc_id, text, source,
+         len({_DUCK_TOKENS}) AS n_tokens,
+         len({_DUCK_TOKENS}) >= {MIN_TOKENS}
+           AND length(text) >= {MIN_CHARS} AS q,
+         md5(text) AS fp
+  FROM train
 ),
-gated AS (
-  SELECT * FROM tk
-  WHERE n_tokens >= {MIN_TOKENS} AND length(text) >= {MIN_CHARS}
+lab0 AS (
+  SELECT *, MIN(CASE WHEN q THEN doc_id END) OVER (PARTITION BY fp) AS kid
+  FROM flags
 ),
-keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
-keepers AS (SELECT g.* FROM gated g JOIN keep k USING (doc_id)),
+keepers AS (SELECT doc_id FROM lab0 WHERE q AND doc_id = kid),
 ksig AS (SELECT s.* FROM sig s JOIN keepers k USING (doc_id)),
 kband AS (
   {_banded_sql("ksig")}
@@ -1225,35 +1229,32 @@ fdup AS (
   JOIN ksig rs ON rs.doc_id = r.doc_id
   WHERE {n_match} >= {_PIPE_FUZZY_MIN_MATCH}
 ),
-fuzzy AS (
-  SELECT k.* FROM keepers k ANTI JOIN fdup USING (doc_id)
-),
 evalfp AS (
-  SELECT DISTINCT {_FP5} AS k FROM documents
+  SELECT DISTINCT {_FP5} AS fpk FROM documents
   WHERE text IS NOT NULL AND source IN {_EVAL_SRC}
 ),
-final AS (
-  SELECT f.* FROM (SELECT *, {_FP5} AS k FROM fuzzy) f
-  ANTI JOIN evalfp USING (k)
+lab AS (
+  SELECT lab0.source, lab0.n_tokens,
+         lab0.q,
+         lab0.q AND lab0.doc_id = lab0.kid AS is_keeper,
+         fdup.doc_id IS NOT NULL AS is_fdup,
+         evalfp.fpk IS NOT NULL AS is_contam
+  FROM lab0
+  LEFT JOIN fdup ON lab0.doc_id = fdup.doc_id
+  LEFT JOIN evalfp ON {_FP5.replace("text", "lab0.text")} = evalfp.fpk
 )
-SELECT t.source,
-       CAST(COUNT(*) AS BIGINT) AS n_raw,
-       CAST(COALESCE(g.n, 0) AS BIGINT) AS n_quality,
-       CAST(COALESCE(e.n, 0) AS BIGINT) AS n_exact,
-       CAST(COALESCE(z.n, 0) AS BIGINT) AS n_fuzzy,
-       CAST(COALESCE(f.n, 0) AS BIGINT) AS n_final,
-       CAST(COALESCE(f.toks, 0) AS BIGINT) AS total_tokens
-FROM train t
-LEFT JOIN (SELECT source, COUNT(*) AS n FROM gated GROUP BY source) g
-       ON t.source = g.source
-LEFT JOIN (SELECT source, COUNT(*) AS n FROM keepers GROUP BY source) e
-       ON t.source = e.source
-LEFT JOIN (SELECT source, COUNT(*) AS n FROM fuzzy GROUP BY source) z
-       ON t.source = z.source
-LEFT JOIN (SELECT source, COUNT(*) AS n, SUM(n_tokens) AS toks
-           FROM final GROUP BY source) f
-       ON t.source = f.source
-GROUP BY t.source, g.n, e.n, z.n, f.n, f.toks
+SELECT source,
+       COUNT(*) AS n_raw,
+       COUNT(CASE WHEN q THEN 1 END) AS n_quality,
+       COUNT(CASE WHEN is_keeper THEN 1 END) AS n_exact,
+       COUNT(CASE WHEN is_keeper AND NOT is_fdup THEN 1 END) AS n_fuzzy,
+       COUNT(CASE WHEN is_keeper AND NOT is_fdup AND NOT is_contam
+             THEN 1 END) AS n_final,
+       CAST(COALESCE(SUM(CASE WHEN is_keeper AND NOT is_fdup
+                               AND NOT is_contam
+                          THEN n_tokens END), 0) AS BIGINT) AS total_tokens
+FROM lab
+GROUP BY source
 """
 
 
@@ -1265,19 +1266,23 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops) → eval decontamination (first-5-token fingerprint vs the
     held-out sources) → per-source funnel report (doc counts at every
     stage + final token budget). Every stage IS its standalone
-    operator's definition (quality_gate, dedup_keep_canonical,
-    minhash_signature/banded_sig, fp5_col), so this query certifies
-    the stages COMPOSE — the thing a real curation run actually does.
+    operator's definition (quality_gate semantics, the
+    dedup_keep_canonical keeper rule, minhash_signature/banded_sig,
+    fp5_col), so this query certifies the stages COMPOSE — the thing
+    a real curation run actually does.
 
-    Scale shape: the gate is scan-side; exact dedup shuffles 16-byte
-    fingerprints; fuzzy dedup shuffles 96-byte signatures and band
-    keys (candidates via equi-join, verify on signature components —
-    no text moves after the one tokenize pass); decontamination
-    broadcasts the eval fingerprint set; the report is five
-    dim-sized aggregates joined on source. At 100 TB each stage
-    boundary would be a materialized checkpoint table (here the
-    signature frame is localCheckpoint'd — the same role); nothing
-    anywhere scales super-linearly in corpus size.
+    SINGLE-PASS FUNNEL SHAPE (the dq_suite_single_pass pattern): each
+    doc is LABELED with its exit stage (q / is_keeper / is_fdup /
+    is_contam) and ONE aggregate produces every funnel metric — the
+    corpus is never re-derived per stage count. The keeper rule is a
+    window min over the fingerprint partition (one 16-byte-key
+    shuffle, no self-join); the fuzzy-dup id set and the eval
+    fingerprint set attach as indicator left joins (both orders of
+    magnitude smaller than the corpus — fdup ids ride the banding
+    cut, evalfp is the held-out slice). Three corpus passes total at
+    plan level: the label pass, the signature build (keepers' text),
+    and the eval fingerprint scan. The 8-byte-signature frame is
+    localCheckpoint'd (consumed by both band-join sides).
 
     Output: (source, n_raw, n_quality, n_exact, n_fuzzy, n_final,
     total_tokens) — a monotone funnel, every value an exact BIGINT.
@@ -1287,12 +1292,28 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         banded_sig,
         minhash_signature,
     )
+    from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     docs = docs.filter(F.col("text").isNotNull())
     train = docs.filter(~F.col("source").isin(EVAL_SRC_LIST))
-    gated = quality_gate(train).withColumn("n_tokens", F.size("toks"))
-    keepers = dedup_keep_canonical(gated)
+    flags = (
+        train.withColumn("toks", tokens_col(F.col("text")))
+        .withColumn("n_tokens", F.size("toks"))
+        .withColumn(
+            "q",
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.length("text") >= MIN_CHARS),
+        )
+        .withColumn("fp", F.md5("text"))
+    )
+    lab0 = flags.withColumn(
+        "kid",
+        F.min(F.when(F.col("q"), F.col("doc_id"))).over(
+            Window.partitionBy("fp")
+        ),
+    )
+    keepers = lab0.filter(F.col("q") & (F.col("doc_id") == F.col("kid")))
 
     sig = minhash_signature(keepers, "doc_id", "text").localCheckpoint(eager=True)
     banded = banded_sig(sig)
@@ -1307,8 +1328,14 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .distinct()
     )
-    ls = sig.select(F.col("__id").alias("id_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(len(_AB))])
-    rs = sig.select(F.col("__id").alias("id_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(len(_AB))])
+    ls = sig.select(
+        F.col("__id").alias("id_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(len(_AB))],
+    )
+    rs = sig.select(
+        F.col("__id").alias("id_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(len(_AB))],
+    )
     n_match = sum(
         F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
         for j in range(len(_AB))
@@ -1317,44 +1344,43 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ls, "id_a")
         .join(rs, "id_b")
         .filter(n_match >= _PIPE_FUZZY_MIN_MATCH)
-        .select(F.col("id_b").alias("doc_id"))
+        .select(F.col("id_b").alias("doc_id"), F.lit(True).alias("__fd"))
         .distinct()
     )
-    fuzzy = keepers.join(fdup, "doc_id", "left_anti")
-
     evalfp = (
         docs.filter(F.col("source").isin(EVAL_SRC_LIST))
-        .select(fp5_col().alias("k"))
+        .select(fp5_col().alias("fpk"))
         .distinct()
+        .withColumn("__ct", F.lit(True))
     )
-    final = fuzzy.withColumn("k", fp5_col()).join(
-        F.broadcast(evalfp), "k", "left_anti"
-    )
-
-    def cnt(df: DataFrame, name: str) -> DataFrame:
-        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
-
-    zero = F.lit(0).cast("bigint")
-    report = (
-        cnt(train, "n_raw")
-        .join(cnt(gated, "n_quality"), "source", "left")
-        .join(cnt(keepers, "n_exact"), "source", "left")
-        .join(cnt(fuzzy, "n_fuzzy"), "source", "left")
+    lab = (
+        lab0.join(F.broadcast(fdup), "doc_id", "left")
         .join(
-            final.groupBy("source").agg(
-                F.count(F.lit(1)).alias("n_final"),
-                F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-            ),
-            "source",
+            F.broadcast(evalfp),
+            fp5_col() == F.col("fpk"),
             "left",
         )
+        .select(
+            "source",
+            "n_tokens",
+            "q",
+            (F.col("q") & (F.col("doc_id") == F.col("kid"))).alias("is_keeper"),
+            F.coalesce("__fd", F.lit(False)).alias("is_fdup"),
+            F.coalesce("__ct", F.lit(False)).alias("is_contam"),
+        )
     )
-    return report.select(
-        "source",
-        "n_raw",
-        F.coalesce("n_quality", zero).alias("n_quality"),
-        F.coalesce("n_exact", zero).alias("n_exact"),
-        F.coalesce("n_fuzzy", zero).alias("n_fuzzy"),
-        F.coalesce("n_final", zero).alias("n_final"),
-        F.coalesce("total_tokens", zero).alias("total_tokens"),
+    final = F.col("is_keeper") & ~F.col("is_fdup") & ~F.col("is_contam")
+    return lab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count(F.when(F.col("q"), 1)).alias("n_quality"),
+        F.count(F.when(F.col("is_keeper"), 1)).alias("n_exact"),
+        F.count(
+            F.when(F.col("is_keeper") & ~F.col("is_fdup"), 1)
+        ).alias("n_fuzzy"),
+        F.count(F.when(final, 1)).alias("n_final"),
+        F.coalesce(
+            F.sum(F.when(final, F.col("n_tokens"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("total_tokens"),
     )

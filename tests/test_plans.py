@@ -1183,14 +1183,16 @@ def test_bigram_logprob_no_nested_loop(spark):
     assert "CartesianProduct" not in tree, tree
 
 
-def test_pretrain_composite_no_quadratic_shape(spark):
-    """pipeline_pretrain_corpus chains five stages; the one thing the
-    composition must never introduce is a quadratic join (the fuzzy
-    stage's band self-join and the decontamination anti-join are
-    equi-joins by construction). The per-stage funnel counts do
-    re-derive stage frames (9 parquet scans at plan time — at 100 TB
-    each stage boundary is a materialized table instead, documented),
-    which is linear, so only the join SHAPES are pinned here."""
+def test_pretrain_composite_single_pass_funnel(spark):
+    """pipeline_pretrain_corpus is a LABELED single-pass funnel (the
+    dq_suite_single_pass pattern): each doc carries q / is_keeper /
+    is_fdup / is_contam flags and ONE aggregate emits every stage
+    count — the corpus is never re-derived per metric. Pin: exactly
+    TWO parquet scans in the final plan (the label pass + the eval
+    fingerprint scan; the keeper-signature build ran at checkpoint
+    time), and no quadratic join anywhere (the fuzzy band self-join
+    and the decontamination attach are equi-joins by construction)."""
     tree = tree_of(plan_of(all_queries()["pipeline_pretrain_corpus"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 2, tree
     assert "BroadcastNestedLoopJoin" not in tree, tree
     assert "CartesianProduct" not in tree, tree
