@@ -1353,8 +1353,14 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("__ct", F.lit(True))
     )
+    # NO broadcast hint on fdup (the r2 forced-broadcast lesson): the
+    # fuzzy-dup id set is O(n) on a dup-heavy corpus, so a hint is the
+    # customer-dim OOM pattern at 100 TB — AQE broadcasts it while it
+    # fits and degrades to a shuffled join when it doesn't. evalfp IS
+    # hinted: held-out eval corpora are small by design (same
+    # justification as dedup_cross_corpus's broadcast eval side).
     lab = (
-        lab0.join(F.broadcast(fdup), "doc_id", "left")
+        lab0.join(fdup, "doc_id", "left")
         .join(
             F.broadcast(evalfp),
             fp5_col() == F.col("fpk"),
