@@ -1130,3 +1130,118 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView(name)
         except Exception:
             pass
+
+
+_INGEST_BATCHES = 3
+
+
+@query(
+    "stream_corpus_ingest",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, text, source,
+         len(list_filter(string_split(trim(lower(regexp_replace(text,
+             '[^a-zA-Z0-9 ]', ' ', 'g'))), ' '), t -> t <> '')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+gated AS (
+  SELECT * FROM tk WHERE n_tokens >= 5 AND length(text) >= 30
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens, md5(text) AS fp,
+         ROW_NUMBER() OVER (PARTITION BY md5(text)
+             ORDER BY doc_id % {_INGEST_BATCHES}, doc_id) AS rn
+  FROM gated
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, fp
+FROM ranked WHERE rn = 1
+""",
+)
+def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING corpus ingestion — the streaming mirror of the
+    curation pipeline's front half: a real Structured Streaming query
+    (file source, one shard per micro-batch via maxFilesPerTrigger=1,
+    availableNow trigger) whose every batch quality-gates the arriving
+    documents and upserts the FIRST-ARRIVAL survivors into a parquet
+    corpus store keyed by content fingerprint (foreachBatch: gate →
+    within-batch keeper → anti-join against the accumulated store →
+    append). This is how a crawler feed actually lands: continuously,
+    deduplicated against everything already ingested, without ever
+    re-reading the accumulated corpus bodies (the anti-join probes
+    16-byte fingerprints only).
+
+    ARRIVAL-ORDER SEMANTICS, oracle-pinned: the keeper per fingerprint
+    is the first-ARRIVING doc (lowest shard, then lowest doc_id
+    within it), NOT the globally-lowest doc_id — the DuckDB oracle
+    ranks by (doc_id % {_INGEST_BATCHES}, doc_id) and therefore FAILS
+    if the streaming run ever processes shards out of order, merges
+    micro-batches, or lets a later duplicate displace an earlier
+    keeper. A batch query could not produce this surface; it is the
+    one property only the true micro-batched execution has.
+
+    Scale: per batch, the store-probe is an anti-join on fingerprints
+    (AQE-sized), the gate is scan-side, and the store grows by
+    appended survivor rows — cost per batch rides |batch| + |store
+    fingerprints|, never accumulated text."""
+    from gmt_dbt_spark.operators.curation import MIN_CHARS, MIN_TOKENS
+    from gmt_dbt_spark.operators.dedup import tokens_col
+
+    run_dir = os.path.join(SCRATCH, f"stream_ingest_{uuid.uuid4().hex[:8]}")
+    src_dir = os.path.join(run_dir, "src")
+    store = os.path.join(run_dir, "store")
+    ckpt = os.path.join(run_dir, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    try:
+        docs = (
+            table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "source")
+            .filter(F.col("text").isNotNull())
+        )
+        for i in range(_INGEST_BATCHES):
+            write_json_shard(
+                docs.filter(F.col("doc_id") % _INGEST_BATCHES == i),
+                os.path.join(src_dir, f"part-{i}.json"),
+            )
+        pin_mtimes(src_dir)  # admit shards strictly in arrival order
+        # seed the empty store so every batch can read-then-append
+        spark.createDataFrame(
+            [], "doc_id bigint, source string, n_tokens bigint, fp string"
+        ).write.mode("overwrite").parquet(store)
+
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string, source string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src_dir)
+        )
+
+        def ingest(batch: DataFrame, _epoch: int) -> None:
+            sp = batch.sparkSession
+            gated = batch.withColumn("toks", tokens_col(F.col("text"))).filter(
+                (F.size("toks") >= MIN_TOKENS)
+                & (F.length("text") >= MIN_CHARS)
+            )
+            keyed = gated.select(
+                "doc_id",
+                "source",
+                F.size("toks").cast("bigint").alias("n_tokens"),
+                F.md5("text").alias("fp"),
+            )
+            w = Window.partitionBy("fp").orderBy("doc_id")
+            first = (
+                keyed.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            seen = sp.read.parquet(store).select("fp")
+            survivors = first.join(seen, "fp", "left_anti").localCheckpoint(
+                eager=True  # detach from the store path before appending to it
+            )
+            survivors.select("doc_id", "source", "n_tokens", "fp").write.mode(
+                "append"
+            ).parquet(store)
+
+        run_replay(stream, ckpt, mode="append", foreach=ingest)
+        final = spark.read.parquet(store)
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)

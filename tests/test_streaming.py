@@ -414,3 +414,51 @@ def test_replay_cache_variant_and_invalidation(spark, tmp_path):
         }:
             if k:
                 shutil.rmtree(k, ignore_errors=True)
+
+
+def test_stream_corpus_ingest_keeps_first_arrival_not_min_id(spark, tmp_path):
+    """The streaming ingest's keeper is the first-ARRIVING doc per
+    fingerprint, which differs from the globally-lowest doc_id
+    whenever a duplicate lands in an earlier shard with a higher id.
+    Craft exactly that: ids 4 (shard 1) and 6 (shard 0) share text —
+    the streaming run must keep 6 (arrives first), where any
+    batch-collapsed run would keep 4. Also pins that a later-batch
+    duplicate (id 5, shard 2) cannot displace an earlier keeper, and
+    that a gated-out doc never blocks a later arrival of the same
+    text."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmt_dbt_spark.registry import all_queries
+
+    dup = "the same long duplicated document body with many tokens inside it"
+    other = "a completely different document body that also passes the gate"
+    texts = {
+        4: dup,       # shard 1
+        6: dup,       # shard 0 — arrives FIRST, must be the keeper
+        5: dup,       # shard 2 — later duplicate, must not displace
+        3: other,     # shard 0
+        7: "short",   # shard 1 — fails the quality gate
+        9: other,     # shard 0, same batch as 3 → within-batch keeper 3
+    }
+    d = tmp_path / "stream_ingest_fixture"
+    d.mkdir()
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": ids,
+                "text": [texts[i] for i in ids],
+                "lang": ["en"] * len(ids),
+                "source": ["web"] * len(ids),
+                "n_chars": [len(texts[i]) for i in ids],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    rows = {
+        r.doc_id: r for r in all_queries()["stream_corpus_ingest"](spark, str(d)).collect()
+    }
+    assert set(rows) == {6, 3}, rows
+    # the two keepers carry distinct content fingerprints
+    assert rows[6].fp != rows[3].fp
