@@ -888,3 +888,52 @@ def test_adversarial_tpch_match_oracle(spark, adv_tpch_dir, name):
         ["orders", "customer", "lineitem", "part", "nation", "region", "supplier"],
         name,
     )
+
+
+@pytest.fixture(scope="module")
+def adv_longdoc_dir(tmp_path_factory):
+    """Document-LENGTH skew the sf fixtures never have: one 50k-token
+    document next to ordinary ones. Pins that per-doc work (64
+    simhash sign-sums, minhash signatures, bigram streams, the
+    curation funnel) is linear in doc length on BOTH engines — a
+    quadratic-in-length term or a driver-side materialization would
+    time out or diverge here."""
+    d = tmp_path_factory.mktemp("adv_longdoc")
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(2000)]
+    giant = " ".join(rng.choice(vocab) for _ in range(50_000))
+    texts = [
+        giant,
+        "a normal document about stream processing and hash joins",
+        "another ordinary document mentioning vector scans and merges",
+        "a normal document about stream processing and hash joins",  # dup
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["web"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+LONGDOC_QUERIES = [
+    "dedup_simhash",
+    "dedup_fuzzy",
+    "text_bigram_logprob",
+    "text_bm25",
+    "pipeline_pretrain_corpus",
+]
+
+
+@pytest.mark.parametrize("name", LONGDOC_QUERIES)
+def test_adversarial_longdoc_matches_oracle(spark, adv_longdoc_dir, name):
+    _assert_parity(spark, adv_longdoc_dir, "documents", name)
