@@ -740,3 +740,79 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+N_TRAIN_SHARDS = 16
+
+
+@query(
+    "sink_training_shards",
+    oracle=f"""
+SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                  || md5(COALESCE(text, ''))), 1, 15)) AS BIGINT)
+            % {N_TRAIN_SHARDS} AS INTEGER) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM documents
+GROUP BY 1
+""",
+)
+def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export: the last step of a curation pipeline —
+    the corpus written as N deterministic, pseudo-randomly assigned
+    shard files for data-loader consumption. Shard id =
+    hash(doc_id, content) mod N: a content-salted hash SHUFFLE, not a
+    rank-based split, which is exactly what production does (equal
+    shard sizes by the law of large numbers, zero global sort, and a
+    re-run assigns every doc to the same shard — resumable/idempotent
+    export). The hash is md5-derived so DuckDB replays the exact
+    assignment; the id/char checksums per shard pin the full
+    partition content, not just counts.
+
+    Scale shape: assignment is scan-side expression work; the write
+    is `partitionBy(shard)` — one shuffle on a 16-value key. The
+    rank-based alternative (exact equal sizes) needs a global sort —
+    the pattern to avoid; if contiguity matters, range-partition by
+    the hash prefix instead. Stats are read back FROM THE WRITTEN
+    FILES, so the oracle also certifies the sink round-trip."""
+    path = os.path.join(SCRATCH, f"train_shards_{uuid.uuid4().hex[:8]}")
+    try:
+        docs = table(spark, sf_dir, "documents")
+        shard = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.md5(F.coalesce(F.col("text"), F.lit(""))),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(N_TRAIN_SHARDS),
+        ).cast("int")
+        (
+            docs.select("doc_id", "n_chars", shard.alias("shard"))
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(path)
+        )
+        out = (
+            spark.read.parquet(path)
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").cast("bigint").alias("id_sum"),
+                F.sum("n_chars").cast("bigint").alias("chars_sum"),
+            )
+            .select(F.col("shard").cast("int").alias("shard"), "n_docs", "id_sum", "chars_sum")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
