@@ -10,7 +10,7 @@ rounding (log/exp) are avoided; sqrt/floor/ceil/abs are IEEE-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmt_dbt_spark.catalog import table
@@ -435,11 +435,15 @@ WITH a AS (
   FROM lineitem GROUP BY l_orderkey
 )
 SELECT l_orderkey,
-       list_sort(list_distinct(list_concat(lines, [1, 2, 3]))) AS u,
-       list_sort(list_distinct(list_filter(lines,
-           x -> list_contains([1, 2, 3], x)))) AS i,
-       list_sort(list_distinct(list_filter(lines,
-           x -> NOT list_contains([1, 2, 3], x)))) AS d,
+       coalesce(array_to_string(
+           list_sort(list_distinct(list_concat(lines, [1, 2, 3]))), ','),
+           '') AS u,
+       coalesce(array_to_string(
+           list_sort(list_distinct(list_filter(lines,
+               x -> list_contains([1, 2, 3], x)))), ','), '') AS i,
+       coalesce(array_to_string(
+           list_sort(list_distinct(list_filter(lines,
+               x -> NOT list_contains([1, 2, 3], x)))), ','), '') AS d,
        list_has_any(lines, [5, 6, 7]) AS has_high
 FROM a
 """,
@@ -451,18 +455,32 @@ def fn_array_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare is order-free (Spark's array_union preserves encounter
     order, DuckDB's list_distinct doesn't — sorting both pins it).
     The DuckDB twin spells intersect/except as list_filter over
-    list_contains (no native list_intersect in 1.0)."""
+    list_contains (no native list_intersect in 1.0).
+
+    The result sets are SERIALIZED to comma-joined strings (the
+    agg_collect convention, in force since r1): the driver's
+    canonicalizer row-sorts raw pandas frames, and `sort_values`
+    cannot factorize unhashable numpy arrays — a raw array<int>
+    output column is a guaranteed driver err (CORRECTNESS_r04,
+    this very query). tests/test_queries_oracle.py sweeps the whole
+    registry for top-level complex output columns. Empty-set edge:
+    Spark's array_join([]) is '' but DuckDB's array_to_string([]) is
+    NULL — the oracle coalesces to ''."""
     li = table(spark, sf_dir, "lineitem")
     base = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_linenumber")).alias("lines")
     )
     lit123 = F.array(F.lit(1), F.lit(2), F.lit(3))
     lit567 = F.array(F.lit(5), F.lit(6), F.lit(7))
+
+    def _csv(col: Column) -> Column:
+        return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+
     return base.select(
         "l_orderkey",
-        F.sort_array(F.array_union("lines", lit123)).alias("u"),
-        F.sort_array(F.array_intersect("lines", lit123)).alias("i"),
-        F.sort_array(F.array_except("lines", lit123)).alias("d"),
+        _csv(F.sort_array(F.array_union("lines", lit123))).alias("u"),
+        _csv(F.sort_array(F.array_intersect("lines", lit123))).alias("i"),
+        _csv(F.sort_array(F.array_except("lines", lit123))).alias("d"),
         F.arrays_overlap("lines", lit567).alias("has_high"),
     )
 

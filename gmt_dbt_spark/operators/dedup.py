@@ -148,7 +148,14 @@ def _hash_family() -> str:
     equal on the verified PAIR SET by
     tests/test_llm_ops.py::test_hash_family_flag_same_verified_pairs
     (different base hashes give different bucket keys but the same
-    ≥-threshold survivors when banding recall holds)."""
+    ≥-threshold survivors when banding recall holds).
+
+    Resolved ONCE per query invocation (r5, advisor item): every
+    top-level query reads this at entry and passes the value down to
+    `minhash_signature`/`banded_sig`, so flipping the conf mid-
+    session can never mix families between the signature build and
+    the banding of one plan. Selfcheck/oracle runs require the md5
+    default — the registered oracles replay md5 only."""
     spark = SparkSession.getActiveSession()
     if spark is None:
         return "md5"
@@ -159,7 +166,7 @@ def _hash_family() -> str:
     return fam if fam in ("md5", "xxhash64") else "md5"
 
 
-def shingle_hash(col: str) -> Column:
+def shingle_hash(col: str, family: str | None = None) -> Column:
     """Base hash of one shingle: first 8 hex chars of md5, as a
     32-bit int, reduced mod the Mersenne prime — or xxhash64 under
     the production flag (`_hash_family`).
@@ -170,23 +177,28 @@ def shingle_hash(col: str) -> Column:
     hashed. DuckDB 1.0 has no crc32/xxhash, so md5 is the cheapest
     engine-neutral choice; xxhash64 (Spark-only, JVM codegen, no hex
     round-trip) is the raw-throughput production path."""
-    if _hash_family() == "xxhash64":
+    if (family or _hash_family()) == "xxhash64":
         return F.pmod(F.xxhash64(col), F.lit(_P))
     return F.pmod(
         F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint"), F.lit(_P)
     )
 
 
-def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, family: str | None = None
+) -> DataFrame:
     """id → 12 minhash values over 3-word shingles.
 
     shingle rows → md5-derived base hash → 12 universal hashes →
     groupBy-min: one shuffle on the id, partial min map-side.
     Signature is 96 bytes/doc regardless of doc size — the
     constant-space property that makes this the 100 TB dedup plan.
-    """
+
+    ``family`` pins the base-hash family for this plan; None resolves
+    the session conf ONCE here (never per-expression)."""
+    family = family or _hash_family()
     sh = shingle_rows(df, id_col, text_col).withColumn(
-        "__h", shingle_hash("__sh")
+        "__h", shingle_hash("__sh", family)
     )
     aggs = [
         F.min(F.pmod(F.col("__h") * a + b, F.lit(_P))).alias(f"mh{j}")
@@ -195,7 +207,7 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sh.groupBy("__id").agg(*aggs)
 
 
-def banded_sig(sig: DataFrame) -> DataFrame:
+def banded_sig(sig: DataFrame, family: str | None = None) -> DataFrame:
     """(__id, band, band_hash) — one row per signature band.
 
     Band key = 60-bit int from md5 of the comma-joined band minhashes
@@ -204,7 +216,7 @@ def banded_sig(sig: DataFrame) -> DataFrame:
     (`_hash_family`); 4 hashes per DOC, not per shingle, so the cost
     is invisible next to the signature build either way."""
     rows_per_band = len(_AB) // _BANDS
-    xx = _hash_family() == "xxhash64"
+    xx = (family or _hash_family()) == "xxhash64"
 
     def band_key(b: int) -> Column:
         joined = F.concat_ws(
@@ -222,10 +234,10 @@ def banded_sig(sig: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidates(sig: DataFrame) -> DataFrame:
+def lsh_candidates(sig: DataFrame, family: str | None = None) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash):
     equi-join candidate generation, never a cross join."""
-    banded = banded_sig(sig)
+    banded = banded_sig(sig, family)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -240,14 +252,14 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_ids(sig: DataFrame) -> DataFrame:
+def lsh_candidate_ids(sig: DataFrame, family: str | None = None) -> DataFrame:
     """Ids that appear in at least one candidate pair, WITHOUT
     replaying the pair self-join: a band bucket with k members yields
     pairs iff k ≥ 2, so the id set is exactly 'members of any bucket
     with count > 1' — one groupBy + one semi-join over the banded
     table (reads the 96-byte signatures, never the documents). Used
     to prune the verify stage's tokenization to candidate docs only."""
-    banded = banded_sig(sig)
+    banded = banded_sig(sig, family)
     big = (
         banded.groupBy("band", "band_hash")
         .agg(F.count(F.lit(1)).alias("k"))
@@ -475,12 +487,15 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a rounded float (round(x, 4) can land on a rounding-tie ulp;
     integer set sizes cannot)."""
     docs = table(spark, sf_dir, "documents")
+    # hash family resolved ONCE for the whole plan (advisor r5) —
+    # sig build and banding can never mix families
+    fam = _hash_family()
     # materialize the 96-byte/doc signature table once — the band
     # self-join, the bucket-count candidate ids, and the verify prune
     # all re-read it (see dedup_ngram_jaccard)
-    sig = minhash_signature(docs, "doc_id", "text").localCheckpoint(eager=True)
-    pairs = lsh_candidates(sig)
-    cand = lsh_candidate_ids(sig)
+    sig = minhash_signature(docs, "doc_id", "text", fam).localCheckpoint(eager=True)
+    pairs = lsh_candidates(sig, fam)
+    cand = lsh_candidate_ids(sig, fam)
     return verify_jaccard(
         pairs, docs, "doc_id", "text", 0.6, cand_ids=cand, shingle=True
     ).select("id_a", "id_b", "n_inter", "n_union")
@@ -611,6 +626,57 @@ def dedup_fuzzy_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rides every output row.
 SIMHASH_BUCKET_CAP = 64
 
+_MIN_LONG = -(1 << 63)  # bit 63 == the sign bit of the signature
+
+
+def simhash_signature(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) via 64 independent ±1 sign-sum aggregates —
+    exact, size-unbounded, all codegen built-ins.
+
+    The r4-parked packed-lane variant (16 bigint lanes × 4×16-bit
+    count fields, sign test 2c > n, a 32,767-distinct-token
+    truncation guard against field carry) was BUILT AND MEASURED in
+    r5: bit-identical signatures (pinned before the A/B), but
+    interleaved warm min-of-3×2 at sf0.1 measured it ~10-13% SLOWER
+    (packed min 1.90/1.93 s vs unpacked 1.67/1.71 s over two
+    sessions) — the per-row 16-lane shift/shiftleft/add expression
+    tree costs more than the 64→17 aggregation-buffer saving
+    returns. Rejected on measurement (NOTES_r5.md); this 64-sum form
+    is the production build."""
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("h_hi"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("bigint").alias("h_lo"),
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h_lo" if b < 32 else "h_hi"), b % 32)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*bit_aggs)
+    return per_doc.select(
+        "doc_id",
+        sum(
+            (
+                F.when(
+                    F.col(f"b{b}") > 0,
+                    F.lit(_MIN_LONG if b == 63 else 1 << b),
+                ).otherwise(F.lit(0))
+            )
+            for b in range(64)
+        ).alias("simhash"),
+    )
+
+
 _SIMHASH_ORACLE = f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, tok FROM (
@@ -665,6 +731,10 @@ pairs AS (
 SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming, n_hot_buckets
 FROM pairs CROSS JOIN audit
 WHERE hamming <= 3
+UNION ALL
+SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+       n_hot_buckets
+FROM audit
 """
 
 
@@ -705,39 +775,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     both join sides). At 100 TB only 8 B/doc signatures shuffle —
     document bodies never move."""
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok"),
-    ).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("h_hi"),
-        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("bigint").alias("h_lo"),
-    )
-    bit_aggs = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h_lo" if b < 32 else "h_hi"), b % 32)
-                .bitwiseAND(F.lit(1))
-                == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(64)
-    ]
-    per_doc = tok.groupBy("doc_id").agg(*bit_aggs)
-    min_long = -(1 << 63)  # bit 63 == the sign bit of the signature
-    sig = per_doc.select(
-        "doc_id",
-        sum(
-            (
-                F.when(
-                    F.col(f"b{b}") > 0,
-                    F.lit(min_long if b == 63 else 1 << b),
-                ).otherwise(F.lit(0))
-            )
-            for b in range(64)
-        ).alias("simhash"),
-    ).localCheckpoint(eager=True)
+    sig = simhash_signature(docs).localCheckpoint(eager=True)
     banded = sig.select(
         "doc_id",
         "simhash",
@@ -780,7 +818,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= 3).crossJoin(F.broadcast(audit))
+    # The audit must be observable even when capping removes EVERY
+    # candidate pair (the boilerplate-heavy corpus the cap targets —
+    # advisor r5): one sentinel row (NULL ids, NULL hamming,
+    # n_hot_buckets) ALWAYS rides along via union, so an empty pair
+    # set can never hide capped recall loss. No extra pass over the
+    # pair spine — the sentinel derives from the checkpointed
+    # bounded `hot` frame only.
+    sentinel = audit.select(
+        F.lit(None).cast("bigint").alias("id_a"),
+        F.lit(None).cast("bigint").alias("id_b"),
+        F.lit(None).cast("int").alias("hamming"),
+        "n_hot_buckets",
+    )
+    out = pairs.filter(F.col("hamming") <= 3).crossJoin(F.broadcast(audit))
+    return out.unionByName(sentinel)
 
 
 @query("dedup_ngram_jaccard", oracle=_minhash_oracle(8))
@@ -794,17 +846,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold — the benched plan IS the verified plan, with no slice
     restriction for Catalyst to push into the banding join."""
     docs = table(spark, sf_dir, "documents")
+    fam = _hash_family()  # resolved once per plan (advisor r5)
     # 96-byte signatures: materialize once (the band self-join reads
     # the signature table twice; without this it recomputes the whole
     # shingle+hash pipeline per side)
-    sig = minhash_signature(docs, "doc_id", "text").localCheckpoint(eager=True)
-    pairs = lsh_candidates(sig)
+    sig = minhash_signature(docs, "doc_id", "text", fam).localCheckpoint(eager=True)
+    pairs = lsh_candidates(sig, fam)
     # shingle ONLY the candidate docs (semi-join prune): verify cost
     # tracks |candidates|, not |corpus| — the property that keeps the
     # strict verify affordable at 100 TB. Candidate ids come from the
     # banded bucket counts (lsh_candidate_ids), so the pair self-join
     # stays a consume-once spine — no checkpoint, no replay.
-    cand_ids = lsh_candidate_ids(sig).toDF("doc_id")
+    cand_ids = lsh_candidate_ids(sig, fam).toDF("doc_id")
     cand_docs = docs.join(cand_ids, "doc_id", "left_semi")
     toks = shingle_sets(cand_docs, "doc_id", "text").select(
         F.col("__id").alias("__tid"), F.col("__shs").alias("__toks")
@@ -1185,16 +1238,19 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = table(spark, sf_dir, "documents")
         corpus = docs.filter(F.col("doc_id") % 5 != 0)
         batch = docs.filter(F.col("doc_id") % 5 == 0)
+        fam = _hash_family()  # resolved once per plan (advisor r5)
         # materialize the store: 96-byte signature per corpus doc
-        minhash_signature(corpus, "doc_id", "text").write.mode("overwrite").parquet(
-            store
-        )
+        minhash_signature(corpus, "doc_id", "text", fam).write.mode(
+            "overwrite"
+        ).parquet(store)
         csig = spark.read.parquet(store)
-        bsig = minhash_signature(batch, "doc_id", "text").localCheckpoint(eager=True)
-        cband = banded_sig(csig).select(
+        bsig = minhash_signature(batch, "doc_id", "text", fam).localCheckpoint(
+            eager=True
+        )
+        cband = banded_sig(csig, fam).select(
             F.col("__id").alias("corpus_id"), "band", "band_hash"
         )
-        bband = banded_sig(bsig).select(
+        bband = banded_sig(bsig, fam).select(
             F.col("__id").alias("batch_id"), "band", "band_hash"
         )
         cand = (

@@ -164,8 +164,15 @@ def _hexbyte(i: int) -> str:
 
 
 def _decode_oracle() -> str:
-    feats = ", ".join(
-        f"CAST(round({_hexbyte(i)} / 255.0, 6) AS FLOAT)" for i in range(N_FEATURES)
+    # Each feature is round(byte/255, 6) — re-expressed in exact
+    # micro-units (×1e6, round, BIGINT) and comma-joined, because a
+    # raw LIST output column crashes the driver's raw-frame row-sort
+    # (the r4 fn_array_set class). The 6-dp double is within 1e-10 of
+    # the integer after ×1e6; the Spark side's float32 round-trip is
+    # within 0.06 — both round to the same exact integer.
+    feats = " || ',' || ".join(
+        f"CAST(round(round({_hexbyte(i)} / 255.0, 6) * 1000000) AS BIGINT)"
+        for i in range(N_FEATURES)
     )
     return f"""
 WITH d AS (
@@ -177,7 +184,7 @@ SELECT doc_id,
        CAST(n_bytes AS BIGINT) AS n_bytes,
        CAST(16 + {_hexbyte(0)} % 64 AS INTEGER) AS width,
        CAST(16 + {_hexbyte(1)} % 64 AS INTEGER) AS height,
-       [{feats}] AS features
+       {feats} AS features_u6
 FROM d
 """
 
@@ -195,9 +202,34 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly — hex-pair byte parsing for width/height, and all 256
     possible round(b/255, 6) float32 feature values verified
     bit-identical across engines. This pins the WHOLE Arrow seam:
-    payload encoding, batch iteration, schema, float truncation."""
+    payload encoding, batch iteration, schema, float truncation.
+
+    The feature vector itself crosses the seam as a real
+    array<float> (decode_batches' declared schema), but the QUERY
+    surface serializes it to exact micro-unit bigints joined with
+    ',' — a raw array output column is a guaranteed driver err (the
+    r4 fn_array_set lesson: pandas `sort_values` cannot factorize
+    ndarray cells). Recovering the 6-dp decimal from float32 via
+    round(x*1e6) is exact: float32 error ≤6e-8 relative → ≤0.06
+    absolute after ×1e6."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return decode_batches(attach_payload(docs), stub=True)
+    decoded = decode_batches(attach_payload(docs), stub=True)
+    return decoded.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        "width",
+        "height",
+        F.array_join(
+            F.transform(
+                "features",
+                lambda x: F.round(x.cast("double") * 1000000)
+                .cast("bigint")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("features_u6"),
+    )
 
 
 RESIZED_SCHEMA = (

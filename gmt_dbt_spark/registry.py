@@ -71,6 +71,12 @@ def all_oracles() -> dict[str, str]:
 # §2.A-K core inventory plus this round's must-recheck IDs, in the order we
 # want the driver to visit them.  IDs not present in the registry are ignored.
 _CORE_FIRST = [
+    # r4 array-typed-output class — raw array<int>/array<float> output
+    # columns crash the driver's raw-frame pandas row-sort (unhashable
+    # ndarray cells). Fixed in r5 by serializing to comma-joined
+    # strings; the one sampled FAIL plus its latent twin recheck first.
+    "fn_array_set",
+    "multimodal_decode",
     # r3 HUGEINT oracle class — all 29 oracles whose output widened to
     # int128 under DuckDB (degrading to float64 through the driver's
     # pandas fetch). Fixed in r4 by CAST(... AS BIGINT); the 8 that the
@@ -154,7 +160,8 @@ _CORE_FIRST = [
 # once the real backlog drains); once PROVEN they rank tier 4 — dead
 # last, after ordinary proven re-checks.
 _TAIL = frozenset({
-    "multimodal_decode",
+    # multimodal_decode left this set in r5: its array-output fix must
+    # be driver-confirmed (it ranks at the head of _CORE_FIRST).
     "multimodal_resize",
     "multimodal_frame_sample",
 })

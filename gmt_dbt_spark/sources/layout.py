@@ -698,10 +698,15 @@ def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scan_text_lines",
     oracle="""
-SELECT text AS line, CAST(length(text) AS BIGINT) AS n_chars
+SELECT substr(md5(text), 1, 1) AS bucket,
+       COUNT(*) AS n_lines,
+       CAST(SUM(length(text)) AS BIGINT) AS chars_sum,
+       bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+         AS content_xor
 FROM documents
 WHERE text IS NOT NULL AND text <> ''
   AND NOT contains(text, chr(10)) AND NOT contains(text, chr(13))
+GROUP BY 1
 """,
 )
 def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,17 +714,26 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry point for Pile/C4-style corpus shards that arrive as plain
     text, one document per line, before any schema exists. Round-trip
     proof: documents.text written as a text corpus (one UTF-8 line per
-    doc), read back with the text datasource, value-hashed against
-    the original rows — any encoding or line-splitting drift fails
-    the hash. Newline/CR-bearing and empty docs are excluded on both
+    doc), read back with the text datasource, and certified against
+    the ORIGINAL rows via order-free per-bucket content checksums
+    (count, char sum, bit_xor of the 60-bit md5-prefix of every
+    line — XOR, not SUM, so the checksum can never overflow int64 or
+    widen to HUGEINT at any corpus size; paired duplicates cancel in
+    the XOR but n_lines pins them) — any encoding or line-splitting
+    drift changes some line's md5 and fails the hash. The checksum surface is computed FROM the read-
+    back files (the sink_training_shards convention) and is bounded
+    at 16 rows, so the driver never materializes corpus text (advisor
+    r5 — the old form collect()ed every line to keep the scratch dir
+    deletable; the aggregate keeps the same proof with O(1) driver
+    memory). Newline/CR-bearing and empty docs are excluded on both
     engines: a line-oriented format cannot represent them (that is
     WHY real corpora ship as JSONL once documents contain newlines —
     `scan_json_infer` is that path).
 
     Scale shape: text files split on line boundaries, so the read
-    parallelizes across `maxPartitionBytes` chunks like any scan; no
-    shuffle anywhere in the round-trip (write is scan-side, read is a
-    scan)."""
+    parallelizes across `maxPartitionBytes` chunks like any scan; the
+    only shuffle is the 16-group checksum aggregation (partial
+    map-side)."""
     path = os.path.join(SCRATCH, f"text_corpus_{uuid.uuid4().hex[:8]}")
     try:
         docs = (
@@ -733,9 +747,21 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("text")
         )
         docs.write.mode("overwrite").text(path)
-        out = spark.read.text(path).select(
-            F.col("value").alias("line"),
-            F.length("value").cast("bigint").alias("n_chars"),
+        out = (
+            spark.read.text(path)
+            .select(
+                F.substring(F.md5("value"), 1, 1).alias("bucket"),
+                F.length("value").cast("bigint").alias("n_chars"),
+                F.conv(F.substring(F.md5("value"), 1, 15), 16, 10)
+                .cast("bigint")
+                .alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum("n_chars").alias("chars_sum"),
+                F.bit_xor("h").alias("content_xor"),
+            )
         )
         return spark.createDataFrame(out.collect(), out.schema)
     finally:

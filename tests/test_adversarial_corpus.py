@@ -22,9 +22,9 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
 )
 from selfcheck import (  # noqa: E402
-    _table,
-    oracle_rows_via_pandas,
-    spark_rows_via_pandas,
+    canon_frame,
+    oracle_frame_via_pandas,
+    spark_frame_via_pandas,
 )
 
 from gmt_dbt_spark.registry import all_oracles, all_queries  # noqa: E402
@@ -119,12 +119,14 @@ def _assert_parity(spark, sf_dir, view, name, view_sql=None):
             path=f"{sf_dir}/{v}.parquet"
         )
         con.execute(f"CREATE VIEW {v} AS {body}")
-    # the driver's fetch path (r4): BOTH sides → pandas → values
+    # the driver's fetch path (r4): BOTH sides → pandas → values, and
+    # since r5 the driver's order of operations (raw-frame row-sort
+    # BEFORE normalization — unhashable cells crash, as on the driver)
     sdf = all_queries()[name](spark, sf_dir)
-    scols, srows = spark_rows_via_pandas(sdf)
-    ocols, orows = oracle_rows_via_pandas(con, all_oracles()[name])
-    assert sorted(scols) == sorted(ocols)
-    st, ot = _table(srows, scols, "spark"), _table(orows, ocols, "oracle")
+    spdf = spark_frame_via_pandas(sdf)
+    opdf = oracle_frame_via_pandas(con, all_oracles()[name])
+    assert sorted(spdf.columns) == sorted(opdf.columns)
+    st, ot = canon_frame(spdf, "spark"), canon_frame(opdf, "oracle")
     assert len(st) == len(ot), f"{name}: {len(st)} vs {len(ot)} rows"
     for i, (a, b) in enumerate(zip(st, ot)):
         assert a == b, f"{name}: mismatch at sorted-row {i}: {a} != {b}"
@@ -173,11 +175,17 @@ def test_simhash_bucket_cap_on_low_diversity_corpus(spark, tmp_path):
     )
     # engine parity on the hostile corpus (driver-mirror comparator)
     _assert_parity(spark, str(d), "documents", "dedup_simhash")
-    out = all_queries()["dedup_simhash"](spark, str(d)).collect()
-    # the 100-doc boilerplate group is capped: none of its ~4,950
+    rows = all_queries()["dedup_simhash"](spark, str(d)).collect()
+    # the audit sentinel (NULL ids) is ALWAYS present (r5, advisor
+    # item: an all-capped corpus must not hide the loss in an empty
+    # result) and carries the hot-bucket count...
+    sentinels = [r for r in rows if r.id_a is None]
+    assert len(sentinels) == 1 and sentinels[0].n_hot_buckets >= 4, rows[:5]
+    out = [r for r in rows if r.id_a is not None]
+    # ...the 100-doc boilerplate group is capped: none of its ~4,950
     # pairs may appear...
     assert not any(r.id_b < 100 for r in out), out[:5]
-    # ...the loss is audited on every row...
+    # ...the loss is audited on every pair row too...
     assert all(r.n_hot_buckets >= 4 for r in out), out[:5]
     # ...and the small near-dup group still pairs normally.
     assert any(

@@ -739,8 +739,9 @@ def test_hash_family_flag_same_verified_pairs(spark):
     coverage (every registered query runs under the md5 default)."""
     from gmt_dbt_spark.catalog import table
     from gmt_dbt_spark.operators.dedup import lsh_candidate_ids
+    from tests.conftest import SF01_DIR
 
-    sf_dir = "/root/testdata/sf0.01"
+    sf_dir = SF01_DIR
     docs = table(spark, sf_dir, "documents")
 
     def verified_pairs():
@@ -767,3 +768,19 @@ def test_hash_family_flag_same_verified_pairs(spark):
         spark.conf.unset("spark.gmt_dbt.hash_family")
     assert md5_pairs, "fixture must contain planted near-dups"
     assert xx_pairs == md5_pairs
+
+
+def test_simhash_signature_size_unbounded(spark):
+    """The 64-sum signature build has NO per-doc size limit (the
+    packed-lane alternative needed a 32,767-distinct-token truncation
+    guard; it was measured slower and rejected in r5 — this pins that
+    the shipped build handles a 40,000-distinct-token doc exactly,
+    with no overflow and no truncation)."""
+    from gmt_dbt_spark.operators.dedup import simhash_signature
+
+    n_tok = 40000
+    text = " ".join(f"tok{i}" for i in range(n_tok))
+    docs = spark.createDataFrame([(1, text), (2, "a small doc")], ["doc_id", "text"])
+    rows = {r.doc_id: r.simhash for r in simhash_signature(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1] is not None and rows[1] != 0

@@ -1070,18 +1070,20 @@ def test_simhash_band_join_reads_checkpointed_signature(spark):
     passes — ReuseExchange does NOT dedup repeated subtrees here):
     the 8-byte/doc signature (else the tokenize→md5→64-sum build runs
     per consumer) and the hot-bucket set (else the banded bucket
-    count runs 3× — audit + both anti-join sides). Pin: exactly 5
-    materialized-RDD scans (sig ×2 join sides, hot ×3 consumers) and
-    exactly 4 HashAggregates (pair-dedup distinct + n_hot_buckets
-    audit count, partial+final each) — the 64-bit-sum signature build
-    and the bucket count must be ABSENT (they ran at checkpoint
-    time)."""
+    count runs 3× — audit + both anti-join sides). Pin: exactly 6
+    materialized-RDD scans (sig ×2 join sides, hot ×3 consumers +
+    the r5 always-present audit sentinel row) and exactly 6
+    HashAggregates (pair-dedup distinct + n_hot_buckets audit count
+    ×2 consumers, partial+final each — all over the checkpointed
+    ≤4×65,536-row hot frame) — the 64-bit-sum signature build and
+    the bucket count must be ABSENT (they ran at checkpoint time)."""
     tree = tree_of(plan_of(all_queries()["dedup_simhash"](spark, SF_DIR)))
-    assert tree.count("Scan ExistingRDD") == 5, tree
-    assert tree.count("HashAggregate") == 4, tree
+    assert tree.count("Scan ExistingRDD") == 6, tree
+    assert tree.count("HashAggregate") == 6, tree
     # candidate generation stays an equi-join: the only nested-loop
-    # join is the single-row audit attach
+    # join is the single-row audit attach; the sentinel row unions in
     assert tree.count("BroadcastNestedLoopJoin") == 1, tree
+    assert tree.count("Union") == 1, tree
 
 
 def test_dq_suite_is_one_fact_scan(spark):

@@ -99,18 +99,15 @@ def _norm_cell(v, side):
     return v
 
 
-def oracle_rows_via_pandas(con, sql):
+def oracle_frame_via_pandas(con, sql):
     """Fetch an oracle result the way the driver does: through pandas.
 
-    Returns (columns, rows) where rows carry pandas' type degradation
-    (float64 for HUGEINT/DECIMAL/nullable ints, Timestamp for DATE)."""
-    odf = con.execute(sql).df()
-    cols = list(odf.columns)
-    rows = list(odf.itertuples(index=False, name=None))
-    return cols, rows
+    The returned frame carries pandas' type degradation (float64 for
+    HUGEINT/DECIMAL/nullable ints, Timestamp for DATE)."""
+    return con.execute(sql).df()
 
 
-def spark_rows_via_pandas(sdf):
+def spark_frame_via_pandas(sdf):
     """Fetch a Spark result the way the driver does: `.toPandas()`.
 
     Nullable int columns degrade to float64+NaN exactly as DuckDB's
@@ -118,18 +115,29 @@ def spark_rows_via_pandas(sdf):
     Decimal objects (so a raw-decimal output column still fails
     against DuckDB's float64 — the r2 asymmetry is real, not
     emulated)."""
-    pdf = sdf.toPandas()
-    cols = list(pdf.columns)
+    return sdf.toPandas()
+
+
+def canon_frame(pdf, side):
+    """→ list of normalized tuples, driver ORDER OF OPERATIONS.
+
+    The driver's canonicalizer reorders columns by name and then
+    row-sorts the RAW pandas frame via `sort_values` BEFORE any value
+    rendering (the r4 fn_array_set traceback: `sort_values` →
+    `lexsort_indexer` → `factorize` → `TypeError: unhashable type:
+    'numpy.ndarray'`). Sorting the raw frame first means an
+    unhashable cell type (ndarray/list/dict in an object column)
+    CRASHES here exactly as it crashes the driver — the r4 lesson:
+    normalizing cells before the sort (the old `_table`) masked that
+    whole failure class. Cells are normalized only AFTER the sort,
+    and rows compare positionally (full-row sort keys make ties
+    exact duplicates, so stability is moot)."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(pdf):
+        pdf = pdf.sort_values(by=cols)
     rows = list(pdf.itertuples(index=False, name=None))
-    return cols, rows
-
-
-def _table(rows, cols, side):
-    """→ sorted list of tuples with columns ordered by name."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i], side) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return out
+    return [tuple(_norm_cell(v, side) for v in row) for row in rows]
 
 
 def run(sf_dir: str, only: list[str]) -> int:
@@ -149,25 +157,36 @@ def run(sf_dir: str, only: list[str]) -> int:
         t0 = time.time()
         try:
             sdf = queries[name](spark, sf_dir)
-            scols, srows = spark_rows_via_pandas(sdf)
+            spdf = spark_frame_via_pandas(sdf)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(
+                f"rows  {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]"
+            )
             continue
         try:
-            ocols, orows = oracle_rows_via_pandas(con, oracles[name])
+            opdf = oracle_frame_via_pandas(con, oracles[name])
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
             continue
+        scols, ocols = list(spdf.columns), list(opdf.columns)
         if sorted(scols) != sorted(ocols):
             print(f"FAIL  {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
             failures.append(name)
             continue
-        st, ot = _table(srows, scols, "spark"), _table(orows, ocols, "oracle")
+        try:
+            st, ot = canon_frame(spdf, "spark"), canon_frame(opdf, "oracle")
+        except Exception as e:  # noqa: BLE001
+            # The driver's sort crashes on unhashable cells (array/map/
+            # struct output columns) — that is a broken driver row, so
+            # it is a FAIL here too.
+            print(f"FAIL  {name}: canonicalizer error (driver would err): {e}")
+            failures.append(name)
+            continue
         if len(st) != len(ot):
             print(f"FAIL  {name}: rowcount spark={len(st)} oracle={len(ot)}")
             failures.append(name)
