@@ -1073,3 +1073,143 @@ def text_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_terms"), F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+_NB_ORACLE = f"""
+WITH lab AS (
+  SELECT doc_id, lang = 'en' AS is_en, text FROM documents
+),
+tok AS (
+  SELECT doc_id, is_en, unnest({_DUCK_TOKENS}) AS token FROM lab
+),
+vocab AS (
+  SELECT token,
+         CAST(count_if(is_en) AS BIGINT) AS c_pos,
+         CAST(count_if(NOT is_en) AS BIGINT) AS c_neg
+  FROM tok GROUP BY token
+),
+stats AS (
+  SELECT CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+         CAST(SUM(c_neg) AS BIGINT) AS n_neg,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM vocab
+),
+scored AS (
+  SELECT t.doc_id, t.is_en, vb.c_pos, vb.c_neg,
+         CASE WHEN (vb.c_pos + 1) * (s.n_neg + s.v)
+                 > (vb.c_neg + 1) * (s.n_pos + s.v) THEN 1
+              WHEN (vb.c_pos + 1) * (s.n_neg + s.v)
+                 < (vb.c_neg + 1) * (s.n_pos + s.v) THEN -1
+              ELSE 0 END AS vote
+  FROM tok t JOIN vocab vb USING (token) CROSS JOIN stats s
+)
+SELECT doc_id, is_en AS label_pos,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(count_if(vote = 1) AS BIGINT) AS votes_pos,
+       CAST(count_if(vote = -1) AS BIGINT) AS votes_neg,
+       CAST(SUM(c_pos) AS BIGINT) AS evidence_pos,
+       CAST(SUM(c_neg) AS BIGINT) AS evidence_neg,
+       count_if(vote = 1) > count_if(vote = -1) AS pred_pos,
+       (count_if(vote = 1) > count_if(vote = -1)) = is_en AS correct
+FROM scored
+GROUP BY doc_id, is_en
+"""
+
+
+@query("text_nb_classifier", oracle=_NB_ORACLE)
+def text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality/language classifier — the fastText/CCNet
+    filter shape (weak labels → token model → score every doc) as a
+    two-stage Spark plan, with both training AND inference value-
+    hashed end-to-end.
+
+    Train: weak label = (lang = 'en'); per-token class counts via one
+    explode+groupBy (the model IS a relation: token → c_pos, c_neg),
+    corpus totals as a one-row aggregate over the vocabulary. The
+    trained vocab is localCheckpoint'd: it is consumed twice (totals
+    + the scoring join) and Heaps-law-sublinear in the corpus, the
+    same bound as unigram_logprob's vocabulary.
+
+    Infer: per-token Bernoulli-NB vote with add-one smoothing. The
+    per-token decision  P(tok|pos)/P(tok|neg) > 1  ⟺
+    (c_pos+1)·(n_neg+V) > (c_neg+1)·(n_pos+V) — an EXACT integer
+    cross-multiplication, no logarithm anywhere (the same
+    libm-avoidance as text_bm25's idf envelope; log-weighted NB and
+    vote-count NB agree on every per-token SIGN, the votes surface
+    simply counts them). Products ride DECIMAL(18)×DECIMAL(18) —
+    exact to 1e37, safe past 10^13 corpus tokens where BIGINT×BIGINT
+    would overflow. Prediction = majority vote.
+
+    `correct` is the CALIBRATION AUDIT — the step production skips
+    at its peril: it measures whether the weak label is LEARNABLE
+    from tokens before you filter 100 TB with the trained model. On
+    this synthetic fixture it honestly reports ≈ the majority-class
+    rate: every lang draws from the SAME 31-token vocabulary
+    (verified with a per-lang distinct-token count), so lang carries
+    zero lexical signal and a faithful learner MUST sit near chance —
+    a fastText-style filter trained on these labels would be noise,
+    and this surface says so BEFORE the filtering run.
+    tests/test_llm_ops.py::test_nb_classifier_learns_planted_signal
+    pins the other half: on a corpus with real lexical signal the
+    same plan reaches accuracy 1.0.
+
+    Scale shape: documents is scanned exactly twice (once inside the
+    vocab checkpoint, once for scoring — the text_bm25 funnel shape,
+    plan-guarded); the scoring join shuffles on the token key with
+    AQE free to broadcast the vocab while it fits (no forced hint —
+    Heaps' law grows it with the corpus, the r2 customer-dim
+    lesson); everything else is codegen built-ins, zero Python.
+    Docs whose text normalizes to zero tokens carry no vote rows and
+    drop out on both engines (inner-join semantics, stated)."""
+    docs = table(spark, sf_dir, "documents")
+    lab = docs.select(
+        "doc_id", (F.col("lang") == "en").alias("is_en"), "text"
+    )
+    tok_train = lab.select(
+        "is_en", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    vocab = (
+        tok_train.groupBy("token")
+        .agg(
+            F.count_if(F.col("is_en")).alias("c_pos"),
+            F.count_if(~F.col("is_en")).alias("c_neg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = vocab.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    tok_score = lab.select(
+        "doc_id", "is_en", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    dec = "decimal(18,0)"
+    lhs = (F.col("c_pos") + 1).cast(dec) * (F.col("n_neg") + F.col("v")).cast(dec)
+    rhs = (F.col("c_neg") + 1).cast(dec) * (F.col("n_pos") + F.col("v")).cast(dec)
+    vote = F.when(lhs > rhs, 1).when(lhs < rhs, -1).otherwise(0)
+    scored = (
+        tok_score.join(vocab, "token")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "is_en", "c_pos", "c_neg", vote.alias("vote"))
+    )
+    agg = scored.groupBy("doc_id", "is_en").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.count_if(F.col("vote") == 1).alias("votes_pos"),
+        F.count_if(F.col("vote") == -1).alias("votes_neg"),
+        F.sum("c_pos").alias("evidence_pos"),
+        F.sum("c_neg").alias("evidence_neg"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("is_en").alias("label_pos"),
+        "n_tok",
+        "votes_pos",
+        "votes_neg",
+        "evidence_pos",
+        "evidence_neg",
+        (F.col("votes_pos") > F.col("votes_neg")).alias("pred_pos"),
+        ((F.col("votes_pos") > F.col("votes_neg")) == F.col("is_en")).alias(
+            "correct"
+        ),
+    )

@@ -80,6 +80,11 @@ QUERIES = [
     "text_bigram_logprob",
     "text_bm25",
     "scan_text_lines",
+    # r5: trained NB classifier — hostile corpora are single-class
+    # (lang='en' everywhere), so the negative class is EMPTY and
+    # every vote runs against pure smoothing mass; both engines must
+    # agree on the degenerate-training edge
+    "text_nb_classifier",
     # the grand composite: on this corpus every source is an eval
     # source (src0-3 ⊂ EVAL_SRC), so the train side is EMPTY — the
     # empty-funnel edge must agree on both engines

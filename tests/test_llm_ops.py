@@ -784,3 +784,46 @@ def test_simhash_signature_size_unbounded(spark):
     rows = {r.doc_id: r.simhash for r in simhash_signature(docs).collect()}
     assert set(rows) == {1, 2}
     assert rows[1] is not None and rows[1] != 0
+
+
+def test_nb_classifier_learns_planted_signal(spark, tmp_path):
+    """The other half of text_nb_classifier's calibration story: the
+    main fixture's lang label is UNLEARNABLE (shared 31-token vocab →
+    audit ≈ majority class, honestly). On a corpus where the label
+    DOES have lexical signal, the same trained plan must reach
+    accuracy 1.0 — proving the near-chance fixture audit measures the
+    label, not a broken learner."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmt_dbt_spark.registry import all_queries
+
+    en_words = ["quantum", "flux", "lattice", "entropy", "boson"]
+    fr_words = ["tomate", "jardin", "fromage", "baguette", "soleil"]
+    rows = []
+    for i in range(40):
+        pos = i % 2 == 0
+        words = (en_words if pos else fr_words) * 6
+        rows.append(
+            {
+                "doc_id": i,
+                "text": " ".join(words[i % 5 :] + words[: i % 5]),
+                "lang": "en" if pos else "fr",
+                "source": f"src{i % 3}",
+                "n_chars": 0,
+            }
+        )
+    d = tmp_path / "planted_nb"
+    d.mkdir()
+    pq.write_table(
+        pa.table({k: [r[k] for r in rows] for k in rows[0]}),
+        str(d / "documents.parquet"),
+    )
+    out = all_queries()["text_nb_classifier"](spark, str(d)).collect()
+    assert len(out) == 40
+    assert all(r.correct for r in out), [r for r in out if not r.correct][:3]
+    # and the evidence is one-sided: en docs see zero fr-class mass
+    # for their tokens beyond smoothing, so every vote agrees
+    assert all(
+        (r.votes_pos == r.n_tok) == r.label_pos for r in out
+    )

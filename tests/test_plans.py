@@ -1198,3 +1198,18 @@ def test_pretrain_composite_single_pass_funnel(spark):
     assert tree.count("Scan parquet") == 2, tree
     assert "BroadcastNestedLoopJoin" not in tree, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_nb_classifier_one_final_scan_checkpointed_model(spark):
+    """text_nb_classifier (r5): training ran at checkpoint time, so
+    the FINAL plan holds exactly one parquet scan (the scoring pass),
+    two reads of the checkpointed vocab relation (scoring join +
+    corpus totals), one broadcast one-row stats attach (Cross BNLJ),
+    and the scoring join is the only hash join — AQE picks its
+    strategy (broadcast while the Heaps-law vocab fits; no forced
+    hint, the r2 customer-dim rule)."""
+    tree = tree_of(plan_of(all_queries()["text_nb_classifier"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Scan ExistingRDD") == 2, tree
+    assert tree.count("BroadcastNestedLoopJoin Cross") == 1, tree
+    assert tree.count("SortMergeJoin") + tree.count("BroadcastHashJoin") == 1, tree
