@@ -54,6 +54,12 @@ HEADLINE = [
     # decontam → funnel report) and the BM25 retrieval scorer
     "pipeline_pretrain_corpus",
     "text_bm25",
+    # r5: the trained NB quality/language filter (two corpus passes +
+    # the AQE-owned token-key scoring join). text_bpe_train is NOT
+    # headlined: its sf0.1 cost (~3.3 s) is 16 vocab-sized checkpoint
+    # jobs — pure per-step scheduler overhead that amortizes at real
+    # scale — and would read as data-scale work here.
+    "text_nb_classifier",
 ]
 
 

@@ -85,6 +85,11 @@ QUERIES = [
     # every vote runs against pure smoothing mass; both engines must
     # agree on the degenerate-training edge
     "text_nb_classifier",
+    # r5: BPE trainer — empty-normalizing corpora yield an empty
+    # word-count relation, so the argmax pair frame goes empty at
+    # step 1 and the merge table must be EMPTY on both engines (the
+    # pair-exhaustion edge); single-char vocabularies exhaust later
+    "text_bpe_train",
     # the grand composite: on this corpus every source is an eval
     # source (src0-3 ⊂ EVAL_SRC), so the train side is EMPTY — the
     # empty-funnel edge must agree on both engines

@@ -827,3 +827,40 @@ def test_nb_classifier_learns_planted_signal(spark, tmp_path):
     assert all(
         (r.votes_pos == r.n_tok) == r.label_pos for r in out
     )
+
+
+def test_bpe_train_matches_hand_computed_merges(spark, tmp_path):
+    """Pin the trainer on the classic Sennrich toy corpus
+    (low×5, lower×2, newest×6, widest×3), hand-computed:
+    step 1: (e,s) 9  [newest 6 + widest 3]
+    step 2: (es,t) 9
+    step 3: (l,o) 7  [low 5 + lower 2]
+    step 4: (lo,w) 7
+    Ties break (count desc, then lexicographic) — e.g. step 1 ties
+    (e,s) with (s,t) at 9 and (e,s) wins lexicographically; step 3
+    ties (l,o),(lo? no),(o,w)... (l,o) beats (o,w) at 7."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmt_dbt_spark.registry import all_queries
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    rows = [
+        {"doc_id": i, "text": w, "lang": "en", "source": "s", "n_chars": len(w)}
+        for i, w in enumerate(words)
+    ]
+    d = tmp_path / "bpe_toy"
+    d.mkdir()
+    pq.write_table(
+        pa.table({k: [r[k] for r in rows] for k in rows[0]}),
+        str(d / "documents.parquet"),
+    )
+    out = {
+        r.step: (r.a, r.b, r.n)
+        for r in all_queries()["text_bpe_train"](spark, str(d)).collect()
+    }
+    assert out[1] == ("e", "s", 9)
+    assert out[2] == ("es", "t", 9)
+    assert out[3] == ("l", "o", 7)
+    assert out[4] == ("lo", "w", 7)
+    assert len(out) == 8  # enough pairs exist for all N_MERGES steps

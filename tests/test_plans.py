@@ -1213,3 +1213,17 @@ def test_nb_classifier_one_final_scan_checkpointed_model(spark):
     assert tree.count("Scan ExistingRDD") == 2, tree
     assert tree.count("BroadcastNestedLoopJoin Cross") == 1, tree
     assert tree.count("SortMergeJoin") + tree.count("BroadcastHashJoin") == 1, tree
+
+
+def test_bpe_train_final_plan_is_vocab_only(spark):
+    """text_bpe_train (r5): the corpus scan happened ONCE, at the
+    word-count checkpoint — the FINAL plan is pure vocabulary work:
+    the union of N_MERGES checkpointed 1-row argmax frames, with NO
+    parquet scan and no join of any kind (each step's merge was
+    applied at the next checkpoint)."""
+    from gmt_dbt_spark.functions.tokenizer import N_MERGES
+
+    tree = tree_of(plan_of(all_queries()["text_bpe_train"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 0, tree
+    assert tree.count("Scan ExistingRDD") == N_MERGES, tree
+    assert "Join" not in tree, tree
