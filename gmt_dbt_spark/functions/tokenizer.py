@@ -113,12 +113,58 @@ it{i} AS (
                                   AND x[1] = p{i}.b
                         THEN acc[1:len(acc)-1] || [p{i}.a || p{i}.b]
                         ELSE acc || x END) AS syms
-  FROM it{i-1} CROSS JOIN p{i}
+  FROM it{i-1} LEFT JOIN p{i} ON TRUE
 )""")
     union = "\nUNION ALL ".join(
         f"SELECT {i} AS step, a, b, n FROM p{i}" for i in range(1, k + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+def _train_chain(docs: DataFrame) -> tuple[list[DataFrame], DataFrame]:
+    """Run the k-merge training loop. Returns (merge_steps, vocab):
+    the k argmax 1-row frames and the final ENCODED vocabulary
+    (word, cnt, syms after all merges) — the artifact `text_bpe_encode`
+    joins against the corpus.
+
+    Pair exhaustion (every word down to one symbol): the argmax frame
+    goes EMPTY. The merge application is therefore a LEFT join on the
+    ≤1-row pair frame, not a cross join — an empty step leaves the
+    vocabulary intact (NULL pair → fold's merge branch never fires)
+    instead of annihilating it, and the merge table simply truncates."""
+    wc = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    it = wc.select(
+        "word", "cnt", _char_syms(F.col("word")).alias("syms")
+    ).localCheckpoint(eager=True)
+    merge_steps: list[DataFrame] = []
+    for step in range(1, N_MERGES + 1):
+        p = (
+            _pair_counts(it)
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(F.lit(step).alias("step"), "a", "b", "n")
+            .localCheckpoint(eager=True)
+        )
+        merge_steps.append(p)
+        pair = F.broadcast(
+            p.select(F.col("a").alias("__a"), F.col("b").alias("__b"))
+        )
+        it = (
+            it.join(pair, F.lit(True), "left")
+            .select(
+                "word",
+                "cnt",
+                _merge_syms(F.col("syms"), F.col("__a"), F.col("__b")).alias(
+                    "syms"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return merge_steps, it
 
 
 @query("text_bpe_train", oracle=_bpe_oracle(N_MERGES))
@@ -145,42 +191,63 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift (tie-break, fold semantics, pair windowing) fails the hash.
     If the vocabulary exhausts its pairs before N_MERGES (every word
     reduced to one symbol), the argmax frame goes empty and later
-    steps emit no row — identically on both engines."""
+    steps emit no row — identically on both engines (`_train_chain`'s
+    left-join keeps the vocabulary itself intact)."""
     docs = table(spark, sf_dir, "documents")
-    wc = (
-        docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    it = wc.select(
-        "word", "cnt", _char_syms(F.col("word")).alias("syms")
-    ).localCheckpoint(eager=True)
-    merge_steps: list[DataFrame] = []
-    for step in range(1, N_MERGES + 1):
-        p = (
-            _pair_counts(it)
-            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .select(F.lit(step).alias("step"), "a", "b", "n")
-            .localCheckpoint(eager=True)
-        )
-        merge_steps.append(p)
-        if step < N_MERGES:
-            pair = F.broadcast(
-                p.select(F.col("a").alias("__a"), F.col("b").alias("__b"))
-            )
-            it = (
-                it.crossJoin(pair)
-                .select(
-                    "word",
-                    "cnt",
-                    _merge_syms(
-                        F.col("syms"), F.col("__a"), F.col("__b")
-                    ).alias("syms"),
-                )
-                .localCheckpoint(eager=True)
-            )
+    merge_steps, _ = _train_chain(docs)
     out = merge_steps[0]
     for p in merge_steps[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    """Replay training to it{k} (the encoded vocab), then join it to
+    the corpus token stream and aggregate per-doc budgets."""
+    chain = _bpe_oracle(k)
+    # reuse the training CTE chain, swap the final SELECT
+    with_clause = chain[: chain.rindex("\nSELECT 1 AS step")]
+    return f"""{with_clause},
+tokc AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS word FROM documents
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(e.syms)) AS BIGINT) AS n_bpe_tokens,
+       CAST(MAX(len(e.syms)) AS INTEGER) AS max_word_pieces
+FROM tokc t JOIN it{k} e USING (word)
+GROUP BY t.doc_id
+"""
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle(N_MERGES))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE tokenizer to the corpus: per-doc token
+    budget under the learned merges — (n_words, n_bpe_tokens,
+    max_word_pieces). THE production encode trick: encoding never
+    re-runs merges over the corpus — the training loop's final vocab
+    relation already maps every distinct word to its merged symbol
+    sequence, so encode is ONE equi-join of the corpus token stream
+    against that Heaps-bounded map (AQE broadcasts it while it fits)
+    plus a per-doc aggregate. This is why BPE at 100 TB costs two
+    corpus scans total: one to learn (word counts), one to apply
+    (this join).
+
+    Value-hashed end-to-end THROUGH the training run: the oracle
+    replays all N_MERGES merges AND the encode join, so a drift
+    anywhere in the trained vocab shows up in some doc's token
+    budget."""
+    docs = table(spark, sf_dir, "documents")
+    _, vocab = _train_chain(docs)
+    enc = vocab.select(
+        "word",
+        F.size("syms").alias("n_sub"),
+    )
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("word")
+    )
+    return tok.join(enc, "word").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_sub").alias("n_bpe_tokens"),
+        F.max("n_sub").cast("int").alias("max_word_pieces"),
+    )

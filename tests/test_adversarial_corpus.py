@@ -90,6 +90,9 @@ QUERIES = [
     # step 1 and the merge table must be EMPTY on both engines (the
     # pair-exhaustion edge); single-char vocabularies exhaust later
     "text_bpe_train",
+    # ...and encode must keep working when training exhausted: the
+    # left-join chain preserves the vocab, so per-doc budgets agree
+    "text_bpe_encode",
     # the grand composite: on this corpus every source is an eval
     # source (src0-3 ⊂ EVAL_SRC), so the train side is EMPTY — the
     # empty-funnel edge must agree on both engines

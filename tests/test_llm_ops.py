@@ -864,3 +864,34 @@ def test_bpe_train_matches_hand_computed_merges(spark, tmp_path):
     assert out[3] == ("l", "o", 7)
     assert out[4] == ("lo", "w", 7)
     assert len(out) == 8  # enough pairs exist for all N_MERGES steps
+
+
+def test_bpe_exhaustion_truncates_merges_keeps_vocab(spark, tmp_path):
+    """A corpus whose words fuse completely before N_MERGES steps:
+    'ab'×3 and 'cd'×2 exhaust after 2 merges (a+b, c+d; 4 symbols →
+    2 single-symbol words). The merge table must TRUNCATE to 2 rows —
+    and text_bpe_encode must still see the intact trained vocab (the
+    left-join chain; a cross join would annihilate it and encode
+    would return zero rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmt_dbt_spark.registry import all_queries
+
+    words = ["ab"] * 3 + ["cd"] * 2
+    rows = [
+        {"doc_id": i, "text": w, "lang": "en", "source": "s", "n_chars": 2}
+        for i, w in enumerate(words)
+    ]
+    d = tmp_path / "bpe_exhaust"
+    d.mkdir()
+    pq.write_table(
+        pa.table({k: [r[k] for r in rows] for k in rows[0]}),
+        str(d / "documents.parquet"),
+    )
+    qs = all_queries()
+    merges = {r.step: (r.a, r.b, r.n) for r in qs["text_bpe_train"](spark, str(d)).collect()}
+    assert merges == {1: ("a", "b", 3), 2: ("c", "d", 2)}
+    enc = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in qs["text_bpe_encode"](spark, str(d)).collect()}
+    assert len(enc) == 5
+    assert all(v == (1, 1) for v in enc.values())  # each word = 1 merged token
