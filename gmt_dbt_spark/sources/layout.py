@@ -842,3 +842,104 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "scan_warc",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       md5(text) AS payload_md5,
+       TRUE AS length_ok
+FROM documents
+WHERE text IS NOT NULL AND text <> ''
+  AND NOT contains(text, chr(10)) AND NOT contains(text, chr(13))
+""",
+)
+def scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-style crawl-archive ingest — the CommonCrawl entry point.
+    Round-trip proof: documents serialized as WARC records (version
+    marker, WARC-Record-ID / Content-Length headers, blank line,
+    payload), written as a text corpus, read back by splitting on the
+    record marker, and parsed LENGTH-FRAMED: the payload is sliced by
+    the parsed Content-Length header — real WARC semantics, where the
+    length header (not a delimiter) owns the payload bounds. The
+    payload md5 and an exact length check are value-hashed against
+    the original documents, so any framing, header-parse, or
+    encoding drift fails the hash.
+
+    Scale shape: splitting on the `WARC/1.0\\n` record marker is how
+    distributed CommonCrawl readers resync inside file splits — the
+    text datasource's custom lineSep parallelizes the read across
+    maxPartitionBytes chunks exactly like a line scan; header parse
+    and payload slice are codegen string expressions, no Python.
+    Like every line-framed format: newline-bearing payloads (and
+    payloads containing the record marker) cannot ride this framing —
+    real crawls store such bodies length-framed in ONE file read
+    sequentially per split, which is out of scope for a text reader;
+    excluded identically on both engines (the scan_text_lines rule).
+    `Content-Length` carries the BYTE count (real WARC semantics,
+    reported on the surface); the payload slice itself runs on the
+    decoded string, so the framing adds an `X-Char-Length` header
+    with the CHAR count — slicing chars by a byte count would
+    over-read every non-ASCII payload (pinned by the adversarial
+    unicode corpus, where payload_md5 must still match)."""
+    path = os.path.join(SCRATCH, f"warc_{uuid.uuid4().hex[:8]}")
+    try:
+        docs = (
+            table(spark, sf_dir, "documents")
+            .filter(
+                F.col("text").isNotNull()
+                & (F.col("text") != "")
+                & ~F.col("text").contains("\n")
+                & ~F.col("text").contains("\r")
+            )
+            .select("doc_id", "text")
+        )
+        record = F.concat(
+            F.lit("WARC/1.0\nWARC-Type: response\nWARC-Record-ID: urn:doc:"),
+            F.col("doc_id").cast("string"),
+            F.lit("\nContent-Length: "),
+            F.octet_length("text").cast("string"),
+            F.lit("\nX-Char-Length: "),
+            F.length("text").cast("string"),
+            F.lit("\n\n"),
+            F.col("text"),
+            F.lit("\n"),
+        )
+        docs.select(record.alias("value")).write.mode("overwrite").text(path)
+        raw = (
+            spark.read.option("lineSep", "WARC/1.0\n")
+            .text(path)
+            .filter(F.col("value") != "")
+        )
+        headers = F.substring_index(F.col("value"), "\n\n", 1)
+        clen = F.regexp_extract(headers, r"Content-Length: (\d+)", 1).cast(
+            "bigint"
+        )
+        nchars = F.regexp_extract(headers, r"X-Char-Length: (\d+)", 1).cast(
+            "bigint"
+        )
+        body_start = F.length(headers) + 3  # past the blank line, 1-based
+        payload = F.col("value").substr(body_start, nchars)
+        parsed = raw.select(
+            F.regexp_extract(headers, r"WARC-Record-ID: urn:doc:(\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            clen.alias("content_length"),
+            F.md5(payload).alias("payload_md5"),
+            # exact-length framing proof, BOTH framings: the char
+            # after the sliced payload is the record's trailing
+            # newline, and the sliced payload re-encodes to exactly
+            # Content-Length bytes
+            (
+                (F.col("value").substr(body_start + nchars, F.lit(1)) == "\n")
+                & (F.octet_length(payload) == clen)
+            ).alias("length_ok"),
+        )
+        out = parsed.select(
+            "doc_id", "content_length", "payload_md5", "length_ok"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -93,6 +93,11 @@ QUERIES = [
     # ...and encode must keep working when training exhausted: the
     # left-join chain preserves the vocab, so per-doc budgets agree
     "text_bpe_encode",
+    # r5: WARC round-trip — non-ASCII payloads must survive the
+    # UTF-8 record framing byte-exactly (content_length is the BYTE
+    # count while the slice is chars; md5 catches any drift), and
+    # newline-bearing docs are excluded identically on both engines
+    "scan_warc",
     # the grand composite: on this corpus every source is an eval
     # source (src0-3 ⊂ EVAL_SRC), so the train side is EMPTY — the
     # empty-funnel edge must agree on both engines
