@@ -883,7 +883,14 @@ def scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded string, so the framing adds an `X-Char-Length` header
     with the CHAR count — slicing chars by a byte count would
     over-read every non-ASCII payload (pinned by the adversarial
-    unicode corpus, where payload_md5 must still match)."""
+    unicode corpus, where payload_md5 must still match).
+
+    Driver-materialization note (the scan_text_lines rule): the
+    closing detach-collect exists ONLY because this fixture writes to
+    a scratch dir it must delete — it materializes per-record
+    METADATA (ids, lengths, one md5), never payload bytes, and a
+    production scan_warc reads durable archives with no detach at
+    all. The parse itself never gathers payloads to the driver."""
     path = os.path.join(SCRATCH, f"warc_{uuid.uuid4().hex[:8]}")
     try:
         docs = (
