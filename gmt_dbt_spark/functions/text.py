@@ -1095,11 +1095,14 @@ stats AS (
   FROM vocab
 ),
 scored AS (
+  -- HUGEINT products (internal only, never an output column): plain
+  -- BIGINT*BIGINT overflows DuckDB past ~3e9 corpus tokens, exactly
+  -- the scale the Spark side's DECIMAL(18)^2 survives (r5 review)
   SELECT t.doc_id, t.is_en, vb.c_pos, vb.c_neg,
-         CASE WHEN (vb.c_pos + 1) * (s.n_neg + s.v)
-                 > (vb.c_neg + 1) * (s.n_pos + s.v) THEN 1
-              WHEN (vb.c_pos + 1) * (s.n_neg + s.v)
-                 < (vb.c_neg + 1) * (s.n_pos + s.v) THEN -1
+         CASE WHEN CAST(vb.c_pos + 1 AS HUGEINT) * (s.n_neg + s.v)
+                 > CAST(vb.c_neg + 1 AS HUGEINT) * (s.n_pos + s.v) THEN 1
+              WHEN CAST(vb.c_pos + 1 AS HUGEINT) * (s.n_neg + s.v)
+                 < CAST(vb.c_neg + 1 AS HUGEINT) * (s.n_pos + s.v) THEN -1
               ELSE 0 END AS vote
   FROM tok t JOIN vocab vb USING (token) CROSS JOIN stats s
 )

@@ -80,11 +80,11 @@ def _merge_syms(syms: Column, a: Column, b: Column) -> Column:
     )
 
 
-def _bpe_oracle(k: int) -> str:
-    """DuckDB replay of the full k-merge training run. Generated as a
-    chain of CTEs: it{i} = vocab after i merges, p{i} = the i-th
-    learned pair (argmax count, ties broken lexicographically —
-    deterministic on both engines)."""
+def _bpe_with_clause(k: int) -> str:
+    """The shared training CTE chain (it{i} = vocab after i merges,
+    p{i} = the i-th learned pair — argmax count, ties broken
+    lexicographically, deterministic on both engines). Both oracles
+    compose it with their own final SELECT."""
     parts = [
         f"""wc AS (
   SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -115,10 +115,16 @@ it{i} AS (
                         ELSE acc || x END) AS syms
   FROM it{i-1} LEFT JOIN p{i} ON TRUE
 )""")
+    return "WITH " + ",\n".join(parts)
+
+
+def _bpe_oracle(k: int) -> str:
+    """DuckDB replay of the full k-merge training run: the merge
+    table (step, a, b, n)."""
     union = "\nUNION ALL ".join(
         f"SELECT {i} AS step, a, b, n FROM p{i}" for i in range(1, k + 1)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + union
+    return _bpe_with_clause(k) + "\n" + union
 
 
 def _train_chain(docs: DataFrame) -> tuple[list[DataFrame], DataFrame]:
@@ -204,10 +210,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_encode_oracle(k: int) -> str:
     """Replay training to it{k} (the encoded vocab), then join it to
     the corpus token stream and aggregate per-doc budgets."""
-    chain = _bpe_oracle(k)
-    # reuse the training CTE chain, swap the final SELECT
-    with_clause = chain[: chain.rindex("\nSELECT 1 AS step")]
-    return f"""{with_clause},
+    return f"""{_bpe_with_clause(k)},
 tokc AS (
   SELECT doc_id, unnest({_DUCK_TOKENS}) AS word FROM documents
 )

@@ -854,6 +854,7 @@ SELECT doc_id,
 FROM documents
 WHERE text IS NOT NULL AND text <> ''
   AND NOT contains(text, chr(10)) AND NOT contains(text, chr(13))
+  AND NOT contains(text, 'WARC/1.0')
 """,
 )
 def scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,11 +874,16 @@ def scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     text datasource's custom lineSep parallelizes the read across
     maxPartitionBytes chunks exactly like a line scan; header parse
     and payload slice are codegen string expressions, no Python.
-    Like every line-framed format: newline-bearing payloads (and
-    payloads containing the record marker) cannot ride this framing —
+    Like every line-framed format: newline-bearing payloads AND
+    payloads containing the record marker cannot ride this framing —
     real crawls store such bodies length-framed in ONE file read
     sequentially per split, which is out of scope for a text reader;
-    excluded identically on both engines (the scan_text_lines rule).
+    both classes are excluded by FILTER, identically on both engines
+    (the scan_text_lines rule). The marker exclusion is load-bearing,
+    not cosmetic: a payload ENDING in 'WARC/1.0' + the record's own
+    trailing newline completes the lineSep mid-record, truncating it
+    and leaving a garbage chunk whose Content-Length parse is '' —
+    an ANSI cast error (caught in r5 self-review, regression-tested).
     `Content-Length` carries the BYTE count (real WARC semantics,
     reported on the surface); the payload slice itself runs on the
     decoded string, so the framing adds an `X-Char-Length` header
@@ -900,6 +906,7 @@ def scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("text") != "")
                 & ~F.col("text").contains("\n")
                 & ~F.col("text").contains("\r")
+                & ~F.col("text").contains("WARC/1.0")
             )
             .select("doc_id", "text")
         )

@@ -10,24 +10,21 @@ comparator the driver mirrors."""
 
 from __future__ import annotations
 
-import os
-import sys
-
 import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-sys.path.insert(
-    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
-)
-from selfcheck import (  # noqa: E402
+# tools is a package since r5 — import the comparator as the SAME
+# module object tests/test_queries_oracle.py uses (a bare-path import
+# would load a second copy that fixtures/monkeypatches can't see)
+from tools.selfcheck import (
     canon_frame,
     oracle_frame_via_pandas,
     spark_frame_via_pandas,
 )
 
-from gmt_dbt_spark.registry import all_oracles, all_queries  # noqa: E402
+from gmt_dbt_spark.registry import all_oracles, all_queries
 
 TEXTS = [
     "the quick brown fox jumps over the lazy dog",
@@ -80,10 +77,12 @@ QUERIES = [
     "text_bigram_logprob",
     "text_bm25",
     "scan_text_lines",
-    # r5: trained NB classifier — hostile corpora are single-class
-    # (lang='en' everywhere), so the negative class is EMPTY and
-    # every vote runs against pure smoothing mass; both engines must
-    # agree on the degenerate-training edge
+    # r5: trained NB classifier — the hostile corpus cycles langs, so
+    # this sweep exercises weird-token training/scoring (empty-
+    # normalizing docs drop, unicode tokens hash cleanly); the
+    # SINGLE-CLASS degenerate-training edge (n_neg=0, votes decided
+    # purely by smoothing mass) is pinned separately by
+    # test_nb_classifier_single_class_corpus below
     "text_nb_classifier",
     # r5: BPE trainer — empty-normalizing corpora yield an empty
     # word-count relation, so the argmax pair frame goes empty at
@@ -963,3 +962,75 @@ LONGDOC_QUERIES = [
 @pytest.mark.parametrize("name", LONGDOC_QUERIES)
 def test_adversarial_longdoc_matches_oracle(spark, adv_longdoc_dir, name):
     _assert_parity(spark, adv_longdoc_dir, "documents", name)
+
+
+def test_nb_classifier_single_class_corpus(spark, tmp_path):
+    """The degenerate-training edge the main sweep does NOT hit (its
+    corpus cycles langs): an all-'en' corpus gives n_neg = 0 and
+    c_neg = 0 for every token, so every vote is decided purely by
+    smoothing mass — (c_pos+1)·(0+V) vs 1·(n_pos+V). Driver-mirror
+    parity must hold, and every row must carry the all-positive
+    label."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmt_dbt_spark.registry import all_queries
+
+    texts = ["alpha beta gamma", "beta beta delta", "gamma alpha alpha",
+             "delta epsilon", "epsilon alpha beta gamma delta"]
+    d = tmp_path / "nb_single_class"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["web"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    _assert_parity(spark, str(d), "documents", "text_nb_classifier")
+    rows = all_queries()["text_nb_classifier"](spark, str(d)).collect()
+    assert len(rows) == len(texts)
+    assert all(r.label_pos and r.evidence_neg == 0 for r in rows)
+
+
+def test_scan_warc_marker_bearing_payload_excluded(spark, tmp_path):
+    """The r5 self-review crash: a payload ENDING in 'WARC/1.0' plus
+    the record's own trailing newline completes the lineSep marker
+    mid-record, truncating it and leaving a garbage chunk whose
+    Content-Length parse is '' (ANSI cast error). Marker-bearing
+    payloads must be EXCLUDED by filter on both engines; the clean
+    docs still round-trip."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmt_dbt_spark.registry import all_queries
+
+    texts = [
+        "a normal payload",
+        "payload ending with marker WARC/1.0",
+        "WARC/1.0 at the start",
+        "another clean one",
+    ]
+    d = tmp_path / "warc_marker"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["web"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    _assert_parity(spark, str(d), "documents", "scan_warc")
+    rows = all_queries()["scan_warc"](spark, str(d)).collect()
+    assert {r.doc_id for r in rows} == {0, 3}
+    assert all(r.length_ok for r in rows)
