@@ -895,3 +895,89 @@ def test_bpe_exhaustion_truncates_merges_keeps_vocab(spark, tmp_path):
     enc = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in qs["text_bpe_encode"](spark, str(d)).collect()}
     assert len(enc) == 5
     assert all(v == (1, 1) for v in enc.values())  # each word = 1 merged token
+
+
+def _python_bpe(word_counts, k):
+    """Pure-Python reference BPE trainer (mirrors tokenizer.py:
+    greedy left-to-right merge, argmax by (count, then lexicographic
+    pair), merge table truncates on pair exhaustion)."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(k):
+        counts = {}
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        for w, syms in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_matches_python_reference_randomized(spark, tmp_path):
+    """Randomized algorithm pin: 4 seeded corpora of random words over
+    a 4-letter alphabet, the Spark trainer's merge table AND the
+    encode budgets must equal a pure-Python reference BPE exactly
+    (same greedy fold, same (count desc, lexicographic) tie-break,
+    same exhaustion truncation). Random corpora hit tie-breaks and
+    repeated-letter runs ('aaab') that curated fixtures miss."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmt_dbt_spark.functions.tokenizer import N_MERGES
+    from gmt_dbt_spark.registry import all_queries
+
+    qs = all_queries()
+    for seed in range(4):
+        rng = random.Random(1000 + seed)
+        words = [
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+            for _ in range(rng.randint(5, 25))
+        ]
+        counts = {}
+        for w in words:
+            counts[w] = counts.get(w, 0) + 1
+        ref_merges, ref_vocab = _python_bpe(counts, N_MERGES)
+
+        d = tmp_path / f"bpe_rand_{seed}"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": list(range(len(words))),
+                    "text": words,
+                    "lang": ["en"] * len(words),
+                    "source": ["s"] * len(words),
+                    "n_chars": [len(w) for w in words],
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        got = [
+            (r.a, r.b, r.n)
+            for r in sorted(
+                qs["text_bpe_train"](spark, str(d)).collect(),
+                key=lambda r: r.step,
+            )
+        ]
+        assert got == ref_merges, f"seed {seed}: {got} != {ref_merges}"
+        enc = {
+            r.doc_id: r.n_bpe_tokens
+            for r in qs["text_bpe_encode"](spark, str(d)).collect()
+        }
+        want = {i: len(ref_vocab[w]) for i, w in enumerate(words)}
+        assert enc == want, f"seed {seed}: encode budgets diverge"
