@@ -1216,3 +1216,91 @@ def text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "correct"
         ),
     )
+
+
+_READABILITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         len({_DUCK_TOKENS}) AS n_words,
+         len(regexp_extract_all(
+             trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'))),
+             '[aeiou]+')) AS n_vowel_groups
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_vowel_groups AS BIGINT) AS n_vowel_groups,
+       CAST(206835 * n_sentences * n_words - 1015 * n_words * n_words
+            - 84600 * n_vowel_groups * n_sentences AS BIGINT)
+         AS flesch_milli_num,
+       CASE
+         WHEN 206835 * n_sentences * n_words - 1015 * n_words * n_words
+              - 84600 * n_vowel_groups * n_sentences
+              >= 90000 * n_sentences * n_words THEN 'very_easy'
+         WHEN 206835 * n_sentences * n_words - 1015 * n_words * n_words
+              - 84600 * n_vowel_groups * n_sentences
+              >= 60000 * n_sentences * n_words THEN 'plain'
+         WHEN 206835 * n_sentences * n_words - 1015 * n_words * n_words
+              - 84600 * n_vowel_groups * n_sentences
+              >= 30000 * n_sentences * n_words THEN 'difficult'
+         ELSE 'very_difficult'
+       END AS band
+FROM t WHERE n_words >= 1
+"""
+
+
+@query("text_readability", oracle=_READABILITY_ORACLE)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring — the classic readability quality
+    feature (curation pipelines band on it before the expensive
+    model-based filters). Inputs are the standard heuristics, all
+    codegen regex counts on the scan: sentences = runs of [.!?] in
+    the RAW text (min 1 — an unpunctuated doc is one sentence),
+    words = the house tokenizer, syllables ≈ vowel groups in the
+    normalized text.
+
+    Flesch = 206.835 − 1.015·(W/S) − 84.6·(V/W) involves two float
+    divisions — instead the surface is EXACT: multiplying through by
+    the positive S·W gives flesch_milli_num = 206835·S·W − 1015·W² −
+    84600·V·S (the score numerator in milli-units; the decimal
+    constants ×1000 are exact integers), and each band threshold T
+    becomes the integer comparison num ≥ 1000·T·S·W. No division, no
+    libm, bit-identical on any engine. Zero-token docs drop on both
+    engines (the family rule).
+
+    Scale shape: pure scan-side projection — three regex counts and
+    integer arithmetic inside whole-stage codegen, zero shuffles,
+    zero joins; magnitudes stay under int64 past 10^5-word documents
+    (W² term ≤ 1015·10¹⁰)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    norm = normalize_text(F.col("text"))
+    s = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("bigint")
+    w = F.size(tokens_col(F.col("text"))).cast("bigint")
+    v = F.size(
+        F.regexp_extract_all(norm, F.lit(r"[aeiou]+"), F.lit(0))
+    ).cast("bigint")
+    num = (
+        F.lit(206835) * s * w - F.lit(1015) * w * w - F.lit(84600) * v * s
+    )
+    band = (
+        F.when(num >= F.lit(90000) * s * w, "very_easy")
+        .when(num >= F.lit(60000) * s * w, "plain")
+        .when(num >= F.lit(30000) * s * w, "difficult")
+        .otherwise("very_difficult")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            s.alias("n_sentences"),
+            w.alias("n_words"),
+            v.alias("n_vowel_groups"),
+            num.alias("flesch_milli_num"),
+            band.alias("band"),
+        )
+        .filter(F.col("n_words") >= 1)
+    )

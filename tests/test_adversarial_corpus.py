@@ -92,6 +92,11 @@ QUERIES = [
     # ...and encode must keep working when training exhausted: the
     # left-join chain preserves the vocab, so per-doc budgets agree
     "text_bpe_encode",
+    # r5: readability — sentence runs counted on RAW text (hostile
+    # punctuation-only docs have sentences but zero tokens → dropped
+    # by the n_words gate on both engines), vowel groups on the
+    # normalized text
+    "text_readability",
     # r5: WARC round-trip — non-ASCII payloads must survive the
     # UTF-8 record framing byte-exactly (content_length is the BYTE
     # count while the slice is chars; md5 catches any drift), and

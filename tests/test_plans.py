@@ -1227,3 +1227,15 @@ def test_bpe_train_final_plan_is_vocab_only(spark):
     assert tree.count("Scan parquet") == 0, tree
     assert tree.count("Scan ExistingRDD") == N_MERGES, tree
     assert "Join" not in tree, tree
+
+
+def test_bpe_encode_one_scan_vocab_map_join(spark):
+    """text_bpe_encode (r5): training already ran at checkpoint time,
+    so the FINAL plan is the documented 'second corpus scan': exactly
+    one parquet scan (the token stream), one read of the trained
+    vocab map (checkpointed RDD), one hash join between them (AQE
+    broadcasts the Heaps-bounded map at this scale), no sort-merge."""
+    tree = tree_of(plan_of(all_queries()["text_bpe_encode"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Scan ExistingRDD") == 1, tree
+    assert tree.count("BroadcastHashJoin") + tree.count("SortMergeJoin") == 1, tree
