@@ -1395,3 +1395,88 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_tokens"),
     )
+
+
+@query(
+    "pack_attention_layout",
+    oracle="""
+WITH t AS (
+  SELECT source, doc_id,
+         length(text) - length(replace(text, ' ', '')) + 1 AS tok
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, tok,
+         SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - tok AS run_excl
+  FROM t
+),
+p AS (
+  SELECT source, doc_id, tok,
+         CAST(FLOOR(run_excl / 2048.0) AS BIGINT) AS pack_id,
+         run_excl - CAST(FLOOR(run_excl / 2048.0) AS BIGINT) * 2048 AS off
+  FROM r
+)
+SELECT source, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS pack_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+       string_agg(CAST(off AS VARCHAR), ',' ORDER BY off) AS boundaries,
+       CAST(GREATEST(MAX(off + tok) - 2048, 0) AS BIGINT) AS overflow_tokens
+FROM p
+GROUP BY source, pack_id
+""",
+)
+def pack_attention_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-pack BOUNDARY LAYOUT a doc-masked training job
+    consumes: for every pack produced by `pack_sequences`' contiguous
+    fill, the within-pack start offset of each document (the points
+    where the attention mask resets), plus the pack's token total and
+    its tail overflow past the 2048 budget (the contiguous-fill
+    semantic lets the LAST doc run past the window edge — reported,
+    not hidden, so the loader knows how much to truncate or shift).
+
+    Boundaries are serialized as a comma-joined ascending offset list
+    (the agg_collect convention — never a raw array output column);
+    offsets are exact integers from the same exclusive running sum
+    that assigned the packs, so pack assignment and layout can never
+    disagree. Scale shape: one window (single shuffle on source) +
+    one groupBy — both keyed the same way, and AQE coalesces; no
+    data beyond (source, doc_id, tok) ever shuffles."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
+    ).alias("tok")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = docs.select("source", "doc_id", tok)
+    g = (
+        base.withColumn("run_excl", F.sum("tok").over(w) - F.col("tok"))
+        .withColumn(
+            "pack_id",
+            F.floor(F.col("run_excl") / F.lit(2048.0)).cast("bigint"),
+        )
+        .withColumn("off", F.col("run_excl") - F.col("pack_id") * 2048)
+    )
+    return g.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("off")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("boundaries"),
+        F.greatest(
+            F.max(F.col("off") + F.col("tok")) - F.lit(2048), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("overflow_tokens"),
+    )

@@ -97,6 +97,10 @@ QUERIES = [
     # by the n_words gate on both engines), vowel groups on the
     # normalized text
     "text_readability",
+    # r5: pack layout — empty/whitespace-only docs still carry tok=1
+    # (the whitespace proxy counts splits+1), so hostile docs pack
+    # like any other; boundary serialization must agree exactly
+    "pack_attention_layout",
     # r5: WARC round-trip — non-ASCII payloads must survive the
     # UTF-8 record framing byte-exactly (content_length is the BYTE
     # count while the slice is chars; md5 catches any drift), and
