@@ -700,3 +700,202 @@ def sink_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# --- MMR diversity re-ranking (r5) -----------------------------------
+
+MMR_POOL = 10  # relevance candidates per query feeding the re-rank
+MMR_K = 5      # diversified results per query
+# lambda = 0.7 in tenths: score10 = 7*rel - 3*max_sim (exact integers)
+_MMR_REL_W, _MMR_SIM_W = 7, 3
+
+_MICRO_SQL = (
+    "list_transform(embedding,"
+    " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+)
+
+
+def _micro_dot(a: Column, b: Column) -> Column:
+    """Exact bigint dot product of two micro-unit vectors (components
+    ≤ 1e6, 64 dims → ≤ 6.4e13, far inside int64)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _mmr_oracle() -> str:
+    """DuckDB replay of the full greedy MMR chain: candidates by
+    integer micro-dot relevance, then MMR_K selection steps, each an
+    argmax of 7·rel − 3·max_sim_to_selected over the remaining pool
+    (ties → lowest neighbor_id). DuckDB's list_dot_product over
+    BIGINT lists is exact here: every partial is an integer-valued
+    double below 2^53."""
+    head = f"""
+WITH v AS (
+  SELECT vec_id, {_MICRO_SQL} AS mv FROM embeddings
+),
+vz AS (SELECT * FROM v WHERE CAST(list_dot_product(mv, mv) AS BIGINT) > 0),
+q AS (SELECT vec_id AS query_id, mv AS qmv FROM vz WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT query_id, neighbor_id, mv, rel FROM (
+    SELECT q.query_id, vz.vec_id AS neighbor_id, vz.mv,
+           CAST(list_dot_product(q.qmv, vz.mv) AS BIGINT) AS rel,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY CAST(list_dot_product(q.qmv, vz.mv) AS BIGINT) DESC,
+                      vz.vec_id) AS rk
+    FROM q CROSS JOIN vz WHERE vz.vec_id <> q.query_id) t
+  WHERE rk <= {MMR_POOL}
+),
+sel1 AS (
+  SELECT query_id, neighbor_id, mv, rel, CAST(0 AS BIGINT) AS maxsim,
+         1 AS mmr_rank
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rk
+        FROM cand) t WHERE rk = 1
+)"""
+    steps = []
+    for i in range(2, MMR_K + 1):
+        steps.append(f""",
+rem{i} AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM sel{i-1} s
+                    WHERE s.query_id = c.query_id
+                      AND s.neighbor_id = c.neighbor_id)
+),
+sc{i} AS (
+  SELECT r.query_id, r.neighbor_id, r.mv, r.rel,
+         (SELECT MAX(CAST(list_dot_product(r.mv, s.mv) AS BIGINT))
+          FROM sel{i-1} s WHERE s.query_id = r.query_id) AS maxsim
+  FROM rem{i} r
+),
+sel{i} AS (
+  SELECT * FROM sel{i-1}
+  UNION ALL
+  SELECT query_id, neighbor_id, mv, rel, maxsim, {i} AS mmr_rank
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY {_MMR_REL_W} * rel - {_MMR_SIM_W} * maxsim DESC,
+                   neighbor_id) AS rk
+        FROM sc{i}) t WHERE rk = 1
+)""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT query_id, neighbor_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
+       rel AS rel_micro, maxsim AS maxsim_micro
+FROM sel{MMR_K}
+"""
+    )
+
+
+@query("sim_mmr_diversify", oracle=_mmr_oracle())
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (maximal-marginal-relevance) diversity re-ranking — the
+    standard retrieval post-processor that keeps near-duplicate hits
+    from crowding a result list: greedily pick argmax of
+    λ·relevance − (1−λ)·max-similarity-to-already-selected.
+
+    ENTIRELY exact-integer (the house convention): vectors quantize
+    to micro-units, relevance and pairwise similarity are bigint
+    dots, λ=0.7 becomes score10 = 7·rel − 3·max_sim, ties break to
+    the lowest neighbor_id — so the WHOLE greedy chain (candidate
+    pool, every per-step argmax, the similarity evidence) is
+    value-hashed against a DuckDB replay. Surface reports the
+    selection order plus the exact evidence each pick was scored on.
+
+    Scale shape: the expensive part is candidate generation (the
+    sim_topk broadcast-Q scan + per-query window top-MMR_POOL); the
+    greedy loop then runs on a CHECKPOINTED pool of Q×MMR_POOL rows —
+    each step is an anti-join + a pool-sized pairwise dot + one
+    window, all on frames bounded by the pool, never the corpus.
+    MMR_K driver-composed steps, the BPE-chain pattern (per-step
+    checkpoint: the growing selected set has two consumers per
+    step)."""
+    e = table(spark, sf_dir, "embeddings")
+    from gmt_dbt_spark.operators.embeddings import _micro_vec
+
+    v = e.select("vec_id", _micro_vec().alias("mv")).filter(
+        _micro_dot(F.col("mv"), F.col("mv")) > 0
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("mv").alias("qmv")
+    )
+    rel = _micro_dot(F.col("qmv"), F.col("mv")).alias("rel")
+    wrel = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("neighbor_id")
+    )
+    cand = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "mv", rel)
+        .withColumn("rk", F.row_number().over(wrel))
+        .filter(F.col("rk") <= MMR_POOL)
+        .drop("rk")
+        .localCheckpoint(eager=True)
+    )
+    selected = (
+        cand.withColumn("rk", F.row_number().over(wrel))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "mv",
+            "rel",
+            F.lit(0).cast("bigint").alias("maxsim"),
+            F.lit(1).alias("mmr_rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for i in range(2, MMR_K + 1):
+        rem = cand.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        sims = (
+            rem.alias("r")
+            .join(
+                selected.select(
+                    "query_id", F.col("mv").alias("smv")
+                ).alias("s"),
+                "query_id",
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.max(
+                    _micro_dot(F.col("r.mv"), F.col("s.smv"))
+                ).alias("maxsim")
+            )
+        )
+        wsc = Window.partitionBy("query_id").orderBy(
+            F.desc(
+                F.lit(_MMR_REL_W) * F.col("rel")
+                - F.lit(_MMR_SIM_W) * F.col("maxsim")
+            ),
+            F.asc("neighbor_id"),
+        )
+        pick = (
+            rem.join(sims, ["query_id", "neighbor_id"])
+            .withColumn("rk", F.row_number().over(wsc))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "mv",
+                "rel",
+                "maxsim",
+                F.lit(i).alias("mmr_rank"),
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select(
+        "query_id",
+        "neighbor_id",
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+        F.col("rel").alias("rel_micro"),
+        F.col("maxsim").alias("maxsim_micro"),
+    )

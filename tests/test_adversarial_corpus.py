@@ -227,6 +227,10 @@ EMB_QUERIES = [
     "sim_topk",
     "sim_topk_lsh",
     "sim_topk_ivf",
+    # r5: MMR re-rank — duplicate vectors in the hostile corpus give
+    # maxsim == rel ties everywhere; the greedy chain's integer
+    # tie-breaks must agree step-by-step on both engines
+    "sim_mmr_diversify",
     "dedup_embed_cosine",
     "embed_centroid",
     "embed_quantize",
