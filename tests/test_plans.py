@@ -1239,3 +1239,35 @@ def test_bpe_encode_one_scan_vocab_map_join(spark):
     assert tree.count("Scan parquet") == 1, tree
     assert tree.count("Scan ExistingRDD") == 1, tree
     assert tree.count("BroadcastHashJoin") + tree.count("SortMergeJoin") == 1, tree
+
+
+def test_readability_is_pure_scan_projection(spark):
+    """text_readability (r5): three regex counts + integer band
+    arithmetic, all inside the scan's projection — ZERO exchanges,
+    zero joins. The strongest possible 100 TB shape: cost is exactly
+    one pass over the text bytes."""
+    tree = tree_of(plan_of(all_queries()["text_readability"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Exchange") == 0, tree
+    assert "Join" not in tree, tree
+
+
+def test_pack_layout_single_shuffle(spark):
+    """pack_attention_layout (r5): the running-sum window and the
+    per-pack aggregate are keyed compatibly, so the WHOLE layout
+    plans with exactly ONE Exchange (the window's source partition) —
+    the groupBy rides the same partitioning."""
+    tree = tree_of(plan_of(all_queries()["pack_attention_layout"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
+
+
+def test_mmr_final_plan_is_checkpointed_selection(spark):
+    """sim_mmr_diversify (r5): every greedy step ran at checkpoint
+    time, so the final plan reads ONE materialized selected-set RDD —
+    no parquet scan, no join, no shuffle survives to execution."""
+    tree = tree_of(plan_of(all_queries()["sim_mmr_diversify"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 0, tree
+    assert tree.count("Scan ExistingRDD") == 1, tree
+    assert "Join" not in tree, tree
