@@ -170,7 +170,7 @@ _TAIL = frozenset({
 # the core, before the §2.L addendum.
 _EXT_PREFIXES = (
     "dedup_",
-    "sim_topk",
+    "sim_",
     "text_",
     "multimodal_",
     "pipeline_",
