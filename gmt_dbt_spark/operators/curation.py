@@ -307,17 +307,59 @@ def text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 2048  # tokens per pack (context window)
+
+
+def pack_frame(docs: DataFrame) -> DataFrame:
+    """(source, doc_id, tok, run_excl, pack_id) — THE single
+    definition of the packing arithmetic, shared by `pack_sequences`
+    (assignment surface) and `pack_attention_layout` (boundary
+    surface) so the two can never disagree (r5 review: the invariant
+    used to be enforced only by copy-paste). tok = whitespace proxy
+    (splits + 1); run_excl = exclusive running token total per
+    source (ORDER BY doc_id — deterministic, resumable); pack_id =
+    floor(run_excl / PACK_BUDGET), exact-integer/constant IEEE."""
+    from pyspark.sql import Window
+
+    tok = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
+    ).alias("tok")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("source", "doc_id", tok)
+        .withColumn("run_excl", F.sum("tok").over(w) - F.col("tok"))
+        .withColumn(
+            "pack_id",
+            F.floor(F.col("run_excl") / F.lit(float(PACK_BUDGET))).cast(
+                "bigint"
+            ),
+        )
+    )
+
+
+def _pack_sql(where: str = "") -> str:
+    """The DuckDB twin of `pack_frame` — one fragment, composed by
+    both pack oracles."""
+    return f"""(
+  SELECT source, doc_id, tok,
+         SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - tok AS run_excl,
+         CAST(FLOOR((SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - tok)
+                    / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+  FROM (SELECT source, doc_id,
+               length(text) - length(replace(text, ' ', '')) + 1 AS tok
+        FROM documents{where})
+)"""
+
+
 @query(
     "pack_sequences",
-    oracle="""
-SELECT source, doc_id, tok,
-       CAST(FLOOR((SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
-                                  ROWS UNBOUNDED PRECEDING) - tok) / 2048.0)
-            AS BIGINT) AS pack_id
-FROM (SELECT source, doc_id,
-             length(text) - length(replace(text, ' ', '')) + 1 AS tok
-      FROM documents)
-""",
+    oracle=f"SELECT source, doc_id, tok, pack_id FROM {_pack_sql()} p",
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign documents to fixed-token-budget packs
@@ -328,27 +370,10 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     run-to-run — the property a training job needs to resume mid-
     epoch. Token counts are integer (whitespace proxy), the running
     sum is exact, and floor of an exact-integer/constant division is
-    deterministic IEEE — hash-stable across engines."""
+    deterministic IEEE — hash-stable across engines. Arithmetic
+    lives in `pack_frame` (shared with pack_attention_layout)."""
     docs = table(spark, sf_dir, "documents")
-    tok = (
-        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
-    ).alias("tok")
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    base = docs.select("source", "doc_id", tok)
-    return base.select(
-        "source",
-        "doc_id",
-        "tok",
-        F.floor((F.sum("tok").over(w) - F.col("tok")) / F.lit(2048.0))
-        .cast("bigint")
-        .alias("pack_id"),
-    )
+    return pack_frame(docs).select("source", "doc_id", "tok", "pack_id")
 
 
 @query(
@@ -1399,30 +1424,19 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pack_attention_layout",
-    oracle="""
-WITH t AS (
-  SELECT source, doc_id,
-         length(text) - length(replace(text, ' ', '')) + 1 AS tok
-  FROM documents
-),
-r AS (
-  SELECT source, doc_id, tok,
-         SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
-                        ROWS UNBOUNDED PRECEDING) - tok AS run_excl
-  FROM t
-),
-p AS (
-  SELECT source, doc_id, tok,
-         CAST(FLOOR(run_excl / 2048.0) AS BIGINT) AS pack_id,
-         run_excl - CAST(FLOOR(run_excl / 2048.0) AS BIGINT) * 2048 AS off
-  FROM r
+    oracle=f"""
+WITH p AS (
+  SELECT source, doc_id, tok, pack_id,
+         run_excl - pack_id * {PACK_BUDGET} AS off
+  FROM {_pack_sql(" WHERE text IS NOT NULL")} f
 )
 SELECT source, pack_id,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(tok) AS BIGINT) AS pack_tokens,
        CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
        string_agg(CAST(off AS VARCHAR), ',' ORDER BY off) AS boundaries,
-       CAST(GREATEST(MAX(off + tok) - 2048, 0) AS BIGINT) AS overflow_tokens
+       CAST(GREATEST(MAX(off + tok) - {PACK_BUDGET}, 0) AS BIGINT)
+         AS overflow_tokens
 FROM p
 GROUP BY source, pack_id
 """,
@@ -1438,30 +1452,23 @@ def pack_attention_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Boundaries are serialized as a comma-joined ascending offset list
     (the agg_collect convention — never a raw array output column);
-    offsets are exact integers from the same exclusive running sum
-    that assigned the packs, so pack assignment and layout can never
-    disagree. Scale shape: one window (single shuffle on source) +
-    one groupBy — both keyed the same way, and AQE coalesces; no
-    data beyond (source, doc_id, tok) ever shuffles."""
-    from pyspark.sql import Window
-
-    docs = table(spark, sf_dir, "documents")
-    tok = (
-        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
-    ).alias("tok")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets derive from `pack_frame` — the SAME shared definition
+    `pack_sequences` uses (one implementation since the r5 review:
+    assignment and layout are structurally incapable of disagreeing).
+    NULL-text docs are filtered on both engines (r5 review, the
+    empty-aggregate asymmetry: Spark's array_join over a null-skipped
+    collect_list is '' while DuckDB's string_agg over all-NULLs is
+    NULL — the fn_array_set empty-serialization class again);
+    filtering before the window leaves every other doc's running sum
+    unchanged (NULL tok never contributed). Scale shape: one window
+    (single shuffle on source) + one same-keyed groupBy, plan-pinned
+    at exactly ONE Exchange; no data beyond (source, doc_id, tok)
+    ever shuffles."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
     )
-    base = docs.select("source", "doc_id", tok)
-    g = (
-        base.withColumn("run_excl", F.sum("tok").over(w) - F.col("tok"))
-        .withColumn(
-            "pack_id",
-            F.floor(F.col("run_excl") / F.lit(2048.0)).cast("bigint"),
-        )
-        .withColumn("off", F.col("run_excl") - F.col("pack_id") * 2048)
+    g = pack_frame(docs).withColumn(
+        "off", F.col("run_excl") - F.col("pack_id") * PACK_BUDGET
     )
     return g.groupBy("source", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1475,7 +1482,7 @@ def pack_attention_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("boundaries"),
         F.greatest(
-            F.max(F.col("off") + F.col("tok")) - F.lit(2048), F.lit(0)
+            F.max(F.col("off") + F.col("tok")) - F.lit(PACK_BUDGET), F.lit(0)
         )
         .cast("bigint")
         .alias("overflow_tokens"),

@@ -97,9 +97,11 @@ QUERIES = [
     # by the n_words gate on both engines), vowel groups on the
     # normalized text
     "text_readability",
-    # r5: pack layout — empty/whitespace-only docs still carry tok=1
-    # (the whitespace proxy counts splits+1), so hostile docs pack
-    # like any other; boundary serialization must agree exactly
+    # r5: pack layout — under the splits+1 whitespace proxy an empty
+    # doc carries tok=1 and a whitespace-only doc tok=n_spaces+1, so
+    # hostile docs pack like any other (NULL text is filtered on both
+    # engines — the empty-string_agg asymmetry); boundary
+    # serialization must agree exactly
     "pack_attention_layout",
     # r5: WARC round-trip — non-ASCII payloads must survive the
     # UTF-8 record framing byte-exactly (content_length is the BYTE
@@ -1047,3 +1049,34 @@ def test_scan_warc_marker_bearing_payload_excluded(spark, tmp_path):
     rows = all_queries()["scan_warc"](spark, str(d)).collect()
     assert {r.doc_id for r in rows} == {0, 3}
     assert all(r.length_ok for r in rows)
+
+
+def test_pack_layout_null_text_corpus(spark, tmp_path):
+    """The r5 review probe: a corpus containing a NULL-text doc. The
+    layout filters NULL text on both engines (Spark's array_join over
+    a null-skipped collect_list is '' while DuckDB's string_agg over
+    all-NULLs is NULL — an asymmetric empty-serialization, the
+    fn_array_set class), and filtering must leave every other doc's
+    offsets unchanged (NULL tok never contributed to the running
+    sum). pack_sequences (which keeps NULL rows, symmetrically) is
+    parity-checked on the same corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["hello world one", None, "a b", "x", "y z w"]
+    d = tmp_path / "pack_null_text"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["web"] * len(texts),
+                "n_chars": [len(t) if t else 0 for t in texts],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    _assert_parity(spark, str(d), "documents", "pack_attention_layout")
+    _assert_parity(spark, str(d), "documents", "pack_sequences")
