@@ -1227,15 +1227,23 @@ WITH t AS (
              trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'))),
              '[aeiou]+')) AS n_vowel_groups
   FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT *,
+         (n_sentences > 3000000 OR n_words > 3000000
+          OR n_vowel_groups > 3000000) AS oversized
+  FROM t
 )
 SELECT doc_id,
        CAST(n_sentences AS BIGINT) AS n_sentences,
        CAST(n_words AS BIGINT) AS n_words,
        CAST(n_vowel_groups AS BIGINT) AS n_vowel_groups,
-       CAST(206835 * n_sentences * n_words - 1015 * n_words * n_words
-            - 84600 * n_vowel_groups * n_sentences AS BIGINT)
-         AS flesch_milli_num,
+       CASE WHEN oversized THEN NULL
+            ELSE CAST(206835 * n_sentences * n_words
+                      - 1015 * n_words * n_words
+                      - 84600 * n_vowel_groups * n_sentences AS BIGINT)
+       END AS flesch_milli_num,
        CASE
+         WHEN oversized THEN 'oversized'
          WHEN 206835 * n_sentences * n_words - 1015 * n_words * n_words
               - 84600 * n_vowel_groups * n_sentences
               >= 90000 * n_sentences * n_words THEN 'very_easy'
@@ -1247,7 +1255,7 @@ SELECT doc_id,
               >= 30000 * n_sentences * n_words THEN 'difficult'
          ELSE 'very_difficult'
        END AS band
-FROM t WHERE n_words >= 1
+FROM g WHERE n_words >= 1
 """
 
 
@@ -1270,10 +1278,19 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm, bit-identical on any engine. Zero-token docs drop on both
     engines (the family rule).
 
+    Overflow guard (r5 ADVICE): the S·W cross terms leave int64 for
+    pathological inputs (Spark non-ANSI silently wraps, DuckDB
+    raises — a cross-engine divergence). Docs with S, W, or vowel
+    groups above 3·10⁶ are banded 'oversized' with a NULL numerator,
+    IDENTICALLY on both engines, and the arithmetic is guarded behind
+    that branch. The cap keeps every term provably in range: worst is
+    206835·(3·10⁶)² ≈ 1.9·10¹⁸ and the three-term sum < 2.7·10¹⁸ <
+    2⁶³−1 ≈ 9.2·10¹⁸. A 3M-word 'document' is a crawl artifact, not
+    prose — surfacing it as its own band beats silently misbanding it.
+
     Scale shape: pure scan-side projection — three regex counts and
     integer arithmetic inside whole-stage codegen, zero shuffles,
-    zero joins; magnitudes stay under int64 past 10^5-word documents
-    (W² term ≤ 1015·10¹⁰)."""
+    zero joins."""
     docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     norm = normalize_text(F.col("text"))
     s = F.greatest(
@@ -1284,13 +1301,17 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.size(
         F.regexp_extract_all(norm, F.lit(r"[aeiou]+"), F.lit(0))
     ).cast("bigint")
-    num = (
+    cap = F.lit(3_000_000)
+    oversized = (s > cap) | (w > cap) | (v > cap)
+    num_raw = (
         F.lit(206835) * s * w - F.lit(1015) * w * w - F.lit(84600) * v * s
     )
+    num = F.when(oversized, F.lit(None).cast("bigint")).otherwise(num_raw)
     band = (
-        F.when(num >= F.lit(90000) * s * w, "very_easy")
-        .when(num >= F.lit(60000) * s * w, "plain")
-        .when(num >= F.lit(30000) * s * w, "difficult")
+        F.when(oversized, "oversized")
+        .when(num_raw >= F.lit(90000) * s * w, "very_easy")
+        .when(num_raw >= F.lit(60000) * s * w, "plain")
+        .when(num_raw >= F.lit(30000) * s * w, "difficult")
         .otherwise("very_difficult")
     )
     return (

@@ -335,7 +335,7 @@ def model_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = ModelProject(
             spark, [Model("incr_orders", model_sql)], sources, warehouse_dir=wh
         ).run()["incr_orders"]
-        return spark.createDataFrame(out.collect(), out.schema)  # detach from wh
+        return out.localCheckpoint(eager=True)  # detach from wh, executor-side
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
@@ -525,7 +525,7 @@ def pipeline_reference_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = ModelProject(
             spark, models, sources, warehouse_dir=wh, threads=4
         ).run()["mart_city_stats"]
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch wh, executor-side
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
@@ -706,7 +706,7 @@ def model_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         out = project.run()["mart_from_python"]
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch wh, executor-side
     finally:
         import shutil
 
@@ -757,7 +757,7 @@ def model_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         out = project.run()["priority_rollup"]
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch wh, executor-side
     finally:
         import shutil
 
@@ -797,7 +797,7 @@ def model_dir_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         out = project.run()["mart_segment_sales_f"]
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch wh, executor-side
     finally:
         import shutil
 

@@ -891,12 +891,14 @@ def scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     over-read every non-ASCII payload (pinned by the adversarial
     unicode corpus, where payload_md5 must still match).
 
-    Driver-materialization note (the scan_text_lines rule): the
-    closing detach-collect exists ONLY because this fixture writes to
-    a scratch dir it must delete — it materializes per-record
-    METADATA (ids, lengths, one md5), never payload bytes, and a
-    production scan_warc reads durable archives with no detach at
-    all. The parse itself never gathers payloads to the driver."""
+    Detach note (r5 VERDICT item 3): the result must outlive the
+    scratch dir this fixture deletes, so the plan is detached with
+    `localCheckpoint(eager=True)` — the partitions materialize on the
+    executors and the lineage back to the scratch files is cut, with
+    NOTHING gathered to the driver (the old closing collect() +
+    createDataFrame was the last linear-in-corpus driver
+    materialization in a registered query). A production scan_warc
+    reads durable archives and needs no detach at all."""
     path = os.path.join(SCRATCH, f"warc_{uuid.uuid4().hex[:8]}")
     try:
         docs = (
@@ -954,6 +956,6 @@ def scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = parsed.select(
             "doc_id", "content_length", "payload_md5", "length_ok"
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)

@@ -522,7 +522,7 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         run_replay(agg, ckpt, mode="complete", foreach=upsert_batch)
         final = spark.read.parquet(target_path)
-        final = spark.createDataFrame(final.collect(), final.schema)  # detach from path
+        final = final.localCheckpoint(eager=True)  # detach from path, executor-side
         return final
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
@@ -731,7 +731,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("click_id", "purchase_id")
         run_replay(joined, ckpt, mode="append", name=name)
         out = spark.table(name).distinct()  # join emits each match once; defensive
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch, executor-side
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
         try:
@@ -786,7 +786,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         run_replay(agg, ckpt, mode="complete", name=name)
         out = spark.table(name)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch, executor-side
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
         try:
@@ -896,7 +896,7 @@ def _stream_stream_outer_replay(
             )
             .distinct()
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch, executor-side
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
         try:
@@ -1123,7 +1123,7 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.table(name).filter(
             F.col("user_id").isNull() | (F.col("user_id") >= 0)
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch, executor-side
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
         try:

@@ -1080,3 +1080,48 @@ def test_pack_layout_null_text_corpus(spark, tmp_path):
     )
     _assert_parity(spark, str(d), "documents", "pack_attention_layout")
     _assert_parity(spark, str(d), "documents", "pack_sequences")
+
+
+def test_readability_oversized_doc_banded_not_wrapped(spark, tmp_path):
+    """The r5 advisor's int64 wrap: the S·W cross terms leave int64
+    for multi-million-word documents — Spark (non-ANSI) silently
+    wraps into a wrong band while DuckDB raises, a cross-engine
+    divergence. Guarded since r6: docs with sentences/words/vowel
+    groups above 3·10⁶ band as 'oversized' with a NULL numerator on
+    BOTH engines, and the arithmetic never evaluates for them.
+
+    The oversized doc here maximizes the wrap per byte: every token
+    'a' is one word AND one vowel group, each terminated as its own
+    sentence, so S ≈ W ≈ V ≈ 3.2M and the unguarded 206835·S·W term
+    would be ~2.1·10¹⁹ ≈ 2.3·(2⁶³−1) — a guaranteed wrap, not a
+    maybe. Normal docs in the same corpus must band exactly as
+    before."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmt_dbt_spark.registry import all_queries
+
+    n = 3_200_001
+    texts = ["a. " * n, "the quick brown fox jumps. it is easy to read.",
+             "antidisestablishmentarianism polysyllabically"]
+    d = tmp_path / "readability_oversized"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["web"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    _assert_parity(spark, str(d), "documents", "text_readability")
+    rows = {r.doc_id: r for r in
+            all_queries()["text_readability"](spark, str(d)).collect()}
+    big = rows[0]
+    assert big.band == "oversized" and big.flesch_milli_num is None, big
+    assert big.n_words == n and big.n_sentences == n, big
+    assert rows[1].band != "oversized" and rows[1].flesch_milli_num is not None

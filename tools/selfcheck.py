@@ -129,15 +129,25 @@ def canon_frame(pdf, side):
     unhashable cell type (ndarray/list/dict in an object column)
     CRASHES here exactly as it crashes the driver — the r4 lesson:
     normalizing cells before the sort (the old `_table`) masked that
-    whole failure class. Cells are normalized only AFTER the sort,
-    and rows compare positionally (full-row sort keys make ties
-    exact duplicates, so stability is moot)."""
+    whole failure class. Cells are normalized only AFTER the sort.
+
+    Rows then compare as a MULTISET (r5 ADVICE): raw-frame sort keys
+    can order rows that become equal only after normalization (Spark
+    Decimal vs DuckDB float64 degradation, float repr ties)
+    differently on the two sides, so a positional zip could flip a
+    PASS to FAIL on tie groups. The driver hashes values
+    order-insensitively, so one more sort over the NORMALIZED tuples
+    (repr key — normalized cells mix None/str/bytes/tuple, which have
+    no shared `<`) is strictly more faithful, while the raw sort
+    above still reproduces every driver crash."""
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
     if len(pdf):
         pdf = pdf.sort_values(by=cols)
     rows = list(pdf.itertuples(index=False, name=None))
-    return [tuple(_norm_cell(v, side) for v in row) for row in rows]
+    normed = [tuple(_norm_cell(v, side) for v in row) for row in rows]
+    normed.sort(key=repr)
+    return normed
 
 
 def run(sf_dir: str, only: list[str]) -> int:
