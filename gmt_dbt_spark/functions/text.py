@@ -1325,3 +1325,73 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_words") >= 1)
     )
+
+
+_TTR_ORACLE = f"""
+WITH t0 AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents WHERE text IS NOT NULL
+),
+tok AS (
+  SELECT doc_id,
+         (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) % 2147483647 AS h
+  FROM (SELECT doc_id, unnest(tk) AS t FROM t0)
+),
+c AS (SELECT doc_id, h, COUNT(*) AS c FROM tok GROUP BY doc_id, h),
+s AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types, n_hapax,
+       CASE WHEN n_types * 10 >= n_tokens * 8 THEN 'diverse'
+            WHEN n_types * 10 >= n_tokens * 5 THEN 'normal'
+            WHEN n_types * 10 >= n_tokens * 3 THEN 'repetitive'
+            ELSE 'degenerate' END AS band
+FROM s
+"""
+
+
+@query("text_ttr", oracle=_TTR_ORACLE)
+def text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity (type-token ratio + hapax count) — the
+    MassiveText 'fraction of unique words' rule, the repetition
+    signal `text_gopher_rules` (windows/ratios) and `text_repetition`
+    (top-bigram share) both miss: a doc cycling a 10-word vocabulary
+    passes both but craters here. Bands are integer
+    cross-multiplications on TTR = types/tokens (≥0.8 diverse,
+    ≥0.5 normal, ≥0.3 repetitive, else degenerate) — no division.
+
+    Scale shape: tokens leave the scan as 31-bit md5-derived hashes
+    (`shingle_hash` — the engine-neutral family the whole dedup stack
+    replays), so both shuffles — the (doc_id, h) type-count and the
+    per-doc rollup — carry fixed-width integers, never strings.
+    Hash collisions merge two types WITHIN one doc (~n²/2³¹ per doc,
+    zero at any sane doc length); both engines hash identically, so
+    parity is exact regardless. Zero-token docs drop on both engines
+    (no rows survive the explode — the family rule)."""
+    from gmt_dbt_spark.operators.dedup import _hash_family, shingle_hash
+
+    fam = _hash_family()  # resolved once per plan; oracle needs md5
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("t"))
+    c = (
+        tok.select("doc_id", shingle_hash("t", fam).alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = c.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.count_if(F.col("c") == 1).alias("n_hapax"),
+    )
+    band = (
+        F.when(F.col("n_types") * 10 >= F.col("n_tokens") * 8, "diverse")
+        .when(F.col("n_types") * 10 >= F.col("n_tokens") * 5, "normal")
+        .when(F.col("n_types") * 10 >= F.col("n_tokens") * 3, "repetitive")
+        .otherwise("degenerate")
+    )
+    return s.select(
+        "doc_id", "n_tokens", "n_types", "n_hapax", band.alias("band")
+    )

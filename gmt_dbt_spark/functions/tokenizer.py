@@ -254,3 +254,54 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_sub").alias("n_bpe_tokens"),
         F.max("n_sub").cast("int").alias("max_word_pieces"),
     )
+
+
+def _bpe_fertility_oracle(k: int) -> str:
+    """Replay training to it{k}, join the lang-tagged token stream,
+    aggregate the fertility evidence per language."""
+    return f"""{_bpe_with_clause(k)},
+tokc AS (
+  SELECT lang, unnest({_DUCK_TOKENS}) AS word FROM documents
+)
+SELECT t.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(e.syms)) AS BIGINT) AS n_bpe_tokens,
+       CAST(COUNT(*) FILTER (WHERE len(e.syms) > 1) AS BIGINT)
+         AS n_split_words,
+       CAST(MAX(len(e.syms)) AS INTEGER) AS max_word_pieces
+FROM tokc t JOIN it{k} e USING (word)
+GROUP BY t.lang
+"""
+
+
+@query("text_bpe_fertility", oracle=_bpe_fertility_oracle(N_MERGES))
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility — the standard
+    tokenizer-fairness eval (tokens-per-word by language): a BPE
+    vocabulary trained on a skewed mix over-fragments the minority
+    languages, inflating their effective sequence length and training
+    cost. Reports, per lang, the exact integer evidence the eval
+    consumer ratios: word occurrences, total BPE pieces (fertility =
+    n_bpe_tokens/n_words), words split into >1 piece (continuation
+    rate), and the worst fragmentation. No division on the surface —
+    the ratios stay exact in the consumer's hands.
+
+    Plan shape: identical cost to `text_bpe_encode` — the trained
+    vocab relation (ONE corpus scan + Heaps-bounded merge loop) is
+    equi-joined against the lang-tagged token stream, then a
+    k-language rollup; the per-lang aggregate is strictly cheaper
+    than encode's per-doc one. Value-hashed through the whole
+    training run, so a vocab drift shows up as a fertility shift in
+    some language."""
+    docs = table(spark, sf_dir, "documents")
+    _, vocab = _train_chain(docs)
+    enc = vocab.select("word", F.size("syms").alias("n_sub"))
+    tok = docs.select(
+        "lang", F.explode(tokens_col(F.col("text"))).alias("word")
+    )
+    return tok.join(enc, "word").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_sub").cast("bigint").alias("n_bpe_tokens"),
+        F.count_if(F.col("n_sub") > 1).alias("n_split_words"),
+        F.max("n_sub").cast("int").alias("max_word_pieces"),
+    )

@@ -1487,3 +1487,100 @@ def pack_attention_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overflow_tokens"),
     )
+
+
+# Decontamination window width. Production pipelines use 10-13-word
+# windows (GPT-3 appendix C / Llama eval decontamination); 8 keeps the
+# synthetic fixture's planted overlaps observable while exercising the
+# identical plan. One knob, shared by query and oracle.
+DECON_N = 8
+
+_DECON_GRAMS = " || ' ' || ".join(f"tk[i+{j}]" for j in range(1, DECON_N + 1))
+
+_DECON_ORACLE = f"""
+WITH t0 AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(trim(lower(regexp_replace(text,
+             '[^a-zA-Z0-9 ]', ' ', 'g'))), ' +'), t -> t <> '') AS tk
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, source, unnest(CASE WHEN len(tk) >= {DECON_N}
+      THEN list_transform(range(len(tk) - {DECON_N - 1}), i -> {_DECON_GRAMS})
+      -- COALESCE: array_to_string([], ' ') is NULL in DuckDB vs ''
+      -- from Spark concat_ws (the shingle_rows fallback contract)
+      ELSE [COALESCE(array_to_string(tk, ' '), '')] END) AS s
+  FROM t0
+),
+tr AS (SELECT doc_id, md5(s) AS k FROM g
+       WHERE source NOT IN {_EVAL_SRC}),
+ev AS (SELECT doc_id AS eval_id, md5(s) AS k FROM g
+       WHERE source IN {_EVAL_SRC}),
+j AS (SELECT tr.doc_id, tr.k, ev.eval_id FROM tr LEFT JOIN ev USING (k)),
+per AS (
+  SELECT doc_id,
+         CAST(COUNT(DISTINCT k) AS BIGINT) AS n_grams,
+         CAST(COUNT(DISTINCT CASE WHEN eval_id IS NOT NULL THEN k END)
+              AS BIGINT) AS n_bad_grams,
+         CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
+  FROM j GROUP BY doc_id
+)
+SELECT p.doc_id, d.source, p.n_grams, p.n_bad_grams, p.n_eval_docs
+FROM per p JOIN documents d USING (doc_id)
+WHERE p.n_bad_grams >= 1
+"""
+
+
+@query("pipeline_decontaminate", oracle=_DECON_ORACLE)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination by WINDOWED n-gram overlap — the
+    GPT-3/Llama-style gate `dedup_cross_corpus` approximates with a
+    single first-5-token fingerprint: here EVERY sliding DECON_N-word
+    window of every train document is checked against every window of
+    the eval suite, so contamination buried mid-document (the case a
+    head fingerprint structurally misses) is caught. The surface is
+    the contamination report a pipeline acts on: each flagged train
+    doc with its total window count, contaminated-window count, and
+    the number of distinct eval docs hit (standard policy drops any
+    doc with n_bad_grams >= 1; the counts let a softer policy
+    threshold on the contaminated fraction instead).
+
+    Plan shape: `shingle_rows` builds windows scan-side (zip_with
+    slices, zero shuffles — see dedup.py), each window immediately
+    reduced to a fixed-width md5 key, so nothing wider than 32 hex
+    chars ever leaves the scan. The eval side BROADCASTS (eval
+    suites are a few thousand docs; even 10M windows fit the 8 GB
+    broadcast ceiling at ~50 B/key — past that the same plan runs as
+    a shuffled equi-join of keys, never of text). One shuffle total:
+    the per-train-doc groupBy; the closing source join-back
+    broadcasts the flagged-doc report (small by construction).
+    Exact-replay oracle: md5 windows are engine-neutral, so DuckDB
+    replays the FULL pipeline — no sampling, no slice.
+
+    Collision note: full-md5 keys (128-bit), not the 31-bit reduced
+    family the MinHash estimator uses — decontamination is a REMOVAL
+    gate, and a 31-bit collision at 100 TB would silently drop clean
+    training docs; at 128 bits the expected collision count across
+    10^12 windows is ~10^-14."""
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(~F.col("source").isin(EVAL_SRC_LIST))
+    ev = docs.filter(F.col("source").isin(EVAL_SRC_LIST))
+    tr_g = shingle_rows(train, "doc_id", "text", n=DECON_N).select(
+        F.col("__id").alias("doc_id"), F.md5("__sh").alias("k")
+    )
+    ev_g = shingle_rows(ev, "doc_id", "text", n=DECON_N).select(
+        F.col("__id").alias("eval_id"), F.md5("__sh").alias("k")
+    )
+    per = (
+        tr_g.join(F.broadcast(ev_g), "k", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("k").alias("n_grams"),
+            F.countDistinct(
+                F.when(F.col("eval_id").isNotNull(), F.col("k"))
+            ).alias("n_bad_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .filter(F.col("n_bad_grams") >= 1)
+    )
+    return docs.select("doc_id", "source").join(F.broadcast(per), "doc_id")

@@ -112,6 +112,17 @@ QUERIES = [
     # source (src0-3 ⊂ EVAL_SRC), so the train side is EMPTY — the
     # empty-funnel edge must agree on both engines
     "pipeline_pretrain_corpus",
+    # r6: windowed n-gram decontamination — same all-eval corpus, so
+    # the train gram side is EMPTY and the report must be empty on
+    # both engines; short docs exercise the whole-text-window
+    # fallback (incl. the '' window from empty-normalizing docs)
+    "pipeline_decontaminate",
+    # r6: type-token ratio — hostile empty-normalizing docs drop on
+    # both engines; the repetition-heavy doc must band low
+    "text_ttr",
+    # r6: per-lang fertility — the lang cycle tags hostile tokens;
+    # empty-normalizing docs contribute no words on either engine
+    "text_bpe_fertility",
 ]
 
 

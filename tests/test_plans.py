@@ -1271,3 +1271,41 @@ def test_mmr_final_plan_is_checkpointed_selection(spark):
     assert tree.count("Scan parquet") == 0, tree
     assert tree.count("Scan ExistingRDD") == 1, tree
     assert "Join" not in tree, tree
+
+
+def test_decontaminate_broadcast_eval_fixed_width_shuffles(spark):
+    """pipeline_decontaminate (r6): n-gram windows are built scan-side
+    (Generate — zero pre-hash shuffle) and immediately md5-reduced;
+    the eval gram set attaches by BROADCAST (never a shuffled join
+    against the train corpus), the only shuffle work is the per-doc
+    multi-distinct aggregate (2 Exchanges: Expand partial + final),
+    and the flagged report re-attaches `source` via a second
+    broadcast. Exactly 3 parquet scans (train grams, eval grams,
+    source attach); nothing wider than a 32-char md5 key shuffles."""
+    tree = tree_of(plan_of(all_queries()["pipeline_decontaminate"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 3, tree
+    assert tree.count("BroadcastHashJoin") == 2, tree
+    assert tree.count("SortMergeJoin") == 0, tree
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 2, tree
+
+
+def test_ttr_two_fixed_width_shuffles_no_join(spark):
+    """text_ttr (r6): tokens leave the scan as 31-bit hashes, so both
+    shuffles — (doc_id, h) type counts and the per-doc rollup — carry
+    fixed-width integers. One scan, two Exchanges, no join."""
+    tree = tree_of(plan_of(all_queries()["text_ttr"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Exchange") == 2, tree
+    assert "Join" not in tree, tree
+
+
+def test_bpe_fertility_one_scan_vocab_join(spark):
+    """text_bpe_fertility (r6): training already ran at checkpoint
+    time (the same `_train_chain` as text_bpe_encode), so the final
+    plan is one parquet scan (the lang-tagged token stream), one read
+    of the trained vocab RDD, one hash join (AQE owns the build
+    side), and a k-language rollup."""
+    tree = tree_of(plan_of(all_queries()["text_bpe_fertility"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Scan ExistingRDD") == 1, tree
+    assert tree.count("BroadcastHashJoin") + tree.count("SortMergeJoin") == 1, tree
