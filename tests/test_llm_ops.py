@@ -981,3 +981,86 @@ def test_bpe_train_matches_python_reference_randomized(spark, tmp_path):
         }
         want = {i: len(ref_vocab[w]) for i, w in enumerate(words)}
         assert enc == want, f"seed {seed}: encode budgets diverge"
+
+
+def _write_docs(tmp_path, name, words):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(words))),
+                "text": words,
+                "lang": ["en"] * len(words),
+                "source": ["s"] * len(words),
+                "n_chars": [len(w) for w in words],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_bpe_batched_trainer_bit_identical(spark, tmp_path):
+    """The r5 VERDICT item-6 experiment gate: `_train_chain_batched`
+    must emit a merge table AND final vocabulary BIT-IDENTICAL to the
+    sequential trainer on every corpus — the exactness theorem
+    (tokenizer.py) in test form. Corpora chosen to hit each branch:
+    the Sennrich toy (chained merges — es/est share symbols, batch
+    trims to 1), pair exhaustion, a 3-disjoint-pair corpus (the
+    batch-win case: one round replaces three), a blocker-trim corpus
+    (disjoint runner-up at the SAME count as a sharing blocker must
+    be trimmed — strictness matters), self-pair runs ('aaaa'), and 12
+    randomized corpora (two alphabets; the 2-letter one stresses
+    self-pairs and overlap greed) cross-checked against the
+    pure-Python reference too."""
+    import random
+
+    from gmt_dbt_spark.catalog import table as cat_table
+    from gmt_dbt_spark.functions.tokenizer import (
+        N_MERGES,
+        _train_chain,
+        _train_chain_batched,
+    )
+
+    corpora = {
+        "toy": ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3,
+        "exhaust": ["ab"] * 3 + ["cd"] * 2,
+        "batchwin": ["ab"] * 9 + ["cd"] * 8 + ["ef"] * 7,
+        "trim": ["qr"] * 9 + ["xab"] * 8,
+        "selfpair": ["aaaa"] * 4 + ["baab"] * 3,
+    }
+    for seed in range(8):
+        rng = random.Random(2000 + seed)
+        alpha = "abcd" if seed % 2 == 0 else "ab"
+        corpora[f"rand{seed}"] = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 10)))
+            for _ in range(rng.randint(5, 25))
+        ]
+
+    for name, words in corpora.items():
+        d = _write_docs(tmp_path, f"bpe_batch_{name}", words)
+        docs = cat_table(spark, d, "documents")
+        seq_steps, seq_vocab = _train_chain(docs)
+        seq_table = []
+        for p in seq_steps:
+            seq_table.extend((r.step, r.a, r.b, r.n) for r in p.collect())
+        seq_table.sort()
+        bat_table, bat_vocab = _train_chain_batched(docs)
+        assert bat_table == seq_table, (
+            f"{name}: merge tables diverge\nbatched={bat_table}\nseq={seq_table}"
+        )
+        sv = {r.word: r.syms for r in seq_vocab.collect()}
+        bv = {r.word: r.syms for r in bat_vocab.collect()}
+        assert bv == sv, f"{name}: final vocab diverges"
+        # randomized corpora also pin against the pure-Python reference
+        if name.startswith("rand"):
+            counts = {}
+            for w in words:
+                counts[w] = counts.get(w, 0) + 1
+            ref_merges, _ = _python_bpe(counts, N_MERGES)
+            got = [(a, b, n) for (_s, a, b, n) in bat_table]
+            assert got == ref_merges, f"{name}: batched != python ref"

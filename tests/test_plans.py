@@ -1216,16 +1216,16 @@ def test_nb_classifier_one_final_scan_checkpointed_model(spark):
 
 
 def test_bpe_train_final_plan_is_vocab_only(spark):
-    """text_bpe_train (r5): the corpus scan happened ONCE, at the
-    word-count checkpoint — the FINAL plan is pure vocabulary work:
-    the union of N_MERGES checkpointed 1-row argmax frames, with NO
-    parquet scan and no join of any kind (each step's merge was
-    applied at the next checkpoint)."""
-    from gmt_dbt_spark.functions.tokenizer import N_MERGES
-
+    """text_bpe_train (r5; r6 batched rounds): the corpus scan
+    happened ONCE, at the word-count checkpoint, and every merge was
+    applied at round-checkpoint time — the FINAL plan is the
+    driver-materialized merge table itself (the batch selection
+    already collected it): ONE local-rows relation, no parquet scan,
+    no union of per-step frames, no join."""
     tree = tree_of(plan_of(all_queries()["text_bpe_train"](spark, SF_DIR)))
     assert tree.count("Scan parquet") == 0, tree
-    assert tree.count("Scan ExistingRDD") == N_MERGES, tree
+    assert tree.count("Scan ExistingRDD") + tree.count("LocalTableScan") == 1, tree
+    assert "Union" not in tree, tree
     assert "Join" not in tree, tree
 
 
