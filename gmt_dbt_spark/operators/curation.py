@@ -1584,3 +1584,108 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_bad_grams") >= 1)
     )
     return docs.select("doc_id", "source").join(F.broadcast(per), "doc_id")
+
+
+@query(
+    "pack_concat_chunk",
+    oracle=f"""
+SELECT source, doc_id, tok,
+       pack_id AS first_chunk,
+       CAST(FLOOR((run_excl + tok - 1) / {PACK_BUDGET}.0) AS BIGINT)
+         AS last_chunk,
+       CAST(FLOOR((run_excl + tok - 1) / {PACK_BUDGET}.0) AS BIGINT)
+         - pack_id + 1 AS n_chunks,
+       CAST(run_excl - pack_id * {PACK_BUDGET} AS BIGINT) AS head_off,
+       (CAST(FLOOR((run_excl + tok - 1) / {PACK_BUDGET}.0) AS BIGINT)
+         > pack_id) AS is_split
+FROM {{_PACK}} p
+""".replace("{_PACK}", _pack_sql()),
+)
+def pack_concat_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing — the OTHER standard training layout
+    (GPT-style): the per-source token stream is conceptually
+    concatenated and cut at EXACT PACK_BUDGET boundaries, docs
+    splitting across chunks (vs `pack_sequences`, which assigns each
+    whole doc to the pack where it starts and lets the tail overflow).
+    Per doc: the chunk span [first_chunk, last_chunk], how many
+    chunks it straddles, its offset inside the first chunk, and the
+    is_split flag a doc-masked loader uses to decide truncate vs
+    carry. All derived from the SAME `pack_frame` running sum the
+    other two pack surfaces use — the three layouts are structurally
+    incapable of disagreeing about where a doc's tokens sit.
+
+    Arithmetic is exact on both engines: the only division is
+    floor(x / 2048.0) with x ≤ 2⁵³ (constant-IEEE, the pack_frame
+    rule); everything else is bigint add/multiply. NULL-text docs
+    ride through with NULL spans, symmetrically (the pack_sequences
+    contract). Scale shape: ONE shuffle (the per-source window) and a
+    pure projection after it — strictly cheaper than
+    pack_attention_layout (no second aggregate)."""
+    g = pack_frame(table(spark, sf_dir, "documents"))
+    last = F.floor(
+        (F.col("run_excl") + F.col("tok") - 1) / F.lit(float(PACK_BUDGET))
+    ).cast("bigint")
+    return g.select(
+        "source",
+        "doc_id",
+        "tok",
+        F.col("pack_id").alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - F.col("pack_id") + 1).alias("n_chunks"),
+        (F.col("run_excl") - F.col("pack_id") * PACK_BUDGET).alias("head_off"),
+        (last > F.col("pack_id")).alias("is_split"),
+    )
+
+
+@query(
+    "pipeline_token_budget",
+    oracle=f"""
+WITH t AS (
+  SELECT source, lang, len({_DUCK_TOKENS}) AS n_tok,
+         length(text) AS n_chars
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM t GROUP BY source, lang
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens FROM g)
+SELECT g.source, g.lang, g.n_docs, g.n_tokens, g.sum_chars,
+       tot.corpus_tokens
+FROM g, tot
+""",
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting — the report every pretraining run
+    starts from: per (source, lang), document/token/char totals plus
+    the corpus-wide token total on every row (the denominator for mix
+    shares — emitted as the exact bigint, never a divided float; the
+    mixture planners `sample_mixture_unimax`/`sample_temperature`
+    consume these counts directly).
+
+    Scale shape: ONE corpus scan producing a (sources × langs)-row
+    aggregate (map-side partial combine, fixed-width rows), which is
+    checkpointed — it is bounded by label cardinality, not data — and
+    consumed twice (the rows and their grand total) without
+    re-scanning; the 1-row total attaches by broadcast cross join."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    g = (
+        d.select(
+            "source",
+            "lang",
+            F.size(tokens_col(F.col("text"))).cast("bigint").alias("n_tok"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = g.agg(F.sum("n_tokens").cast("bigint").alias("corpus_tokens"))
+    return g.crossJoin(F.broadcast(tot))

@@ -123,6 +123,12 @@ QUERIES = [
     # r6: per-lang fertility — the lang cycle tags hostile tokens;
     # empty-normalizing docs contribute no words on either engine
     "text_bpe_fertility",
+    # r6: concat-and-chunk spans — hostile docs pack under the
+    # splits+1 proxy like any other (the pack_sequences rule)
+    "pack_concat_chunk",
+    # r6: token accounting — empty-normalizing docs count 0 tokens
+    # but real chars, identically on both engines
+    "pipeline_token_budget",
 ]
 
 
@@ -1091,6 +1097,9 @@ def test_pack_layout_null_text_corpus(spark, tmp_path):
     )
     _assert_parity(spark, str(d), "documents", "pack_attention_layout")
     _assert_parity(spark, str(d), "documents", "pack_sequences")
+    # r6: the concat-chunk surface keeps NULL rows with NULL spans,
+    # symmetrically (same contract as pack_sequences)
+    _assert_parity(spark, str(d), "documents", "pack_concat_chunk")
 
 
 def test_readability_oversized_doc_banded_not_wrapped(spark, tmp_path):

@@ -1309,3 +1309,25 @@ def test_bpe_fertility_one_scan_vocab_join(spark):
     assert tree.count("Scan parquet") == 1, tree
     assert tree.count("Scan ExistingRDD") == 1, tree
     assert tree.count("BroadcastHashJoin") + tree.count("SortMergeJoin") == 1, tree
+
+
+def test_concat_chunk_single_shuffle_projection(spark):
+    """pack_concat_chunk (r6): the per-source running-sum window is
+    the ONLY Exchange; the chunk-span arithmetic is a pure projection
+    on top — strictly cheaper than pack_attention_layout (no second
+    aggregate), same single-shuffle guarantee."""
+    tree = tree_of(plan_of(all_queries()["pack_concat_chunk"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
+
+
+def test_token_budget_checkpointed_rollup(spark):
+    """pipeline_token_budget (r6): the corpus scan ran at checkpoint
+    time; the final plan reads the label-bounded aggregate RDD twice
+    (rows + grand total) and attaches the 1-row total by broadcast —
+    no parquet scan survives to execution."""
+    tree = tree_of(plan_of(all_queries()["pipeline_token_budget"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 0, tree
+    assert tree.count("Scan ExistingRDD") == 2, tree
+    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
