@@ -236,15 +236,14 @@ def kmeans_recompute(
     return [by_cluster.get(c, list(prev[c])) for c in range(len(prev))]
 
 
-def _kmeans_oracle() -> str:
-    """DuckDB twin of the FULL Lloyd's iteration (r3; was rows-only):
-    because every step is exact integer micro-unit arithmetic with
-    pinned tie-breaks, the oracle can unroll all KMEANS_ITERS rounds
-    as CTEs — assignment = ROW_NUMBER over (distance, cluster),
-    recompute = pmod-floor-division, empty clusters COALESCE to the
-    previous round — exactly like `embed_pca_power`'s oracle. The
-    only float ops in the surface (sqrt, /1e6 on an exactly-summed
-    integer) are IEEE-correctly-rounded on both engines."""
+def _kmeans_cte_chain() -> str:
+    """The shared unrolled-Lloyd CTE chain: cells (micro-unit
+    vector cells) → cent0 (K lowest vec_ids) → KMEANS_ITERS rounds →
+    `aF` (the final assignment) with the last `cent{K}` still in
+    scope. `_kmeans_oracle` and `_semdedup_oracle` both compose it
+    (one implementation — the r5 generate-from-constants rule: two
+    hand-maintained copies would silently diverge on the next
+    constant change)."""
     rounds = []
     prev = "cent0"
     for r in range(1, KMEANS_ITERS + 1):
@@ -297,11 +296,23 @@ aF AS (
     SELECT vec_id, cluster,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
     FROM distF) tf WHERE rn = 1
-),
+)"""
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB twin of the FULL Lloyd's iteration (r3; was rows-only):
+    because every step is exact integer micro-unit arithmetic with
+    pinned tie-breaks, the oracle can unroll all KMEANS_ITERS rounds
+    as CTEs — assignment = ROW_NUMBER over (distance, cluster),
+    recompute = pmod-floor-division, empty clusters COALESCE to the
+    previous round — exactly like `embed_pca_power`'s oracle. The
+    only float ops in the surface (sqrt, /1e6 on an exactly-summed
+    integer) are IEEE-correctly-rounded on both engines."""
+    return f"""{_kmeans_cte_chain()},
 norms AS (
   SELECT cluster, sqrt(CAST(SUM(v * v) AS DOUBLE)) / 1000000.0
            AS centroid_norm
-  FROM {prev} GROUP BY cluster
+  FROM cent{KMEANS_ITERS} GROUP BY cluster
 )
 SELECT CAST(a.cluster AS INTEGER) AS cluster,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
@@ -994,4 +1005,137 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= PQ_TOPK)
+    )
+
+
+SEMDEDUP_TAU_SQ_X4 = 1225  # cos >= 0.35  ⇔  dot²·10⁴ ≥ 1225·‖a‖²·‖b‖²
+
+
+def _semdedup_oracle() -> str:
+    """Replay the full Lloyd chain (shared CTEs), then the
+    within-cluster pairwise cosine prune in exact integer
+    cross-multiplication — DECIMAL(38) keeps dot²·10⁴ ≤ ~4·10³¹ well
+    inside range at 64 micro-unit dims."""
+    return f"""{_kmeans_cte_chain()},
+n2 AS (
+  SELECT vec_id, CAST(SUM(qv * qv) AS DECIMAL(38,0)) AS n2
+  FROM cells GROUP BY vec_id
+),
+dots AS (
+  SELECT a1.cluster, a1.vec_id AS id_a, a2.vec_id AS id_b,
+         CAST(SUM(ca.qv * cb.qv) AS BIGINT) AS dot
+  FROM aF a1
+  JOIN aF a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+  JOIN cells ca ON ca.vec_id = a1.vec_id
+  JOIN cells cb ON cb.vec_id = a2.vec_id AND ca.i = cb.i
+  GROUP BY a1.cluster, a1.vec_id, a2.vec_id
+),
+hits AS (
+  SELECT d.cluster, d.id_a, d.id_b, d.dot
+  FROM dots d
+  JOIN n2 na ON na.vec_id = d.id_a
+  JOIN n2 nb ON nb.vec_id = d.id_b
+  WHERE d.dot >= 0
+    AND CAST(d.dot AS DECIMAL(38,0)) * d.dot * 10000
+        >= {SEMDEDUP_TAU_SQ_X4} * na.n2 * nb.n2
+)
+SELECT CAST(cluster AS INTEGER) AS cluster,
+       id_b AS drop_id,
+       MIN(id_a) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(arg_min(dot, id_a) AS BIGINT) AS keep_dot
+FROM hits
+GROUP BY cluster, id_b
+"""
+
+
+@query("dedup_semdedup", oracle=_semdedup_oracle())
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public paper): semantic
+    deduplication by k-means clustering then WITHIN-CLUSTER cosine
+    pruning — the curation step that removes semantically-redundant
+    (not just near-verbatim) documents before pretraining. A vector
+    is DROPPED when some lower-id vector in ITS CLUSTER exceeds the
+    cosine threshold (keep-lowest-id, the dedup_exact house
+    convention); the surface reports, per dropped vector, its
+    cluster, the kept representative (the lowest matching id), how
+    many kept candidates matched, and the exact integer dot evidence
+    for the reported pair (`min_by` id — fully deterministic).
+
+    Exactness: the SAME micro-unit Lloyd loop as `embed_kmeans`
+    (bit-reproducible under any partitioning; kmeans_assign's
+    lowest-index tie-break), and the cosine gate is the
+    cross-multiplication dot²·10⁴ ≥ 1225·‖a‖²·‖b‖² in DECIMAL(38) —
+    no float compare anywhere, so DuckDB replays the ENTIRE pipeline
+    (clustering + prune) from the shared CTE chain. τ = 0.35 is the
+    fixture-calibrated demo threshold (i.i.d. random embeddings peak
+    ≈ 0.44 pairwise cosine — the dedup_embed_cosine rationale);
+    production SemDeDup runs ≥ 0.95.
+
+    Scale shape: clustering cost is embed_kmeans (k×dims mergeable
+    aggregates, data never leaves the executors). The prune
+    self-joins WITHIN clusters only — exactly SemDeDup's point: k
+    grows with the corpus so cluster sizes stay bounded and the
+    quadratic term is per-cluster, never global (the paper runs
+    k=50k on LAION; here k=K_CLUSTERS on the toy fixture). The
+    assignment relation is checkpointed once and read by both join
+    sides; only (id, 64 bigints) rows shuffle."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", _micro_vec().alias("qv")).localCheckpoint(eager=True)
+    init = q.orderBy("vec_id").limit(K_CLUSTERS).collect()
+    cents = [list(r["qv"]) for r in init]
+    dims = len(cents[0])
+    for _ in range(KMEANS_ITERS):
+        cents = kmeans_recompute(kmeans_assign(q, cents), dims, cents)
+    final = (
+        kmeans_assign(q, cents)
+        .select(
+            "vec_id",
+            "cluster",
+            "qv",
+            F.aggregate(
+                F.transform("qv", lambda x: x * x),
+                F.lit(0).cast("bigint"),
+                lambda acc, y: acc + y,
+            ).alias("n2"),
+        )
+        .localCheckpoint(eager=True)  # read by both self-join sides
+    )
+    a = final.select(
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("qv").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    b = final.select(
+        "cluster",
+        F.col("vec_id").alias("id_b"),
+        F.col("qv").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, y: acc + y,
+    )
+    dec = "decimal(38,0)"
+    hits = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") >= 0)
+            & (
+                F.col("dot").cast(dec) * F.col("dot") * 10000
+                >= F.lit(SEMDEDUP_TAU_SQ_X4).cast(dec)
+                * F.col("na2")
+                * F.col("nb2")
+            )
+        )
+        .select("cluster", "id_a", "id_b", "dot")
+    )
+    return hits.groupBy("cluster", F.col("id_b").alias("drop_id")).agg(
+        F.min("id_a").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min_by("dot", "id_a").alias("keep_dot"),
     )

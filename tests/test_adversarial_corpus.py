@@ -251,6 +251,12 @@ EMB_QUERIES = [
     # tie-breaks must agree step-by-step on both engines
     "sim_mmr_diversify",
     "dedup_embed_cosine",
+    # r6: SemDeDup — exact duplicates (cos = 1) must drop with the
+    # keep-lowest-id rule; the zero vector can never pass the dot ≥ 0
+    # + cross-multiplication gate (0 ≥ 0 AND 0 ≥ 0 means it PAIRS
+    # with everything at dot 0 only if τ² term is 0 — both engines
+    # must agree); sub-resolution vectors quantize to 0/-1 micro units
+    "dedup_semdedup",
     "embed_centroid",
     "embed_quantize",
     "embed_normalize",

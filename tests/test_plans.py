@@ -1331,3 +1331,16 @@ def test_token_budget_checkpointed_rollup(spark):
     assert tree.count("Scan parquet") == 0, tree
     assert tree.count("Scan ExistingRDD") == 2, tree
     assert tree.count("BroadcastNestedLoopJoin") == 1, tree
+
+
+def test_semdedup_checkpointed_cluster_join(spark):
+    """dedup_semdedup (r6): clustering ran at checkpoint time, so the
+    final plan is the within-cluster prune only: the assignment RDD
+    read twice, ONE cluster-keyed join, and the per-drop aggregate
+    RIDES THE JOIN'S PARTITIONING (grouping keys start with the join
+    key — no third Exchange). No parquet scan survives."""
+    tree = tree_of(plan_of(all_queries()["dedup_semdedup"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 0, tree
+    assert tree.count("Scan ExistingRDD") == 2, tree
+    assert tree.count("SortMergeJoin") + tree.count("BroadcastHashJoin") == 1, tree
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") <= 2, tree
