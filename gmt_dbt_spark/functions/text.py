@@ -1395,3 +1395,65 @@ def text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "doc_id", "n_tokens", "n_types", "n_hapax", band.alias("band")
     )
+
+
+RARE_MAX_FREQ = 2  # corpus frequency ≤ this ⇒ a "rare" token
+
+_RARE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+freq AS (SELECT t, COUNT(*) AS cf FROM tok GROUP BY t),
+j AS (SELECT tok.doc_id, freq.cf FROM tok JOIN freq USING (t)),
+s AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) FILTER (WHERE cf <= {RARE_MAX_FREQ}) AS BIGINT)
+           AS n_rare
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_rare,
+       CASE WHEN n_rare * 2 > n_tokens THEN 'noisy'
+            WHEN n_rare * 10 > n_tokens THEN 'unusual'
+            ELSE 'common' END AS band
+FROM s
+"""
+
+
+@query("text_rare_token_ratio", oracle=_RARE_ORACLE)
+def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token density — the CCNet-family noise signal the other
+    quality gates miss: OCR garbage, hash-like identifiers, and
+    mojibake are built from tokens the corpus has (almost) never seen,
+    so a doc whose token mass is dominated by corpus-rare tokens
+    (frequency ≤ RARE_MAX_FREQ) is flagged long before a trained
+    model scores it. Bands by integer cross-multiplication on the
+    rare fraction (> 1/2 noisy, > 1/10 unusual) — no division.
+
+    Plan shape: TWO passes over the token stream — corpus frequencies
+    (Heaps-bounded vocab aggregate) and the per-doc rollup of the
+    stream joined back to that vocab; AQE owns the join strategy
+    (broadcast while the vocab fits — the text_nb_classifier rule).
+    Counting per-OCCURRENCE (not per-type) is deliberate: a 1000-token
+    doc of one rare token repeated is pure noise and must band as
+    such. The corpus-frequency model makes this a RELATIVE gate: the
+    same doc can be 'noisy' in a clean corpus and 'common' in a crawl
+    of its own domain — exactly the CCNet behavior."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cf"))
+    s = (
+        tok.join(freq, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("cf") <= RARE_MAX_FREQ).alias("n_rare"),
+        )
+    )
+    band = (
+        F.when(F.col("n_rare") * 2 > F.col("n_tokens"), "noisy")
+        .when(F.col("n_rare") * 10 > F.col("n_tokens"), "unusual")
+        .otherwise("common")
+    )
+    return s.select("doc_id", "n_tokens", "n_rare", band.alias("band"))

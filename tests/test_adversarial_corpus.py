@@ -129,6 +129,10 @@ QUERIES = [
     # r6: token accounting — empty-normalizing docs count 0 tokens
     # but real chars, identically on both engines
     "pipeline_token_budget",
+    # r6: rare-token density — the hostile corpus's unicode/numeric
+    # one-off tokens are exactly the rare class; triplicated TEXTS
+    # keep every repeated doc's tokens at corpus frequency ≥ 3
+    "text_rare_token_ratio",
 ]
 
 

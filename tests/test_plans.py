@@ -1344,3 +1344,14 @@ def test_semdedup_checkpointed_cluster_join(spark):
     assert tree.count("Scan ExistingRDD") == 2, tree
     assert tree.count("SortMergeJoin") + tree.count("BroadcastHashJoin") == 1, tree
     assert tree.count("Exchange") - tree.count("BroadcastExchange") <= 2, tree
+
+
+def test_rare_token_ratio_two_pass_vocab_join(spark):
+    """text_rare_token_ratio (r6): one parquet scan feeds both the
+    vocab frequency aggregate and the stream side (Spark reuses the
+    scan per branch — two scans in the tree), the stream↔vocab join
+    strategy is AQE's, and the only other shuffles are the two
+    aggregates."""
+    tree = tree_of(plan_of(all_queries()["text_rare_token_ratio"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 2, tree
+    assert tree.count("SortMergeJoin") + tree.count("BroadcastHashJoin") == 1, tree
