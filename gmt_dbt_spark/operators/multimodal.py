@@ -890,3 +890,136 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(run, AUDIO_RESAMPLE_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id bigint, phash bigint"
+
+_PHASH_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h
+  FROM documents WHERE doc_id < 200
+),
+g AS (
+  -- grayscale (3-channel sum, exact integer) sampled on the 8x8
+  -- dHash grid: gx-th column = pixel x = (gx*w)//8, same for rows
+  SELECT d.doc_id, xi.i AS gx, yj.i AS gy,
+         ((d.doc_id + 7*((xi.i*d.w)//8) + 13*((yj.i*d.h)//8)) % 256
+        + (d.doc_id + 7*((xi.i*d.w)//8) + 13*((yj.i*d.h)//8) + 29) % 256
+        + (d.doc_id + 7*((xi.i*d.w)//8) + 13*((yj.i*d.h)//8) + 58) % 256)
+           AS gray
+  FROM d,
+       LATERAL (SELECT unnest(range(8)) AS i) xi,
+       LATERAL (SELECT unnest(range(8)) AS i) yj
+),
+sig AS (
+  SELECT a.doc_id,
+         CAST(SUM(CASE WHEN b.gray > a.gray
+                  THEN (CAST(1 AS BIGINT) << (a.gy * 7 + a.gx))
+                  ELSE 0 END) AS BIGINT) AS phash
+  FROM g a JOIN g b
+    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+  WHERE a.gx <= 6
+  GROUP BY a.doc_id
+),
+banded AS (
+  SELECT doc_id, bb.i AS band, (phash >> (bb.i * 14)) & 16383 AS piece
+  FROM sig, LATERAL (SELECT unnest(range(4)) AS i) bb
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.piece = r.piece AND l.doc_id < r.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(sa.phash, sb.phash)) AS INTEGER) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b
+WHERE bit_count(xor(sa.phash, sb.phash)) <= 3
+"""
+
+
+@query("multimodal_phash_dedup", oracle=_PHASH_ORACLE)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup — the multimodal sibling of
+    `dedup_simhash`: each image's REAL decoded pixels (the 24-bit BMP
+    parser) reduce to a 56-bit dHash (8 sampled rows × 7 horizontal
+    gradient-sign comparisons on an 8×8 nearest-neighbor grid —
+    grayscale = exact integer 3-channel sum, grid index = (i·w)//8,
+    no float resampling), then Manku banding (4×14-bit pieces,
+    pigeonhole-exact for Hamming ≤ 3) finds candidate pairs without
+    an all-pairs join — only (doc_id, 14-bit piece) rows ever
+    shuffle, never pixels.
+
+    This op pins IMAGE ORIENTATION: the dHash bit position encodes
+    the sampled ROW index, so a bottom-up/top-down flip bug in the
+    BMP parser (which the order-free sum/histogram oracles cannot
+    see) changes the hash wherever the mod-256 wraparound breaks the
+    generator's row-translate symmetry — measured 19 of the 48
+    geometry classes (≈80 of the 200 fixture images; pinned by
+    test_phash_is_orientation_sensitive), so a flip bug cannot pass
+    the parity check. The oracle recomputes the grid independently
+    from the pixel generator's modular arithmetic and replays
+    banding + Hamming verify in SQL (`bit_count(xor(...))`).
+
+    Scale shape: mapInPandas per-partition Arrow batches emit 8 bytes
+    per image; banding join + verify is the dedup_simhash plan. At
+    production scale the hot-bucket cap (dedup.py:SIMHASH_BUCKET_CAP)
+    applies identically — the fixture's 24 geometry classes keep
+    buckets tiny, so this surface stays uncapped by design."""
+    from gmt_dbt_spark.operators.codecs import bmp_payload_for, parse_bmp
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                px = parse_bmp(bmp_payload_for(int(doc_id))).astype(np.int64)
+                h, w, _ = px.shape
+                gray = px.sum(axis=2)
+                xs = [(i * w) // 8 for i in range(8)]
+                ys = [(j * h) // 8 for j in range(8)]
+                ph = 0
+                for j in range(8):
+                    for i in range(7):
+                        if gray[ys[j], xs[i + 1]] > gray[ys[j], xs[i]]:
+                            ph |= 1 << (j * 7 + i)
+                rows.append((int(doc_id), ph))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    sig = docs.mapInPandas(run, PHASH_SCHEMA).localCheckpoint(eager=True)
+    pieces = F.array(
+        *[
+            F.shiftright("phash", b * 14).bitwiseAND(F.lit(16383))
+            for b in range(4)
+        ]
+    )
+    banded = sig.select("doc_id", F.posexplode(pieces).alias("band", "piece"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.piece") == F.col("r.piece"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("hb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1355,3 +1355,16 @@ def test_rare_token_ratio_two_pass_vocab_join(spark):
     tree = tree_of(plan_of(all_queries()["text_rare_token_ratio"](spark, SF_DIR)))
     assert tree.count("Scan parquet") == 2, tree
     assert tree.count("SortMergeJoin") + tree.count("BroadcastHashJoin") == 1, tree
+
+
+def test_phash_dedup_banded_join_on_checkpointed_sigs(spark):
+    """multimodal_phash_dedup (r6): the decode+hash ran at checkpoint
+    time (pixels never in the plan); the final plan bands the 8-byte
+    signature RDD and self-joins on (band, piece) — the dedup_simhash
+    shape. The signature RDD is read by banding (twice via the
+    self-join) + both verify sides; no parquet scan of pixels, no
+    cross join."""
+    tree = tree_of(plan_of(all_queries()["multimodal_phash_dedup"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 0, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
