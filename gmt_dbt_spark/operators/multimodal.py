@@ -1023,3 +1023,125 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
     )
+
+
+AUDIO_FP_SCHEMA = "doc_id bigint, afp bigint"
+
+_AUDIO_FP_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 800 + (doc_id % 5) * 160 AS n
+  FROM documents WHERE doc_id < 200
+),
+s AS (
+  SELECT d.doc_id,
+         (i.i * 57) // d.n AS k,
+         ((d.doc_id * 31 + i.i * 17) % 2003 - 1001) AS v
+  FROM d, LATERAL (SELECT unnest(range(d.n)) AS i) i
+),
+e AS (
+  SELECT doc_id, k, CAST(SUM(v * v) AS BIGINT) AS energy
+  FROM s GROUP BY doc_id, k
+),
+sig AS (
+  SELECT a.doc_id,
+         CAST(SUM(CASE WHEN b.energy > a.energy
+                  THEN (CAST(1 AS BIGINT) << CAST(a.k AS INTEGER))
+                  ELSE 0 END) AS BIGINT) AS afp
+  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.k = a.k + 1
+  WHERE a.k <= 55
+  GROUP BY a.doc_id
+),
+banded AS (
+  SELECT doc_id, bb.i AS band, (afp >> (bb.i * 14)) & 16383 AS piece
+  FROM sig, LATERAL (SELECT unnest(range(4)) AS i) bb
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.piece = r.piece AND l.doc_id < r.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(sa.afp, sb.afp)) AS INTEGER) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b
+WHERE bit_count(xor(sa.afp, sb.afp)) <= 3
+"""
+
+
+@query("multimodal_audio_fingerprint", oracle=_AUDIO_FP_ORACLE)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint audio near-dup — the WAV sibling of
+    `multimodal_phash_dedup` (chromaprint's shape, integer-exact):
+    each clip's REAL decoded PCM16 samples (the chunk-walking RIFF
+    parser) reduce to a 56-bit energy-contour hash — 57 frames
+    (sample i → frame (i·57)//n, the per-sample formula both engines
+    evaluate identically), exact int64 energy per frame, bit k =
+    energy rises from frame k to k+1 — then the same 4×14-bit Manku
+    banding + `bit_count(xor)` Hamming ≤ 3 verify as the image path.
+    Only 8-byte fingerprints shuffle; samples never leave the
+    mapInPandas batch.
+
+    Energy contours are the RIGHT invariant for near-dup audio: they
+    survive the re-encodes and level changes that break byte-level
+    content hashes (multimodal_content_dedup), while staying pure
+    integer — no FFT, no float, so DuckDB replays the ENTIRE chain
+    (waveform → framing → energies → bits → banding → verify) from
+    the sample generator's modular arithmetic."""
+    from gmt_dbt_spark.operators.codecs import parse_wav, wav_payload_for
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                s = parse_wav(wav_payload_for(int(doc_id)))["samples"].astype(
+                    np.int64
+                )
+                n = s.size
+                k = (np.arange(n) * 57) // n
+                e = np.zeros(57, dtype=np.int64)
+                np.add.at(e, k, s * s)
+                fp = 0
+                for i in range(56):
+                    if e[i + 1] > e[i]:
+                        fp |= 1 << i
+                rows.append((int(doc_id), fp))
+            yield pd.DataFrame(rows, columns=["doc_id", "afp"])
+
+    sig = docs.mapInPandas(run, AUDIO_FP_SCHEMA).localCheckpoint(eager=True)
+    pieces = F.array(
+        *[
+            F.shiftright("afp", b * 14).bitwiseAND(F.lit(16383))
+            for b in range(4)
+        ]
+    )
+    banded = sig.select("doc_id", F.posexplode(pieces).alias("band", "piece"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.piece") == F.col("r.piece"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("afp").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("afp").alias("hb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1368,3 +1368,15 @@ def test_phash_dedup_banded_join_on_checkpointed_sigs(spark):
     assert tree.count("Scan parquet") == 0, tree
     assert "BroadcastNestedLoopJoin" not in tree, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_audio_fingerprint_banded_join_on_checkpointed_sigs(spark):
+    """multimodal_audio_fingerprint (r6): same contract as the image
+    phash — decode+hash at checkpoint time, banding self-join on the
+    8-byte signature RDD, no pixel/sample scan, no cartesian."""
+    tree = tree_of(
+        plan_of(all_queries()["multimodal_audio_fingerprint"](spark, SF_DIR))
+    )
+    assert tree.count("Scan parquet") == 0, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
