@@ -133,6 +133,11 @@ QUERIES = [
     # one-off tokens are exactly the rare class; triplicated TEXTS
     # keep every repeated doc's tokens at corpus frequency ≥ 3
     "text_rare_token_ratio",
+    # r6: the two payload-fingerprint dedups — payloads derive from
+    # doc_id (not text), so this corpus exercises the SMALL-SLICE
+    # edge: 42 ids → sparser banding buckets, same full replay
+    "multimodal_phash_dedup",
+    "multimodal_audio_fingerprint",
 ]
 
 
