@@ -839,7 +839,7 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("shard").cast("int").alias("shard"), "n_docs", "id_sum", "chars_sum")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch, executor-side
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -899,6 +899,15 @@ def scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     createDataFrame was the last linear-in-corpus driver
     materialization in a registered query). A production scan_warc
     reads durable archives and needs no detach at all."""
+    return _warc_roundtrip(spark, sf_dir, compression=None)
+
+
+def _warc_roundtrip(
+    spark: SparkSession, sf_dir: str, compression: str | None
+) -> DataFrame:
+    """Shared WARC write→read→parse round-trip (see scan_warc for the
+    framing contract); ``compression`` is the text-sink codec (None
+    or 'gzip' — scan_warc_gz documents the splittability cost)."""
     path = os.path.join(SCRATCH, f"warc_{uuid.uuid4().hex[:8]}")
     try:
         docs = (
@@ -923,7 +932,10 @@ def scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"),
             F.lit("\n"),
         )
-        docs.select(record.alias("value")).write.mode("overwrite").text(path)
+        writer = docs.select(record.alias("value")).write.mode("overwrite")
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.text(path)
         raw = (
             spark.read.option("lineSep", "WARC/1.0\n")
             .text(path)
@@ -959,3 +971,37 @@ def scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "scan_warc_gz",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       md5(text) AS payload_md5,
+       TRUE AS length_ok
+FROM documents
+WHERE text IS NOT NULL AND text <> ''
+  AND NOT contains(text, chr(10)) AND NOT contains(text, chr(13))
+  AND NOT contains(text, 'WARC/1.0')
+""",
+)
+def scan_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIPPED WARC ingest — CommonCrawl's actual wire format (every
+    crawl ships as .warc.gz): the same record framing, marker resync,
+    and length-framed parse as `scan_warc`, round-tripped through
+    Hadoop's gzip codec on both sides of the shuffle-free text sink
+    (extension-dispatched on read — no option needed).
+
+    The scale fact this op exists to state: gzip is NOT SPLITTABLE.
+    A .gz shard is one task no matter its size — maxPartitionBytes
+    cannot cut inside it — so read parallelism equals FILE COUNT,
+    which is exactly why CommonCrawl publishes ~90k ~1 GB segment
+    files per crawl instead of one archive: the file layout IS the
+    split plan. Writer guidance at 100 TB: shard to ≥ (executors ×
+    cores) files of ~1 GB; a production variant would use a
+    splittable codec (bzip2, or zstd with seekable framing) to
+    decouple layout from parallelism. Everything else — codegen
+    header parse, md5 + exact-length proofs, executor-side detach —
+    is scan_warc's, via the shared `_warc_roundtrip`."""
+    return _warc_roundtrip(spark, sf_dir, compression="gzip")

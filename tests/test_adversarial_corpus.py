@@ -108,6 +108,9 @@ QUERIES = [
     # count while the slice is chars; md5 catches any drift), and
     # newline-bearing docs are excluded identically on both engines
     "scan_warc",
+    # r6: the gzipped variant — the same unicode payloads must
+    # survive the codec round-trip byte-exactly too
+    "scan_warc_gz",
     # the grand composite: on this corpus every source is an eval
     # source (src0-3 ⊂ EVAL_SRC), so the train side is EMPTY — the
     # empty-funnel edge must agree on both engines
