@@ -696,8 +696,7 @@ def sink_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rnk", F.row_number().over(w))
             .select("rnk", "vec_id", "dot")
         )
-        rows = out.collect()  # materialize before scratch removal
-        return spark.createDataFrame(rows, out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch, executor-side
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

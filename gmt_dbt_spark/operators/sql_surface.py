@@ -916,7 +916,7 @@ def sql_default_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"INSERT INTO {name} VALUES (3, 'SHIPPED', DEFAULT)")
         spark.sql(f"INSERT INTO {name} (id) VALUES (4)")
         out = spark.table(name).select("id", "status", "qty")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach, executor-side
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
@@ -947,7 +947,7 @@ def sql_insert_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM customer WHERE c_custkey < 100"""
         )
         out = spark.table(name).select("id", "seg")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach, executor-side
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
@@ -1017,6 +1017,6 @@ def sql_udf_table_valued(spark: SparkSession, sf_dir: str) -> DataFrame:
                 GROUP BY o_orderpriority"""
         )
         # materialize before dropping the function the plan references
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach, executor-side
     finally:
         spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {fn}")

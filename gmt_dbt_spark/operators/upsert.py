@@ -215,7 +215,7 @@ def sink_delete_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("total"),
             )
         )
-        return spark.createDataFrame(out.collect(), out.schema)  # detach from run dir
+        return out.localCheckpoint(eager=True)  # detach from run dir, executor-side
     finally:
         import shutil
 

@@ -452,8 +452,7 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_partkey").alias("min_pkey"),
             F.max("l_partkey").alias("max_pkey"),
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch, executor-side
 
 
 @query(
@@ -507,7 +506,7 @@ def scan_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_sum"))
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch, executor-side
     finally:
         shutil.rmtree(path, ignore_errors=True)
 

@@ -18,8 +18,10 @@ format as a distributed write:
   ``test_bucketed_join_eliminates_shuffle``).
 
 Both builders write to a scratch warehouse, read back, and DETACH
-the result (collect + recreate) so cleanup can't invalidate the
-returned DataFrame.
+the result with `localCheckpoint(eager=True)` (executor-side — the
+partitions materialize on the executors and the lineage to the
+scratch files is cut, nothing lands on the driver) so cleanup can't
+invalidate the returned DataFrame.
 """
 
 from __future__ import annotations
@@ -70,7 +72,7 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("o_month").isin("1996-01", "1996-02", "1996-03"))
             .select("o_orderkey", "o_custkey", "o_totalprice", "o_month")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch, executor-side
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -124,7 +126,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("sum_qty"),
             )
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch, executor-side
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name, tbl in names.items():
@@ -161,7 +163,7 @@ def sink_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
             .json(path)
         )
         out = spark.read.json(path).select(*cols)  # schema re-inferred
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch, executor-side
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -226,7 +228,7 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(dim_path)
         )
         out = dpp_join_plan(spark, fact_path, dim_path)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch, executor-side
     finally:
         shutil.rmtree(fact_path, ignore_errors=True)
         shutil.rmtree(dim_path, ignore_errors=True)
@@ -286,7 +288,7 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orc(path)
         )
         out = spark.read.orc(path).select(*cols)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch, executor-side
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -325,7 +327,7 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .csv(path)
             .select(*cols)
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch, executor-side
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -406,9 +408,7 @@ def sink_versioned_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit(v).alias("version"), "n", "total")
 
         out = rollup(read_version(1), 1).unionByName(rollup(read_version(2), 2))
-        # materialize before the temp tree is removed
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch, executor-side
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -505,8 +505,7 @@ def maint_vacuum_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         out = rollup(2).unionByName(rollup(3))
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch, executor-side
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -582,8 +581,7 @@ def sink_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tf").alias("total_tf"),
             F.sum("doc_id").alias("doc_checksum"),
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch, executor-side
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -627,7 +625,7 @@ def sink_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load(path)
             .select(*cols)
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch, executor-side
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -763,7 +761,7 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.bit_xor("h").alias("content_xor"),
             )
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach from scratch, executor-side
     finally:
         shutil.rmtree(path, ignore_errors=True)
 

@@ -220,7 +220,7 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             .save()
         )
         out = spark.read.json(os.path.join(path, "*.json")).select(*cols)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)  # detach, executor-side
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -325,6 +325,6 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     # detach from the memory sink before the table name goes stale
-    res = spark.createDataFrame(out.collect(), out.schema)
+    res = out.localCheckpoint(eager=True)
     spark.catalog.dropTempView(qname)
     return res

@@ -977,8 +977,7 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("value_min"),
             F.max("value").alias("value_max"),
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out.localCheckpoint(eager=True)  # detach, executor-side
     finally:
         q.stop()
         q.awaitTermination()
@@ -1242,6 +1241,6 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         run_replay(stream, ckpt, mode="append", foreach=ingest)
         final = spark.read.parquet(store)
-        return spark.createDataFrame(final.collect(), final.schema)
+        return final.localCheckpoint(eager=True)  # detach from store, executor-side
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
