@@ -1139,3 +1139,145 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_matches"),
         F.min_by("dot", "id_a").alias("keep_dot"),
     )
+
+
+MRL_QUERIES = 8
+MRL_DIMS = 16  # truncated prefix (of 64) — the Matryoshka serving dim
+MRL_K = 10
+
+_MRL_ORACLE = f"""
+WITH cells AS (
+  SELECT vec_id, s.i,
+         CAST(floor(CAST(embedding[s.i + 1] AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS i) s
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(q.qv * c.qv) AS BIGINT) AS dot_full,
+         CAST(SUM(CASE WHEN q.i < {MRL_DIMS} THEN q.qv * c.qv ELSE 0 END)
+              AS BIGINT) AS dot_trunc
+  FROM cells q JOIN cells c ON q.i = c.i
+  WHERE q.vec_id < {MRL_QUERIES} AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+f AS (
+  SELECT query_id, neighbor_id, r FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot_full DESC, neighbor_id) AS r
+    FROM dots) z WHERE r <= {MRL_K}
+),
+t AS (
+  SELECT query_id, neighbor_id, r FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot_trunc DESC, neighbor_id) AS r
+    FROM dots) z WHERE r <= {MRL_K}
+),
+fa AS (SELECT query_id, CAST(SUM(neighbor_id) AS BIGINT) AS full_id_sum,
+              arg_min(neighbor_id, r) AS top1_full
+       FROM f GROUP BY query_id),
+ta AS (SELECT query_id, CAST(SUM(neighbor_id) AS BIGINT) AS trunc_id_sum,
+              arg_min(neighbor_id, r) AS top1_trunc
+       FROM t GROUP BY query_id),
+ov AS (SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       FROM f JOIN t USING (query_id, neighbor_id) GROUP BY f.query_id)
+SELECT fa.query_id,
+       COALESCE(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+       fa.full_id_sum, ta.trunc_id_sum,
+       (fa.top1_full = ta.top1_trunc) AS top1_match
+FROM fa JOIN ta USING (query_id) LEFT JOIN ov USING (query_id)
+"""
+
+
+@query("embed_matryoshka_audit", oracle=_MRL_ORACLE)
+def embed_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit — the measurement behind the
+    'serve the first D dims' decision every MRL-embedding deployment
+    makes: per query, how much of the FULL-dimension top-K survives
+    when retrieval ranks by the first MRL_DIMS dims only
+    (recall@K = n_overlap/K, emitted as the exact integer overlap),
+    plus top-1 agreement and id-sum fingerprints of both sets.
+
+    Both rankings are exact-integer INNER-PRODUCT retrieval over the
+    same micro-unit vectors (the truncated dot is the same zip_with
+    fold over a prefix slice — deterministic neighbor_id tie-break),
+    so DuckDB replays both rankings and the overlap bit-exactly — no
+    float cosine, no measured-gap argument needed (the sim_topk
+    rank-only pattern is unnecessary when the score itself is an
+    integer).
+
+    Scale shape: the Q=8 query side broadcasts; both dots come from
+    ONE zip_with pass each over the corpus (the truncated dot reads a
+    prefix slice — in production the column would be stored
+    dim-major/chunked so the 16-dim scan reads 4× fewer bytes, which
+    is the entire point of MRL serving); two per-query window top-Ks
+    and a K-row overlap join, all bounded by Q×K."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _micro_vec().alias("qv"))
+    q = v.filter(F.col("vec_id") < MRL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, y: acc + y,
+        )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("qq"), F.col("qv")).alias("dot_full"),
+            dot(
+                F.slice(F.col("qq"), 1, MRL_DIMS),
+                F.slice(F.col("qv"), 1, MRL_DIMS),
+            ).alias("dot_trunc"),
+        )
+        .localCheckpoint(eager=True)  # two rankings read it
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("dot_full").desc(), F.col("neighbor_id")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("dot_trunc").desc(), F.col("neighbor_id")
+    )
+    f = (
+        scored.withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") <= MRL_K)
+        .select("query_id", "neighbor_id", "r")
+    )
+    t = (
+        scored.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= MRL_K)
+        .select("query_id", "neighbor_id", "r")
+    )
+    fa = f.groupBy("query_id").agg(
+        F.sum("neighbor_id").cast("bigint").alias("full_id_sum"),
+        F.min_by("neighbor_id", "r").alias("top1_full"),
+    )
+    ta = t.groupBy("query_id").agg(
+        F.sum("neighbor_id").cast("bigint").alias("trunc_id_sum"),
+        F.min_by("neighbor_id", "r").alias("top1_trunc"),
+    )
+    ov = (
+        f.join(t, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        fa.join(ta, "query_id")
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0).cast("bigint")).alias(
+                "n_overlap"
+            ),
+            "full_id_sum",
+            "trunc_id_sum",
+            (F.col("top1_full") == F.col("top1_trunc")).alias("top1_match"),
+        )
+    )

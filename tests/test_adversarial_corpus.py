@@ -269,6 +269,10 @@ EMB_QUERIES = [
     # with everything at dot 0 only if τ² term is 0 — both engines
     # must agree); sub-resolution vectors quantize to 0/-1 micro units
     "dedup_semdedup",
+    # r6: MRL truncation audit — duplicate vectors tie BOTH rankings
+    # (neighbor_id tie-break must agree), the zero vector dots 0
+    # everywhere, sub-resolution vectors quantize to 0/-1
+    "embed_matryoshka_audit",
     "embed_centroid",
     "embed_quantize",
     "embed_normalize",

@@ -1380,3 +1380,13 @@ def test_audio_fingerprint_banded_join_on_checkpointed_sigs(spark):
     assert tree.count("Scan parquet") == 0, tree
     assert "BroadcastNestedLoopJoin" not in tree, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_matryoshka_audit_checkpointed_double_ranking(spark):
+    """embed_matryoshka_audit (r6): both dots computed in ONE scored
+    pass (checkpointed — the two rankings and the overlap read it),
+    query side broadcast; the final plan reads the scored RDD, never
+    parquet, and joins only Q×K-bounded frames."""
+    tree = tree_of(plan_of(all_queries()["embed_matryoshka_audit"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 0, tree
+    assert "CartesianProduct" not in tree, tree
