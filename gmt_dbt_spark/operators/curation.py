@@ -1689,3 +1689,107 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = g.agg(F.sum("n_tokens").cast("bigint").alias("corpus_tokens"))
     return g.crossJoin(F.broadcast(tot))
+
+
+_FEATURE_7D_US = 7 * 86400 * 1_000_000  # trailing feature window, micros
+
+_FEATURE_SNAPSHOT_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS tsm,
+         CAST(floor(value * 1000.0) AS BIGINT) AS vmilli
+  FROM events
+),
+f AS (
+  SELECT event_id, user_id, event_type, tsm, vmilli,
+     CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END) OVER wr, 0)
+          AS BIGINT) AS n_views_7d,
+     CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END) OVER wr, 0)
+          AS BIGINT) AS n_clicks_7d,
+     CAST(COALESCE(SUM(vmilli) OVER wr, 0) AS BIGINT) AS value_7d_milli,
+     CAST(COUNT(*) OVER wp AS BIGINT) AS n_events_prior
+  FROM e
+  WINDOW wr AS (PARTITION BY user_id ORDER BY tsm
+                RANGE BETWEEN {_FEATURE_7D_US} PRECEDING AND 1 PRECEDING),
+         wp AS (PARTITION BY user_id ORDER BY tsm, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS label_id, user_id, tsm,
+       n_views_7d, n_clicks_7d, value_7d_milli, n_events_prior,
+       vmilli AS label_value_milli
+FROM f WHERE event_type = 'purchase'
+"""
+
+
+@query("pipeline_feature_snapshot", oracle=_FEATURE_SNAPSHOT_ORACLE)
+def pipeline_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time training-set assembly — the leakage-free feature
+    snapshot every tabular/behavioral model pipeline needs: for each
+    label event (purchase), the features are computed from STRICTLY
+    EARLIER events only — trailing-7-day view/click counts and spend
+    (RANGE frame ending at 1 microsecond PRECEDING: an event
+    co-timestamped with the label can never leak into its features,
+    identically on both engines) plus the lifetime prior-event count
+    (ROWS frame with the (tsm, event_id) total order). This is the
+    feature-store 'as-of' semantics done as ONE window pass instead
+    of a per-label point-in-time join.
+
+    Exactness: time is integer microseconds (unix_micros/epoch_us),
+    money is milli-units (floor(value·1000) — IEEE multiply+floor,
+    the house convention), frames are integer-offset windows — every
+    feature value-hashes. Scale shape: ONE shuffle (user_id); both
+    window specs share its partitioning, and the label filter prunes
+    AFTER the windows (features need the non-label events) but before
+    anything else — output is |purchases| rows, features never
+    materialize for non-label rows beyond the window pass."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("tsm"),
+        F.floor(F.col("value") * 1000.0).cast("bigint").alias("vmilli"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("tsm")
+        .rangeBetween(-_FEATURE_7D_US, -1)
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("tsm", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    feat = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "tsm",
+        "vmilli",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "view", 1)).over(wr), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_views_7d"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", 1)).over(wr), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_clicks_7d"),
+        F.coalesce(F.sum("vmilli").over(wr), F.lit(0))
+        .cast("bigint")
+        .alias("value_7d_milli"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_events_prior"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_id"),
+        "user_id",
+        "tsm",
+        "n_views_7d",
+        "n_clicks_7d",
+        "value_7d_milli",
+        "n_events_prior",
+        F.col("vmilli").alias("label_value_milli"),
+    )

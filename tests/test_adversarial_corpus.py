@@ -351,6 +351,11 @@ EVT_QUERIES = [
     # mergeable-sketch rollup: the all-NULL-user 'refund' type makes
     # exact_users 0 — pins the zero-guard in the bound check
     "agg_hll_sketch",
+    # r6: point-in-time feature snapshot — the same-(user, ts) tie
+    # is the leakage edge: a co-timestamped event must NOT enter its
+    # twin's features (the RANGE frame ends at 1 µs PRECEDING), and
+    # the (tsm, event_id) total order pins n_events_prior on ties
+    "pipeline_feature_snapshot",
     # true streaming (micro-batch replay) over the same hostile
     # stream: caught the session-gap boundary divergence (Spark's
     # session_window MERGES at exactly prev_ts + gap; the oracle's

@@ -1390,3 +1390,15 @@ def test_matryoshka_audit_checkpointed_double_ranking(spark):
     tree = tree_of(plan_of(all_queries()["embed_matryoshka_audit"](spark, SF_DIR)))
     assert tree.count("Scan parquet") == 0, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_feature_snapshot_single_shuffle_two_windows(spark):
+    """pipeline_feature_snapshot (r6): the trailing-range and
+    lifetime-rows windows share the user_id partitioning — ONE
+    Exchange, two Window operators over it (second needs only a
+    re-sort), label filter after, no join anywhere."""
+    tree = tree_of(plan_of(all_queries()["pipeline_feature_snapshot"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Window") == 2, tree
+    assert "Join" not in tree, tree
