@@ -1793,3 +1793,101 @@ def pipeline_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events_prior",
         F.col("vmilli").alias("label_value_milli"),
     )
+
+
+N_EPOCH_SHARDS = 16
+N_EPOCHS = 3
+
+_EPOCH_SHUFFLE_ORACLE = f"""
+WITH d AS (SELECT doc_id FROM documents),
+s AS (
+  SELECT d.doc_id, e.i AS epoch,
+         (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+              || CAST(e.i AS VARCHAR)), 1, 8) AS BIGINT)) % {N_EPOCH_SHARDS}
+           AS shard
+  FROM d, LATERAL (SELECT unnest(range({N_EPOCHS})) AS i) e
+),
+m AS (
+  SELECT cur.doc_id, cur.epoch, cur.shard,
+         CASE WHEN cur.epoch = 0 THEN NULL
+              ELSE (cur.shard <> prev.shard) END AS moved
+  FROM s cur
+  LEFT JOIN s prev
+    ON prev.doc_id = cur.doc_id AND prev.epoch = cur.epoch - 1
+)
+SELECT CAST(epoch AS INTEGER) AS epoch,
+       CAST(shard AS INTEGER) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(COALESCE(SUM(CASE WHEN moved THEN 1 END), 0) AS BIGINT)
+         AS n_moved
+FROM m
+GROUP BY epoch, shard
+"""
+
+
+@query("sample_epoch_shuffle", oracle=_EPOCH_SHUFFLE_ORACLE)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-wise reshuffling — the data-loader shuffle
+    done the distributed way: shard(doc, epoch) = md5(doc_id:epoch)
+    mod N_SHARDS, a pure scan-side key that is (a) REPRODUCIBLE — any
+    worker, any restart, any partitioning recomputes the same epoch
+    order, unlike `df.sample`/`rand()` — and (b) DECORRELATED across
+    epochs (a fresh permutation per epoch is what breaks batch-order
+    memorization between passes). The audit surface proves both
+    properties per (epoch, shard): doc count and id-checksum pin the
+    exact assignment (determinism), `n_moved` counts docs whose shard
+    CHANGED vs the previous epoch (decorrelation — expect ≈
+    (1−1/N_SHARDS) of docs to move; a broken epoch-salt would show
+    n_moved = 0).
+
+    Scale shape: all three epoch keys are md5 projections computed in
+    one scan (the LATERAL/explode is 3× row inflation of doc_ids
+    only, never text); the per-doc epoch-to-epoch comparison is a
+    self-join on (doc_id, epoch−1) that AQE plans from fixed-width
+    ids; one aggregate of 3×N_SHARDS output rows."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    shard = lambda e: F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(str(e)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(N_EPOCH_SHARDS),
+    )
+    s = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[shard(e) for e in range(N_EPOCHS)])
+        ).alias("epoch", "shard"),
+    )
+    cur, prev = s.alias("cur"), s.alias("prev")
+    m = cur.join(
+        prev,
+        (F.col("prev.doc_id") == F.col("cur.doc_id"))
+        & (F.col("prev.epoch") == F.col("cur.epoch") - 1),
+        "left",
+    ).select(
+        F.col("cur.doc_id").alias("doc_id"),
+        F.col("cur.epoch").alias("epoch"),
+        F.col("cur.shard").alias("shard"),
+        F.when(F.col("cur.epoch") == 0, F.lit(None).cast("boolean"))
+        .otherwise(F.col("cur.shard") != F.col("prev.shard"))
+        .alias("moved"),
+    )
+    return m.groupBy(
+        F.col("epoch").cast("int").alias("epoch"),
+        F.col("shard").cast("int").alias("shard"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.coalesce(
+            F.sum(F.when(F.col("moved"), 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_moved"),
+    )

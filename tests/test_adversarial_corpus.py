@@ -141,6 +141,10 @@ QUERIES = [
     # edge: 42 ids → sparser banding buckets, same full replay
     "multimodal_phash_dedup",
     "multimodal_audio_fingerprint",
+    # r6: epoch reshuffle audit — id-keyed, text-independent; the
+    # small corpus exercises sparse shards (empty shards must be
+    # absent, not zero-rows, on both engines)
+    "sample_epoch_shuffle",
 ]
 
 

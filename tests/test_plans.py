@@ -1402,3 +1402,15 @@ def test_feature_snapshot_single_shuffle_two_windows(spark):
     assert tree.count("Exchange") == 1, tree
     assert tree.count("Window") == 2, tree
     assert "Join" not in tree, tree
+
+
+def test_epoch_shuffle_id_only_inflation(spark):
+    """sample_epoch_shuffle (r6): the 3-epoch explode inflates doc_id
+    rows only (ReadSchema must be doc_id alone — text never enters
+    the plan), and the epoch-adjacency self-join is id-keyed."""
+    plan = plan_of(all_queries()["sample_epoch_shuffle"](spark, SF_DIR))
+    tree = tree_of(plan)
+    assert tree.count("Scan parquet") == 2, tree  # cur + prev branches
+    import re as _re
+    for m in _re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert m.group(1) == "doc_id:bigint", m.group(1)
