@@ -279,3 +279,100 @@ def test_phash_is_orientation_sensitive():
     # parser flip bug breaks parity on ~40% of images (≈80 of 200),
     # which the registered parity check cannot miss.
     assert changed >= 15, f"flip changed only {changed}/48 hashes"
+
+
+# ---- canon_frame multiset property (the r6 ADVICE fix) -------------
+
+
+def _cell_strategy():
+    """Cells spanning the cross-engine degradation zoo: ints, floats
+    (incl. values whose raw sort-order vs their Decimal twin could
+    differ), Decimals, strings, None."""
+    import decimal
+
+    return st.one_of(
+        st.integers(min_value=-10, max_value=10),
+        st.sampled_from([1.0, 1.5, -0.0, 0.0, 2.0, None]),
+        st.sampled_from(
+            [decimal.Decimal("1.0"), decimal.Decimal("1.5"), decimal.Decimal("2")]
+        ),
+        st.sampled_from(["a", "b", ""]),
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(_cell_strategy(), _cell_strategy()),
+        min_size=0,
+        max_size=12,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=200)
+def test_canon_frame_is_permutation_invariant(rows, rng):
+    """The r6 ADVICE fix in property form: two pandas frames that are
+    ROW PERMUTATIONS of each other must canonicalize identically —
+    even when tie groups (rows equal after normalization but with
+    different raw sort keys, e.g. Decimal('1.0') vs 1.0) land in
+    different raw orders on the two sides. The pre-fix positional
+    compare failed exactly this class."""
+    import pandas as pd
+
+    from tools.selfcheck import canon_frame
+
+    shuffled = list(rows)
+    rng.shuffle(shuffled)
+    a = pd.DataFrame(rows, columns=["x", "y"])
+    # same data, rows permuted, COLUMN ORDER flipped (the canonizer
+    # must reorder columns by name before anything else)
+    b = pd.DataFrame(shuffled, columns=["x", "y"])[["y", "x"]]
+    try:
+        ca = canon_frame(a, "spark")
+    except TypeError:
+        # unhashable-cell crash parity is covered elsewhere; the
+        # strategies here are all hashable, so this must not happen
+        raise
+    cb = canon_frame(b, "oracle")
+    assert ca == cb
+
+
+# ---- pack_frame arithmetic properties ------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=60)
+)
+@settings(max_examples=200)
+def test_pack_arithmetic_invariants(toks):
+    """The shared pack arithmetic (pack_frame / pack_concat_chunk) in
+    pure-Python form, fuzzed: for any per-doc token sequence within
+    one source, (1) pack ids are non-decreasing, (2) a doc's
+    first_chunk equals its pack_id (the two layouts agree at the
+    start boundary), (3) head_off ∈ [0, BUDGET), (4) chunk spans
+    tile: n_chunks == last - first + 1 ≥ 1, and (5) the total token
+    mass equals the sum over chunk spans of per-chunk contributions
+    (no token lost or double-counted by the split arithmetic)."""
+    from gmt_dbt_spark.operators.curation import PACK_BUDGET
+
+    run = 0
+    prev_pack = 0
+    for tok in toks:
+        pack_id = int(run // PACK_BUDGET)
+        first = pack_id
+        last = int((run + max(tok, 1) - 1) // PACK_BUDGET) if tok > 0 else first
+        head = run - pack_id * PACK_BUDGET
+        assert pack_id >= prev_pack
+        assert 0 <= head < PACK_BUDGET
+        assert last >= first
+        if tok > 0:
+            # chunk-span tiling: tokens in [run, run+tok) covered by
+            # chunks first..last exactly once
+            covered = 0
+            for c in range(first, last + 1):
+                lo = max(run, c * PACK_BUDGET)
+                hi = min(run + tok, (c + 1) * PACK_BUDGET)
+                assert hi > lo  # every spanned chunk contributes
+                covered += hi - lo
+            assert covered == tok
+        prev_pack = pack_id
+        run += tok
