@@ -338,6 +338,22 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with these counts. The batch is a PREFIX of the ranking by
 # construction: any higher-ranked rejected pair would share a symbol,
 # hence bound the batch strictly below itself — contradiction.
+#
+# SELF-PAIR CAVEAT (r6 review finding, counterexample-verified): the
+# parent bound above assumes a created pair's parent is OUTSIDE the
+# batch (it shares a symbol with the creating member, so pairwise
+# disjointness excludes it from the batch — UNLESS the parent is the
+# creating member ITSELF, which happens exactly for self-pairs: merging
+# (p,p) over a run p·p·p creates (pp,p)/(p,pp) whose parent (p,p) IS
+# the batch member, bounding the created count by the member's own
+# count rather than the blocker). Corpus ['c','a','acacacaa','acc',
+# 'babbb','bacacac','caaaa']: batching [(a,a),(ac,ac),(b,b)] emitted
+# (b,b) at step 4 where sequential greedy learns (acac,ac) — created
+# by (ac,ac)'s own merge with count 2, tie-break-beating (b,b).
+# Therefore a self-pair TERMINATES its batch: members before it are
+# unaffected (their turns precede its merge), and everything after it
+# — including pairs we never examined — is bounded by the next ranked
+# count, which joins the blocker.
 
 BATCH_TOPK = 32
 
@@ -356,13 +372,21 @@ def _select_batch(ranked: list, saw_k: int) -> list:
     batch = []
     syms: set[str] = set()
     blocker = floor
-    for p in ranked:
+    for idx, p in enumerate(ranked):
         if p.a in syms or p.b in syms:
             blocker = max(blocker, p.n)
             break  # ranking is descending: the first sharer is the max sharer
         batch.append(p)
         syms.add(p.a)
         syms.add(p.b)
+        if p.a == p.b:
+            # self-pair: its merge creates pairs bounded by its OWN
+            # count (see the caveat above) — the batch must end here,
+            # and every unexamined ranked pair joins the blocker via
+            # the next ranked count
+            if idx + 1 < len(ranked):
+                blocker = max(blocker, ranked[idx + 1].n)
+            break
     # strict trim: members at or below the blocker can be overtaken
     # (or tie-break-beaten) by a created pair — q1 is exempt (argmax)
     keep = [batch[0]]

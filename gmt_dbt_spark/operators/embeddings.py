@@ -236,6 +236,24 @@ def kmeans_recompute(
     return [by_cluster.get(c, list(prev[c])) for c in range(len(prev))]
 
 
+
+def lloyd_centroids(q: DataFrame) -> list:
+    """The shared Lloyd driver loop — ONE implementation for
+    `embed_kmeans` and `dedup_semdedup` (r6 review: the oracle side
+    already shares `_kmeans_cte_chain` for exactly this reason; the
+    Spark side must not keep two hand-maintained copies of the init
+    and iteration either). ``q`` is the checkpointed (vec_id, qv)
+    micro-unit relation; init = the K_CLUSTERS lowest vec_ids'
+    vectors; KMEANS_ITERS assign+recompute rounds. Returns the final
+    centroids (k×dims exact ints)."""
+    init = q.orderBy("vec_id").limit(K_CLUSTERS).collect()
+    cents = [list(r["qv"]) for r in init]
+    dims = len(cents[0])
+    for _ in range(KMEANS_ITERS):
+        cents = kmeans_recompute(kmeans_assign(q, cents), dims, cents)
+    return cents
+
+
 def _kmeans_cte_chain() -> str:
     """The shared unrolled-Lloyd CTE chain: cells (micro-unit
     vector cells) → cent0 (K lowest vec_ids) → KMEANS_ITERS rounds →
@@ -342,11 +360,7 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table — without the checkpoint each pass would re-scan parquet
     # and re-run the quantizing transform
     q = e.select("vec_id", _micro_vec().alias("qv")).localCheckpoint(eager=True)
-    init = q.orderBy("vec_id").limit(K_CLUSTERS).collect()
-    centroids = [list(r["qv"]) for r in init]
-    dims = len(centroids[0])
-    for _ in range(KMEANS_ITERS):
-        centroids = kmeans_recompute(kmeans_assign(q, centroids), dims, centroids)
+    centroids = lloyd_centroids(q)
     final = kmeans_assign(q, centroids)
     import math
 
@@ -1035,7 +1049,8 @@ hits AS (
   FROM dots d
   JOIN n2 na ON na.vec_id = d.id_a
   JOIN n2 nb ON nb.vec_id = d.id_b
-  WHERE d.dot >= 0
+  WHERE na.n2 > 0 AND nb.n2 > 0
+    AND d.dot >= 0
     AND CAST(d.dot AS DECIMAL(38,0)) * d.dot * 10000
         >= {SEMDEDUP_TAU_SQ_X4} * na.n2 * nb.n2
 )
@@ -1082,11 +1097,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides; only (id, 64 bigints) rows shuffle."""
     e = table(spark, sf_dir, "embeddings")
     q = e.select("vec_id", _micro_vec().alias("qv")).localCheckpoint(eager=True)
-    init = q.orderBy("vec_id").limit(K_CLUSTERS).collect()
-    cents = [list(r["qv"]) for r in init]
-    dims = len(cents[0])
-    for _ in range(KMEANS_ITERS):
-        cents = kmeans_recompute(kmeans_assign(q, cents), dims, cents)
+    cents = lloyd_centroids(q)
     final = (
         kmeans_assign(q, cents)
         .select(
@@ -1124,7 +1135,15 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("dot", dot)
         .filter(
-            (F.col("dot") >= 0)
+            # zero-norm guard (r6 review): cosine with a zero vector
+            # is UNDEFINED, not >= tau — without it the gate's
+            # cross-multiplication degenerates to 0 >= 0 and an
+            # all-zero embedding (a failed-encoder row in production)
+            # would flag its ENTIRE cluster as duplicates. Same guard
+            # as embed_cosine_audit's identical gate.
+            (F.col("na2") > 0)
+            & (F.col("nb2") > 0)
+            & (F.col("dot") >= 0)
             & (
                 F.col("dot").cast(dec) * F.col("dot") * 10000
                 >= F.lit(SEMDEDUP_TAU_SQ_X4).cast(dec)

@@ -892,6 +892,48 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, AUDIO_RESAMPLE_SCHEMA)
 
 
+
+def _hamming_band_pairs(sig: DataFrame, hash_col: str) -> DataFrame:
+    """Shared Manku banding + Hamming-verify plan for the two
+    payload-fingerprint dedups (phash / audio fingerprint): band the
+    56-bit signature into 4×14-bit pieces, self-join on (band, piece)
+    (pigeonhole-exact for Hamming ≤ 3), verify with bit_count(xor).
+    ONE implementation (r6 review — two hand-maintained copies of the
+    banding constants would silently diverge on the next width
+    change). ``sig`` must carry (doc_id, <hash_col>) and be safe to
+    read four times (checkpoint it)."""
+    pieces = F.array(
+        *[
+            F.shiftright(hash_col, b * 14).bitwiseAND(F.lit(16383))
+            for b in range(4)
+        ]
+    )
+    banded = sig.select("doc_id", F.posexplode(pieces).alias("band", "piece"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.piece") == F.col("r.piece"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col(hash_col).alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col(hash_col).alias("hb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 PHASH_SCHEMA = "doc_id bigint, phash bigint"
 
 _PHASH_ORACLE = """
@@ -993,36 +1035,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "phash"])
 
     sig = docs.mapInPandas(run, PHASH_SCHEMA).localCheckpoint(eager=True)
-    pieces = F.array(
-        *[
-            F.shiftright("phash", b * 14).bitwiseAND(F.lit(16383))
-            for b in range(4)
-        ]
-    )
-    banded = sig.select("doc_id", F.posexplode(pieces).alias("band", "piece"))
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.piece") == F.col("r.piece"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("ha"))
-    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("hb"))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
-        )
-        .filter(F.col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
-    )
+    return _hamming_band_pairs(sig, "phash")
 
 
 AUDIO_FP_SCHEMA = "doc_id bigint, afp bigint"
@@ -1115,33 +1128,4 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "afp"])
 
     sig = docs.mapInPandas(run, AUDIO_FP_SCHEMA).localCheckpoint(eager=True)
-    pieces = F.array(
-        *[
-            F.shiftright("afp", b * 14).bitwiseAND(F.lit(16383))
-            for b in range(4)
-        ]
-    )
-    banded = sig.select("doc_id", F.posexplode(pieces).alias("band", "piece"))
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.piece") == F.col("r.piece"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("afp").alias("ha"))
-    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("afp").alias("hb"))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
-        )
-        .filter(F.col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
-    )
+    return _hamming_band_pairs(sig, "afp")

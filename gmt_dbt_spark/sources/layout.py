@@ -842,9 +842,10 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
-@query(
-    "scan_warc",
-    oracle="""
+# ONE framing contract for both WARC surfaces (r6 review — the Spark
+# side already shares _warc_roundtrip; the oracle must not be a
+# second hand-maintained copy of the exclusion rules).
+_WARC_ORACLE = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
        md5(text) AS payload_md5,
@@ -853,8 +854,10 @@ FROM documents
 WHERE text IS NOT NULL AND text <> ''
   AND NOT contains(text, chr(10)) AND NOT contains(text, chr(13))
   AND NOT contains(text, 'WARC/1.0')
-""",
-)
+"""
+
+
+@query("scan_warc", oracle=_WARC_ORACLE)
 def scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC-style crawl-archive ingest — the CommonCrawl entry point.
     Round-trip proof: documents serialized as WARC records (version
@@ -971,19 +974,7 @@ def _warc_roundtrip(
         shutil.rmtree(path, ignore_errors=True)
 
 
-@query(
-    "scan_warc_gz",
-    oracle="""
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
-       md5(text) AS payload_md5,
-       TRUE AS length_ok
-FROM documents
-WHERE text IS NOT NULL AND text <> ''
-  AND NOT contains(text, chr(10)) AND NOT contains(text, chr(13))
-  AND NOT contains(text, 'WARC/1.0')
-""",
-)
+@query("scan_warc_gz", oracle=_WARC_ORACLE)
 def scan_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GZIPPED WARC ingest — CommonCrawl's actual wire format (every
     crawl ships as .warc.gz): the same record framing, marker resync,

@@ -268,11 +268,14 @@ EMB_QUERIES = [
     "sim_mmr_diversify",
     "dedup_embed_cosine",
     # r6: SemDeDup — exact duplicates (cos = 1) must drop with the
-    # keep-lowest-id rule; the zero vector can never pass the dot ≥ 0
-    # + cross-multiplication gate (0 ≥ 0 AND 0 ≥ 0 means it PAIRS
-    # with everything at dot 0 only if τ² term is 0 — both engines
-    # must agree); sub-resolution vectors quantize to 0/-1 micro units
+    # keep-lowest-id rule; sub-resolution vectors quantize to 0/-1
+    # micro units
     "dedup_semdedup",
+    # ^ the zero vector pins the r6 review fix: without the explicit
+    # na2>0 AND nb2>0 guard the cross-multiplied gate degenerates to
+    # 0 >= 0 and the zero vector pairs with its whole cluster —
+    # test_semdedup_zero_vector_never_pairs asserts the semantics
+    # directly; this row asserts engine parity on the guarded gate
     # r6: MRL truncation audit — duplicate vectors tie BOTH rankings
     # (neighbor_id tie-break must agree), the zero vector dots 0
     # everywhere, sub-resolution vectors quantize to 0/-1
@@ -1176,3 +1179,23 @@ def test_readability_oversized_doc_banded_not_wrapped(spark, tmp_path):
     assert big.band == "oversized" and big.flesch_milli_num is None, big
     assert big.n_words == n and big.n_sentences == n, big
     assert rows[1].band != "oversized" and rows[1].flesch_milli_num is not None
+
+
+def test_semdedup_zero_vector_never_pairs(spark, adv_emb_dir):
+    """The r6 review fix asserted directly: the all-zero embedding
+    (vec_id 3 — a failed-encoder row in production) must appear in NO
+    semdedup pair, as keeper or dropped. Cosine with a zero vector is
+    undefined, not ≥ τ; before the na2>0 AND nb2>0 guard the
+    cross-multiplied gate degenerated to 0 ≥ 0 and the zero vector
+    paired with its entire cluster — a REMOVAL gate silently deleting
+    clean documents."""
+    from gmt_dbt_spark.registry import all_queries
+
+    rows = all_queries()["dedup_semdedup"](spark, adv_emb_dir).collect()
+    assert all(r.keep_id != 3 and r.drop_id != 3 for r in rows), [
+        r for r in rows if 3 in (r.keep_id, r.drop_id)
+    ][:5]
+    # the exact-duplicate pair (5, 17) must still dedup: 17 drops to 5
+    # if k-means put them in one cluster (it must — identical vectors
+    # share a nearest centroid)
+    assert any(r.keep_id == 5 and r.drop_id == 17 for r in rows), rows[:5]

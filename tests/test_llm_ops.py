@@ -1032,6 +1032,12 @@ def test_bpe_batched_trainer_bit_identical(spark, tmp_path):
         "batchwin": ["ab"] * 9 + ["cd"] * 8 + ["ef"] * 7,
         "trim": ["qr"] * 9 + ["xab"] * 8,
         "selfpair": ["aaaa"] * 4 + ["baab"] * 3,
+        # the r6 review counterexample: batching [(a,a),(ac,ac),(b,b)]
+        # diverged because (ac,ac)'s OWN merge over ac·ac·ac creates
+        # (acac,ac) bounded by the member's count, not the blocker —
+        # the self-pair-terminates-batch rule exists for this corpus
+        "review_ce": ["c", "a", "acacacaa", "acc", "babbb", "bacacac",
+                      "caaaa"],
     }
     for seed in range(8):
         rng = random.Random(2000 + seed)
@@ -1039,6 +1045,16 @@ def test_bpe_batched_trainer_bit_identical(spark, tmp_path):
         corpora[f"rand{seed}"] = [
             "".join(rng.choice(alpha) for _ in range(rng.randint(1, 10)))
             for _ in range(rng.randint(5, 25))
+        ]
+    # post-review hardening: longer words over a 2-3 letter alphabet
+    # breed the self-adjacent runs (acacac, aaaa) the original seeds
+    # mostly missed — the class the review's fuzzer caught
+    for seed in range(8, 16):
+        rng = random.Random(3000 + seed)
+        alpha = "ab" if seed % 2 == 0 else "abc"
+        corpora[f"rand{seed}"] = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 14)))
+            for _ in range(rng.randint(4, 30))
         ]
 
     for name, words in corpora.items():

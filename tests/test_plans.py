@@ -1301,7 +1301,7 @@ def test_ttr_two_fixed_width_shuffles_no_join(spark):
 
 def test_bpe_fertility_one_scan_vocab_join(spark):
     """text_bpe_fertility (r6): training already ran at checkpoint
-    time (the same `_train_chain` as text_bpe_encode), so the final
+    time (the same `_train_chain_batched` as text_bpe_encode), so the final
     plan is one parquet scan (the lang-tagged token stream), one read
     of the trained vocab RDD, one hash join (AQE owns the build
     side), and a k-language rollup."""

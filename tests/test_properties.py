@@ -308,7 +308,7 @@ def _cell_strategy():
     ),
     st.randoms(use_true_random=False),
 )
-@settings(max_examples=200)
+@settings(max_examples=200, deadline=None)
 def test_canon_frame_is_permutation_invariant(rows, rng):
     """The r6 ADVICE fix in property form: two pandas frames that are
     ROW PERMUTATIONS of each other must canonicalize identically —
@@ -342,7 +342,7 @@ def test_canon_frame_is_permutation_invariant(rows, rng):
 @given(
     st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=60)
 )
-@settings(max_examples=200)
+@settings(max_examples=200, deadline=None)
 def test_pack_arithmetic_invariants(toks):
     """The shared pack arithmetic (pack_frame / pack_concat_chunk) in
     pure-Python form, fuzzed: for any per-doc token sequence within
