@@ -354,15 +354,41 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unaffected (their turns precede its merge), and everything after it
 # — including pairs we never examined — is bounded by the next ranked
 # count, which joins the blocker.
+#
+# CREATED-SYMBOL-COLLISION CAVEAT (r6 ADVICE, guarded r7): the
+# "created ≤ parent ≤ blocker" bound also assumes the created symbol
+# STRING p.a+p.b is genuinely new. If it equals a symbol that already
+# exists in the relation (possible only via a DIFFERENT split of an
+# earlier merge's concat — the initial alphabet is single characters,
+# so every multi-char symbol is some prior merge's a+b, a set the
+# trainer holds driver-side), created occurrences of (x, s) ADD to a
+# pre-existing pair's count: pre-existing + created can reach
+# 2·blocker and overtake a later member. Fuzzing (collision-biased
+# corpora, r7) never produced a divergence — greedy dynamics appear
+# to keep such pairs below the trim line — but the theorem as stated
+# does not PROVE that, so the batch rule is conservative instead: a
+# member whose concat is already occupied (a prior round's learned
+# symbol, or an earlier member's symbol or concat) TERMINATES its
+# batch exactly like a self-pair. The member itself is still exact
+# (its count is untouched and every riser from EARLIER members is
+# bounded by the blocker; its own created occurrences only threaten
+# merges after it, and there are none this round). Termination only
+# shrinks batches, so bit-identity to sequential greedy now holds
+# WITHOUT the unproven never-collides invariant.
 
 BATCH_TOPK = 32
 
 
-def _select_batch(ranked: list, saw_k: int) -> list:
+def _select_batch(
+    ranked: list, saw_k: int, learned: frozenset = frozenset()
+) -> list:
     """Maximal exact-greedy batch from the ranked top-K pair rows.
 
     ``ranked``: rows (a, b, n) sorted by (n desc, a, b) — the
-    sequential tie-break order. Returns the prefix to merge this
+    sequential tie-break order. ``learned``: the concat strings of
+    every merge applied in PRIOR rounds — the complete set of
+    multi-char symbols that can exist in the relation (the initial
+    alphabet is single characters). Returns the prefix to merge this
     round (≥1 row whenever ranked is non-empty: q1 alone is always
     exact — it IS the sequential argmax)."""
     if not ranked:
@@ -376,14 +402,22 @@ def _select_batch(ranked: list, saw_k: int) -> list:
         if p.a in syms or p.b in syms:
             blocker = max(blocker, p.n)
             break  # ranking is descending: the first sharer is the max sharer
+        cat = p.a + p.b
+        # batch-terminal members (see the two caveats above): a
+        # self-pair's created pairs are bounded by its OWN count, and
+        # a concat colliding with an occupied symbol string (a prior
+        # round's learned symbol, or this batch's symbols/concats)
+        # would let created occurrences ADD to pre-existing counts —
+        # both void the blocker bound for members AFTER this one,
+        # never for this one, so accept it and end the batch.
+        terminal = p.a == p.b or cat in learned or cat in syms
         batch.append(p)
         syms.add(p.a)
         syms.add(p.b)
-        if p.a == p.b:
-            # self-pair: its merge creates pairs bounded by its OWN
-            # count (see the caveat above) — the batch must end here,
-            # and every unexamined ranked pair joins the blocker via
-            # the next ranked count
+        syms.add(cat)
+        if terminal:
+            # everything unexamined joins the blocker via the next
+            # ranked count
             if idx + 1 < len(ranked):
                 blocker = max(blocker, ranked[idx + 1].n)
             break
@@ -449,6 +483,8 @@ def _train_chain_batched(
         "word", "cnt", _char_syms(F.col("word")).alias("syms")
     ).localCheckpoint(eager=True)
     merge_rows: list = []
+    learned: set = set()  # concat of every applied merge — the full
+    # multi-char symbol universe, fed to the collision guard
     while len(merge_rows) < n_merges:
         ranked = (
             _pair_counts(it)
@@ -456,12 +492,13 @@ def _train_chain_batched(
             .limit(BATCH_TOPK)
             .collect()
         )
-        batch = _select_batch(ranked, BATCH_TOPK)
+        batch = _select_batch(ranked, BATCH_TOPK, frozenset(learned))
         if not batch:
             break  # pair exhaustion — same truncation as sequential
         batch = batch[: n_merges - len(merge_rows)]
         for p in batch:
             merge_rows.append((len(merge_rows) + 1, p.a, p.b, p.n))
+            learned.add(p.a + p.b)
         it = it.select(
             "word",
             "cnt",

@@ -245,8 +245,22 @@ def lloyd_centroids(q: DataFrame) -> list:
     and iteration either). ``q`` is the checkpointed (vec_id, qv)
     micro-unit relation; init = the K_CLUSTERS lowest vec_ids'
     vectors; KMEANS_ITERS assign+recompute rounds. Returns the final
-    centroids (k×dims exact ints)."""
+    centroids (k'×dims exact ints).
+
+    Fewer rows than K_CLUSTERS (documented per r6 ADVICE): the model
+    simply has k' = n_rows centroids — every row seeds its own
+    cluster, iterations are no-ops on the seeds-as-rows case, and the
+    DuckDB oracle's cent0 CTE selects the same k' lowest vec_ids, so
+    both engines degrade identically. An EMPTY relation is a caller
+    error (no model is definable), raised explicitly instead of the
+    former opaque IndexError on cents[0]."""
     init = q.orderBy("vec_id").limit(K_CLUSTERS).collect()
+    if not init:
+        raise ValueError(
+            "lloyd_centroids: embeddings relation is empty — k-means "
+            "is undefined with zero vectors (callers: embed_kmeans, "
+            "dedup_semdedup)"
+        )
     cents = [list(r["qv"]) for r in init]
     dims = len(cents[0])
     for _ in range(KMEANS_ITERS):

@@ -1080,3 +1080,65 @@ def test_bpe_batched_trainer_bit_identical(spark, tmp_path):
             ref_merges, _ = _python_bpe(counts, N_MERGES)
             got = [(a, b, n) for (_s, a, b, n) in bat_table]
             assert got == ref_merges, f"{name}: batched != python ref"
+
+
+def test_select_batch_collision_guard():
+    """r6 ADVICE guard, pinned synthetically: a member whose concat
+    string equals an already-occupied symbol (a prior round's learned
+    merge, or an earlier member's symbol/concat) TERMINATES its batch
+    — its created occurrences would ADD to pre-existing pair counts,
+    voiding the created≤blocker bound for members after it. Natural
+    corpora reaching this are vanishingly rare (r7: 320k fuzz corpora
+    produced zero firings and zero unguarded divergences), so the
+    guard is pinned on constructed ranked lists, not a corpus."""
+    from collections import namedtuple
+
+    from gmt_dbt_spark.functions.tokenizer import BATCH_TOPK, _select_batch
+
+    P = namedtuple("P", "a b n")
+    # (x,y)'s concat "xy" collides with a PRIOR round's learned symbol
+    ranked = [P("x", "y", 9), P("c", "d", 7), P("e", "f", 5)]
+    got = _select_batch(ranked, BATCH_TOPK, frozenset({"xy"}))
+    assert got == [ranked[0]], "learned-collision must terminate the batch"
+    # same ranked list without the collision: full disjoint batch
+    # (floor = 0 because len(ranked) < saw_k)
+    assert _select_batch(ranked, BATCH_TOPK, frozenset()) == ranked
+    # the colliding member is still exact ITSELF (its count is
+    # untouched and earlier members' risers are blocker-bounded), so
+    # it is accepted and the batch ends AFTER it
+    ranked2 = [P("a", "b", 9), P("c", "d", 7), P("e", "f", 5)]
+    got2 = _select_batch(ranked2, BATCH_TOPK, frozenset({"cd"}))
+    assert got2 == ranked2[:2], (
+        "colliding member is accepted but terminates the batch"
+    )
+    # collision with an EARLIER MEMBER's concat, multi-char symbols:
+    # member 1 (ab,cd) creates "abcd"; member 2 (a,bcd)'s concat is
+    # the same string via a different split — double-contributed
+    # created occurrences, must terminate at member 2
+    ranked5 = [P("ab", "cd", 9), P("a", "bcd", 7), P("e", "f", 5)]
+    got5 = _select_batch(ranked5, BATCH_TOPK, frozenset())
+    assert got5 == ranked5[:2], (
+        "same-concat different-split member must end the batch"
+    )
+    # blocker strictness across the termination: the next ranked count
+    # becomes a blocker, so a would-be member at that count is trimmed
+    ranked3 = [P("a", "b", 9), P("c", "d", 7), P("e", "f", 7)]
+    got3 = _select_batch(ranked3, BATCH_TOPK, frozenset({"cd"}))
+    assert got3 == ranked3[:2] or got3 == ranked3[:1]
+    # self-pair termination unchanged by the new parameter
+    ranked4 = [P("p", "p", 9), P("c", "d", 7)]
+    assert _select_batch(ranked4, BATCH_TOPK, frozenset()) == ranked4[:1]
+
+
+def test_lloyd_centroids_empty_raises(spark):
+    """r6 ADVICE: lloyd_centroids on an EMPTY embeddings relation must
+    raise an explicit ValueError, not an opaque IndexError — it is
+    shared by two registered queries (embed_kmeans, dedup_semdedup).
+    Fewer-than-K behavior (k' = n_rows centroids, oracle-mirrored) is
+    documented in the docstring and already exercised by the tiny
+    adversarial corpus."""
+    from gmt_dbt_spark.operators.embeddings import lloyd_centroids
+
+    empty = spark.createDataFrame([], "vec_id bigint, qv array<bigint>")
+    with pytest.raises(ValueError, match="empty"):
+        lloyd_centroids(empty.localCheckpoint(eager=True))
