@@ -1038,13 +1038,46 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_TAU_SQ_X4 = 1225  # cos >= 0.35  ⇔  dot²·10⁴ ≥ 1225·‖a‖²·‖b‖²
 
+# Hot-cluster cap (r6 VERDICT item 3, the dedup_simhash house
+# pattern): a mode-collapsed embedder (a real production failure —
+# every vector lands near one point) assigns most of the corpus to
+# ONE cluster and the within-cluster self-join goes quadratic
+# SILENTLY. A cluster holding more than SEMDEDUP_CAP_X× its balanced
+# share (cnt·k > SEMDEDUP_CAP_X·n) is excluded from pruning and
+# COUNTED: `n_hot_clusters` rides every output row and an
+# always-present sentinel row, so the recall loss is audited, never
+# silent. 2× balanced share never fires on healthy assignments (the
+# fixtures measure ≤1.2× at every sf) and always fires on collapse
+# (one cluster ≳ half the corpus); it is relative, so it scales with
+# the production k ∝ corpus contract unchanged. The ABSOLUTE floor
+# (the SIMHASH_BUCKET_CAP constant) keeps the cap off tiny corpora:
+# the danger is absolute pair count, and a ≤64-row cluster costs
+# ≤2,016 pairs however disproportionate it is — so hot requires BOTH
+# disproportion and size.
+SEMDEDUP_CAP_X = 2
+SEMDEDUP_HOT_MIN = 64
+
 
 def _semdedup_oracle() -> str:
-    """Replay the full Lloyd chain (shared CTEs), then the
-    within-cluster pairwise cosine prune in exact integer
-    cross-multiplication — DECIMAL(38) keeps dot²·10⁴ ≤ ~4·10³¹ well
-    inside range at 64 micro-unit dims."""
+    """Replay the full Lloyd chain (shared CTEs), then the hot-cluster
+    cap, then the within-cluster pairwise cosine prune in exact
+    integer cross-multiplication — DECIMAL(38) keeps dot²·10⁴ ≤
+    ~4·10³¹ well inside range at 64 micro-unit dims."""
     return f"""{_kmeans_cte_chain()},
+csize AS (
+  SELECT cluster, COUNT(*) AS cnt FROM aF GROUP BY cluster
+),
+tot AS (SELECT COUNT(*) AS n FROM aF),
+hotc AS (
+  SELECT cluster FROM csize CROSS JOIN tot
+  WHERE cnt * {K_CLUSTERS} > {SEMDEDUP_CAP_X} * n
+    AND cnt > {SEMDEDUP_HOT_MIN}
+),
+caudit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hot_clusters FROM hotc),
+coldA AS (
+  SELECT aF.* FROM aF
+  ANTI JOIN hotc ON aF.cluster = hotc.cluster
+),
 n2 AS (
   SELECT vec_id, CAST(SUM(qv * qv) AS DECIMAL(38,0)) AS n2
   FROM cells GROUP BY vec_id
@@ -1052,8 +1085,8 @@ n2 AS (
 dots AS (
   SELECT a1.cluster, a1.vec_id AS id_a, a2.vec_id AS id_b,
          CAST(SUM(ca.qv * cb.qv) AS BIGINT) AS dot
-  FROM aF a1
-  JOIN aF a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+  FROM coldA a1
+  JOIN coldA a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
   JOIN cells ca ON ca.vec_id = a1.vec_id
   JOIN cells cb ON cb.vec_id = a2.vec_id AND ca.i = cb.i
   GROUP BY a1.cluster, a1.vec_id, a2.vec_id
@@ -1072,9 +1105,14 @@ SELECT CAST(cluster AS INTEGER) AS cluster,
        id_b AS drop_id,
        MIN(id_a) AS keep_id,
        CAST(COUNT(*) AS BIGINT) AS n_matches,
-       CAST(arg_min(dot, id_a) AS BIGINT) AS keep_dot
-FROM hits
-GROUP BY cluster, id_b
+       CAST(arg_min(dot, id_a) AS BIGINT) AS keep_dot,
+       n_hot_clusters
+FROM hits CROSS JOIN caudit
+GROUP BY cluster, id_b, n_hot_clusters
+UNION ALL
+SELECT CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), n_hot_clusters
+FROM caudit
 """
 
 
@@ -1108,7 +1146,17 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic term is per-cluster, never global (the paper runs
     k=50k on LAION; here k=K_CLUSTERS on the toy fixture). The
     assignment relation is checkpointed once and read by both join
-    sides; only (id, 64 bigints) rows shuffle."""
+    sides; only (id, 64 bigints) rows shuffle.
+
+    HOT-CLUSTER CAP (r7): a cluster over SEMDEDUP_CAP_X× its balanced
+    share AND over SEMDEDUP_HOT_MIN rows (the mode-collapsed-embedder
+    failure; the absolute floor keeps tiny-corpus skew out of scope —
+    a ≤64-row cluster costs ≤2,016 pairs regardless) is excluded from
+    the prune and audited — `n_hot_clusters` rides every row plus an
+    always-present sentinel row (NULL ids), so a capped corpus can
+    never silently report 'no duplicates'. The hot set is ≤ k rows,
+    broadcast; the cap bounds the self-join's largest key group at
+    SEMDEDUP_CAP_X·n/k rows no matter how skewed the embedder."""
     e = table(spark, sf_dir, "embeddings")
     q = e.select("vec_id", _micro_vec().alias("qv")).localCheckpoint(eager=True)
     cents = lloyd_centroids(q)
@@ -1126,13 +1174,26 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # read by both self-join sides
     )
-    a = final.select(
+    sizes = final.groupBy("cluster").agg(F.count(F.lit(1)).alias("cnt"))
+    total = final.agg(F.count(F.lit(1)).alias("n"))
+    hot = (
+        sizes.crossJoin(F.broadcast(total))
+        .filter(
+            (F.col("cnt") * K_CLUSTERS > SEMDEDUP_CAP_X * F.col("n"))
+            & (F.col("cnt") > SEMDEDUP_HOT_MIN)
+        )
+        .select("cluster")
+        .localCheckpoint(eager=True)  # ≤ k rows; read twice (audit + anti)
+    )
+    audit = hot.agg(F.count(F.lit(1)).alias("n_hot_clusters"))
+    cold = final.join(F.broadcast(hot), "cluster", "left_anti")
+    a = cold.select(
         "cluster",
         F.col("vec_id").alias("id_a"),
         F.col("qv").alias("qa"),
         F.col("n2").alias("na2"),
     )
-    b = final.select(
+    b = cold.select(
         "cluster",
         F.col("vec_id").alias("id_b"),
         F.col("qv").alias("qb"),
@@ -1167,11 +1228,26 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cluster", "id_a", "id_b", "dot")
     )
-    return hits.groupBy("cluster", F.col("id_b").alias("drop_id")).agg(
-        F.min("id_a").alias("keep_id"),
-        F.count(F.lit(1)).alias("n_matches"),
-        F.min_by("dot", "id_a").alias("keep_dot"),
+    out = (
+        hits.groupBy("cluster", F.col("id_b").alias("drop_id"))
+        .agg(
+            F.min("id_a").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min_by("dot", "id_a").alias("keep_dot"),
+        )
+        .crossJoin(F.broadcast(audit))
     )
+    # sentinel: the audit must be observable even when capping (or an
+    # empty prune) removes every pair — same rule as dedup_simhash
+    sentinel = audit.select(
+        F.lit(None).cast("int").alias("cluster"),
+        F.lit(None).cast("bigint").alias("drop_id"),
+        F.lit(None).cast("bigint").alias("keep_id"),
+        F.lit(None).cast("bigint").alias("n_matches"),
+        F.lit(None).cast("bigint").alias("keep_dot"),
+        "n_hot_clusters",
+    )
+    return out.unionByName(sentinel)
 
 
 MRL_QUERIES = 8

@@ -1199,3 +1199,60 @@ def test_semdedup_zero_vector_never_pairs(spark, adv_emb_dir):
     # if k-means put them in one cluster (it must — identical vectors
     # share a nearest centroid)
     assert any(r.keep_id == 5 and r.drop_id == 17 for r in rows), rows[:5]
+    # the r7 hot-cluster cap's ABSOLUTE floor, pinned on the tiny
+    # corpus: 40 rows can never have a hot cluster (≤40 < 64), even
+    # though natural seed-skew puts >50% in one cluster here
+    assert all(r.n_hot_clusters == 0 for r in rows), rows[:3]
+
+
+def test_semdedup_hot_cluster_cap_on_mode_collapse(spark, tmp_path):
+    """The r6 VERDICT item-3 failure, pinned: a mode-collapsed
+    embedder (every vector lands near one point — a real production
+    encoder failure) must NOT run the within-cluster prune quadratic
+    on the giant cluster. The collapsed cluster (~197 of 200 rows,
+    over both the 2× balanced share AND the 64-row floor) is capped
+    and AUDITED: n_hot_clusters=1 on every row plus the sentinel.
+    Planted NEGATIVE (forbidden rows): the exact-dup pair (50, 51)
+    sits INSIDE the collapsed cluster — it must NOT appear (the loss
+    is the audit's job, not silent pruning's). Planted POSITIVE: the
+    exact-dup pair (0, 1) sits in a small cold cluster — it MUST
+    still dedup (1 drops to 0). Full Spark↔DuckDB parity is asserted
+    on the same corpus, so the cap replay is value-hashed too."""
+    import random
+
+    rng = random.Random(20260815)
+    a_pt = [0.3] * 64
+    vecs = []
+    for i in range(200):
+        # collapse: everything near point A with tiny noise
+        vecs.append([round(v + rng.uniform(-0.01, 0.01), 4) for v in a_pt])
+    b_pt = [-0.4] * 64
+    vecs[0] = list(b_pt)  # cold-cluster seed + planted-positive keeper
+    vecs[1] = list(b_pt)  # exact dup of 0 — MUST drop to 0
+    c_pt = [0.4 if i % 2 == 0 else -0.4 for i in range(64)]
+    vecs[3] = list(c_pt)  # third seed, far away, alone
+    vecs[51] = list(vecs[50])  # exact dup INSIDE the collapsed mass
+    d = tmp_path / "mode_collapse"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": list(range(len(vecs))),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+                "label": [i % 10 for i in range(len(vecs))],
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    rows = all_queries()["dedup_semdedup"](spark, str(d)).collect()
+    assert all(r.n_hot_clusters == 1 for r in rows), rows[:3]
+    # planted negative: the in-collapse dup pair is capped, not pruned
+    assert not any(r.drop_id == 51 or r.keep_id == 51 for r in rows), [
+        r for r in rows if 51 in (r.drop_id, r.keep_id)
+    ]
+    # planted positive: the cold-cluster dup still dedups
+    assert any(r.keep_id == 0 and r.drop_id == 1 for r in rows), rows[:5]
+    # sentinel always present
+    assert any(r.drop_id is None for r in rows)
+    # and the whole surface value-hashes against the DuckDB replay
+    _assert_parity(spark, str(d), "embeddings", "dedup_semdedup")

@@ -1334,16 +1334,25 @@ def test_token_budget_checkpointed_rollup(spark):
 
 
 def test_semdedup_checkpointed_cluster_join(spark):
-    """dedup_semdedup (r6): clustering ran at checkpoint time, so the
-    final plan is the within-cluster prune only: the assignment RDD
-    read twice, ONE cluster-keyed join, and the per-drop aggregate
-    RIDES THE JOIN'S PARTITIONING (grouping keys start with the join
-    key — no third Exchange). No parquet scan survives."""
+    """dedup_semdedup (r6; r7 hot-cluster cap): clustering ran at
+    checkpoint time, so the plan is the within-cluster prune only:
+    the assignment RDD read twice plus the ≤k-row hot-cluster RDD
+    (2× broadcast anti = the cap, 2× the 1-row audit aggregate), ONE
+    cluster-keyed inner join, the per-drop aggregate RIDING THE
+    JOIN'S PARTITIONING (grouping keys start with the join key — no
+    extra Exchange beyond the two cluster hashes and the two
+    single-row audit aggs), one cross-broadcast audit attach, the
+    sentinel union. No parquet scan survives. At runtime on a
+    healthy corpus AQE goes further: the empty hot side ELIMINATES
+    both anti-joins and reuses one Exchange for both join sides."""
     tree = tree_of(plan_of(all_queries()["dedup_semdedup"](spark, SF_DIR)))
     assert tree.count("Scan parquet") == 0, tree
-    assert tree.count("Scan ExistingRDD") == 2, tree
-    assert tree.count("SortMergeJoin") + tree.count("BroadcastHashJoin") == 1, tree
-    assert tree.count("Exchange") - tree.count("BroadcastExchange") <= 2, tree
+    assert tree.count("Scan ExistingRDD") == 6, tree
+    assert tree.count("SortMergeJoin") == 1, tree
+    assert tree.count("BroadcastHashJoin") == 2, tree  # the anti cap
+    assert tree.count("BroadcastNestedLoopJoin") == 1, tree  # 1-row audit
+    assert tree.count("Union") == 1, tree  # sentinel
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") <= 4, tree
 
 
 def test_rare_token_ratio_two_pass_vocab_join(spark):
