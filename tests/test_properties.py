@@ -249,8 +249,17 @@ def test_phash_is_orientation_sensitive():
     """multimodal_phash_dedup's headline claim — the dHash pins image
     ORIENTATION (the order-free sum/histogram oracles can't) — must
     not be vacuous: a vertical flip of the decoded pixels has to
-    change the hash for (nearly) every fixture image. Pure-Python
-    mirror of the op's hash loop."""
+    change the hash for EVERY fixture image. Pure-Python mirror of
+    the op's hash loop.
+
+    r7 made the pin CLASS-COMPLETE: the 56 horizontal-gradient bits
+    alone were flip-sensitive on only 19/48 geometry classes (the
+    generator's rows are near-translates, so horizontal signs repeat
+    across rows except at mod-256 wraparounds), so bits 56..62 now
+    hash the vertical gradient signs down sampled column 0 — a row
+    flip reverses that comparison chain and survives only under an
+    anti-symmetric tie pattern. Measured: 48/48 classes AND 200/200
+    fixture images flip-sensitive, both asserted exactly."""
     import numpy as np
 
     from gmt_dbt_spark.operators.codecs import bmp_payload_for, parse_bmp
@@ -264,21 +273,23 @@ def test_phash_is_orientation_sensitive():
             for i in range(7):
                 if gray[ys[j], xs[i + 1]] > gray[ys[j], xs[i]]:
                     ph |= 1 << (j * 7 + i)
+        for j in range(7):
+            if gray[ys[j + 1], xs[0]] > gray[ys[j], xs[0]]:
+                ph |= 1 << (56 + j)
         return ph
 
-    changed = 0
+    changed_classes = 0
     for doc_id in range(0, 48):  # covers every (w, h) geometry class
         gray = parse_bmp(bmp_payload_for(doc_id)).astype(np.int64).sum(axis=2)
         if phash(gray) != phash(gray[::-1]):
-            changed += 1
-    # The generator's rows are near-translates (+39/row), so the
-    # horizontal gradient signs repeat across rows EXCEPT where a
-    # channel's mod-256 wraparound crosses between sampled columns —
-    # measured: 19 of the 48 geometry classes flip-sensitive. That is
-    # the honest strength of the orientation pin on this fixture: a
-    # parser flip bug breaks parity on ~40% of images (≈80 of 200),
-    # which the registered parity check cannot miss.
-    assert changed >= 15, f"flip changed only {changed}/48 hashes"
+            changed_classes += 1
+    assert changed_classes == 48, f"flip changed only {changed_classes}/48"
+    changed_imgs = 0
+    for doc_id in range(0, 200):  # the full registered fixture slice
+        gray = parse_bmp(bmp_payload_for(doc_id)).astype(np.int64).sum(axis=2)
+        if phash(gray) != phash(gray[::-1]):
+            changed_imgs += 1
+    assert changed_imgs == 200, f"flip changed only {changed_imgs}/200"
 
 
 # ---- canon_frame multiset property (the r6 ADVICE fix) -------------
