@@ -455,7 +455,8 @@ scored AS (
 )
 SELECT id_a, id_b, dot_mil, na2_mil, nb2_mil
 FROM scored
-WHERE dot_mil >= 0
+WHERE na2_mil > 0 AND nb2_mil > 0
+  AND dot_mil >= 0
   AND CAST(dot_mil AS HUGEINT) * dot_mil * 10000
       >= CAST(1225 AS HUGEINT) * na2_mil * nb2_mil
 """
@@ -527,7 +528,17 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("dot_mil", dot_mil)
         .filter(
-            (F.col("dot_mil") >= 0)
+            # zero-norm guard (r7 — found by the removal-gate planted
+            # sweep, the same hole r6 fixed in dedup_semdedup): cosine
+            # with a zero vector is UNDEFINED, not >= tau; without the
+            # guard the cross-multiplication degenerates to 0 >= 0 and
+            # an all-zero embedding (or one quantizing to all-zero)
+            # paired with every band-mate — 11 false pairs measured on
+            # the 40-vector adversarial corpus, with a GREEN mirrored
+            # oracle.
+            (F.col("na2_mil") > 0)
+            & (F.col("nb2_mil") > 0)
+            & (F.col("dot_mil") >= 0)
             & (
                 F.col("dot_mil").cast(dec) * F.col("dot_mil") * 10000
                 >= F.lit(1225).cast(dec) * F.col("na2_mil") * F.col("nb2_mil")

@@ -1205,6 +1205,25 @@ def test_semdedup_zero_vector_never_pairs(spark, adv_emb_dir):
     assert all(r.n_hot_clusters == 0 for r in rows), rows[:3]
 
 
+def test_embed_cosine_zero_vector_never_pairs(spark, adv_emb_dir):
+    """The r7 removal-gate sweep's REAL find (the exact hole r6 fixed
+    in dedup_semdedup, alive in dedup_embed_cosine with a GREEN
+    mirrored oracle): an all-zero embedding (vec 3) and a vector
+    quantizing to all-zero (vec 9, 1e-7 magnitudes) paired with every
+    band-mate — 21 false pairs measured — because the cosine gate's
+    cross-multiplication degenerates to 0 ≥ 0. Cosine with a zero
+    vector is undefined, not ≥ τ. Planted negative: neither may
+    appear in any pair. Planted positive: the exact-duplicate pair
+    (5, 17) must still pair with dot² = na2·nb2."""
+    from gmt_dbt_spark.registry import all_queries
+
+    rows = all_queries()["dedup_embed_cosine"](spark, adv_emb_dir).collect()
+    bad = [r for r in rows if {3, 9} & {r.id_a, r.id_b}]
+    assert not bad, bad[:5]
+    dup = [r for r in rows if (r.id_a, r.id_b) == (5, 17)]
+    assert dup and dup[0].dot_mil**2 == dup[0].na2_mil * dup[0].nb2_mil, dup
+
+
 def test_semdedup_hot_cluster_cap_on_mode_collapse(spark, tmp_path):
     """The r6 VERDICT item-3 failure, pinned: a mode-collapsed
     embedder (every vector lands near one point — a real production
