@@ -1,0 +1,585 @@
+"""Direct-semantics tests for every REMOVAL gate (r6 VERDICT item 2).
+
+Doctrine (r6, twice-proven; r7 found a third instance the moment this
+sweep was written — dedup_embed_cosine's zero-norm hole): a GREEN
+parity oracle proves the two engines AGREE, not that either is
+correct — a bug mirrored into the oracle stays green. Every operator
+that decides keep-vs-drop therefore needs at least one PLANTED
+POSITIVE (a document constructed so it MUST be flagged/dropped) and
+one PLANTED NEGATIVE (a clean document that must NEVER be flagged),
+with the expectation computed independently of the oracle SQL — by
+corpus construction and pure-Python arithmetic here, never by running
+the oracle.
+
+The sweep test at the bottom enumerates the registry: every query id
+matching the removal/dedup name pattern must be classified below, and
+every REMOVAL-classed gate must name at least one planted test that
+actually exists — so a future removal gate cannot ship without its
+planted evidence (it shows up in the registry, the sweep fails until
+it is classified and tested).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.registry import all_queries
+
+# --------------------------------------------------------------------
+# Gate classification. class "removal": the surface IS a keep/drop
+# decision (or the per-doc report a drop policy acts on) — planted
+# tests REQUIRED. class "pair": emits candidate/verified pairs or
+# cluster assignments consumed by a downstream keep/drop policy —
+# planted tests where construction is deterministic (identical
+# normalized content always pairs), otherwise documented coverage.
+# class "audit": reports duplication statistics, drops nothing.
+# Evidence tuples are (test module filename, test_name); the sweep
+# checks each named test exists in its file, so renames/deletions
+# fail loudly.
+# --------------------------------------------------------------------
+
+GATES = {
+    # --- removal: keep/drop surfaces ---------------------------------
+    "dedup_exact": {
+        "class": "removal",
+        "evidence": [("test_removal_gates", "test_dedup_exact_planted")],
+    },
+    "dedup_incremental": {
+        "class": "removal",
+        "evidence": [
+            ("test_removal_gates", "test_dedup_incremental_planted")
+        ],
+    },
+    "dedup_url_canonical": {
+        "class": "removal",
+        "evidence": [
+            ("test_removal_gates", "test_dedup_url_canonical_planted")
+        ],
+    },
+    "dedup_cross_corpus": {
+        "class": "removal",
+        "evidence": [
+            ("test_removal_gates", "test_decontamination_planted")
+        ],
+    },
+    "dedup_bloom": {
+        "class": "removal",
+        "evidence": [
+            ("test_removal_gates", "test_decontamination_planted")
+        ],
+    },
+    "pipeline_decontaminate": {
+        "class": "removal",
+        "evidence": [
+            ("test_removal_gates", "test_decontamination_planted")
+        ],
+    },
+    "text_dedup_lines": {
+        "class": "removal",
+        "evidence": [
+            ("test_removal_gates", "test_text_dedup_lines_planted")
+        ],
+    },
+    "pipeline_cluster_keep_best": {
+        "class": "removal",
+        "evidence": [
+            ("test_removal_gates", "test_cluster_keep_best_planted")
+        ],
+    },
+    "pipeline_dedup_cascade": {
+        "class": "removal",
+        "evidence": [
+            ("test_removal_gates", "test_dedup_cascade_planted")
+        ],
+    },
+    "multimodal_content_dedup": {
+        "class": "removal",
+        "evidence": [
+            (
+                "test_removal_gates",
+                "test_multimodal_content_dedup_reference",
+            )
+        ],
+    },
+    "stream_dedup": {
+        "class": "removal",
+        "evidence": [("test_removal_gates", "test_stream_dedup_planted")],
+    },
+    "dedup_semdedup": {
+        "class": "removal",
+        "evidence": [
+            (
+                "test_adversarial_corpus",
+                "test_semdedup_hot_cluster_cap_on_mode_collapse",
+            ),
+            (
+                "test_adversarial_corpus",
+                "test_semdedup_zero_vector_never_pairs",
+            ),
+        ],
+    },
+    # --- pair/assignment surfaces ------------------------------------
+    "dedup_fuzzy": {
+        "class": "pair",
+        "evidence": [
+            ("test_removal_gates", "test_fuzzy_pair_surfaces_planted")
+        ],
+    },
+    "dedup_ngram_jaccard": {
+        "class": "pair",
+        "evidence": [
+            ("test_removal_gates", "test_fuzzy_pair_surfaces_planted")
+        ],
+    },
+    "dedup_incremental_minhash": {
+        "class": "pair",
+        "evidence": [
+            (
+                "test_removal_gates",
+                "test_incremental_minhash_planted",
+            )
+        ],
+    },
+    "dedup_embed_cosine": {
+        "class": "pair",
+        "evidence": [
+            (
+                "test_adversarial_corpus",
+                "test_embed_cosine_zero_vector_never_pairs",
+            )
+        ],
+    },
+    "dedup_simhash": {
+        "class": "pair",
+        "evidence": [
+            (
+                "test_adversarial_corpus",
+                "test_simhash_bucket_cap_on_low_diversity_corpus",
+            )
+        ],
+    },
+    "multimodal_phash_dedup": {
+        "class": "pair",
+        # payloads are a deterministic per-doc_id generator (no two
+        # identical images exist to plant); the direct-semantics pin
+        # is the 48/48-class orientation-sensitivity property
+        "evidence": [
+            ("test_properties", "test_phash_is_orientation_sensitive")
+        ],
+    },
+    "dedup_fuzzy_ml": {
+        "class": "pair",
+        # pinned pairwise-identical to the custom MinHash pipeline
+        "evidence": [
+            ("test_llm_ops", "test_ml_and_custom_minhash_agree")
+        ],
+    },
+    "dedup_clusters": {
+        "class": "pair",
+        "evidence": [
+            ("test_removal_gates", "test_cluster_keep_best_planted")
+        ],
+    },
+    "dedup_clusters_star": {
+        "class": "pair",
+        "evidence": [
+            ("test_removal_gates", "test_cluster_keep_best_planted")
+        ],
+    },
+    # --- audits: report duplication, drop nothing --------------------
+    "dedup_recall_audit": {"class": "audit", "evidence": []},
+    "dedup_substring": {"class": "audit", "evidence": []},
+}
+
+
+def _is_gate_name(name: str) -> bool:
+    return "dedup" in name or "decontaminate" in name or "keep_best" in name
+
+
+def test_removal_gate_sweep():
+    """THE enforcement test: every registry id matching the gate name
+    pattern is classified in GATES, every removal-classed gate names
+    at least one planted test, and every named test exists. A new
+    dedup/decontamination operator cannot register without tripping
+    this until it is classified (and, if it removes, tested)."""
+    registry_gates = {n for n in all_queries() if _is_gate_name(n)}
+    assert registry_gates == set(GATES), (
+        f"unclassified gates: {registry_gates - set(GATES)}; "
+        f"stale entries: {set(GATES) - registry_gates}"
+    )
+    for name, meta in GATES.items():
+        assert meta["class"] in ("removal", "pair", "audit"), name
+        if meta["class"] == "removal":
+            assert meta["evidence"], f"{name}: removal gate with no planted test"
+        for mod_name, test_name in meta["evidence"]:
+            path = os.path.join(os.path.dirname(__file__), mod_name + ".py")
+            assert os.path.exists(path), f"{name}: {mod_name}.py missing"
+            with open(path) as f:
+                assert f"def {test_name}(" in f.read(), (
+                    f"{name}: {mod_name}.{test_name} missing"
+                )
+
+
+# --------------------------------------------------------------------
+# Corpus helpers
+# --------------------------------------------------------------------
+
+
+def _write_docs(tmp_path, name, rows):
+    """rows: list of (doc_id, text, lang, source)."""
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": [r[2] for r in rows],
+                "source": [r[3] for r in rows],
+                "n_chars": [len(r[1]) if r[1] is not None else 0 for r in rows],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+# --------------------------------------------------------------------
+# Planted tests
+# --------------------------------------------------------------------
+
+
+def test_dedup_exact_planted(spark, tmp_path):
+    """Planted positive: doc 1 (byte-identical to doc 0) must be
+    dropped. Planted negative: unique doc 2 must survive, as must the
+    first copy (keep-lowest-id)."""
+    d = _write_docs(
+        tmp_path,
+        "exact",
+        [
+            (0, "alpha beta gamma delta", "en", "srcx"),
+            (1, "alpha beta gamma delta", "en", "srcy"),
+            (2, "totally unrelated words here", "en", "srcx"),
+        ],
+    )
+    kept = {r.doc_id for r in all_queries()["dedup_exact"](spark, d).collect()}
+    assert kept == {0, 2}, kept
+
+
+def test_fuzzy_pair_surfaces_planted(spark, tmp_path):
+    """Planted positive for the MinHash pair surfaces: docs 0 and 1
+    differ as raw bytes (so exact dedup would MISS them) but normalize
+    to the identical token stream — identical shingle sets, identical
+    signatures, guaranteed band collision, n_inter == n_union, so the
+    pair passes ANY jaccard threshold deterministically (no banding
+    luck involved). Planted negative: doc 2 shares zero shingles with
+    anything and must appear in no pair — the verify is exact-set, so
+    this holds even under a band-hash collision."""
+    d = _write_docs(
+        tmp_path,
+        "fuzzy",
+        [
+            (0, "Alpha beta gamma delta epsilon zeta eta theta iota kappa",
+             "en", "srcx"),
+            (1, "alpha, beta GAMMA delta epsilon zeta eta theta iota kappa!!",
+             "en", "srcx"),
+            (2, "one two three four five six seven eight nine ten",
+             "en", "srcx"),
+        ],
+    )
+    qs = all_queries()
+    for name in ("dedup_fuzzy", "dedup_ngram_jaccard"):
+        rows = qs[name](spark, d).collect()
+        pair = [r for r in rows if (r.id_a, r.id_b) == (0, 1)]
+        assert pair, f"{name}: planted normalized-identical pair missing"
+        assert pair[0].n_inter == pair[0].n_union, f"{name}: {pair[0]}"
+        assert not [r for r in rows if 2 in (r.id_a, r.id_b)], name
+
+
+def test_decontamination_planted(spark, tmp_path):
+    """One corpus, three decontamination gates, with the PLANTED docs
+    chosen to prove each gate's distinct blind spot:
+
+    - doc 10 (train) hides the eval doc's full 8-gram MID-document
+      (prefix differs): `pipeline_decontaminate` MUST flag it;
+      `dedup_cross_corpus` (head fingerprint) must structurally MISS
+      it — asserting the miss pins WHY the windowed gate exists.
+    - doc 11 (train) shares the eval doc's first-5 tokens then
+      diverges: `dedup_cross_corpus` and `dedup_bloom` MUST flag it;
+      `pipeline_decontaminate` must NOT (no shared 8-gram).
+    - doc 12 (train, src8) shares nothing: flagged by NOBODY.
+
+    All counts below are derived by hand from the construction (12
+    tokens -> 5 sliding 8-grams, exactly one contaminated)."""
+    ev = "e1 e2 e3 e4 e5 e6 e7 e8"  # 8 tokens -> one 8-gram
+    d = _write_docs(
+        tmp_path,
+        "decon",
+        [
+            (1, ev, "en", "src0"),  # eval doc (src0..src4 = eval)
+            (10, "t1 t2 t3 e1 e2 e3 e4 e5 e6 e7 e8 t4", "en", "src9"),
+            (11, "e1 e2 e3 e4 e5 x1 x2 x3", "en", "src9"),
+            (12, "c1 c2 c3 c4 c5 c6 c7 c8 c9", "en", "src8"),
+        ],
+    )
+    qs = all_queries()
+
+    decon = {r.doc_id: r for r in qs["pipeline_decontaminate"](spark, d).collect()}
+    assert set(decon) == {10}, decon
+    assert decon[10].n_grams == 5, decon[10]       # 12 tokens -> 5 windows
+    assert decon[10].n_bad_grams == 1, decon[10]
+    assert decon[10].n_eval_docs == 1, decon[10]
+
+    cross = {r.doc_id: r for r in qs["dedup_cross_corpus"](spark, d).collect()}
+    assert set(cross) == {11}, cross               # head fp: misses 10
+    assert cross[11].n_eval_matches == 1, cross[11]
+
+    bloom = {r.source: r for r in qs["dedup_bloom"](spark, d).collect()}
+    assert bloom["src9"].n_docs == 2 and bloom["src9"].n_exact_hits == 1
+    assert bloom["src9"].no_false_neg and bloom["src9"].fpr_bounded
+    assert bloom["src8"].n_docs == 1 and bloom["src8"].n_exact_hits == 0
+    assert bloom["src8"].no_false_neg and bloom["src8"].fpr_bounded
+
+
+def test_text_dedup_lines_planted(spark, tmp_path):
+    """Planted positive: doc 1's first line (= doc 0's first line,
+    the duplicate) must be REMOVED from its rebuilt text — the
+    cleaned_md5 must equal md5 of doc 1's second line alone, computed
+    here with hashlib. Planted negative: doc 0 (first occurrence)
+    keeps both lines and its cleaned_md5 is the md5 of its full
+    token stream."""
+    la = " ".join(f"a{i}" for i in range(10))  # one 10-token line
+    lb = " ".join(f"b{i}" for i in range(10))
+    lc = " ".join(f"c{i}" for i in range(10))
+    d = _write_docs(
+        tmp_path,
+        "lines",
+        [(0, f"{la} {lb}", "en", "srcx"), (1, f"{la} {lc}", "en", "srcx")],
+    )
+    out = {r.doc_id: r for r in all_queries()["text_dedup_lines"](spark, d).collect()}
+    assert out[0].n_lines == 2 and out[0].n_kept == 2, out[0]
+    assert out[0].cleaned_md5 == hashlib.md5(
+        f"{la} {lb}".encode()
+    ).hexdigest(), out[0]
+    assert out[1].n_lines == 2 and out[1].n_kept == 1, out[1]
+    assert out[1].cleaned_md5 == hashlib.md5(lc.encode()).hexdigest(), out[1]
+
+
+def test_cluster_keep_best_planted(spark, tmp_path):
+    """Planted cluster: docs 10 and 11 share their first 5-token
+    window (an edge), doc 11 is longer -> the keep-best policy must
+    KEEP 11 and (implicitly) drop 10. Planted negative: singleton doc
+    12 must form its own cluster and be kept. The underlying label
+    assignments (dedup_clusters AND the star-contraction variant) are
+    asserted directly on the same corpus."""
+    shared = "k1 k2 k3 k4 k5"
+    t10 = f"{shared} a6 a7 a8 a9 a10"
+    t11 = f"{shared} b6 b7 b8 b9 b10 plus extra trailing words"
+    t12 = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"
+    d = _write_docs(
+        tmp_path,
+        "keepbest",
+        [(10, t10, "en", "srcx"), (11, t11, "en", "srcx"),
+         (12, t12, "en", "srcx")],
+    )
+    qs = all_queries()
+    for labeler in ("dedup_clusters", "dedup_clusters_star"):
+        labels = {r.doc_id: r.cluster_id for r in qs[labeler](spark, d).collect()}
+        assert labels == {10: 10, 11: 10, 12: 12}, (labeler, labels)
+    rows = {r.cluster_id: r for r in
+            qs["pipeline_cluster_keep_best"](spark, d).collect()}
+    assert set(rows) == {10, 12}, rows
+    assert rows[10].n_members == 2, rows[10]
+    assert rows[10].kept_doc_id == 11, rows[10]        # longest wins
+    assert rows[10].best_n_chars == len(t11), rows[10]
+    assert rows[12].n_members == 1 and rows[12].kept_doc_id == 12, rows[12]
+
+
+def test_dedup_cascade_planted(spark, tmp_path):
+    """Planted funnel, every count derived by hand:
+    - src a: doc 0 unique, doc 1 byte-identical to doc 0 (exact stage
+      MUST drop it), doc 2 = tokenwise copy of doc 3 but different raw
+      bytes (exact stage must NOT drop it; the 8-gram stage must flag
+      it contaminated).
+    - src b: doc 3 (the other half of the tokenwise pair, flagged),
+      doc 4 clean (planted negative: survives every stage)."""
+    x = "x1 x2 x3 x4 x5 x6 x7 x8 x9"
+    y_raw = "Y1, y2 y3 y4 y5 y6 y7 Y8!"   # normalizes to y1..y8
+    y_clean = "y1 y2 y3 y4 y5 y6 y7 y8"
+    z = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"
+    d = _write_docs(
+        tmp_path,
+        "cascade",
+        [
+            (0, x, "en", "srca"),
+            (1, x, "en", "srca"),
+            (2, y_raw, "en", "srca"),
+            (3, y_clean, "en", "srcb"),
+            (4, z, "en", "srcb"),
+        ],
+    )
+    rows = {r.source: r for r in
+            all_queries()["pipeline_dedup_cascade"](spark, d).collect()}
+    a, b = rows["srca"], rows["srcb"]
+    assert (a.n_docs, a.n_after_exact, a.n_contaminated, a.n_kept) == (3, 2, 1, 1), a
+    assert (b.n_docs, b.n_after_exact, b.n_contaminated, b.n_kept) == (2, 2, 1, 1), b
+
+
+def test_dedup_incremental_planted(spark, tmp_path):
+    """Planted against the fingerprint store (doc_id % 5 != 0 = the
+    accumulated corpus; % 5 == 0 = the new batch):
+    - batch doc 5 re-sends corpus doc 1's exact text: MUST be dropped
+      by the store probe (the planted positive);
+    - batch docs 10 and 15 are identical NEW content: within-batch
+      dedup keeps 10, drops 15;
+    - batch doc 20 is clean and new: MUST survive (planted negative)."""
+    d = _write_docs(
+        tmp_path,
+        "incr",
+        [
+            (1, "stored content one", "en", "srcx"),
+            (2, "stored content two", "en", "srcx"),
+            (5, "stored content one", "en", "srcx"),     # re-sent
+            (10, "brand new batch text", "en", "srcx"),
+            (15, "brand new batch text", "en", "srcx"),  # in-batch dup
+            (20, "clean unique newcomer", "en", "srcx"),
+        ],
+    )
+    survivors = {r.doc_id for r in
+                 all_queries()["dedup_incremental"](spark, d).collect()}
+    assert survivors == {10, 20}, survivors
+
+
+def test_incremental_minhash_planted(spark, tmp_path):
+    """Planted against the SIGNATURE store: batch doc 5 normalizes to
+    corpus doc 1's exact token stream -> identical 12-component
+    signature -> guaranteed band collision and n_match == 12 (the
+    planted positive, deterministic — no banding luck). Batch doc 10
+    shares no shingles with the corpus: no 8-of-12 component agreement
+    is possible without hash collisions, so it must emit no row."""
+    d = _write_docs(
+        tmp_path,
+        "incrmh",
+        [
+            (1, "Alpha beta gamma delta epsilon zeta", "en", "srcx"),
+            (2, "other stored corpus document text", "en", "srcx"),
+            (5, "alpha, beta GAMMA delta epsilon zeta!!", "en", "srcx"),
+            (10, "q1 q2 q3 q4 q5 q6 q7", "en", "srcx"),
+        ],
+    )
+    rows = all_queries()["dedup_incremental_minhash"](spark, d).collect()
+    hit = [r for r in rows if (r.batch_id, r.corpus_id) == (5, 1)]
+    assert hit and hit[0].n_match == 12, rows
+    assert not [r for r in rows if r.batch_id == 10], rows
+
+
+def test_dedup_url_canonical_planted(spark, tmp_path):
+    """Planted positive: docs 0 and 200 synthesize URLs differing ONLY
+    in utm_campaign presence (0%3==0 vs 200%3==2) and fragment (#frag0
+    vs #frag4) — canonicalization must collapse them (tracking params
+    and fragments are not content), electing MIN(doc_id)=0. The
+    expected canonical string is built by hand here. Planted negative:
+    doc 401 (unique path id 401%200=1) must not appear (no group >1)."""
+    d = _write_docs(
+        tmp_path,
+        "urls",
+        [
+            (0, "t", "en", "srcx"),
+            (200, "t", "en", "srcx"),
+            (401, "t", "en", "srcx"),
+        ],
+    )
+    rows = {r.canonical_url: r for r in
+            all_queries()["dedup_url_canonical"](spark, d).collect()}
+    want = "srcx.example.com/docs/0?lang=en"
+    assert set(rows) == {want}, rows
+    assert rows[want].n_urls == 2 and rows[want].canonical_doc == 0, rows[want]
+
+
+def test_stream_dedup_planted(spark, tmp_path):
+    """Planted positive: event_id 7 arrives twice — only the FIRST
+    occurrence (by ts, then user_id) survives; the later re-delivery
+    is dropped. Planted negative: unique event 8 passes through
+    untouched."""
+    import datetime as dt
+
+    d = tmp_path / "evdedup"
+    d.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (7, t0, 100, "click", 1.0, "{}"),
+        (7, t0 + dt.timedelta(minutes=5), 200, "click", 2.0, "{}"),
+        (8, t0 + dt.timedelta(minutes=1), 300, "view", 3.0, "{}"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+                "value": [r[4] for r in rows],
+                "props": [r[5] for r in rows],
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    out = {r.event_id: r for r in
+           all_queries()["stream_dedup"](spark, str(d)).collect()}
+    assert set(out) == {7, 8}, out
+    assert out[7].user_id == 100, out[7]  # the first arrival won
+    assert out[8].user_id == 300, out[8]
+
+
+def test_multimodal_content_dedup_reference(spark, tmp_path, monkeypatch):
+    """Two layers. (1) Full independent reference on the real blob
+    fixture: recompute the content-addressed grouping in pure Python
+    (hashlib md5 over the uppercase hex of each file's bytes — the
+    engine-neutral key both engines use) and require the query's
+    ENTIRE output to equal it. (2) The fixture happens to contain no
+    byte-identical pair, so the planted positive runs on a tmp blob
+    dir (module constant monkeypatched): two byte-identical files
+    under DIFFERENT names MUST collapse to one group electing the
+    lexicographic-min name; a unique blob must stay its own group."""
+    import gmt_dbt_spark.sources.files as files_mod
+
+    def reference(blob_dir):
+        expect: dict[str, list[str]] = {}
+        for fn in os.listdir(blob_dir):
+            if not fn.endswith(".bin"):
+                continue
+            with open(os.path.join(blob_dir, fn), "rb") as f:
+                key = hashlib.md5(f.read().hex().upper().encode()).hexdigest()
+            expect.setdefault(key, []).append(fn)
+        return {k: (len(v), min(v)) for k, v in expect.items()}
+
+    def run():
+        return {
+            r.content_key: (r.n_copies, r.canonical_file)
+            for r in all_queries()["multimodal_content_dedup"](
+                spark, ""
+            ).collect()
+        }
+
+    want = reference(files_mod._BLOBS)
+    assert want, "blob fixture dir is empty?"
+    assert run() == want
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    payload = bytes(range(64)) * 3
+    (d / "b_copy.bin").write_bytes(payload)
+    (d / "a_copy.bin").write_bytes(payload)  # identical bytes, min name
+    (d / "unique.bin").write_bytes(b"\x07" * 100)
+    monkeypatch.setattr(files_mod, "_BLOBS", str(d))
+    got = run()
+    assert got == reference(str(d))
+    dup_key = hashlib.md5(payload.hex().upper().encode()).hexdigest()
+    assert got[dup_key] == (2, "a_copy.bin"), got  # planted positive
+    assert sum(1 for n, _ in got.values() if n == 1) == 1  # planted negative
