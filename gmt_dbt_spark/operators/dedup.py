@@ -1051,6 +1051,129 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTR_REWRITE_N = 8  # same gram length as the dedup_substring audit
+
+_SUBSTR_REWRITE_ORACLE = f"""
+WITH t0 AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(regexp_replace(text,
+             '[^a-zA-Z0-9 ]', ' ', 'g'))), ' '), t -> t <> '') AS tk
+  FROM documents WHERE text IS NOT NULL
+),
+occ AS (
+  SELECT doc_id, CAST(g.i AS INTEGER) AS p,
+         md5(array_to_string(tk[g.i+1:g.i+{_SUBSTR_REWRITE_N}], ' ')) AS fp
+  FROM t0, LATERAL (SELECT unnest(range(len(tk) - {_SUBSTR_REWRITE_N - 1}))
+                    AS i) g
+  WHERE len(tk) >= {_SUBSTR_REWRITE_N}
+),
+m AS (
+  SELECT doc_id, p,
+         COUNT(*) OVER (PARTITION BY fp) AS n_occ,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, p) = 1 AS is_keeper
+  FROM occ
+),
+dp AS (
+  SELECT DISTINCT doc_id, p + CAST(j.i AS INTEGER) AS pos
+  FROM m, LATERAL (SELECT unnest(range({_SUBSTR_REWRITE_N})) AS i) j
+  WHERE n_occ >= 2 AND NOT is_keeper
+),
+ptok AS (
+  SELECT doc_id, CAST(g.i AS INTEGER) AS pos, tk[g.i+1] AS tok
+  FROM t0, LATERAL (SELECT unnest(range(len(tk))) AS i) g
+),
+reb AS (
+  SELECT ptok.doc_id,
+         CAST(COUNT(dp.pos) AS BIGINT) AS n_dropped,
+         md5(COALESCE(string_agg(CASE WHEN dp.pos IS NULL THEN ptok.tok END,
+                                 ' ' ORDER BY ptok.pos), '')) AS cleaned_md5
+  FROM ptok LEFT JOIN dp ON ptok.doc_id = dp.doc_id AND ptok.pos = dp.pos
+  GROUP BY ptok.doc_id
+)
+SELECT t0.doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       COALESCE(r.n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
+       COALESCE(r.cleaned_md5, md5('')) AS cleaned_md5
+FROM t0 LEFT JOIN reb r ON t0.doc_id = r.doc_id
+"""
+
+
+@query("dedup_substring_rewrite", oracle=_SUBSTR_REWRITE_ORACLE)
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2022's actual operation —
+    `dedup_substring` is the audit; this emits the REWRITTEN corpus):
+    every occurrence of a duplicated token-8-gram except the FIRST
+    ((doc_id, pos)-minimal — keep-first election, deterministic under
+    any partitioning) has its 8-token span dropped; overlapping
+    duplicated spans union naturally through the position set; each
+    doc is reassembled from its surviving tokens. Duplication counts
+    OCCURRENCES (within-doc repeats dedup too, per the paper), not
+    the audit's distinct-docs rule. Docs shorter than 8 tokens have
+    no grams and pass through verbatim (the paper's length floor).
+
+    Surface per doc: token count, dropped-token count, md5 of the
+    rebuilt text — the cleaned corpus itself is value-hashed (the
+    text_dedup_lines rewrite-and-rehash oracle pattern at gram
+    granularity), so the oracle can't be satisfied by counts alone.
+
+    Scale shape: grams stream out of the Generate-materialized token
+    frame scan-side and are crushed to 16-byte md5 keys immediately —
+    the keeper/occurrence-count decision is ONE fp-partitioned
+    exchange carrying (16 B fp, id, pos) with two window functions
+    sharing it; dropped positions aggregate per doc (collect_set —
+    the per-doc position set is bounded by doc length); the rebuild
+    joins the checkpointed token frame once. Document bodies never
+    shuffle — only fingerprints and integer positions."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # token array materialized ONCE behind a Generate barrier and
+    # checkpointed: the gram build and the rebuild both read it (the
+    # text_dedup_lines inlining-hazard pattern)
+    tok = docs.select(
+        "doc_id", F.explode(F.array(tokens_col(F.col("text")))).alias("__tk")
+    ).localCheckpoint(eager=True)
+    tk = F.col("__tk")
+    k = _SUBSTR_REWRITE_N
+    occ = tok.filter(F.size(tk) >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - k),
+                lambda p: F.md5(F.concat_ws(" ", F.slice(tk, p + 1, k))),
+            )
+        ).alias("p", "fp"),
+    )
+    wf = Window.partitionBy("fp")
+    marked = occ.select(
+        "doc_id",
+        "p",
+        F.count(F.lit(1)).over(wf).alias("n_occ"),
+        (
+            F.row_number().over(wf.orderBy("doc_id", "p")) == 1
+        ).alias("is_keeper"),
+    )
+    dp = (
+        marked.filter((F.col("n_occ") >= 2) & ~F.col("is_keeper"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + k - 1)).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("dp"))  # set = the span union
+    )
+    joined = tok.join(dp, "doc_id", "left").withColumn(
+        "dp", F.coalesce(F.col("dp"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(tk, lambda x, i: ~F.array_contains(F.col("dp"), i))
+    return joined.select(
+        "doc_id",
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        F.size("dp").cast("bigint").alias("n_dropped"),
+        F.md5(F.concat_ws(" ", kept)).alias("cleaned_md5"),
+    )
+
+
 @query(
     "text_containment_audit",
     oracle="""

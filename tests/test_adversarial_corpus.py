@@ -63,6 +63,10 @@ QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_substring",
+    # r7: the ExactSubstr REWRITE — empty-normalizing docs have no
+    # grams and must round-trip as md5('') on both engines; the
+    # repetition-heavy doc exercises overlapping within-doc spans
+    "dedup_substring_rewrite",
     "text_unigram_logprob",
     "pipeline_dedup_cascade",
     # store-probe incremental family (r3): NULL-text dropped on both

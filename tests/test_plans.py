@@ -1355,6 +1355,24 @@ def test_semdedup_checkpointed_cluster_join(spark):
     assert tree.count("Exchange") - tree.count("BroadcastExchange") <= 4, tree
 
 
+def test_substring_rewrite_one_fp_exchange(spark):
+    """dedup_substring_rewrite (r7): the token frame is checkpointed
+    (2 ExistingRDD reads — gram build + rebuild; no parquet rescan);
+    the keeper election and the occurrence count are TWO Window nodes
+    SHARING one fp-partitioned Exchange; the only other non-broadcast
+    exchange is the per-doc position aggregate. The rebuild join
+    carries (doc_id, positions) only — document bodies never
+    shuffle."""
+    tree = tree_of(plan_of(all_queries()["dedup_substring_rewrite"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 0, tree
+    assert tree.count("Scan ExistingRDD") == 2, tree
+    assert tree.count("Window") == 2, tree
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 2, tree
+    assert (
+        tree.count("SortMergeJoin") + tree.count("BroadcastHashJoin") == 1
+    ), tree
+
+
 def test_rare_token_ratio_two_pass_vocab_join(spark):
     """text_rare_token_ratio (r6): one parquet scan feeds both the
     vocab frequency aggregate and the stream side (Spark reuses the

@@ -192,6 +192,12 @@ GATES = {
             ("test_removal_gates", "test_cluster_keep_best_planted")
         ],
     },
+    "dedup_substring_rewrite": {
+        "class": "removal",
+        "evidence": [
+            ("test_removal_gates", "test_substring_rewrite_planted")
+        ],
+    },
     # --- audits: report duplication, drop nothing --------------------
     "dedup_recall_audit": {"class": "audit", "evidence": []},
     "dedup_substring": {"class": "audit", "evidence": []},
@@ -535,6 +541,43 @@ def test_stream_dedup_planted(spark, tmp_path):
     assert set(out) == {7, 8}, out
     assert out[7].user_id == 100, out[7]  # the first arrival won
     assert out[8].user_id == 300, out[8]
+
+
+def test_substring_rewrite_planted(spark, tmp_path):
+    """ExactSubstr removal, every expectation hand-derived:
+    - planted CROSS-DOC positive: doc 1 carries doc 0's 8-gram at
+      positions 2..9; doc 0 holds the (doc_id, pos)-minimal keeper
+      occurrence, so doc 1's span is dropped and its rebuilt text is
+      exactly its two leading tokens;
+    - planted WITHIN-DOC positive: doc 2 repeats its own 8-gram at
+      position 8; the second occurrence is dropped, rebuilt = the
+      first 8 tokens (the paper dedups within-doc repeats too);
+    - planted negatives: keeper doc 0 and clean doc 3 pass through
+      byte-identical (md5 of their own token stream); short doc 4
+      (< 8 tokens, no grams) passes verbatim."""
+    a = " ".join(f"a{i}" for i in range(8))
+    r = " ".join(f"r{i}" for i in range(8))
+    t0, t1 = f"{a} x1 x2", f"y1 y2 {a}"
+    t2, t3, t4 = f"{r} {r}", "c1 c2 c3 c4 c5 c6 c7 c8 c9", "s1 s2 s3"
+    d = _write_docs(
+        tmp_path,
+        "substr_rw",
+        [(0, t0, "en", "srcx"), (1, t1, "en", "srcx"), (2, t2, "en", "srcx"),
+         (3, t3, "en", "srcx"), (4, t4, "en", "srcx")],
+    )
+    out = {r_.doc_id: r_ for r_ in
+           all_queries()["dedup_substring_rewrite"](spark, d).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert (out[0].n_tokens, out[0].n_dropped) == (10, 0), out[0]
+    assert out[0].cleaned_md5 == md5(t0), out[0]
+    assert (out[1].n_tokens, out[1].n_dropped) == (10, 8), out[1]
+    assert out[1].cleaned_md5 == md5("y1 y2"), out[1]
+    assert (out[2].n_tokens, out[2].n_dropped) == (16, 8), out[2]
+    assert out[2].cleaned_md5 == md5(r), out[2]
+    assert (out[3].n_tokens, out[3].n_dropped) == (9, 0), out[3]
+    assert out[3].cleaned_md5 == md5(t3), out[3]
+    assert (out[4].n_tokens, out[4].n_dropped) == (3, 0), out[4]
+    assert out[4].cleaned_md5 == md5(t4), out[4]
 
 
 def test_multimodal_content_dedup_reference(spark, tmp_path, monkeypatch):
