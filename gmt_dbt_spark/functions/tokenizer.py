@@ -505,3 +505,459 @@ def _train_chain_batched(
             _merge_syms_multi(F.col("syms"), batch).alias("syms"),
         ).localCheckpoint(eager=True)
     return merge_rows, it
+
+
+# =====================================================================
+# Unigram-LM tokenizer TRAINING (r7) — the SentencePiece sibling of
+# the BPE trainer above (Kudo 2018, "Subword Regularization": seed a
+# large substring vocabulary, alternate segmentation and re-estimation,
+# prune to a target size). The production algorithm's EM is soft
+# (forward-backward expected counts); this trainer runs HARD EM
+# (Viterbi segmentation → usage counts → re-score → prune → re-segment)
+# so every quantity is an exact integer and all three implementations
+# — the Spark plan, the DuckDB replay oracle, and the pure-Python
+# reference in tests — are bit-identical by construction.
+#
+# Exactness contract: piece scores are FIXED-POINT log2 in units of
+# 1/UNI_LOG_SCALE, computed from integer counts only —
+#   ilog2(x) = UNI_LOG_SCALE·(bl−1) + ((x − 2^(bl−1))·UNI_LOG_SCALE)
+#              div 2^(bl−1),    bl = bit_length(x)
+# (monotone piecewise-linear log2; engine-neutral because it is pure
+# integer arithmetic — DuckDB derives bl via length(bin(x))). A
+# segmentation's score is the SUM of its pieces' scores; the Viterbi
+# argmax and its tie-breaks (higher score, then LONGER piece — struct
+# (score, back) max, field-order comparison on all three engines) are
+# therefore exact, with no float log anywhere.
+#
+# Scale shape: like BPE, training never iterates the corpus — ONE scan
+# builds the word-count relation; seeding is a substring aggregate over
+# it (Heaps-bounded); each E-step is one distributed Viterbi pass over
+# the words (a JVM fold per word, vocab shipped as a ≤(chars+SEED)-entry
+# map literal — at a production 1M-piece vocab the literal becomes a
+# broadcast join on the piece column, same plan); the M-step and prune
+# touch only the ≤vocab-sized count table on the driver (model, not
+# data — the lloyd_centroids/BPE-argmax convention).
+# =====================================================================
+
+UNI_MAXLEN = 4       # max candidate piece length (chars)
+UNI_SEED_MULTI = 96  # seed vocabulary: top-K multi-char substrings
+UNI_TARGET_MULTI = 24  # post-prune multi-char pieces (+ all chars)
+UNI_LOG_SCALE = 4096   # fixed-point log2 resolution
+
+
+def _uni_ilog2(x: int) -> int:
+    """Integer fixed-point log2 (see the contract above); x >= 1."""
+    f = x.bit_length() - 1
+    return UNI_LOG_SCALE * f + ((x - (1 << f)) * UNI_LOG_SCALE) // (1 << f)
+
+
+def _uni_scores(counts: dict) -> dict:
+    """piece → fixed-point log2(c/total), all-integer."""
+    tot = sum(counts.values())
+    lt = _uni_ilog2(tot)
+    return {p: _uni_ilog2(c) - lt for p, c in counts.items()}
+
+
+def _uni_wc(docs: DataFrame) -> DataFrame:
+    """(word, cnt) — the one corpus scan, checkpointed (every E-step
+    and the seed aggregate re-read it)."""
+    return (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _uni_sub_fn(l: int):
+    """Closure factory: the HOF lambda must be exactly 1-ary (pyspark
+    derives lambda arity from the Python signature — a default arg
+    would make transform pass (element, index))."""
+
+    def sub(i):
+        return F.substr(F.col("word"), i, F.lit(l))
+
+    return sub
+
+
+def _uni_seed(wc: DataFrame) -> tuple[dict, dict]:
+    """Seed vocabulary: (all single chars, top-UNI_SEED_MULTI
+    multi-char substrings by (count desc, piece asc)), counts weighted
+    by word frequency, overlapping occurrences counted. Both collects
+    are model-sized (≤ alphabet, ≤ UNI_SEED_MULTI rows)."""
+    subs = None
+    for l in range(1, UNI_MAXLEN + 1):
+        s = wc.filter(F.length("word") >= l).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - l + 1),
+                    _uni_sub_fn(l),
+                )
+            ).alias("piece"),
+            "cnt",
+        )
+        subs = s if subs is None else subs.unionByName(s)
+    agg = subs.groupBy("piece").agg(F.sum("cnt").alias("c"))
+    chars = {
+        r["piece"]: int(r["c"])
+        for r in agg.filter(F.length("piece") == 1).collect()
+    }
+    multi = {
+        r["piece"]: int(r["c"])
+        for r in agg.filter(F.length("piece") > 1)
+        .orderBy(F.desc("c"), F.asc("piece"))
+        .limit(UNI_SEED_MULTI)
+        .collect()
+    }
+    return chars, multi
+
+
+def _uni_vmap(scores: dict):
+    """The vocabulary as a map literal (piece → fixed-point score),
+    sorted for plan stability."""
+    items = []
+    for p in sorted(scores):
+        items.append(F.lit(p))
+        items.append(F.lit(scores[p]).cast("bigint"))
+    return F.create_map(*items)
+
+
+def _uni_dp(word, vmap):
+    """Viterbi forward pass as ONE JVM fold over character positions:
+    dp[j] = (best score to j, matched piece length, matched piece).
+    Candidates are the ≤UNI_MAXLEN vocabulary pieces ending at j;
+    array_max's struct comparison (score, back, piece) breaks score
+    ties toward the LONGER piece (back is its length). try_element_at:
+    ANSI element_at throws on missing map keys."""
+    n = F.length(word)
+
+    def dp_step(acc, j):
+        cands = []
+        for l in range(1, UNI_MAXLEN + 1):
+            piece = F.substr(word, j - l + 1, F.lit(l))
+            s = F.try_element_at(vmap, piece)
+            prev = F.element_at(acc, j - l + 1)
+            cands.append(
+                F.when(
+                    (j >= l) & s.isNotNull(),
+                    F.struct(
+                        (prev.getField("score") + s).alias("score"),
+                        F.lit(l).alias("back"),
+                        piece.alias("piece"),
+                    ),
+                )
+            )
+        carr = F.filter(F.array(*cands), lambda c: c.isNotNull())
+        return F.concat(acc, F.array(F.array_max(carr)))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.array(
+            F.struct(
+                F.lit(0).cast("bigint").alias("score"),
+                F.lit(0).alias("back"),
+                F.lit("").alias("piece"),
+            )
+        ),
+        dp_step,
+    )
+
+
+def _uni_backtrack(dp):
+    """Follow the back pointers from the last cell; ≤n iterations.
+    Reads ONLY the dp column (the cells carry their matched piece), so
+    no second corpus column is captured inside the fold."""
+    n = F.size(dp) - 1
+
+    def bt_step(acc, _):
+        j = acc.getField("j")
+        cell = F.element_at(dp, j + 1)
+        return F.when(
+            j > 0,
+            F.struct(
+                (j - cell.getField("back")).alias("j"),
+                F.concat(
+                    acc.getField("ps"), F.array(cell.getField("piece"))
+                ).alias("ps"),
+            ),
+        ).otherwise(acc)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        F.struct(
+            n.cast("int").alias("j"),
+            F.array().cast("array<string>").alias("ps"),
+        ),
+        bt_step,
+    ).getField("ps")
+
+
+def _uni_seg_frame(wc: DataFrame, scores: dict) -> DataFrame:
+    """(word, cnt, ps): Viterbi segmentation of every word under
+    `scores`. The dp array goes behind a Generate barrier (explode of
+    a 1-element array) so the backtrack's per-iteration references
+    read ONE materialized column instead of re-inlining the whole
+    forward pass (the text_dedup_lines inlining-hazard pattern)."""
+    seg = wc.select(
+        "word",
+        "cnt",
+        F.explode(F.array(_uni_dp(F.col("word"), _uni_vmap(scores)))).alias(
+            "__dp"
+        ),
+    )
+    return seg.select("word", "cnt", _uni_backtrack(F.col("__dp")).alias("ps"))
+
+
+def _uni_estep_counts(wc: DataFrame, scores: dict) -> dict:
+    """Hard-EM E-step: piece usage counts under the Viterbi
+    segmentation (≤vocab rows collect — the model, not the data)."""
+    rows = (
+        _uni_seg_frame(wc, scores)
+        .select("cnt", F.explode("ps").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("c"))
+        .collect()
+    )
+    return {r["piece"]: int(r["c"]) for r in rows}
+
+
+def _uni_train(docs: DataFrame) -> tuple[list, dict, DataFrame]:
+    """Two-E-step hard-EM train: seed → E1 → prune (keep all chars at
+    count ≥ 1, top-UNI_TARGET_MULTI used multi-char pieces) → rescore
+    → E2. Returns (sorted (piece, n_uses, score) rows, final scores,
+    the checkpointed word-count relation)."""
+    wc = _uni_wc(docs)
+    chars, multi = _uni_seed(wc)
+    if not chars:
+        return [], {}, wc  # empty corpus — no vocabulary is definable
+    s0 = _uni_scores({**chars, **multi})
+    c1 = _uni_estep_counts(wc, s0)
+    chars1 = {p: max(c1.get(p, 0), 1) for p in chars}
+    multi1 = dict(
+        sorted(
+            ((p, c1[p]) for p in multi if c1.get(p, 0) >= 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:UNI_TARGET_MULTI]
+    )
+    s1 = _uni_scores({**chars1, **multi1})
+    c2 = _uni_estep_counts(wc, s1)
+    rows = sorted((p, c2.get(p, 0), s1[p]) for p in s1)
+    return rows, s1, wc
+
+
+def _uni_ilog2_sql(x: str) -> str:
+    """The ilog2 contract as a DuckDB integer expression (bl via
+    length(bin(x)) — x must be BIGINT)."""
+    f = f"(length(bin({x})) - 1)"
+    return (
+        f"({UNI_LOG_SCALE} * {f} + (({x} - (CAST(1 AS BIGINT) << {f}))"
+        f" * {UNI_LOG_SCALE}) // (CAST(1 AS BIGINT) << {f}))"
+    )
+
+
+def _uni_estep_sql(mp: str, seg: str, src: str = "t0w") -> str:
+    """seg CTE: (word, cnt, ps VARCHAR[]) under map CTE `mp`.
+
+    The Viterbi DP runs as a BREADTH-FIRST RECURSIVE CTE over word
+    positions (one row per word per position), NOT as nested
+    list_reduce lambdas: DuckDB 1.0 row-misaligns outer-column
+    captures across nested lambdas in one SELECT (measured while
+    building this: adding an unrelated projection CHANGES the result;
+    a MATERIALIZED-CTE variant segfaults outright). The recursion
+    carries a sliding UNI_MAXLEN-cell window of dp scores and best
+    paths, so the step needs no lambda at all — candidates are a
+    literal struct list into list_max (which ignores NULLs and
+    compares (score, back) in field order, so ties prefer the LONGER
+    piece exactly like the Spark array_max and the Python
+    reference)."""
+
+    def cand(l: int) -> str:
+        lu = (
+            f"map_extract({mp}.mp, substr(word, CAST(j + 2 - {l} AS INT),"
+            f" {l}))"
+        )
+        return (
+            f"CASE WHEN sc{l - 1} IS NOT NULL AND len({lu}) > 0 THEN"
+            f" {{'score': sc{l - 1} + ({lu})[1],"
+            f" 'back': CAST({l} AS INTEGER)}} END"
+        )
+
+    cands = ",\n        ".join(cand(l) for l in range(1, UNI_MAXLEN + 1))
+    paths = " ".join(
+        f"WHEN {l} THEN pa{l - 1}" for l in range(1, UNI_MAXLEN + 1)
+    )
+    return f"""{seg}r AS (
+  SELECT word, cnt, 0 AS j,
+         CAST(0 AS BIGINT) AS sc0, CAST(NULL AS BIGINT) AS sc1,
+         CAST(NULL AS BIGINT) AS sc2, CAST(NULL AS BIGINT) AS sc3,
+         CAST([] AS VARCHAR[]) AS pa0, CAST(NULL AS VARCHAR[]) AS pa1,
+         CAST(NULL AS VARCHAR[]) AS pa2, CAST(NULL AS VARCHAR[]) AS pa3
+  FROM {src}
+  UNION ALL
+  SELECT word, cnt, j + 1,
+         best.score, sc0, sc1, sc2,
+         (CASE best.back {paths} END)
+           || [substr(word, CAST(j + 2 - best.back AS INT),
+                      CAST(best.back AS INT))],
+         pa0, pa1, pa2
+  FROM (
+    SELECT word, cnt, j, sc0, sc1, sc2, sc3, pa0, pa1, pa2, pa3,
+      list_max([
+        {cands}
+      ]) AS best
+    FROM {seg}r CROSS JOIN {mp}
+    WHERE j < length(word)
+  ) z
+),
+{seg} AS (
+  SELECT word, cnt, pa0 AS ps FROM {seg}r WHERE j = length(word)
+)"""
+
+
+def _uni_with_clause() -> str:
+    """The full training replay as CTEs: seed → s0/m0 → E1 → prune →
+    s1/m1 → E2 — generated from the same constants the Spark trainer
+    uses (the generate-from-constants rule)."""
+    return f"""WITH RECURSIVE t0w AS (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents) GROUP BY 1
+),
+sub AS (
+  SELECT substr(word, CAST(i.i + 1 AS INT), CAST(l.l AS INT)) AS piece,
+         CAST(SUM(cnt) AS BIGINT) AS c
+  FROM t0w,
+       LATERAL (SELECT unnest(range(1, {UNI_MAXLEN} + 1)) AS l) l,
+       LATERAL (SELECT unnest(range(length(word) - CAST(l.l AS INT) + 1))
+                AS i) i
+  GROUP BY 1
+),
+chars0 AS (SELECT piece, c FROM sub WHERE length(piece) = 1),
+multi0 AS (
+  SELECT piece, c FROM (
+    SELECT piece, c, ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS rn
+    FROM sub WHERE length(piece) > 1) z
+  WHERE rn <= {UNI_SEED_MULTI}
+),
+v0 AS (SELECT * FROM chars0 UNION ALL SELECT * FROM multi0),
+tot0 AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM v0),
+s0 AS (SELECT piece,
+              CAST({_uni_ilog2_sql('c')} - {_uni_ilog2_sql('t')} AS BIGINT)
+                AS s
+       FROM v0 CROSS JOIN tot0),
+m0 AS (SELECT map(list(piece ORDER BY piece), list(s ORDER BY piece)) AS mp
+       FROM s0),
+{_uni_estep_sql('m0', 'e1')},
+c1 AS (SELECT u.piece, CAST(SUM(cnt) AS BIGINT) AS c
+       FROM e1, LATERAL (SELECT unnest(ps) AS piece) u GROUP BY 1),
+chars1 AS (
+  SELECT v.piece, GREATEST(COALESCE(c1.c, 0), 1) AS c
+  FROM chars0 v LEFT JOIN c1 ON v.piece = c1.piece
+),
+multi1 AS (
+  SELECT piece, c FROM (
+    SELECT c1.piece, c1.c,
+           ROW_NUMBER() OVER (ORDER BY c1.c DESC, c1.piece) AS rn
+    FROM c1 JOIN multi0 USING (piece)) z
+  WHERE rn <= {UNI_TARGET_MULTI}
+),
+v1 AS (SELECT * FROM chars1 UNION ALL SELECT * FROM multi1),
+tot1 AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM v1),
+s1 AS (SELECT piece,
+              CAST({_uni_ilog2_sql('c')} - {_uni_ilog2_sql('t')} AS BIGINT)
+                AS s
+       FROM v1 CROSS JOIN tot1),
+m1 AS (SELECT map(list(piece ORDER BY piece), list(s ORDER BY piece)) AS mp
+       FROM s1),
+{_uni_estep_sql('m1', 'e2')},
+c2 AS (SELECT u.piece, CAST(SUM(cnt) AS BIGINT) AS c
+       FROM e2, LATERAL (SELECT unnest(ps) AS piece) u GROUP BY 1)"""
+
+
+_UNI_TRAIN_ORACLE = (
+    _uni_with_clause()
+    + """
+SELECT s1.piece, COALESCE(c2.c, CAST(0 AS BIGINT)) AS n_uses, s1.s AS score
+FROM s1 LEFT JOIN c2 ON s1.piece = c2.piece
+"""
+)
+
+
+@query("text_unigram_train", oracle=_UNI_TRAIN_ORACLE)
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a unigram-LM (SentencePiece-style) tokenizer over
+    `documents` — the second of the two dominant subword algorithms
+    (the BPE trainer above is the other): seed all ≤UNI_MAXLEN-char
+    substrings, hard-EM (Viterbi segment → usage counts), prune to
+    all single chars + the top UNI_TARGET_MULTI used multi-char
+    pieces, re-score, re-segment. Surface = the trained piece table
+    (piece, final usage count, fixed-point log2 score) — what a
+    tokenizer runtime loads. NOT the same surface as
+    `text_unigram_logprob` (a word-level LM quality score); this
+    learns SUBWORD units.
+
+    Exactness: all-integer fixed-point log2 scores (module contract
+    above) — DuckDB replays seeding, both E-steps (Viterbi as a
+    breadth-first recursive CTE), the prune, and the scores
+    bit-exactly, and tests pin the trainer against a pure-Python
+    reference on randomized corpora (the BPE evidence standard).
+
+    Scale shape: ONE corpus scan (the checkpointed word-count
+    relation); seeding is a Heaps-bounded substring aggregate; each
+    E-step is one distributed fold pass over words with the vocab as
+    a map literal (→ broadcast join at production vocab sizes); the
+    driver only ever holds ≤vocab-sized count tables."""
+    docs = table(spark, sf_dir, "documents")
+    rows, _, _ = _uni_train(docs)
+    return spark.createDataFrame(
+        rows, "piece string, n_uses bigint, score bigint"
+    )
+
+
+_UNI_ENCODE_ORACLE = (
+    _uni_with_clause()
+    + f""",
+wp AS (SELECT word, CAST(len(ps) AS BIGINT) AS n_pieces FROM e2),
+tokc AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS word FROM documents
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wp.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(MAX(wp.n_pieces) AS INTEGER) AS max_word_pieces
+FROM tokc t JOIN wp USING (word)
+GROUP BY t.doc_id
+"""
+)
+
+
+@query("text_unigram_encode", oracle=_UNI_ENCODE_ORACLE)
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained unigram tokenizer to the corpus: per-doc word
+    count, total piece budget, and worst single-word fragmentation —
+    the `text_bpe_encode` surface for the unigram algorithm, so the
+    two tokenizer families are directly comparable on the same corpus.
+    Encoding re-reads the final segmentation relation (ONE distinct-
+    word Viterbi pass) and joins it to the token stream — per-doc cost
+    is a fingerprint-sized equi-join, never a re-train."""
+    docs = table(spark, sf_dir, "documents")
+    _, s1, wc = _uni_train(docs)
+    if not s1:
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_words bigint, n_pieces bigint, "
+            "max_word_pieces int"
+        )
+    wp = _uni_seg_frame(wc, s1).select(
+        "word", F.size("ps").cast("bigint").alias("n_pieces")
+    )
+    words = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("word")
+    )
+    return (
+        words.join(wp, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.max("n_pieces").cast("int").alias("max_word_pieces"),
+        )
+    )

@@ -96,6 +96,12 @@ QUERIES = [
     # ...and encode must keep working when training exhausted: the
     # left-join chain preserves the vocab, so per-doc budgets agree
     "text_bpe_encode",
+    # r7: the unigram-LM trainer family — hostile unicode words
+    # exercise char-based substr on multibyte chars through seeding,
+    # both Viterbi E-steps (Spark fold vs DuckDB recursive CTE), the
+    # prune, and the fixed-point score arithmetic
+    "text_unigram_train",
+    "text_unigram_encode",
     # r5: readability — sentence runs counted on RAW text (hostile
     # punctuation-only docs have sentences but zero tokens → dropped
     # by the n_words gate on both engines), vowel groups on the

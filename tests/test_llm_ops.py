@@ -1142,3 +1142,138 @@ def test_lloyd_centroids_empty_raises(spark):
     empty = spark.createDataFrame([], "vec_id bigint, qv array<bigint>")
     with pytest.raises(ValueError, match="empty"):
         lloyd_centroids(empty.localCheckpoint(eager=True))
+
+
+# ---- unigram-LM trainer (r7): pure-Python reference pin ------------
+
+
+def _python_unigram(word_counts):
+    """Pure-Python reference of the unigram hard-EM trainer — an
+    INDEPENDENT implementation of the tokenizer.py contract (same
+    constants, reimplemented arithmetic), the BPE evidence standard."""
+    from gmt_dbt_spark.functions.tokenizer import (
+        UNI_MAXLEN,
+        UNI_SEED_MULTI,
+        UNI_TARGET_MULTI,
+        UNI_LOG_SCALE,
+    )
+
+    def ilog2(x):
+        f = x.bit_length() - 1
+        return UNI_LOG_SCALE * f + ((x - (1 << f)) * UNI_LOG_SCALE) // (1 << f)
+
+    def scores_of(counts):
+        tot = sum(counts.values())
+        return {p: ilog2(c) - ilog2(tot) for p, c in counts.items()}
+
+    def segment(word, scores):
+        dp = [(0, 0)]
+        for j in range(1, len(word) + 1):
+            cands = []
+            for l in range(1, min(UNI_MAXLEN, j) + 1):
+                piece = word[j - l : j]
+                if piece in scores:
+                    cands.append((dp[j - l][0] + scores[piece], l))
+            dp.append(max(cands))  # ties -> longer piece
+        out, j = [], len(word)
+        while j > 0:
+            l = dp[j][1]
+            out.append(word[j - l : j])
+            j -= l
+        return out[::-1]
+
+    sub = {}
+    for w, c in word_counts.items():
+        for l in range(1, UNI_MAXLEN + 1):
+            for i in range(len(w) - l + 1):
+                sub[w[i : i + l]] = sub.get(w[i : i + l], 0) + c
+    chars = {p: c for p, c in sub.items() if len(p) == 1}
+    multi = dict(
+        sorted(
+            ((p, c) for p, c in sub.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:UNI_SEED_MULTI]
+    )
+    if not chars:
+        return [], {}
+    s0 = scores_of({**chars, **multi})
+    c1 = {}
+    for w, c in word_counts.items():
+        for p in segment(w, s0):
+            c1[p] = c1.get(p, 0) + c
+    chars1 = {p: max(c1.get(p, 0), 1) for p in chars}
+    multi1 = dict(
+        sorted(
+            ((p, c1[p]) for p in multi if c1.get(p, 0) >= 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:UNI_TARGET_MULTI]
+    )
+    s1 = scores_of({**chars1, **multi1})
+    c2 = {}
+    segs = {}
+    for w, c in word_counts.items():
+        segs[w] = segment(w, s1)
+        for p in segs[w]:
+            c2[p] = c2.get(p, 0) + c
+    return sorted((p, c2.get(p, 0), s1[p]) for p in s1), segs
+
+
+def test_unigram_train_matches_python_reference_randomized(spark, tmp_path):
+    """Randomized algorithm pin (the BPE standard applied to the
+    unigram trainer): seeded corpora over two alphabets — the Spark
+    trainer's full piece table (piece, n_uses, score) AND the encode
+    budgets must equal the pure-Python reference exactly. The 2-letter
+    alphabet stresses overlapping-substring seeds and score ties; the
+    4-letter one stresses the prune cut."""
+    import random
+
+    from gmt_dbt_spark.registry import all_queries
+
+    qs = all_queries()
+    for seed in range(6):
+        rng = random.Random(5000 + seed)
+        alpha = "ab" if seed % 2 == 0 else "abcd"
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+            for _ in range(rng.randint(4, 30))
+        ]
+        counts = {}
+        for w in words:
+            counts[w] = counts.get(w, 0) + 1
+        ref_rows, ref_segs = _python_unigram(counts)
+
+        d = _write_docs(tmp_path, f"uni_rand_{seed}", words)
+        got = sorted(
+            (r.piece, r.n_uses, r.score)
+            for r in qs["text_unigram_train"](spark, d).collect()
+        )
+        assert got == ref_rows, f"seed {seed}:\n{got}\n!=\n{ref_rows}"
+        enc = {
+            r.doc_id: (r.n_words, r.n_pieces, r.max_word_pieces)
+            for r in qs["text_unigram_encode"](spark, d).collect()
+        }
+        want = {
+            i: (1, len(ref_segs[w]), len(ref_segs[w]))
+            for i, w in enumerate(words)
+        }
+        assert enc == want, f"seed {seed}: encode budgets diverge"
+
+
+def test_unigram_learns_planted_piece(spark, tmp_path):
+    """Structural sanity on a constructed corpus: the whole word
+    'abab' dominates its char decomposition (count 5 beats per-char
+    products), so the trained vocabulary must contain piece 'abab'
+    with n_uses 5 and every 'abab' doc must encode to ONE piece; the
+    rare word 'cd' still encodes (chars are never pruned)."""
+    from gmt_dbt_spark.registry import all_queries
+
+    words = ["abab"] * 5 + ["cd"] * 2
+    d = _write_docs(tmp_path, "uni_toy", words)
+    qs = all_queries()
+    vocab = {r.piece: r for r in qs["text_unigram_train"](spark, d).collect()}
+    assert "abab" in vocab and vocab["abab"].n_uses == 5, vocab
+    enc = {r.doc_id: r for r in qs["text_unigram_encode"](spark, d).collect()}
+    for i in range(5):
+        assert enc[i].n_pieces == 1, enc[i]
+    for i in (5, 6):
+        assert enc[i].n_words == 1 and enc[i].n_pieces >= 1, enc[i]

@@ -1241,6 +1241,28 @@ def test_bpe_encode_one_scan_vocab_map_join(spark):
     assert tree.count("BroadcastHashJoin") + tree.count("SortMergeJoin") == 1, tree
 
 
+def test_unigram_train_final_plan_is_piece_table(spark):
+    """text_unigram_train (r7): the corpus was scanned once at the
+    word-count checkpoint and both E-steps ran at collect time — the
+    FINAL plan is the driver-materialized piece table: one local-rows
+    relation, no parquet scan, no join."""
+    tree = tree_of(plan_of(all_queries()["text_unigram_train"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 0, tree
+    assert tree.count("Scan ExistingRDD") + tree.count("LocalTableScan") == 1, tree
+    assert "Join" not in tree, tree
+
+
+def test_unigram_encode_one_scan_segmentation_join(spark):
+    """text_unigram_encode (r7): training ran at checkpoint time; the
+    final plan is ONE parquet scan (the token stream), one read of the
+    checkpointed word relation carrying the Viterbi folds, and a
+    single hash join between them — the text_bpe_encode shape."""
+    tree = tree_of(plan_of(all_queries()["text_unigram_encode"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Scan ExistingRDD") == 1, tree
+    assert tree.count("BroadcastHashJoin") + tree.count("SortMergeJoin") == 1, tree
+
+
 def test_readability_is_pure_scan_projection(spark):
     """text_readability (r5): three regex counts + integer band
     arithmetic, all inside the scan's projection — ZERO exchanges,
