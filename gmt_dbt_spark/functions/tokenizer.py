@@ -597,7 +597,13 @@ def _uni_seed(wc: DataFrame) -> tuple[dict, dict]:
             "cnt",
         )
         subs = s if subs is None else subs.unionByName(s)
-    agg = subs.groupBy("piece").agg(F.sum("cnt").alias("c"))
+    # two consumers (chars collect + multi top-K) — checkpoint so the
+    # union-of-4-lengths substring aggregate runs once, not twice
+    agg = (
+        subs.groupBy("piece")
+        .agg(F.sum("cnt").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     chars = {
         r["piece"]: int(r["c"])
         for r in agg.filter(F.length("piece") == 1).collect()
@@ -725,11 +731,13 @@ def _uni_train(docs: DataFrame) -> tuple[list, dict, DataFrame]:
     """Two-E-step hard-EM train: seed → E1 → prune (keep all chars at
     count ≥ 1, top-UNI_TARGET_MULTI used multi-char pieces) → rescore
     → E2. Returns (sorted (piece, n_uses, score) rows, final scores,
-    the checkpointed word-count relation)."""
+    the CHECKPOINTED FINAL SEGMENTATION (word, cnt, ps) — the E2 pass
+    runs exactly once and `text_unigram_encode` reuses it instead of
+    re-segmenting; r7 review finding)."""
     wc = _uni_wc(docs)
     chars, multi = _uni_seed(wc)
     if not chars:
-        return [], {}, wc  # empty corpus — no vocabulary is definable
+        return [], {}, None  # empty corpus — no vocabulary is definable
     s0 = _uni_scores({**chars, **multi})
     c1 = _uni_estep_counts(wc, s0)
     chars1 = {p: max(c1.get(p, 0), 1) for p in chars}
@@ -740,9 +748,16 @@ def _uni_train(docs: DataFrame) -> tuple[list, dict, DataFrame]:
         )[:UNI_TARGET_MULTI]
     )
     s1 = _uni_scores({**chars1, **multi1})
-    c2 = _uni_estep_counts(wc, s1)
+    seg = _uni_seg_frame(wc, s1).localCheckpoint(eager=True)
+    c2 = {
+        r["piece"]: int(r["c"])
+        for r in seg.select("cnt", F.explode("ps").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("c"))
+        .collect()
+    }
     rows = sorted((p, c2.get(p, 0), s1[p]) for p in s1)
-    return rows, s1, wc
+    return rows, s1, seg
 
 
 def _uni_ilog2_sql(x: str) -> str:
@@ -936,19 +951,18 @@ def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, total piece budget, and worst single-word fragmentation —
     the `text_bpe_encode` surface for the unigram algorithm, so the
     two tokenizer families are directly comparable on the same corpus.
-    Encoding re-reads the final segmentation relation (ONE distinct-
-    word Viterbi pass) and joins it to the token stream — per-doc cost
-    is a fingerprint-sized equi-join, never a re-train."""
+    Encoding reuses the trainer's CHECKPOINTED final segmentation
+    relation (the E2 pass runs once for counts and encode alike) and
+    joins it to the token stream — per-doc cost is a
+    fingerprint-sized equi-join, never a re-segmentation."""
     docs = table(spark, sf_dir, "documents")
-    _, s1, wc = _uni_train(docs)
+    _, s1, seg = _uni_train(docs)
     if not s1:
         return spark.createDataFrame(
             [], "doc_id bigint, n_words bigint, n_pieces bigint, "
             "max_word_pieces int"
         )
-    wp = _uni_seg_frame(wc, s1).select(
-        "word", F.size("ps").cast("bigint").alias("n_pieces")
-    )
+    wp = seg.select("word", F.size("ps").cast("bigint").alias("n_pieces"))
     words = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("word")
     )

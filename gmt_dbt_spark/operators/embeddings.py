@@ -1154,9 +1154,14 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a ≤64-row cluster costs ≤2,016 pairs regardless) is excluded from
     the prune and audited — `n_hot_clusters` rides every row plus an
     always-present sentinel row (NULL ids), so a capped corpus can
-    never silently report 'no duplicates'. The hot set is ≤ k rows,
-    broadcast; the cap bounds the self-join's largest key group at
-    SEMDEDUP_CAP_X·n/k rows no matter how skewed the embedder."""
+    never silently report 'no duplicates'. (One caveat to 'always':
+    an EMPTY embeddings relation raises lloyd_centroids' explicit
+    ValueError before any surface exists — k-means is undefined with
+    zero vectors — while the SQL oracle would emit a lone
+    n_hot_clusters=0 sentinel; empty input is a caller error, not a
+    parity surface.) The hot set is ≤ k rows, broadcast; the cap
+    bounds the self-join's largest key group at SEMDEDUP_CAP_X·n/k
+    rows no matter how skewed the embedder."""
     e = table(spark, sf_dir, "embeddings")
     q = e.select("vec_id", _micro_vec().alias("qv")).localCheckpoint(eager=True)
     cents = lloyd_centroids(q)

@@ -533,8 +533,9 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             # with a zero vector is UNDEFINED, not >= tau; without the
             # guard the cross-multiplication degenerates to 0 >= 0 and
             # an all-zero embedding (or one quantizing to all-zero)
-            # paired with every band-mate — 11 false pairs measured on
-            # the 40-vector adversarial corpus, with a GREEN mirrored
+            # paired with every band-mate — 21 false pairs measured on
+            # the 40-vector adversarial corpus (11 for the zero vector
+            # + 10 for the sub-resolution one), with a GREEN mirrored
             # oracle.
             (F.col("na2_mil") > 0)
             & (F.col("nb2_mil") > 0)

@@ -1120,11 +1120,13 @@ def test_select_batch_collision_guard():
     assert got5 == ranked5[:2], (
         "same-concat different-split member must end the batch"
     )
-    # blocker strictness across the termination: the next ranked count
-    # becomes a blocker, so a would-be member at that count is trimmed
+    # blocker strictness across the termination: the colliding member
+    # folds the NEXT ranked count (7) into the blocker, and the trim
+    # is STRICT — so the member itself, also at 7, must be trimmed
+    # (a created pair can tie-break-beat it) and only q1 survives
     ranked3 = [P("a", "b", 9), P("c", "d", 7), P("e", "f", 7)]
     got3 = _select_batch(ranked3, BATCH_TOPK, frozenset({"cd"}))
-    assert got3 == ranked3[:2] or got3 == ranked3[:1]
+    assert got3 == ranked3[:1], got3
     # self-pair termination unchanged by the new parameter
     ranked4 = [P("p", "p", 9), P("c", "d", 7)]
     assert _select_batch(ranked4, BATCH_TOPK, frozenset()) == ranked4[:1]
