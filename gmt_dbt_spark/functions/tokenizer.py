@@ -975,3 +975,192 @@ def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_pieces").cast("int").alias("max_word_pieces"),
         )
     )
+
+
+_UNI_FERTILITY_ORACLE = (
+    _uni_with_clause()
+    + f""",
+tokl AS (
+  SELECT lang, unnest({_DUCK_TOKENS}) AS word FROM documents
+)
+SELECT t.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(e.ps)) AS BIGINT) AS n_pieces,
+       CAST(COUNT(*) FILTER (WHERE len(e.ps) > 1) AS BIGINT)
+         AS n_split_words,
+       CAST(MAX(len(e.ps)) AS INTEGER) AS max_word_pieces
+FROM tokl t JOIN e2 e USING (word)
+GROUP BY t.lang
+"""
+)
+
+
+@query("text_unigram_fertility", oracle=_UNI_FERTILITY_ORACLE)
+def text_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility of the trained UNIGRAM tokenizer — the
+    `text_bpe_fertility` measurement for the second algorithm, so the
+    fairness comparison (which languages fragment worse) can be made
+    BETWEEN tokenizer families on the same corpus: per lang, word
+    occurrences, total pieces, words that split, worst fragmentation.
+    Reuses the trainer's checkpointed final segmentation — one
+    equi-join to the lang-tagged token stream, no re-segmentation."""
+    docs = table(spark, sf_dir, "documents")
+    _, s1, seg = _uni_train(docs)
+    if not s1:
+        return spark.createDataFrame(
+            [], "lang string, n_words bigint, n_pieces bigint, "
+            "n_split_words bigint, max_word_pieces int"
+        )
+    wp = seg.select("word", F.size("ps").alias("n_sub"))
+    tok = docs.select(
+        "lang", F.explode(tokens_col(F.col("text"))).alias("word")
+    )
+    return tok.join(wp, "word").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_sub").cast("bigint").alias("n_pieces"),
+        F.count_if(F.col("n_sub") > 1).alias("n_split_words"),
+        F.max("n_sub").cast("int").alias("max_word_pieces"),
+    )
+
+
+_PPL_ORACLE = (
+    _uni_with_clause()
+    + f""",
+wsc AS (
+  SELECT word,
+         CAST(len(ps) AS BIGINT) AS n_pieces,
+         CAST(list_sum(list_transform(ps, q -> map_extract(m1.mp, q)[1]))
+              AS BIGINT) AS wscore
+  FROM e2 CROSS JOIN m1
+),
+tokc AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS word FROM documents
+),
+per AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(w.n_pieces) AS BIGINT) AS n_pieces,
+         CAST(SUM(w.wscore) AS BIGINT) AS ts
+  FROM tokc t JOIN wsc w USING (word)
+  GROUP BY t.doc_id
+),
+scored AS (
+  SELECT doc_id, n_words, n_pieces,
+         CAST((ts * 1000 - (((ts * 1000) % n_pieces) + n_pieces) % n_pieces)
+              // n_pieces AS BIGINT) AS score_milli
+  FROM per
+),
+nsc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+rankedq AS (
+  SELECT s.*, ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id) AS rn,
+         nsc.n
+  FROM scored s CROSS JOIN nsc
+)
+SELECT d.doc_id,
+       COALESCE(r.n_words, CAST(0 AS BIGINT)) AS n_words,
+       COALESCE(r.n_pieces, CAST(0 AS BIGINT)) AS n_pieces,
+       r.score_milli,
+       CASE WHEN r.doc_id IS NULL THEN 'empty'
+            WHEN (r.rn - 1) * 3 < r.n THEN 'head'
+            WHEN (r.rn - 1) * 3 < 2 * r.n THEN 'middle'
+            ELSE 'tail' END AS band,
+       (r.doc_id IS NOT NULL AND (r.rn - 1) * 3 < 2 * r.n) AS keep
+FROM documents d LEFT JOIN rankedq r USING (doc_id)
+"""
+)
+
+
+@query("text_ppl_filter", oracle=_PPL_ORACLE)
+def text_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity quality split (Wenzek et al. 2020):
+    score every document under the trained unigram LM (average
+    fixed-point log2 probability per PIECE — higher = more
+    natural-language-like), rank the corpus, and band it into the
+    CCNet terciles head / middle / tail; the standard gate keeps
+    head+middle (`keep`). Docs with no tokens band as 'empty' with a
+    NULL score and keep=false. The score is exact integer end-to-end:
+    per-word piece scores from the trained table, per-doc floor-milli
+    average via the pmod idiom (DuckDB's `//` truncates toward zero —
+    same trap as the k-means floor-mean).
+
+    Scale shape: one token-stream scan joined to the checkpointed
+    segmentation (fingerprint-width keys), one per-doc aggregate. The
+    tercile rank here is an exact global ROW_NUMBER over the (doc_id,
+    4 ints) score relation — replayable and value-hashed; at 100 TB
+    the same banding runs as a 2-pass threshold split (approx
+    percentiles then a scan-side filter), trading the exact rank for
+    no global sort while this surface stays the verification twin."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    _, s1, seg = _uni_train(docs)
+    if not s1:
+        return docs.select(
+            "doc_id",
+            F.lit(0).cast("bigint").alias("n_words"),
+            F.lit(0).cast("bigint").alias("n_pieces"),
+            F.lit(None).cast("bigint").alias("score_milli"),
+            F.lit("empty").alias("band"),
+            F.lit(False).alias("keep"),
+        )
+    vmap1 = _uni_vmap(s1)
+    wsc = seg.select(
+        "word",
+        F.size("ps").cast("bigint").alias("n_pieces"),
+        F.aggregate(
+            F.transform("ps", lambda q: F.try_element_at(vmap1, q)),
+            F.lit(0).cast("bigint"),
+            lambda acc, y: acc + y,
+        ).alias("wscore"),
+    )
+    tokc = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("word")
+    )
+    per = (
+        tokc.join(wsc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.sum("wscore").cast("bigint").alias("ts"),
+        )
+    )
+    # (doc_id, 4 ints) — consumed twice (the count and the rank);
+    # checkpoint so the token-stream join runs once, not per consumer
+    scored = per.select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        F.expr(
+            "(ts * 1000 - pmod(ts * 1000, n_pieces)) div n_pieces"
+        ).cast("bigint").alias("score_milli"),
+    ).localCheckpoint(eager=True)
+    n = scored.agg(F.count(F.lit(1)).alias("n"))
+    ranked = scored.crossJoin(F.broadcast(n)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.desc("score_milli"), F.asc("doc_id"))
+        ),
+    )
+    band = (
+        F.when((F.col("rn") - 1) * 3 < F.col("n"), F.lit("head"))
+        .when((F.col("rn") - 1) * 3 < 2 * F.col("n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    r = ranked.select(
+        "doc_id", "n_words", "n_pieces", "score_milli",
+        band.alias("band"),
+        ((F.col("rn") - 1) * 3 < 2 * F.col("n")).alias("keep"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(r, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0).cast("bigint")).alias("n_words"),
+            F.coalesce("n_pieces", F.lit(0).cast("bigint")).alias("n_pieces"),
+            "score_milli",
+            F.coalesce("band", F.lit("empty")).alias("band"),
+            F.coalesce("keep", F.lit(False)).alias("keep"),
+        )
+    )

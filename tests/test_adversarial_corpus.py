@@ -102,6 +102,10 @@ QUERIES = [
     # prune, and the fixed-point score arithmetic
     "text_unigram_train",
     "text_unigram_encode",
+    "text_unigram_fertility",
+    # the CCNet tercile split: hostile docs include empty-normalizing
+    # ones, which must band 'empty' with NULL score on both engines
+    "text_ppl_filter",
     # r5: readability — sentence runs counted on RAW text (hostile
     # punctuation-only docs have sentences but zero tokens → dropped
     # by the n_words gate on both engines), vowel groups on the

@@ -1263,6 +1263,32 @@ def test_unigram_encode_one_scan_segmentation_join(spark):
     assert tree.count("BroadcastHashJoin") + tree.count("SortMergeJoin") == 1, tree
 
 
+def test_ppl_filter_single_corpus_scan(spark):
+    """text_ppl_filter (r7): training and the token-join ran at
+    checkpoint time (the scored relation is (doc_id, 4 ints),
+    checkpointed because both the count and the rank read it) — the
+    final plan is ONE parquet scan (the docs left-join spine), two
+    reads of the scored RDD, and ONE global Window (the exact tercile
+    rank — the narrow verification twin of the production 2-pass
+    threshold split)."""
+    tree = tree_of(plan_of(all_queries()["text_ppl_filter"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Scan ExistingRDD") == 2, tree
+    assert tree.count("Window") == 1, tree
+
+
+def test_unigram_fertility_one_scan_join(spark):
+    """text_unigram_fertility (r7): the text_bpe_fertility shape —
+    one parquet scan (lang-tagged token stream), one read of the
+    checkpointed segmentation, one join."""
+    tree = tree_of(
+        plan_of(all_queries()["text_unigram_fertility"](spark, SF_DIR))
+    )
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Scan ExistingRDD") == 1, tree
+    assert tree.count("BroadcastHashJoin") + tree.count("SortMergeJoin") == 1, tree
+
+
 def test_readability_is_pure_scan_projection(spark):
     """text_readability (r5): three regex counts + integer band
     arithmetic, all inside the scan's projection — ZERO exchanges,
