@@ -1164,3 +1164,91 @@ def text_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("keep", F.lit(False)).alias("keep"),
         )
     )
+
+
+def _sink_artifacts_oracle() -> str:
+    """Recompute both trained artifacts straight from the training
+    replays (the BPE chain and the unigram chain share one WITH —
+    their CTE names are disjoint) and fingerprint the same canonical
+    serialization the Spark side computes from the RELOADED parquet."""
+    bpe_union = "\n    UNION ALL ".join(
+        f"SELECT {i} AS step, a, b, n FROM p{i}" for i in range(1, N_MERGES + 1)
+    )
+    bpe_ctes = _bpe_with_clause(N_MERGES)[len("WITH ") :]
+    return f"""{_uni_with_clause()},
+{bpe_ctes}
+SELECT 'bpe' AS family, CAST(COUNT(*) AS BIGINT) AS n_entries,
+       md5(COALESCE(string_agg(step || ':' || a || ':' || b || ':' || n,
+                               '|' ORDER BY step), '')) AS fp
+FROM ({bpe_union})
+UNION ALL
+SELECT 'unigram' AS family, CAST(COUNT(*) AS BIGINT) AS n_entries,
+       md5(COALESCE(string_agg(
+             piece || ':' || n_uses || ':' || score, '|' ORDER BY piece),
+           '')) AS fp
+FROM (SELECT s1.piece, COALESCE(c2.c, CAST(0 AS BIGINT)) AS n_uses,
+             s1.s AS score
+      FROM s1 LEFT JOIN c2 ON s1.piece = c2.piece)
+"""
+
+
+@query("sink_tokenizer_artifacts", oracle=_sink_artifacts_oracle())
+def sink_tokenizer_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer ARTIFACT lifecycle: train both families (the BPE
+    merge table and the unigram piece table), persist each to a real
+    parquet sink, RELOAD, and fingerprint the reloaded artifact with a
+    canonical serialization (sorted rows joined '|', md5) — so the
+    value-hash proves the artifacts survive the write/read round-trip
+    byte-for-byte (schema, ints, negative scores, unicode pieces).
+    The oracle recomputes both fingerprints straight from the training
+    replays, never from the files — any loss in the sink shows as a
+    hash mismatch.
+
+    Scale note: both artifacts are model-sized (merges + pieces), so
+    the sink is a k-row write; the training costs are the two
+    trainers' documented shapes."""
+    import os
+    import shutil
+    import uuid
+
+    from gmt_dbt_spark.operators.dedup import SCRATCH
+
+    docs = table(spark, sf_dir, "documents")
+    merge_rows, _ = _train_chain_batched(docs)
+    uni_rows, _, _ = _uni_train(docs)
+    out = os.path.join(SCRATCH, f"tok_artifacts_{uuid.uuid4().hex[:8]}")
+    try:
+        spark.createDataFrame(
+            merge_rows, "step int, a string, b string, n bigint"
+        ).write.mode("overwrite").parquet(os.path.join(out, "bpe"))
+        spark.createDataFrame(
+            uni_rows, "piece string, n_uses bigint, score bigint"
+        ).write.mode("overwrite").parquet(os.path.join(out, "unigram"))
+
+        def fp_of(df: DataFrame, fam: str, cols: list) -> DataFrame:
+            ser = F.transform(
+                F.sort_array(F.collect_list(F.struct(*cols))),
+                lambda s: F.concat_ws(
+                    ":", *[s.getField(c).cast("string") for c in cols]
+                ),
+            )
+            return df.agg(
+                F.lit(fam).alias("family"),
+                F.count(F.lit(1)).alias("n_entries"),
+                F.md5(F.concat_ws("|", ser)).alias("fp"),
+            )
+
+        bpe = fp_of(
+            spark.read.parquet(os.path.join(out, "bpe")),
+            "bpe",
+            ["step", "a", "b", "n"],
+        )
+        uni = fp_of(
+            spark.read.parquet(os.path.join(out, "unigram")),
+            "unigram",
+            ["piece", "n_uses", "score"],
+        )
+        # lineage-cut from the scratch paths before cleanup
+        return bpe.unionByName(uni).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

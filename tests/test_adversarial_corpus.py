@@ -106,6 +106,9 @@ QUERIES = [
     # the CCNet tercile split: hostile docs include empty-normalizing
     # ones, which must band 'empty' with NULL score on both engines
     "text_ppl_filter",
+    # artifact round-trip under hostile unicode pieces/merges: the
+    # reloaded-parquet fingerprints must equal the replay's
+    "sink_tokenizer_artifacts",
     # r5: readability — sentence runs counted on RAW text (hostile
     # punctuation-only docs have sentences but zero tokens → dropped
     # by the n_words gate on both engines), vowel groups on the

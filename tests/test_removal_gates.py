@@ -199,8 +199,14 @@ GATES = {
         ],
     },
     # --- audits: report duplication, drop nothing --------------------
-    "dedup_recall_audit": {"class": "audit", "evidence": []},
-    "dedup_substring": {"class": "audit", "evidence": []},
+    "dedup_recall_audit": {
+        "class": "audit",
+        "evidence": [("test_removal_gates", "test_audit_gates_planted")],
+    },
+    "dedup_substring": {
+        "class": "audit",
+        "evidence": [("test_removal_gates", "test_audit_gates_planted")],
+    },
 }
 
 
@@ -578,6 +584,36 @@ def test_substring_rewrite_planted(spark, tmp_path):
     assert out[3].cleaned_md5 == md5(t3), out[3]
     assert (out[4].n_tokens, out[4].n_dropped) == (3, 0), out[4]
     assert out[4].cleaned_md5 == md5(t4), out[4]
+
+
+def test_audit_gates_planted(spark, tmp_path):
+    """The two audit-class gates, planted. dedup_substring: docs 1/2
+    are tokenwise copies (different raw bytes), so EVERY 8-gram of
+    each is duplicated — dup_pct 100, contaminated true; doc 0 shares
+    nothing — contaminated false with its exact hand-counted gram
+    total. dedup_recall_audit: the same corpus plants one
+    true near-dup pair (the tokenwise copies have shingle jaccard
+    1.0), so n_true >= 1 and both booleans must hold — the audit
+    cannot report recall over an empty truth set here."""
+    x = " ".join(f"x{i}" for i in range(9))          # 2 unique grams
+    y_raw = "Y0, y1 y2 y3 y4 y5 y6 y7 Y8!"           # -> y0..y8
+    y_clean = "y0 y1 y2 y3 y4 y5 y6 y7 y8"
+    d = _write_docs(
+        tmp_path,
+        "auditgates",
+        [(0, x, "en", "srca"), (1, y_raw, "en", "srca"),
+         (2, y_clean, "en", "srcb")],
+    )
+    qs = all_queries()
+    sub = {r.doc_id: r for r in qs["dedup_substring"](spark, d).collect()}
+    assert sub[0].n_grams == 2 and sub[0].n_dup_grams == 0, sub[0]
+    assert not sub[0].contaminated, sub[0]
+    for i in (1, 2):
+        assert sub[i].n_grams == 2 and sub[i].n_dup_grams == 2, sub[i]
+        assert sub[i].dup_pct == 100 and sub[i].contaminated, sub[i]
+    aud = qs["dedup_recall_audit"](spark, d).collect()
+    assert len(aud) == 1 and aud[0].n_true >= 1, aud
+    assert aud[0].recall_ok and aud[0].all_verified, aud
 
 
 def test_multimodal_content_dedup_reference(spark, tmp_path, monkeypatch):
