@@ -387,3 +387,100 @@ def test_pack_arithmetic_invariants(toks):
             assert covered == tok
         prev_pack = pack_id
         run += tok
+
+
+# ---- unigram trainer theorem pins (r7) ------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=1, max_value=1 << 40))
+def test_uni_ilog2_properties(x):
+    """The fixed-point log2 contract: exact at powers of two
+    (4096·log2), monotone non-decreasing, and always within one unit
+    of scale of the true log2 from below (piecewise-linear chord of a
+    concave function lies BELOW it, so ilog2/4096 ∈ (log2−0.0861,
+    log2] — the chord gap of log2 maxes at 1−(1+ln ln 2)/ln 2)."""
+    import math
+
+    from gmt_dbt_spark.functions.tokenizer import UNI_LOG_SCALE, _uni_ilog2
+
+    v = _uni_ilog2(x)
+    if x & (x - 1) == 0:  # power of two: exact
+        assert v == UNI_LOG_SCALE * (x.bit_length() - 1)
+    assert _uni_ilog2(x + 1) >= v  # monotone
+    true = math.log2(x)
+    assert v <= true * UNI_LOG_SCALE + 1e-6
+    assert v >= (true - 0.09) * UNI_LOG_SCALE - 1e-6
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_uni_viterbi_is_optimal(data):
+    """The DP in the pure-Python unigram reference (which the Spark
+    trainer and the DuckDB oracle are both pinned bit-identical to)
+    must return a segmentation achieving the MAXIMUM total score over
+    ALL legal segmentations — verified by exhaustive enumeration on
+    small random words/vocabularies — and, among the maxima, the one
+    the tie-break contract selects (greedily longest piece from the
+    right, per DP cell). Parity green alone cannot prove optimality;
+    this does."""
+    from gmt_dbt_spark.functions.tokenizer import UNI_MAXLEN
+
+    alpha = "ab"
+    word = "".join(
+        data.draw(st.sampled_from(alpha)) for _ in range(data.draw(
+            st.integers(min_value=1, max_value=9)))
+    )
+    # random vocab: all single chars (always segmentable) + a random
+    # subset of the word's own substrings, random integer scores
+    scores = {}
+    for c in set(alpha):
+        scores[c] = data.draw(st.integers(min_value=-50, max_value=-1))
+    for l in range(2, UNI_MAXLEN + 1):
+        for i in range(len(word) - l + 1):
+            p = word[i : i + l]
+            if p not in scores and data.draw(st.booleans()):
+                scores[p] = data.draw(st.integers(min_value=-80, max_value=-1))
+
+    # the reference DP (mirror of tests/test_llm_ops._python_unigram)
+    def segment(w):
+        dp = [(0, 0)]
+        for j in range(1, len(w) + 1):
+            cands = []
+            for l in range(1, min(UNI_MAXLEN, j) + 1):
+                piece = w[j - l : j]
+                if piece in scores:
+                    cands.append((dp[j - l][0] + scores[piece], l))
+            dp.append(max(cands))
+        out, j = [], len(w)
+        while j > 0:
+            l = dp[j][1]
+            out.append(w[j - l : j])
+            j -= l
+        return out[::-1], dp
+
+    got, dp = segment(word)
+    got_score = sum(scores[p] for p in got)
+    assert "".join(got) == word
+
+    # exhaustive enumeration of every legal segmentation
+    def all_segs(w):
+        if not w:
+            yield []
+            return
+        for l in range(1, min(UNI_MAXLEN, len(w)) + 1):
+            if w[:l] in scores:
+                for rest in all_segs(w[l:]):
+                    yield [w[:l]] + rest
+
+    best = max(sum(scores[p] for p in s) for s in all_segs(word))
+    assert got_score == best, (word, got, got_score, best)
+    # tie-break: every DP cell's (score, l) must be the lex max over
+    # that cell's candidates — i.e. the longest piece among maxima
+    for j in range(1, len(word) + 1):
+        cands = [
+            (dp[j - l][0] + scores[word[j - l : j]], l)
+            for l in range(1, min(UNI_MAXLEN, j) + 1)
+            if word[j - l : j] in scores
+        ]
+        assert dp[j] == max(cands)

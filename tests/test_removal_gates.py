@@ -195,7 +195,11 @@ GATES = {
     "dedup_substring_rewrite": {
         "class": "removal",
         "evidence": [
-            ("test_removal_gates", "test_substring_rewrite_planted")
+            ("test_removal_gates", "test_substring_rewrite_planted"),
+            (
+                "test_removal_gates",
+                "test_substring_rewrite_matches_bruteforce_randomized",
+            ),
         ],
     },
     # --- audits: report duplication, drop nothing --------------------
@@ -662,3 +666,66 @@ def test_multimodal_content_dedup_reference(spark, tmp_path, monkeypatch):
     dup_key = hashlib.md5(payload.hex().upper().encode()).hexdigest()
     assert got[dup_key] == (2, "a_copy.bin"), got  # planted positive
     assert sum(1 for n, _ in got.values() if n == 1) == 1  # planted negative
+
+
+def test_substring_rewrite_matches_bruteforce_randomized(spark, tmp_path):
+    """Beyond the planted corpus: randomized corpora vs an INDEPENDENT
+    quadratic brute-force (enumerate every 8-gram occurrence, mark
+    duplicates by full-string equality, keep the (doc_id, pos)-minimal
+    occurrence, union the dropped spans, rebuild) — the fuzz-vs-
+    independent-reference doctrine applied to the newest removal gate.
+    Small alphabets + repeated fragments breed overlapping and
+    within-doc duplicated spans the planted test can't enumerate."""
+    import random
+
+    K = 8
+    for seed in range(4):
+        rng = random.Random(9000 + seed)
+        frags = [
+            " ".join(
+                rng.choice("abc") + str(rng.randint(0, 5))
+                for _ in range(rng.randint(3, 10))
+            )
+            for _ in range(5)
+        ]
+        texts = []
+        for _ in range(rng.randint(4, 12)):
+            texts.append(
+                " ".join(rng.choice(frags) for _ in range(rng.randint(1, 4)))
+            )
+        rows = [(i, t, "en", "srcx") for i, t in enumerate(texts)]
+        d = _write_docs(tmp_path, f"substr_bf_{seed}", rows)
+
+        # brute force
+        toks = {i: t.lower().split() for i, t in enumerate(texts)}
+        occ = []  # (gram_string, doc, pos)
+        for i, tk in toks.items():
+            for p in range(len(tk) - K + 1):
+                occ.append((" ".join(tk[p : p + K]), i, p))
+        by_gram = {}
+        for g, i, p in occ:
+            by_gram.setdefault(g, []).append((i, p))
+        dropped = {i: set() for i in toks}
+        for g, occs in by_gram.items():
+            if len(occs) < 2:
+                continue
+            keeper = min(occs)
+            for i, p in occs:
+                if (i, p) != keeper:
+                    dropped[i].update(range(p, p + K))
+        want = {}
+        for i, tk in toks.items():
+            kept = [t for j, t in enumerate(tk) if j not in dropped[i]]
+            want[i] = (
+                len(tk),
+                len(dropped[i]),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+
+        got = {
+            r.doc_id: (r.n_tokens, r.n_dropped, r.cleaned_md5)
+            for r in all_queries()["dedup_substring_rewrite"](
+                spark, d
+            ).collect()
+        }
+        assert got == want, f"seed {seed}"
