@@ -1,0 +1,482 @@
+"""WordPiece tokenizer TRAINING + greedy encoding — the third of the
+three dominant subword algorithms (Schuster & Nakajima 2012; BERT's
+tokenizer), completing the family next to the BPE trainer
+(tokenizer.py `text_bpe_train`) and the unigram-LM trainer
+(`text_unigram_train`), so all three can be trained, applied, and
+fertility-compared on the same corpus.
+
+WordPiece training is BPE's loop with a LIKELIHOOD merge objective:
+where BPE merges the most FREQUENT adjacent pair, WordPiece merges
+the pair maximizing
+
+    score(a,b) = count(ab) / (count(a) * count(b))
+
+— the corpus log-likelihood gain of fusing a,b under a unigram LM
+(pairs whose parts rarely occur apart win over merely-common pairs).
+Counts are taken over the CURRENT segmentation each step, so the
+denominator shrinks as symbols merge away.
+
+Exactness contract (the house fixed-point doctrine — unigram's ilog2
+sibling): the score is the EXACT integer
+
+    score_fp = floor(n_ab * 2^32 / (m_a * m_b))
+
+computed as DECIMAL(38,0) `div` on Spark, HUGEINT `//` on DuckDB, and
+arbitrary-precision `//` in the pure-Python test reference — all
+operands positive, so truncation == floor and the three engines agree
+bit-for-bit (empirically verified on randomized triples before this
+module was written). Argmax ties break by (n desc, a asc, b asc).
+Since n_ab <= min(m_a, m_b), score_fp <= 2^32 — always BIGINT-safe on
+the output surface; the intermediate product n*2^32 stays exact to
+n < 10^26, far past any corpus.
+
+NO merge batching, deliberately — the asymmetry with the batched BPE
+trainer (tokenizer.py `_train_chain_batched`) is structural: BPE's
+exactness theorem rests on counts being MONOTONE under earlier merges
+(created <= parent <= blocker), but a WordPiece merge of (a,b) RAISES
+the scores of every pair sharing a or b (their occurrence counts m_a,
+m_b drop by the merged occurrences, shrinking denominators), so a
+ranked-prefix batch has no blocker bound — a sharer can overtake any
+later member. Per-merge rounds ARE the exact algorithm here.
+
+Encoding is NOT a training replay (the BPE/unigram encode surfaces
+reuse the trainer's final segmentation): the WordPiece RUNTIME is
+greedy longest-match-first against the trained vocabulary
+(alphabet + merge products), with whole-word [UNK] on any
+unmatchable position — BERT's WordPieceTokenizer semantics. Both
+engines probe lengths WP_PROBE_MAX..1 (the probe cap is part of the
+operator spec, mirrored on all three implementations; trained pieces
+longer than the cap are deterministically never matched — with 8
+merges on these corpora none come close). Encoding the training
+corpus itself can never produce [UNK] (the trainer keeps the full
+alphabet, so every char matches at l=1); the UNK path is pinned by
+direct tests on a restricted vocabulary.
+
+Scale shape: like the siblings, training never iterates the corpus —
+ONE scan builds the checkpointed word-count relation; each merge step
+is two vocab-sized aggregates (symbol counts, pair counts), two
+broadcast joins of the scored candidates, a 1-row argmax collect, and
+one JVM fold applying the merge (the shared `_merge_syms`). Greedy
+encode is one JVM fold per DISTINCT WORD (Heaps-bounded) with the
+vocabulary as a map literal (a broadcast join at production vocab
+sizes), then a single equi-join to the corpus token stream — the
+corpus is touched exactly twice end-to-end, same as BPE.
+
+Reference parity note: whitefantom00/gmt-dbt has no tokenizer surface
+(its 789 LoC delegate ELT to BigQuery); this family is part of the
+demanded LLM-training-data extension, evidence-matched to the BPE
+standard (pure-Python reference pin on randomized corpora, planted
+divergence corpus vs BPE, full DuckDB training+encode replay oracles,
+plan guards, SCALE rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.functions.text import _DUCK_TOKENS
+from gmt_dbt_spark.functions.tokenizer import (
+    _char_syms,
+    _merge_syms,
+    _pair_counts,
+)
+from gmt_dbt_spark.operators.dedup import tokens_col
+from gmt_dbt_spark.registry import query
+
+WP_MERGES = 8
+WP_SCALE = 4294967296  # 2^32 — fixed-point likelihood resolution
+WP_PROBE_MAX = 12  # greedy-encode probe window (part of the op spec)
+WP_UNK = "[UNK]"
+
+
+def _wp_pick(it: DataFrame) -> list:
+    """One training step's argmax: score every adjacent pair of the
+    current segmentation by exact fixed-point likelihood and collect
+    the single winner (driver holds 1 row — the model, not the data).
+
+    The symbol-count relation is checkpointed: it feeds BOTH sides of
+    the denominator join (m_a and m_b), and unchecked it would run
+    the explode-aggregate twice (the r7 seed-agg review lesson)."""
+    sc = (
+        it.select(F.explode("syms").alias("sym"), "cnt")
+        .groupBy("sym")
+        .agg(F.sum("cnt").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    sa = F.broadcast(sc.select(F.col("sym").alias("a"), F.col("m").alias("ma")))
+    sb = F.broadcast(sc.select(F.col("sym").alias("b"), F.col("m").alias("mb")))
+    scored = (
+        _pair_counts(it)
+        .join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            "n",
+            F.expr(
+                f"(CAST(n AS DECIMAL(38,0)) * {WP_SCALE})"
+                " div (CAST(ma AS DECIMAL(38,0)) * mb)"
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.desc("n"), F.asc("a"), F.asc("b"))
+        .limit(1)
+        .collect()
+    )
+
+
+def _wp_train_chain(
+    docs: DataFrame, n_merges: int = WP_MERGES
+) -> tuple[list, list, DataFrame]:
+    """Run the WordPiece training loop. Returns (merge_rows, alphabet,
+    it): ``merge_rows`` = [(step, a, b, n, score_fp), ...] collected
+    driver-side (1 row per step — they ARE the argmax collects),
+    ``alphabet`` = the sorted distinct single characters of the
+    training corpus (model-sized collect, the `_uni_seed` convention),
+    and ``it`` the final segmented word relation.
+
+    Pair exhaustion (every word down to one symbol) truncates the
+    merge table, identically on both engines. An empty corpus yields
+    an empty table and an empty alphabet."""
+    wc = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    it = wc.select(
+        "word", "cnt", _char_syms(F.col("word")).alias("syms")
+    ).localCheckpoint(eager=True)
+    alphabet = sorted(
+        r["c"] for r in it.select(F.explode("syms").alias("c")).distinct().collect()
+    )
+    merge_rows: list = []
+    for step in range(1, n_merges + 1):
+        pick = _wp_pick(it)
+        if not pick:
+            break
+        p = pick[0]
+        merge_rows.append((step, p.a, p.b, int(p.n), int(p.score)))
+        it = it.select(
+            "word",
+            "cnt",
+            _merge_syms(F.col("syms"), F.lit(p.a), F.lit(p.b)).alias("syms"),
+        ).localCheckpoint(eager=True)
+    return merge_rows, alphabet, it
+
+
+def _wp_greedy(word: Column, vmap: Column) -> Column:
+    """Greedy longest-match-first WordPiece encode of one word as ONE
+    JVM fold over character positions: state (j = next unmatched
+    position, np = pieces so far, bad = hit an unmatchable position).
+    Each iteration probes lengths WP_PROBE_MAX..1 (guarded to the
+    remaining suffix, so a short-tail probe can't false-match a
+    shorter piece); every real step advances >= 1 char, so
+    length(word) iterations always suffice and later iterations
+    no-op once j passes the end or the word went bad."""
+    n = F.length(word)
+
+    def step(acc: Column, _: Column) -> Column:
+        j = acc.getField("j")
+        ml = None
+        for l in range(WP_PROBE_MAX, 0, -1):
+            cond = (j + F.lit(l) - 1 <= n) & F.try_element_at(
+                vmap, F.substr(word, j, F.lit(l))
+            ).isNotNull()
+            ml = F.when(cond, F.lit(l)) if ml is None else ml.when(cond, F.lit(l))
+        matched = F.struct(
+            (j + ml).alias("j"),
+            (acc.getField("np") + 1).alias("np"),
+            F.lit(False).alias("bad"),
+        )
+        failed = F.struct(
+            j.alias("j"),
+            acc.getField("np").alias("np"),
+            F.lit(True).alias("bad"),
+        )
+        return F.when(acc.getField("bad") | (j > n), acc).otherwise(
+            F.when(ml.isNull(), failed).otherwise(matched)
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        F.struct(
+            F.lit(1).alias("j"), F.lit(0).alias("np"), F.lit(False).alias("bad")
+        ),
+        step,
+    )
+
+
+def _wp_word_pieces(it: DataFrame, vocab: set) -> DataFrame:
+    """(word, n_pieces, is_unk): greedy-encode every distinct word
+    against the trained vocabulary (map literal — broadcast join at
+    production vocab sizes). A bad word IS one [UNK] token. The fold
+    result goes behind a Generate barrier (explode of a 1-element
+    array) so the three projections read one materialized struct
+    instead of re-inlining the fold (the `_uni_seg_frame` pattern)."""
+    items = []
+    for p in sorted(vocab):
+        items.append(F.lit(p))
+        items.append(F.lit(1))
+    g = it.select(
+        "word",
+        F.explode(F.array(_wp_greedy(F.col("word"), F.create_map(*items)))).alias(
+            "__g"
+        ),
+    )
+    return g.select(
+        "word",
+        F.when(F.col("__g.bad"), F.lit(1))
+        .otherwise(F.col("__g.np"))
+        .alias("n_pieces"),
+        F.col("__g.bad").alias("is_unk"),
+    )
+
+
+def _wp_with_clause(k: int, recursive: bool = False) -> str:
+    """The DuckDB training replay CTE chain (it{i} = segmentation
+    after i merges, p{i} = the i-th argmax by exact fixed-point
+    likelihood). The pair-count and merge-application CTEs are the
+    `_bpe_with_clause` constructs verbatim (same single-fold,
+    single-capture lambda class — VERIFICATION pattern 11's safe
+    side); only the pick differs: symbol counts join in as the
+    denominator, HUGEINT cross-multiplication keeps the floor exact,
+    and the ORDER BY mirrors (score desc, n desc, a, b).
+
+    sc{i}/p{i}/it{i} are MATERIALIZED: DuckDB inlines plain CTEs per
+    reference, and this chain references it{i-1} ~4× per level (pair
+    counts, two symbol-count join sides, merge apply) — inlined, the
+    k-level chain expands to ~4^k parquet scans, which exhausted the
+    process fd limit at k=8 before it could even be slow.
+    Materialization makes the replay linear in k (measured 0.08 s vs
+    fd-death at sf0.001) and is SAFE here: the r7 MATERIALIZED
+    segfault (VERIFICATION pattern 11) required nested lambdas
+    capturing outer columns in one SELECT, while every lambda in this
+    chain is the BPE-proven single-fold class, and the full merge
+    table was verified identical to the Spark side under
+    materialization before this was adopted."""
+    parts = [
+        f"""wc AS (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents) GROUP BY 1
+),
+it0 AS (
+  SELECT word, cnt,
+         list_transform(range(length(word)),
+             i -> substr(word, CAST(i + 1 AS INT), 1)) AS syms
+  FROM wc
+)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(f"""sc{i} AS MATERIALIZED (
+  SELECT u.s AS sym, CAST(SUM(cnt) AS BIGINT) AS m
+  FROM it{i-1}, LATERAL (SELECT unnest(syms) AS s) u
+  GROUP BY 1
+),
+pc{i} AS (
+  SELECT u.pair[1] AS a, u.pair[2] AS b, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM it{i-1}, LATERAL (
+    SELECT unnest(list_transform(range(len(syms) - 1),
+        i -> [syms[CAST(i + 1 AS INT)], syms[CAST(i + 2 AS INT)]])) AS pair) u
+  GROUP BY 1, 2
+),
+p{i} AS MATERIALIZED (
+  SELECT a, b, n,
+         CAST((CAST(n AS HUGEINT) * {WP_SCALE}) //
+              (CAST(sa.m AS HUGEINT) * sb.m) AS BIGINT) AS score
+  FROM pc{i}
+  JOIN sc{i} sa ON pc{i}.a = sa.sym
+  JOIN sc{i} sb ON pc{i}.b = sb.sym
+  ORDER BY score DESC, n DESC, a, b LIMIT 1
+),
+it{i} AS MATERIALIZED (
+  SELECT word, cnt,
+         list_reduce([CAST([] AS VARCHAR[])] || list_transform(syms, s -> [s]),
+            (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = p{i}.a
+                                  AND x[1] = p{i}.b
+                        THEN acc[1:len(acc)-1] || [p{i}.a || p{i}.b]
+                        ELSE acc || x END) AS syms
+  FROM it{i-1} LEFT JOIN p{i} ON TRUE
+)""")
+    kw = "WITH RECURSIVE " if recursive else "WITH "
+    return kw + ",\n".join(parts)
+
+
+def _wp_train_oracle(k: int) -> str:
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS step, a, b, n, score FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return _wp_with_clause(k) + "\n" + union
+
+
+def _wp_encode_sql(k: int) -> str:
+    """Shared encode CTEs on top of the training replay: the vocab
+    (distinct it0 chars + merge products), its membership map, the
+    greedy recursion `gr` (one row per word per matched piece —
+    breadth-first over words, the unigram-Viterbi recursion shape,
+    probing WP_PROBE_MAX..1 longest-first with the remaining-suffix
+    guard), and `wp` (word, n_pieces, is_unk). A word's chain ends
+    either past the last char (complete) or at the first unmatchable
+    position (bad → one [UNK] token)."""
+    prods = " UNION ALL ".join(
+        f"SELECT a || b AS piece FROM p{i}" for i in range(1, k + 1)
+    )
+    branches = "\n           ".join(
+        f"WHEN j + {l} - 1 <= length(word) AND"
+        f" len(map_extract(wvm.mp, substr(word, j, {l}))) > 0"
+        f" THEN CAST({l} AS INTEGER)"
+        for l in range(WP_PROBE_MAX, 0, -1)
+    )
+    return f""",
+wv AS (
+  SELECT DISTINCT piece FROM (
+    SELECT u.s AS piece FROM it0, LATERAL (SELECT unnest(syms) AS s) u
+    UNION ALL {prods}
+  ) z
+),
+wvm AS (
+  SELECT map(list(piece ORDER BY piece), list(1 ORDER BY piece)) AS mp FROM wv
+),
+gr AS (
+  SELECT word, CAST(1 AS INTEGER) AS j, CAST(0 AS INTEGER) AS np, FALSE AS bad
+  FROM wc
+  UNION ALL
+  SELECT word, j + COALESCE(ml, 0), np + 1, ml IS NULL
+  FROM (
+    SELECT word, j, np,
+      CASE {branches} END AS ml
+    FROM gr CROSS JOIN wvm
+    WHERE NOT bad AND j <= length(word)
+  ) z
+),
+wp AS (
+  SELECT word, CASE WHEN bad THEN 1 ELSE np END AS n_pieces, bad AS is_unk
+  FROM gr WHERE bad OR j > length(word)
+)"""
+
+
+def _wp_encode_oracle(k: int) -> str:
+    return (
+        _wp_with_clause(k, recursive=True)
+        + _wp_encode_sql(k)
+        + f""",
+tokc AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS word FROM documents
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wp.n_pieces) AS BIGINT) AS n_wp_tokens,
+       CAST(COUNT(*) FILTER (WHERE wp.is_unk) AS BIGINT) AS n_unk_words,
+       CAST(MAX(wp.n_pieces) AS INTEGER) AS max_word_pieces
+FROM tokc t JOIN wp USING (word)
+GROUP BY t.doc_id
+"""
+    )
+
+
+def _wp_fertility_oracle(k: int) -> str:
+    return (
+        _wp_with_clause(k, recursive=True)
+        + _wp_encode_sql(k)
+        + f""",
+tokl AS (
+  SELECT lang, unnest({_DUCK_TOKENS}) AS word FROM documents
+)
+SELECT t.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wp.n_pieces) AS BIGINT) AS n_wp_tokens,
+       CAST(COUNT(*) FILTER (WHERE wp.n_pieces > 1) AS BIGINT)
+         AS n_split_words,
+       CAST(COUNT(*) FILTER (WHERE wp.is_unk) AS BIGINT) AS n_unk_words,
+       CAST(MAX(wp.n_pieces) AS INTEGER) AS max_word_pieces
+FROM tokl t JOIN wp USING (word)
+GROUP BY t.lang
+"""
+    )
+
+
+@query("text_wordpiece_train", oracle=_wp_train_oracle(WP_MERGES))
+def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a WordPiece tokenizer over `documents`: learn WP_MERGES
+    likelihood-scored merges, return the merge table
+    (step, a, b, n, score) — n the pair's occurrence count at its
+    step, score the exact fixed-point likelihood
+    floor(n·2^32 / (m_a·m_b)) that won the argmax. Module contract
+    above: integer-exact on all three engines, ties (n desc, a, b),
+    NO batching (a WordPiece merge raises neighbors' scores — the
+    BPE blocker bound does not exist here, so per-merge rounds are
+    the exact algorithm). Scale: one corpus scan total; each step is
+    two Heaps-bounded aggregates + two broadcast joins + a 1-row
+    collect + one JVM fold; the driver only ever holds the model."""
+    docs = table(spark, sf_dir, "documents")
+    merge_rows, _, _ = _wp_train_chain(docs)
+    return spark.createDataFrame(
+        merge_rows, "step int, a string, b string, n bigint, score bigint"
+    )
+
+
+@query("text_wordpiece_encode", oracle=_wp_encode_oracle(WP_MERGES))
+def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained WordPiece tokenizer with the BERT RUNTIME
+    semantics — greedy longest-match-first against the trained vocab
+    (alphabet + merge products), whole-word [UNK] on any unmatchable
+    position — per doc: word count, WordPiece token budget, [UNK]
+    words, worst fragmentation. Same surface as `text_bpe_encode` /
+    `text_unigram_encode`, so all three families are comparable on
+    one corpus. Encoding this corpus is alphabet-closed (the trainer
+    keeps every char), so n_unk_words is structurally 0 here; the
+    UNK path is pinned by direct restricted-vocab tests. Plan: the
+    greedy fold runs once per DISTINCT WORD (Heaps-bounded) with the
+    vocab as a map literal; ONE equi-join to the token stream."""
+    docs = table(spark, sf_dir, "documents")
+    merge_rows, alphabet, it = _wp_train_chain(docs)
+    vocab = set(alphabet) | {a + b for _, a, b, _, _ in merge_rows}
+    if not vocab:
+        return spark.createDataFrame(
+            [],
+            "doc_id bigint, n_words bigint, n_wp_tokens bigint,"
+            " n_unk_words bigint, max_word_pieces int",
+        )
+    wpp = _wp_word_pieces(it, vocab)
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("word")
+    )
+    return tok.join(wpp, "word").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_pieces").cast("bigint").alias("n_wp_tokens"),
+        F.count_if(F.col("is_unk")).alias("n_unk_words"),
+        F.max("n_pieces").cast("int").alias("max_word_pieces"),
+    )
+
+
+@query("text_wordpiece_fertility", oracle=_wp_fertility_oracle(WP_MERGES))
+def text_wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility of the trained WORDPIECE tokenizer under
+    its greedy runtime — the third column of the tokenizer-fairness
+    comparison (`text_bpe_fertility` / `text_unigram_fertility` are
+    the others): per lang, word occurrences, piece budget, words that
+    split, [UNK] words, worst fragmentation. Same trained-vocab
+    greedy relation as encode, one lang-tagged equi-join."""
+    docs = table(spark, sf_dir, "documents")
+    merge_rows, alphabet, it = _wp_train_chain(docs)
+    vocab = set(alphabet) | {a + b for _, a, b, _, _ in merge_rows}
+    if not vocab:
+        return spark.createDataFrame(
+            [],
+            "lang string, n_words bigint, n_wp_tokens bigint,"
+            " n_split_words bigint, n_unk_words bigint, max_word_pieces int",
+        )
+    wpp = _wp_word_pieces(it, vocab)
+    tok = docs.select(
+        "lang", F.explode(tokens_col(F.col("text"))).alias("word")
+    )
+    return tok.join(wpp, "word").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_pieces").cast("bigint").alias("n_wp_tokens"),
+        F.count_if(F.col("n_pieces") > 1).alias("n_split_words"),
+        F.count_if(F.col("is_unk")).alias("n_unk_words"),
+        F.max("n_pieces").cast("int").alias("max_word_pieces"),
+    )

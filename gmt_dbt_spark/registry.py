@@ -286,4 +286,6 @@ def _load_all() -> None:
     import gmt_dbt_spark.operators.ml_sql  # noqa: F401
     import gmt_dbt_spark.operators.spatial  # noqa: F401
     import gmt_dbt_spark.functions.tokenizer  # noqa: F401
+    import gmt_dbt_spark.functions.wordpiece  # noqa: F401
+    import gmt_dbt_spark.functions.redact  # noqa: F401
     _LOADED = True

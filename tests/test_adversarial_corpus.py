@@ -106,6 +106,19 @@ QUERIES = [
     # the CCNet tercile split: hostile docs include empty-normalizing
     # ones, which must band 'empty' with NULL score on both engines
     "text_ppl_filter",
+    # r7: the WordPiece family — the likelihood argmax (HUGEINT vs
+    # DECIMAL div cross-check) over hostile-unicode symbol counts,
+    # pair exhaustion on empty-normalizing corpora, and the greedy
+    # longest-match recursion (Spark fold vs DuckDB recursive CTE)
+    # probing multibyte substrings under the short-tail guard
+    "text_wordpiece_train",
+    "text_wordpiece_encode",
+    "text_wordpiece_fertility",
+    # r7: PII rewrite-and-rehash — NULL texts stay NULL on both
+    # engines; hostile unicode/punctuation docs must hash identically
+    # through the 3-stage redaction (ASCII-subset patterns cannot
+    # match multibyte chars, so the hash pins no-op redactions too)
+    "text_pii_redact",
     # artifact round-trip under hostile unicode pieces/merges: the
     # reloaded-parquet fingerprints must equal the replay's
     "sink_tokenizer_artifacts",

@@ -1396,3 +1396,250 @@ def test_ppl_filter_and_fertility_match_python_reference(spark, tmp_path):
             for r in qs["text_unigram_fertility"](spark, d).collect()
         }
         assert gotf == fert, f"seed {seed}: fertility diverges"
+
+
+# ---- WordPiece trainer + greedy runtime (r7): reference pins --------
+
+
+def _python_wordpiece(word_counts, k):
+    """Pure-Python reference WordPiece trainer (mirrors wordpiece.py:
+    argmax of exact fixed-point likelihood floor(n<<32 / (m_a*m_b)),
+    ties (n desc, a, b); greedy left-to-right merge application;
+    truncation on pair exhaustion). Arbitrary-precision ints — the
+    engine-neutral ground truth."""
+    from gmt_dbt_spark.functions.wordpiece import WP_SCALE
+
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for step in range(1, k + 1):
+        pc, sc = {}, {}
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for x in syms:
+                sc[x] = sc.get(x, 0) + c
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + c
+        if not pc:
+            break
+        scored = {
+            p: (n * WP_SCALE) // (sc[p[0]] * sc[p[1]]) for p, n in pc.items()
+        }
+        (a, b), n = min(
+            pc.items(), key=lambda kv: (-scored[kv[0]], -kv[1], kv[0])
+        )
+        merges.append((step, a, b, n, scored[(a, b)]))
+        for w, syms in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges, vocab
+
+
+def _python_wp_encode(word, vocab, probe_max=12):
+    """Greedy longest-match-first: (n_pieces, is_unk)."""
+    j, np_ = 0, 0
+    while j < len(word):
+        for l in range(min(probe_max, len(word) - j), 0, -1):
+            if word[j : j + l] in vocab:
+                np_ += 1
+                j += l
+                break
+        else:
+            return 1, True
+    return np_, False
+
+
+def test_wordpiece_diverges_from_bpe_on_planted_corpus(spark, tmp_path):
+    """The likelihood-vs-frequency planted corpus: pair (a,b) has the
+    HIGHEST count (10) but its symbols are everywhere (m_a=m_b=60),
+    while (x,y) occurs only 3 times but its symbols occur ONLY
+    together (m_x=m_y=3, score 1/3). BPE must learn (a,b) first;
+    WordPiece must learn (x,y) first — the defining difference of the
+    two algorithms, pinned on one corpus."""
+    from gmt_dbt_spark.registry import all_queries
+
+    words = (
+        ["ab"] * 10 + ["a"] * 50 + ["b"] * 50 + ["xy"] * 3
+    )
+    d = _write_docs(tmp_path, "wp_vs_bpe", words)
+    qs = all_queries()
+    wp1 = qs["text_wordpiece_train"](spark, d).orderBy("step").first()
+    bpe1 = qs["text_bpe_train"](spark, d).orderBy("step").first()
+    assert (wp1.a, wp1.b, wp1.n) == ("x", "y", 3)
+    # exact fixed-point score: floor(3 * 2^32 / (3*3))
+    assert wp1.score == (3 * 4294967296) // 9
+    assert (bpe1.a, bpe1.b, bpe1.n) == ("a", "b", 10)
+
+
+def test_wordpiece_train_matches_python_reference_randomized(spark, tmp_path):
+    """Randomized algorithm pin (the BPE evidence standard): seeded
+    corpora of random words over a 4-letter alphabet; the Spark
+    trainer's merge table — steps, pairs, counts, AND exact
+    fixed-point scores — must equal the pure-Python reference, and
+    the per-doc greedy encode budgets must equal a pure-Python greedy
+    encode under the reference's vocab."""
+    import random
+
+    from gmt_dbt_spark.functions.wordpiece import WP_MERGES
+    from gmt_dbt_spark.registry import all_queries
+
+    qs = all_queries()
+    for seed in range(4):
+        rng = random.Random(7000 + seed)
+        words = [
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+            for _ in range(rng.randint(5, 25))
+        ]
+        counts = {}
+        for w in words:
+            counts[w] = counts.get(w, 0) + 1
+        ref_merges, _ = _python_wordpiece(counts, WP_MERGES)
+
+        d = _write_docs(tmp_path, f"wp_rand_{seed}", words)
+        got = [
+            (r.step, r.a, r.b, r.n, r.score)
+            for r in qs["text_wordpiece_train"](spark, d).orderBy("step").collect()
+        ]
+        assert got == ref_merges, f"seed {seed}:\n{got}\n!=\n{ref_merges}"
+
+        vocab = set("".join(words)) | {a + b for _, a, b, _, _ in ref_merges}
+        want = {}
+        for i, w in enumerate(words):
+            np_, unk = _python_wp_encode(w, vocab)
+            want[i] = (1, np_, 1 if unk else 0, np_)
+        enc = {
+            r.doc_id: (r.n_words, r.n_wp_tokens, r.n_unk_words, r.max_word_pieces)
+            for r in qs["text_wordpiece_encode"](spark, d).collect()
+        }
+        assert enc == want, f"seed {seed}: encode diverges"
+
+
+def test_wordpiece_greedy_differs_from_train_segmentation(spark, tmp_path):
+    """Greedy longest-match is the RUNTIME, not a training replay —
+    pin a corpus where they differ. Trained on ['abc'*9, 'bc'*1,
+    'ab'*1 ...] the merges can produce piece 'abc'; greedy-encoding
+    'abcbc' then takes 'abc'+'bc' (2 pieces) where a pure merge
+    replay could differ. The real assertion: every encode budget
+    equals the pure-Python GREEDY reference, even when the training
+    segmentation of the same word has a different piece count."""
+    from gmt_dbt_spark.functions.wordpiece import WP_MERGES
+    from gmt_dbt_spark.registry import all_queries
+
+    words = ["abc"] * 9 + ["bc"] * 3 + ["abcbc"] * 2 + ["cab"] * 1
+    d = _write_docs(tmp_path, "wp_greedy", words)
+    counts = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    ref_merges, _ = _python_wordpiece(counts, WP_MERGES)
+    vocab = set("abc") | {a + b for _, a, b, _, _ in ref_merges}
+    qs = all_queries()
+    enc = {
+        r.doc_id: r.n_wp_tokens
+        for r in qs["text_wordpiece_encode"](spark, d).collect()
+    }
+    for i, w in enumerate(words):
+        np_, unk = _python_wp_encode(w, vocab)
+        assert not unk
+        assert enc[i] == np_, (w, enc[i], np_)
+
+
+def test_wordpiece_unk_planted_positive_and_negative(spark):
+    """Direct-semantics pin of the [UNK] path (unreachable through
+    the registered query, which is alphabet-closed by construction):
+    under a RESTRICTED vocab, a word with an uncovered character MUST
+    collapse to one [UNK] token (planted positive), and a fully
+    covered word must NEVER be flagged (planted negative). Also pins
+    the short-tail guard: vocab {'ab','a'} (no 'b') on word 'ab'
+    matches 'ab'; on word 'b' alone it must go UNK, not false-match
+    the 2-char probe against a shorter suffix."""
+    from gmt_dbt_spark.functions.wordpiece import _wp_word_pieces
+
+    words = spark.createDataFrame(
+        [("abz",), ("ab",), ("b",), ("aab",)], "word string"
+    )
+    got = {
+        r.word: (r.n_pieces, r.is_unk)
+        for r in _wp_word_pieces(words, {"ab", "a"}).collect()
+    }
+    assert got["abz"] == (1, True)   # planted positive: 'z' uncovered
+    assert got["ab"] == (1, False)   # planted negative: one piece
+    assert got["b"] == (1, True)     # short-tail guard: no false 'ab' match
+    assert got["aab"] == (2, False)  # greedy: 'a' + 'ab'
+
+
+def test_wordpiece_exhaustion_truncates(spark, tmp_path):
+    """Single-char words exhaust pairs immediately: empty merge table,
+    encode still works (every word = 1 piece via the alphabet)."""
+    from gmt_dbt_spark.registry import all_queries
+
+    d = _write_docs(tmp_path, "wp_exhaust", ["a", "b", "c", "a b c"])
+    qs = all_queries()
+    assert qs["text_wordpiece_train"](spark, d).count() == 0
+    enc = {
+        r.doc_id: (r.n_words, r.n_wp_tokens, r.n_unk_words)
+        for r in qs["text_wordpiece_encode"](spark, d).collect()
+    }
+    assert enc == {0: (1, 1, 0), 1: (1, 1, 0), 2: (1, 1, 0), 3: (3, 3, 0)}
+
+
+# ---- PII redaction (r7): rewrite-and-rehash planted tests -----------
+
+
+def test_pii_redact_planted_positive_and_negative(spark, tmp_path):
+    """Direct-semantics pin independent of the oracle: planted PII of
+    every pattern class MUST be counted and rewritten (positives, with
+    the md5 of the HAND-REDACTED text derived via hashlib), and a
+    clean document's hash MUST equal the md5 of its original text
+    (negative — redaction touched nothing). Includes the sequencing
+    edge (a digit run inside an email counts in n_long_ids but is
+    consumed by the earlier email redaction) and near-miss negatives
+    (8-digit run, 5-octet dotted run is IP + trailing-digit, TLD-less
+    email candidate)."""
+    import hashlib
+
+    from gmt_dbt_spark.registry import all_queries
+
+    texts = [
+        # planted positives: one per class, one combined
+        "mail me at alice.w+spam@corp-mail.io today",
+        "server 192.168.0.254 rebooted",
+        "account 1234567890 flagged",
+        "bob@x.org met carol@y.co.uk at 10.0.0.1 re 999888777666",
+        # sequencing edge: digits-in-email counted but consumed
+        "reach 123456789@relay.example.net soon",
+        # planted negatives: near-misses that must NOT match
+        "order 12345678 shipped to v1.2.3 build 1.2.3.4.5",
+        "plain prose with no identifiers at all",
+    ]
+    want = []
+    red = [
+        "mail me at <EMAIL> today",
+        "server <IP> rebooted",
+        "account <ID> flagged",
+        "<EMAIL> met <EMAIL> at <IP> re <ID>",
+        "reach <EMAIL> soon",
+        "order 12345678 shipped to v1.2.3 build <IP>.5",
+        "plain prose with no identifiers at all",
+    ]
+    counts = [
+        (1, 0, 0),
+        (0, 1, 0),
+        (0, 0, 1),
+        (2, 1, 1),
+        (1, 0, 1),  # the digit run counts on RAW text
+        (0, 1, 0),  # 1.2.3.4 inside 1.2.3.4.5 is a boundary IP match
+        (0, 0, 0),
+    ]
+    for r, (ne, ni, nl) in zip(red, counts):
+        want.append((ne, ni, nl, hashlib.md5(r.encode()).hexdigest()))
+    d = _write_docs(tmp_path, "pii_planted", texts)
+    got = {
+        r.doc_id: (r.n_emails, r.n_ips, r.n_long_ids, r.redacted_md5)
+        for r in all_queries()["text_pii_redact"](spark, d).collect()
+    }
+    for i, w in enumerate(want):
+        assert got[i] == w, (i, texts[i], got[i], w)

@@ -1489,3 +1489,48 @@ def test_epoch_shuffle_id_only_inflation(spark):
     import re as _re
     for m in _re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         assert m.group(1) == "doc_id:bigint", m.group(1)
+
+
+def test_wordpiece_train_final_plan_is_merge_table(spark):
+    """text_wordpiece_train (r7): the corpus was scanned once at the
+    word-count checkpoint, every likelihood argmax was a 1-row collect,
+    and every merge applied at checkpoint time — the FINAL plan is the
+    driver-materialized merge table: one local-rows relation, no
+    parquet scan, no join (the text_bpe_train shape)."""
+    tree = tree_of(plan_of(all_queries()["text_wordpiece_train"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 0, tree
+    assert tree.count("Scan ExistingRDD") + tree.count("LocalTableScan") == 1, tree
+    assert "Join" not in tree, tree
+
+
+def test_wordpiece_encode_one_scan_greedy_join(spark):
+    """text_wordpiece_encode (r7): training ran at checkpoint time;
+    the final plan is ONE parquet scan (the token stream), one read of
+    the checkpointed word relation carrying the greedy fold (vocab as
+    a map literal — no second join side), and a single hash join —
+    the text_bpe_encode shape."""
+    tree = tree_of(plan_of(all_queries()["text_wordpiece_encode"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Scan ExistingRDD") == 1, tree
+    assert tree.count("BroadcastHashJoin") + tree.count("SortMergeJoin") == 1, tree
+
+
+def test_wordpiece_fertility_one_scan_join(spark):
+    """text_wordpiece_fertility (r7): same shape, lang-tagged."""
+    tree = tree_of(
+        plan_of(all_queries()["text_wordpiece_fertility"](spark, SF_DIR))
+    )
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Scan ExistingRDD") == 1, tree
+    assert tree.count("BroadcastHashJoin") + tree.count("SortMergeJoin") == 1, tree
+
+
+def test_pii_redact_is_pure_scan_projection(spark):
+    """text_pii_redact (r7): three regex counts + chained replaces +
+    md5, ALL inside the scan's projection — zero exchanges, zero
+    joins (the text_readability plan class). At 100 TB this is the
+    pass you fuse into ingestion."""
+    tree = tree_of(plan_of(all_queries()["text_pii_redact"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Exchange") == 0, tree
+    assert "Join" not in tree, tree
