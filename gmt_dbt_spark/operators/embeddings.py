@@ -1395,3 +1395,166 @@ def embed_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("top1_full") == F.col("top1_trunc")).alias("top1_match"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantization (int8-style) retrieval audit (r7) — the SQ
+# sibling of the Matryoshka audit above: MRL asks "how much ranking
+# survives fewer DIMS", this asks "how much survives fewer BITS".
+
+SQ_QUERIES = 8
+SQ_K = 10
+# Micro-unit values are coarsened by floor(qv / 2^13): for |v| <= 1
+# that is ~122 quantization levels per sign — the int8 serving
+# regime. 2^13 keeps the division EXACT in IEEE double on both
+# engines (|qv| <= ~2^20 << 2^53 and the divisor is a power of two),
+# so floor(qv / 8192.0) is the true floor — including on NEGATIVE
+# cells, where integer `div` would truncate toward zero on Spark but
+# floor toward -inf on DuckDB (the dedup_embed_cosine floor-vs-trunc
+# lesson; float-divide-then-floor sidesteps the divergence).
+SQ_SHIFT = 8192
+
+_SQ_ORACLE = f"""
+WITH cells AS (
+  SELECT vec_id, s.i,
+         CAST(floor(CAST(embedding[s.i + 1] AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS i) s
+),
+q8 AS (
+  SELECT vec_id, i, qv,
+         CAST(floor(qv / {SQ_SHIFT}.0) AS BIGINT) AS qc
+  FROM cells
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(q.qv * c.qv) AS BIGINT) AS dot_full,
+         CAST(SUM(q.qc * c.qc) AS BIGINT) AS dot_sq
+  FROM q8 q JOIN q8 c ON q.i = c.i
+  WHERE q.vec_id < {SQ_QUERIES} AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+f AS (
+  SELECT query_id, neighbor_id, r FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot_full DESC, neighbor_id) AS r
+    FROM dots) z WHERE r <= {SQ_K}
+),
+t AS (
+  SELECT query_id, neighbor_id, r FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot_sq DESC, neighbor_id) AS r
+    FROM dots) z WHERE r <= {SQ_K}
+),
+fa AS (SELECT query_id, CAST(SUM(neighbor_id) AS BIGINT) AS full_id_sum,
+              arg_min(neighbor_id, r) AS top1_full
+       FROM f GROUP BY query_id),
+ta AS (SELECT query_id, CAST(SUM(neighbor_id) AS BIGINT) AS sq_id_sum,
+              arg_min(neighbor_id, r) AS top1_sq
+       FROM t GROUP BY query_id),
+ov AS (SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       FROM f JOIN t USING (query_id, neighbor_id) GROUP BY f.query_id)
+SELECT fa.query_id,
+       COALESCE(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+       fa.full_id_sum, ta.sq_id_sum,
+       (fa.top1_full = ta.top1_sq) AS top1_match
+FROM fa JOIN ta USING (query_id) LEFT JOIN ov USING (query_id)
+"""
+
+
+@query("embed_sq_audit", oracle=_SQ_ORACLE)
+def embed_sq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization audit — the measurement behind the "serve
+    int8" decision every embedding deployment makes (4x smaller
+    vectors, SIMD int dots): per query, how much of the
+    full-precision top-K survives when retrieval ranks by the
+    ~7-bit-coarsened vectors (floor(qv/2^13) — see SQ_SHIFT for why
+    the coarsening is engine-exact even on negative cells), plus
+    top-1 agreement and id-sum fingerprints of both sets — the
+    embed_matryoshka_audit surface, fewer BITS instead of fewer DIMS.
+
+    Both rankings are exact-integer inner products (micro-unit and
+    coarsened), so DuckDB replays both rankings and the overlap
+    bit-exactly. Unlike MRL truncation, floor-coarsening is MONOTONE
+    per cell — single-dim rankings can only merge, never invert; real
+    inversions come from error ACCUMULATION across dims, which is
+    exactly what the audit measures (pinned by a planted flip corpus
+    and a brute-force reference in tests).
+
+    Scale shape: identical to the MRL audit — Q=8 queries broadcast,
+    both dots from ONE zip_with pass over the corpus (the coarse dot
+    reads the same cells through a transform — in production the
+    int8 codes are a separate 4x-smaller column, which is the entire
+    point), two per-query window top-Ks and a K-row overlap join,
+    all Q*K-bounded."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _micro_vec().alias("qv"))
+    coarse = lambda col: F.transform(  # noqa: E731
+        col, lambda x: F.floor(x / F.lit(float(SQ_SHIFT))).cast("bigint")
+    )
+    q = v.filter(F.col("vec_id") < SQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, y: acc + y,
+        )
+
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("qq"), F.col("qv")).alias("dot_full"),
+            dot(coarse(F.col("qq")), coarse(F.col("qv"))).alias("dot_sq"),
+        )
+        .localCheckpoint(eager=True)  # two rankings + overlap read it
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("dot_full").desc(), F.col("neighbor_id")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("dot_sq").desc(), F.col("neighbor_id")
+    )
+    f = (
+        scored.withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") <= SQ_K)
+        .select("query_id", "neighbor_id", "r")
+    )
+    t = (
+        scored.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= SQ_K)
+        .select("query_id", "neighbor_id", "r")
+    )
+    fa = f.groupBy("query_id").agg(
+        F.sum("neighbor_id").cast("bigint").alias("full_id_sum"),
+        F.min_by("neighbor_id", "r").alias("top1_full"),
+    )
+    ta = t.groupBy("query_id").agg(
+        F.sum("neighbor_id").cast("bigint").alias("sq_id_sum"),
+        F.min_by("neighbor_id", "r").alias("top1_sq"),
+    )
+    ov = (
+        f.join(t, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        fa.join(ta, "query_id")
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0).cast("bigint")).alias(
+                "n_overlap"
+            ),
+            "full_id_sum",
+            "sq_id_sum",
+            (F.col("top1_full") == F.col("top1_sq")).alias("top1_match"),
+        )
+    )

@@ -310,6 +310,10 @@ EMB_QUERIES = [
     # (neighbor_id tie-break must agree), the zero vector dots 0
     # everywhere, sub-resolution vectors quantize to 0/-1
     "embed_matryoshka_audit",
+    # r7: the SQ sibling — zero vectors, sub-resolution cells, and
+    # the negative floor-vs-trunc edge all coarsen identically on
+    # both engines (float-divide-then-floor, power-of-two divisor)
+    "embed_sq_audit",
     "embed_centroid",
     "embed_quantize",
     "embed_normalize",

@@ -1643,3 +1643,131 @@ def test_pii_redact_planted_positive_and_negative(spark, tmp_path):
     }
     for i, w in enumerate(want):
         assert got[i] == w, (i, texts[i], got[i], w)
+
+
+# ---- scalar-quantization audit (r7): brute-force + planted flip -----
+
+
+def _write_embeddings(tmp_path, name, vecs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": list(range(len(vecs))),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+                "label": [i % 10 for i in range(len(vecs))],
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+def _python_sq_audit(vecs, n_queries=8, k=10, shift=8192):
+    """Brute-force reference of the exact embed_sq_audit spec:
+    micro = floor(float64(cell) * 1e6); coarse = floor(micro/shift)
+    (true floor, negatives included); both rankings (dot desc,
+    neighbor_id asc); overlap/top-1/id-sums per query."""
+    import math
+
+    import numpy as np
+
+    micro = [
+        [math.floor(float(np.float64(np.float32(x))) * 1e6) for x in v]
+        for v in vecs
+    ]
+    coarse = [[math.floor(c / shift) for c in m] for m in micro]
+    out = {}
+    for qid in range(min(n_queries, len(vecs))):
+        rows = []
+        for nid, (m, c) in enumerate(zip(micro, coarse)):
+            if nid == qid:
+                continue
+            df = sum(a * b for a, b in zip(micro[qid], m))
+            ds = sum(a * b for a, b in zip(coarse[qid], c))
+            rows.append((nid, df, ds))
+        f = sorted(rows, key=lambda r: (-r[1], r[0]))[:k]
+        t = sorted(rows, key=lambda r: (-r[2], r[0]))[:k]
+        fs, ts = {r[0] for r in f}, {r[0] for r in t}
+        out[qid] = (
+            len(fs & ts),
+            sum(fs),
+            sum(ts),
+            f[0][0] == t[0][0],
+        )
+    return out
+
+
+def test_sq_audit_matches_brute_force_randomized(spark, tmp_path):
+    """Randomized pin: 2 seeded float32 corpora (24 vecs x 6 dims,
+    values in [-1, 1]) — the Spark audit must equal the pure-Python
+    brute force on every column, including float32->micro flooring
+    on NEGATIVE cells (floor, not trunc)."""
+    import random
+
+    from gmt_dbt_spark.registry import all_queries
+
+    qs = all_queries()
+    for seed in (11, 12):
+        rng = random.Random(seed)
+        vecs = [
+            [rng.uniform(-1, 1) for _ in range(6)] for _ in range(24)
+        ]
+        d = _write_embeddings(tmp_path, f"sq_rand_{seed}", vecs)
+        want = _python_sq_audit(vecs)
+        got = {
+            r.query_id: (r.n_overlap, r.full_id_sum, r.sq_id_sum, r.top1_match)
+            for r in qs["embed_sq_audit"](spark, d).collect()
+        }
+        assert got == want, f"seed {seed}:\n{got}\n!=\n{want}"
+
+
+def test_sq_audit_planted_ranking_flip(spark, tmp_path):
+    """Planted positive: a corpus where coarsening INVERTS a ranking.
+    Query [1, 1]; neighbor 1 sits just BELOW a 2^13 micro boundary in
+    both dims (loses ~8191 micro per dim to the floor), neighbor 2
+    exactly ON boundaries with a smaller true dot (loses nothing) —
+    full ranking says 1 beats 2, coarse ranking says 2 beats 1. The
+    audit MUST report the top-1 mismatch (and the brute force agrees
+    by construction). Planted negative: a well-separated corpus where
+    coarsening changes nothing and top1_match stays true."""
+    from gmt_dbt_spark.registry import all_queries
+
+    qs = all_queries()
+    # constructed in MICRO space (the +0.5/1e6 offset makes the
+    # float32->micro floor land exactly on the chosen integer; f32
+    # rounding error at 0.5 magnitude is ~0.06 micro): the coarse
+    # boundary is 61*8192 = 499712. n1 = [499711, 499711] micro ->
+    # coarse [60, 60]; n2 = [499712, 491520] -> coarse [61, 60].
+    # Full dots: n1 999422e6 > n2 991232e6; coarse dots: n1 14640 <
+    # n2 14762 — a true inversion from accumulated floor loss.
+    n1 = [(499711 + 0.5) / 1e6] * 2
+    n2 = [(499712 + 0.5) / 1e6, (491520 + 0.5) / 1e6]
+    vecs = [[1.0, 1.0], n1, n2] + [[-1.0, -1.0]] * 6
+    d = _write_embeddings(tmp_path, "sq_flip", vecs)
+    want = _python_sq_audit(vecs)
+    got = {
+        r.query_id: (r.n_overlap, r.full_id_sum, r.sq_id_sum, r.top1_match)
+        for r in qs["embed_sq_audit"](spark, d).collect()
+    }
+    assert got == want
+    # the planted flip IS real — strict on both reference and engine
+    assert want[0][3] is False
+    assert got[0][3] is False
+
+    # planted negative: spread-out corpus, coarsening is harmless
+    vecs2 = [[1.0, 1.0], [0.75, 0.75], [0.25, 0.25], [-0.5, -0.5]] + [
+        [0.0, 0.0]
+    ] * 5
+    d2 = _write_embeddings(tmp_path, "sq_clean", vecs2)
+    want2 = _python_sq_audit(vecs2)
+    got2 = {
+        r.query_id: (r.n_overlap, r.full_id_sum, r.sq_id_sum, r.top1_match)
+        for r in qs["embed_sq_audit"](spark, d2).collect()
+    }
+    assert got2 == want2
+    assert got2[0][3] is True  # negative: no flip on the clean corpus

@@ -1534,3 +1534,13 @@ def test_pii_redact_is_pure_scan_projection(spark):
     assert tree.count("Scan parquet") == 1, tree
     assert tree.count("Exchange") == 0, tree
     assert "Join" not in tree, tree
+
+
+def test_sq_audit_checkpointed_double_ranking(spark):
+    """embed_sq_audit (r7): the embed_matryoshka_audit shape — both
+    dots in ONE checkpointed scored pass (two rankings + overlap read
+    it), query side broadcast; the final plan reads the scored RDD,
+    never parquet, and joins only Q*K-bounded frames."""
+    tree = tree_of(plan_of(all_queries()["embed_sq_audit"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 0, tree
+    assert "CartesianProduct" not in tree, tree
