@@ -1891,3 +1891,194 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_moved"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): select pretraining documents whose hashed n-gram
+# feature distribution looks like a TARGET domain. The production
+# pipeline estimates two bag-of-hashed-features unigram LMs (target
+# and raw pool), scores every raw doc by its importance log-ratio
+# log p_tgt(doc) − log p_raw(doc), and keeps the top slice.
+
+DSIR_BUCKETS = 1024  # hashed feature space (2^10 buckets)
+DSIR_KEEP_DEN = 4  # keep the top quartile of the scored pool
+
+
+def _dsir_oracle() -> str:
+    from gmt_dbt_spark.functions.tokenizer import _uni_ilog2_sql as il
+
+    h = (
+        "((CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT)) % 2147483647)"
+        f" % {DSIR_BUCKETS}"
+    )
+    return f"""
+WITH tgt AS (SELECT MIN(source) AS t FROM documents),
+tok AS (
+  SELECT doc_id, source, {h} AS b
+  FROM (SELECT doc_id, source, unnest({_DUCK_TOKENS}) AS tk
+        FROM documents WHERE source IS NOT NULL)
+),
+cnt AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN source = tgt.t THEN 1 ELSE 0 END) AS BIGINT)
+           AS tc,
+         CAST(SUM(CASE WHEN source <> tgt.t THEN 1 ELSE 0 END) AS BIGINT)
+           AS sc
+  FROM tok CROSS JOIN tgt GROUP BY b
+),
+tot AS (
+  SELECT CAST(COALESCE(SUM(tc), 0) + {DSIR_BUCKETS} AS BIGINT) AS tn,
+         CAST(COALESCE(SUM(sc), 0) + {DSIR_BUCKETS} AS BIGINT) AS sn
+  FROM cnt
+),
+w AS (
+  SELECT b, CAST({il('(tc + 1)')} - {il('tn')}
+                 - {il('(sc + 1)')} + {il('sn')} AS BIGINT) AS w
+  FROM cnt CROSS JOIN tot
+),
+scs AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(w.w) AS BIGINT) AS score_fp
+  FROM tok t JOIN w USING (b) CROSS JOIN tgt
+  WHERE t.source <> tgt.t
+  GROUP BY t.doc_id
+),
+spine AS (
+  SELECT doc_id FROM documents CROSS JOIN tgt
+  WHERE source IS NOT NULL AND source <> tgt.t
+),
+ranked AS (
+  SELECT doc_id, n_tokens, score_fp,
+         CAST(ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id)
+              AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS nsc
+  FROM scs
+)
+SELECT s.doc_id,
+       COALESCE(r.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       r.score_fp, r.rn,
+       COALESCE({DSIR_KEEP_DEN} * r.rn <= r.nsc + {DSIR_KEEP_DEN} - 1,
+                FALSE) AS keep
+FROM spine s LEFT JOIN ranked r USING (doc_id)
+"""
+
+
+@query("pipeline_dsir", oracle=_dsir_oracle())
+def pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-weighted data selection (header above): score
+    every raw-pool document by the hashed-unigram importance
+    log-ratio against the target domain; keep the top quartile.
+
+    Registered stand-in for the target domain: the lexicographically
+    smallest `source` (deterministic, data-derived on both engines —
+    production passes the real target relation, e.g. Wikipedia;
+    everything downstream is identical). NULL-source docs are
+    excluded from domain and pool alike, by spec.
+
+    Exactness: per-bucket weights are ALL-INTEGER fixed-point log2
+    (the unigram trainer's ilog2 contract, add-1 smoothing over
+    DSIR_BUCKETS):  w_b = ilog2(tc_b+1) − ilog2(T+B) − ilog2(sc_b+1)
+    + ilog2(S+B);  a doc's score is the exact bigint sum of its
+    tokens' w_b. The keep rule is rank-based (rn ≤ ceil(N/4) via the
+    integer form 4·rn ≤ N+3) — the deterministic value-hashed twin
+    of the paper's Gumbel-noise resampling, same doctrine as
+    text_ppl_filter's tercile rank standing in for the production
+    2-pass threshold split.
+
+    Scale shape: TWO corpus scans (LM estimation, scoring — the
+    pipeline_pretrain_corpus 2-scan funnel; tokens reduce to 10-bit
+    bucket ids AT THE SCAN, so both shuffles carry (doc_id, int)
+    pairs, never strings); the bucket-count relation is ≤1024 rows —
+    collected driver-side (the model, not the data), weights computed
+    in Python ilog2 and re-broadcast as a 1024-row join side. The
+    global rank window moves only the (doc_id, 2 ints) scored
+    relation. Empty pool (single-source corpus) → empty result on
+    both engines."""
+    from pyspark.sql import Window
+
+    from gmt_dbt_spark.functions.tokenizer import _uni_ilog2
+    from gmt_dbt_spark.operators.dedup import shingle_hash
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    schema = (
+        "doc_id bigint, n_tokens bigint, score_fp bigint, rn bigint,"
+        " keep boolean"
+    )
+    tgt = docs.agg(F.min("source").alias("t")).collect()[0]["t"]
+    if tgt is None:
+        return spark.createDataFrame([], schema)
+    tok = docs.select(
+        "doc_id",
+        (F.col("source") == tgt).alias("is_tgt"),
+        F.explode(tokens_col(F.col("text"))).alias("tk"),
+    ).select(
+        "doc_id",
+        "is_tgt",
+        (shingle_hash("tk") % DSIR_BUCKETS).alias("b"),
+    )
+    cnt = (
+        tok.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("tc"),
+            F.sum(F.when(~F.col("is_tgt"), 1).otherwise(0)).alias("sc"),
+        )
+        .collect()
+    )
+    tn = sum(int(r["tc"]) for r in cnt) + DSIR_BUCKETS
+    sn = sum(int(r["sc"]) for r in cnt) + DSIR_BUCKETS
+    ltn, lsn = _uni_ilog2(tn), _uni_ilog2(sn)
+    wrows = [
+        (
+            int(r["b"]),
+            _uni_ilog2(int(r["tc"]) + 1)
+            - ltn
+            - _uni_ilog2(int(r["sc"]) + 1)
+            + lsn,
+        )
+        for r in cnt
+    ]
+    if not wrows:
+        # token-less corpus: every pool doc scores NULL, keeps false
+        return docs.filter(F.col("source") != tgt).select(
+            "doc_id",
+            F.lit(0).cast("bigint").alias("n_tokens"),
+            F.lit(None).cast("bigint").alias("score_fp"),
+            F.lit(None).cast("bigint").alias("rn"),
+            F.lit(False).alias("keep"),
+        )
+    w = F.broadcast(spark.createDataFrame(wrows, "b int, w bigint"))
+    scored = (
+        tok.filter(~F.col("is_tgt"))
+        .join(w, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").cast("bigint").alias("score_fp"),
+        )
+    )
+    wr = Window.orderBy(F.col("score_fp").desc(), F.col("doc_id"))
+    ranked = scored.select(
+        "doc_id",
+        "n_tokens",
+        "score_fp",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias(
+            "nsc"
+        ),
+    )
+    spine = docs.filter(F.col("source") != tgt).select("doc_id")
+    return spine.join(ranked, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias(
+            "n_tokens"
+        ),
+        "score_fp",
+        "rn",
+        F.coalesce(
+            DSIR_KEEP_DEN * F.col("rn") <= F.col("nsc") + DSIR_KEEP_DEN - 1,
+            F.lit(False),
+        ).alias("keep"),
+    )

@@ -114,6 +114,11 @@ QUERIES = [
     "text_wordpiece_train",
     "text_wordpiece_encode",
     "text_wordpiece_fertility",
+    # r7: DSIR — hostile corpus has empty-normalizing docs (0-token
+    # pool rows must surface unscored with keep=false on both
+    # engines) and NULL texts; the lexicographic-min target source
+    # and the add-1 bucket LMs must agree bit-exactly
+    "pipeline_dsir",
     # r7: PII rewrite-and-rehash — NULL texts stay NULL on both
     # engines; hostile unicode/punctuation docs must hash identically
     # through the 3-stage redaction (ASCII-subset patterns cannot

@@ -1771,3 +1771,136 @@ def test_sq_audit_planted_ranking_flip(spark, tmp_path):
     }
     assert got2 == want2
     assert got2[0][3] is True  # negative: no flip on the clean corpus
+
+
+# ---- DSIR importance selection (r7): reference + planted tests ------
+
+
+def _write_docs_src(tmp_path, name, rows):
+    """rows: [(doc_id, text, source)]"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": [r[2] for r in rows],
+                "n_chars": [len(r[1] or "") for r in rows],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def _python_dsir(rows, buckets=1024, keep_den=4):
+    """Pure-Python reference of the exact pipeline_dsir spec."""
+    import hashlib
+    import re
+
+    from gmt_dbt_spark.functions.tokenizer import _uni_ilog2
+
+    def toks(t):
+        t = re.sub(r"[^a-zA-Z0-9 ]", " ", t or "").lower().strip()
+        return [w for w in t.split() if w]
+
+    def bkt(w):
+        h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+        return (h % 2147483647) % buckets
+
+    srcs = [s for _, _, s in rows if s is not None]
+    if not srcs:
+        return {}
+    tgt = min(srcs)
+    tc, sc = {}, {}
+    for _, t, s in rows:
+        if s is None:
+            continue
+        for w in toks(t):
+            b = bkt(w)
+            d = tc if s == tgt else sc
+            d[b] = d.get(b, 0) + 1
+    tn = sum(tc.values()) + buckets
+    sn = sum(sc.values()) + buckets
+    ltn, lsn = _uni_ilog2(tn), _uni_ilog2(sn)
+
+    def w_of(b):
+        return (
+            _uni_ilog2(tc.get(b, 0) + 1)
+            - ltn
+            - _uni_ilog2(sc.get(b, 0) + 1)
+            + lsn
+        )
+
+    scored = {}
+    pool = []
+    for did, t, s in rows:
+        if s is None or s == tgt:
+            continue
+        pool.append(did)
+        tk = toks(t)
+        if tk:
+            scored[did] = (len(tk), sum(w_of(bkt(w)) for w in tk))
+    ranked = sorted(scored.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    n = len(ranked)
+    out = {}
+    for r, (did, (ntk, s)) in enumerate(ranked, 1):
+        out[did] = (ntk, s, r, keep_den * r <= n + keep_den - 1)
+    for did in pool:
+        if did not in out:
+            out[did] = (0, None, None, False)
+    return out
+
+
+def test_dsir_selects_target_like_docs(spark, tmp_path):
+    """Planted semantics: target domain = source 'a_wiki' (lexicographic
+    min) talks about chemistry; the pool has chemistry-like docs and
+    sports docs. The chemistry-like pool docs MUST outscore and be
+    kept (positives); the sports docs must rank below (negatives);
+    the exact scores/ranks/keeps equal the pure-Python reference.
+    Also pins: zero-token pool doc (score NULL, keep false), and the
+    tie-break by doc_id."""
+    from gmt_dbt_spark.registry import all_queries
+
+    rows = [
+        (0, "atoms bond into molecules in reactions", "a_wiki"),
+        (1, "molecules and atoms form crystals", "a_wiki"),
+        (2, "atoms molecules reactions crystals bond", "z_web"),
+        (3, "molecules bond in atoms", "z_web"),
+        (4, "football score goal referee stadium", "z_web"),
+        (5, "referee goal football match", "z_web"),
+        (6, "!!! ...", "z_web"),  # empty-normalizing pool doc
+        (7, "atoms bond reactions", "z_web"),
+        (8, "stadium crowd cheering goal", "z_web"),
+    ]
+    d = _write_docs_src(tmp_path, "dsir_plant", rows)
+    want = _python_dsir(rows)
+    got = {
+        r.doc_id: (r.n_tokens, r.score_fp, r.rn, r.keep)
+        for r in all_queries()["pipeline_dsir"](spark, d).collect()
+    }
+    assert got == want, f"\n{got}\n!=\n{want}"
+    # the planted semantics really hold: chemistry docs outrank sports
+    chem = {2, 3, 7}
+    sport = {4, 5, 8}
+    assert max(got[i][2] for i in chem) < min(got[i][2] for i in sport)
+    # top quartile of 7 scored docs = ceil(7/4) = 2 keeps, both chem
+    kept = {i for i, v in got.items() if v[3]}
+    assert len(kept) == 2 and kept <= chem
+    # zero-token doc: present, unscored, not kept
+    assert got[6] == (0, None, None, False)
+
+
+def test_dsir_single_source_pool_is_empty(spark, tmp_path):
+    """Degenerate corpus (one source): the pool is empty and the
+    result must be empty on the engine (the oracle mirrors)."""
+    from gmt_dbt_spark.registry import all_queries
+
+    rows = [(0, "only one source here", "s"), (1, "more of it", "s")]
+    d = _write_docs_src(tmp_path, "dsir_single", rows)
+    assert all_queries()["pipeline_dsir"](spark, d).count() == 0

@@ -1544,3 +1544,18 @@ def test_sq_audit_checkpointed_double_ranking(spark):
     tree = tree_of(plan_of(all_queries()["embed_sq_audit"](spark, SF_DIR)))
     assert tree.count("Scan parquet") == 0, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_dsir_two_scan_broadcast_weights_shared_window(spark):
+    """pipeline_dsir (r7): LM estimation ran at collect time (the
+    ≤1024-row bucket model); the final plan is the documented 2-scan
+    funnel — one parquet scan feeding the scoring join (tokens already
+    reduced to 10-bit bucket ints at the scan), one for the pool
+    spine — with the weight table BROADCAST (never shuffled) and the
+    rank + pool-count windows sharing one global Exchange."""
+    tree = tree_of(plan_of(all_queries()["pipeline_dsir"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 2, tree
+    assert tree.count("Scan ExistingRDD") == 1, tree
+    assert tree.count("BroadcastHashJoin") == 1, tree
+    assert tree.count("Window") == 2, tree
+    assert "CartesianProduct" not in tree, tree
