@@ -44,6 +44,14 @@ driver-side (the `text_readability` plan class — the strongest
 possible 100 TB shape; plan-guarded). At 100 TB this is exactly the
 pass you fuse into ingestion.
 
+Relationship to `text_pii_scrub` (functions/text.py) — deliberate,
+not duplication: pii_scrub is the SEEDED demo (20 docs, synthetic
+email+phone appended so the scrub provably has targets; combined
+count) proving the redaction mechanics fire; THIS op is the
+production-shaped pass — full corpus, three pattern classes,
+per-pattern counts on raw text, and planted near-miss negatives.
+`fn_mask` (functions/scalar.py) covers the column-masking flavor.
+
 Reference parity note: whitefantom00/gmt-dbt has no text-curation
 surface; this is part of the demanded LLM-pipeline extension
 (SURVEY §2.L).

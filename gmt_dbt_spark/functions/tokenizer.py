@@ -92,7 +92,17 @@ def _bpe_with_clause(k: int) -> str:
     """The shared training CTE chain (it{i} = vocab after i merges,
     p{i} = the i-th learned pair — argmax count, ties broken
     lexicographically, deterministic on both engines). Both oracles
-    compose it with their own final SELECT."""
+    compose it with their own final SELECT.
+
+    p{i}/it{i} are MATERIALIZED (r7 — the wordpiece.py finding
+    applied back): DuckDB inlines plain CTEs per reference, and this
+    chain references it{i-1} twice per level (pair counts, merge
+    apply), so unmaterialized it expands to 2^k ≈ 256 parquet scans —
+    it RAN, but at ~23× the cost (measured 1.6 s → 0.07 s per oracle
+    at sf0.01, results bit-identical). The lambda classes inside are
+    unchanged, so VERIFICATION pattern 11's MATERIALIZED-segfault
+    caveat (nested captures) does not apply — verified by the full
+    BPE-family selfcheck after the switch."""
     parts = [
         f"""wc AS (
   SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -113,8 +123,8 @@ it0 AS (
         i -> [syms[CAST(i + 1 AS INT)], syms[CAST(i + 2 AS INT)]])) AS pair) u
   GROUP BY 1, 2
 ),
-p{i} AS (SELECT a, b, n FROM pc{i} ORDER BY n DESC, a, b LIMIT 1),
-it{i} AS (
+p{i} AS MATERIALIZED (SELECT a, b, n FROM pc{i} ORDER BY n DESC, a, b LIMIT 1),
+it{i} AS MATERIALIZED (
   SELECT word, cnt,
          list_reduce([CAST([] AS VARCHAR[])] || list_transform(syms, s -> [s]),
             (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = p{i}.a
@@ -832,12 +842,23 @@ def _uni_estep_sql(mp: str, seg: str, src: str = "t0w") -> str:
 def _uni_with_clause() -> str:
     """The full training replay as CTEs: seed → s0/m0 → E1 → prune →
     s1/m1 → E2 — generated from the same constants the Spark trainer
-    uses (the generate-from-constants rule)."""
-    return f"""WITH RECURSIVE t0w AS (
+    uses (the generate-from-constants rule).
+
+    t0w/sub/s0/s1/m0/m1 are MATERIALIZED (r7, the wordpiece.py
+    CTE-inlining finding applied back): unmaterialized, DuckDB
+    re-inlines the vocabulary MAP (m0/m1) into EVERY recursive
+    Viterbi step — re-running the seed aggregate per word-position
+    iteration (measured 2.9 s → 0.08 s for the train oracle, 4.9 s →
+    0.10 s for ppl_filter at sf0.01, results bit-identical). None of
+    these CTEs contain lambdas, so the VERIFICATION pattern 11
+    MATERIALIZED-segfault caveat (nested lambda captures) does not
+    apply; the recursive e1/e2 CTEs themselves stay plain — DuckDB
+    already materializes recursion by necessity."""
+    return f"""WITH RECURSIVE t0w AS MATERIALIZED (
   SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents) GROUP BY 1
 ),
-sub AS (
+sub AS MATERIALIZED (
   SELECT substr(word, CAST(i.i + 1 AS INT), CAST(l.l AS INT)) AS piece,
          CAST(SUM(cnt) AS BIGINT) AS c
   FROM t0w,
@@ -846,7 +867,7 @@ sub AS (
                 AS i) i
   GROUP BY 1
 ),
-chars0 AS (SELECT piece, c FROM sub WHERE length(piece) = 1),
+chars0 AS MATERIALIZED (SELECT piece, c FROM sub WHERE length(piece) = 1),
 multi0 AS (
   SELECT piece, c FROM (
     SELECT piece, c, ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS rn
@@ -855,11 +876,11 @@ multi0 AS (
 ),
 v0 AS (SELECT * FROM chars0 UNION ALL SELECT * FROM multi0),
 tot0 AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM v0),
-s0 AS (SELECT piece,
+s0 AS MATERIALIZED (SELECT piece,
               CAST({_uni_ilog2_sql('c')} - {_uni_ilog2_sql('t')} AS BIGINT)
                 AS s
        FROM v0 CROSS JOIN tot0),
-m0 AS (SELECT map(list(piece ORDER BY piece), list(s ORDER BY piece)) AS mp
+m0 AS MATERIALIZED (SELECT map(list(piece ORDER BY piece), list(s ORDER BY piece)) AS mp
        FROM s0),
 {_uni_estep_sql('m0', 'e1')},
 c1 AS (SELECT u.piece, CAST(SUM(cnt) AS BIGINT) AS c
@@ -877,11 +898,11 @@ multi1 AS (
 ),
 v1 AS (SELECT * FROM chars1 UNION ALL SELECT * FROM multi1),
 tot1 AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM v1),
-s1 AS (SELECT piece,
+s1 AS MATERIALIZED (SELECT piece,
               CAST({_uni_ilog2_sql('c')} - {_uni_ilog2_sql('t')} AS BIGINT)
                 AS s
        FROM v1 CROSS JOIN tot1),
-m1 AS (SELECT map(list(piece ORDER BY piece), list(s ORDER BY piece)) AS mp
+m1 AS MATERIALIZED (SELECT map(list(piece ORDER BY piece), list(s ORDER BY piece)) AS mp
        FROM s1),
 {_uni_estep_sql('m1', 'e2')},
 c2 AS (SELECT u.piece, CAST(SUM(cnt) AS BIGINT) AS c

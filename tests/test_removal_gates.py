@@ -211,11 +211,65 @@ GATES = {
         "class": "audit",
         "evidence": [("test_removal_gates", "test_audit_gates_planted")],
     },
+    # --- r7 pattern extension: selection + rewrite gates --------------
+    "text_ppl_filter": {
+        # keep = head+middle terciles — a keep/drop surface; planted
+        # expectations (bands, keeps, 'empty' rows) are pure-Python
+        # derived in the reference-pin test
+        "class": "removal",
+        "evidence": [
+            (
+                "test_llm_ops",
+                "test_ppl_filter_and_fertility_match_python_reference",
+            )
+        ],
+    },
+    "pipeline_dsir": {
+        # keep = top-quartile importance rank — planted positives
+        # (chemistry docs must be kept) and negatives (sports docs
+        # must not) with pure-Python-derived scores/ranks
+        "class": "removal",
+        "evidence": [
+            ("test_llm_ops", "test_dsir_selects_target_like_docs")
+        ],
+    },
+    "text_pii_redact": {
+        # span-rewrite gate (the text_dedup_lines class at pattern
+        # granularity): planted positives per pattern with
+        # hashlib-derived rewritten hashes, planted near-miss
+        # negatives whose hash must equal the original text's
+        "class": "removal",
+        "evidence": [
+            (
+                "test_llm_ops",
+                "test_pii_redact_planted_positive_and_negative",
+            )
+        ],
+    },
+    "text_pii_scrub": {
+        # the seeded 20-doc demo sibling (see redact.py's
+        # relationship note): synthetic PII is appended by
+        # construction, so every row IS a planted positive; the
+        # rewrite is hash-pinned by its oracle replay
+        "class": "audit",
+        "evidence": [],
+    },
 }
 
 
 def _is_gate_name(name: str) -> bool:
-    return "dedup" in name or "decontaminate" in name or "keep_best" in name
+    # r7 extension: the original pattern caught dedup-family gates
+    # only; selection gates (keep flags: ppl terciles, DSIR) and
+    # content-rewrite gates (PII span removal) decide what survives
+    # just the same, so they enroll too.
+    return (
+        "dedup" in name
+        or "decontaminate" in name
+        or "keep_best" in name
+        or "ppl_filter" in name
+        or "dsir" in name
+        or "pii" in name
+    )
 
 
 def test_removal_gate_sweep():
