@@ -1520,22 +1520,31 @@ def test_wordpiece_train_matches_python_reference_randomized(spark, tmp_path):
 
 def test_wordpiece_greedy_differs_from_train_segmentation(spark, tmp_path):
     """Greedy longest-match is the RUNTIME, not a training replay —
-    pin a corpus where they differ. Trained on ['abc'*9, 'bc'*1,
-    'ab'*1 ...] the merges can produce piece 'abc'; greedy-encoding
-    'abcbc' then takes 'abc'+'bc' (2 pieces) where a pure merge
-    replay could differ. The real assertion: every encode budget
-    equals the pure-Python GREEDY reference, even when the training
-    segmentation of the same word has a different piece count."""
+    pinned on a corpus where they PROVABLY differ (found by search,
+    verified below): on {'aaaab','bbac','abb','baaa','ccc'} the
+    merge replay segments 'aaaab' as ['aa','aa','b'] (3 pieces) while
+    greedy longest-match-first takes a longer prefix piece and lands
+    on 2. The engine must follow the GREEDY reference on every doc —
+    and the divergence assertion keeps this test from going vacuous
+    if the corpus ever changes."""
     from gmt_dbt_spark.functions.wordpiece import WP_MERGES
     from gmt_dbt_spark.registry import all_queries
 
-    words = ["abc"] * 9 + ["bc"] * 3 + ["abcbc"] * 2 + ["cab"] * 1
+    words = ["aaaab", "bbac", "abb", "baaa", "ccc"]
     d = _write_docs(tmp_path, "wp_greedy", words)
     counts = {}
     for w in words:
         counts[w] = counts.get(w, 0) + 1
-    ref_merges, _ = _python_wordpiece(counts, WP_MERGES)
-    vocab = set("abc") | {a + b for _, a, b, _, _ in ref_merges}
+    ref_merges, ref_vocab = _python_wordpiece(counts, WP_MERGES)
+    vocab = set("".join(words)) | {a + b for _, a, b, _, _ in ref_merges}
+    # the divergence is real: greedy and replay disagree on >= 1 word
+    diverged = [
+        w
+        for w in counts
+        if not _python_wp_encode(w, vocab)[1]
+        and _python_wp_encode(w, vocab)[0] != len(ref_vocab[w])
+    ]
+    assert diverged, "corpus no longer separates greedy from replay"
     qs = all_queries()
     enc = {
         r.doc_id: r.n_wp_tokens
