@@ -79,6 +79,11 @@ QUERIES = [
     # and the raw-text round-trip (non-ASCII/whitespace-only lines
     # must survive the UTF-8 write+read byte-exactly)
     "text_bigram_logprob",
+    # r7: the Kneser-Ney upgrade — hostile empty-normalizing and
+    # single-token docs must surface (0, NULL) on both engines; the
+    # 31-bit hash reduction and the distributed ilog2 (DECIMAL div
+    # vs HUGEINT //) must agree bit-exactly
+    "text_kn_logprob",
     "text_bm25",
     "scan_text_lines",
     # r5: trained NB classifier — the hostile corpus cycles langs, so

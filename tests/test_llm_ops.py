@@ -1913,3 +1913,105 @@ def test_dsir_single_source_pool_is_empty(spark, tmp_path):
     rows = [(0, "only one source here", "s"), (1, "more of it", "s")]
     d = _write_docs_src(tmp_path, "dsir_single", rows)
     assert all_queries()["pipeline_dsir"](spark, d).count() == 0
+
+
+# ---- Kneser-Ney bigram LM (r7): reference + planted tests -----------
+
+
+def _python_kn(texts):
+    """Pure-Python reference of the exact text_kn_logprob spec:
+    31-bit md5 token hashes, interpolated KN with D=3/4 in rational
+    form, fixed-point ilog2 scores. Returns {doc_id: (n_bigrams,
+    score_fp_or_None)} plus the stats for property checks."""
+    import hashlib
+    import re
+
+    from gmt_dbt_spark.functions.tokenizer import _uni_ilog2
+
+    def toks(t):
+        t = re.sub(r"[^a-zA-Z0-9 ]", " ", t or "").lower().strip()
+        return [w for w in t.split() if w]
+
+    def h(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 2147483647
+
+    streams = {i: [h(w) for w in toks(t)] for i, t in texts.items()}
+    bg = {}
+    for hs in streams.values():
+        for v, w in zip(hs, hs[1:]):
+            bg[(v, w)] = bg.get((v, w), 0) + 1
+    cv, n1p, n1c = {}, {}, {}
+    for (v, w), c in bg.items():
+        cv[v] = cv.get(v, 0) + c
+        n1p[v] = n1p.get(v, 0) + 1
+        n1c[w] = n1c.get(w, 0) + 1
+    n11 = len(bg)
+    out = {}
+    for i, hs in streams.items():
+        pairs = list(zip(hs, hs[1:]))
+        if not pairs:
+            out[i] = (0, None)
+            continue
+        s = 0
+        for v, w in pairs:
+            num = (4 * bg[(v, w)] - 3) * n11 + 3 * n1p[v] * n1c[w]
+            den = 4 * cv[v] * n11
+            s += _uni_ilog2(num) - _uni_ilog2(den)
+        out[i] = (len(pairs), s)
+    return out, (bg, cv, n1p, n1c, n11)
+
+
+def test_kn_spec_is_a_true_distribution():
+    """Spec-level property (Fractions, no engines): for every seen
+    context v, sum over the seen vocabulary of P(w|v) is EXACTLY 1 —
+    the discount mass is fully redistributed by the continuation
+    term. This is what makes the score a genuine LM log-prob."""
+    from fractions import Fraction
+
+    texts = {0: "a b a b c d", 1: "b c a d d", 2: "a b", 3: "d a"}
+    _, (bg, cv, n1p, n1c, n11) = _python_kn(texts)
+    for v in cv:
+        s = sum(
+            Fraction(
+                (4 * bg.get((v, w), 0) - 3) * n11 * (1 if (v, w) in bg else 0)
+                + 3 * n1p[v] * n1c[w],
+                4 * cv[v] * n11,
+            )
+            for w in n1c
+        )
+        assert s == 1, (v, s)
+
+
+def test_kn_logprob_matches_python_reference(spark, tmp_path):
+    """Hand-sized planted corpus + randomized corpora, every doc's
+    (n_bigrams, score_fp) pinned against the pure-Python reference —
+    including the short-doc NULL-score edge and hash-identical
+    token reduction."""
+    import random
+
+    from gmt_dbt_spark.registry import all_queries
+
+    qs = all_queries()
+    cases = [["a b a b c", "b c a", "a b", "solo", ""]]
+    for seed in (21, 22):
+        rng = random.Random(seed)
+        cases.append(
+            [
+                " ".join(
+                    rng.choice("abcd") for _ in range(rng.randint(0, 12))
+                )
+                for _ in range(rng.randint(6, 20))
+            ]
+        )
+    for ci, words in enumerate(cases):
+        texts = dict(enumerate(words))
+        want, _ = _python_kn(texts)
+        d = _write_docs(tmp_path, f"kn_{ci}", words)
+        got = {
+            r.doc_id: (r.n_bigrams, r.score_fp)
+            for r in qs["text_kn_logprob"](spark, d).collect()
+        }
+        assert got == want, f"case {ci}:\n{got}\n!=\n{want}"
+    # the planted corpus hits both edges: scored docs AND NULL docs
+    want0, _ = _python_kn(dict(enumerate(cases[0])))
+    assert want0[3] == (0, None) and want0[0][0] == 4

@@ -1559,3 +1559,18 @@ def test_dsir_two_scan_broadcast_weights_shared_window(spark):
     assert tree.count("BroadcastHashJoin") == 1, tree
     assert tree.count("Window") == 2, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_kn_logprob_broadcast_stats_two_scans(spark):
+    """text_kn_logprob (r7): all three LM stats relations derive from
+    the ONE checkpointed Heaps-bounded bigram-count RDD (read 3x) and
+    join back BROADCAST; exactly two parquet scans (scoring stream +
+    docs spine); the per-bigram ilog2 is pure projection (no extra
+    exchange beyond the aggregates); spine joins left-outer. At this
+    sf AQE may broadcast the stream side instead of a stats side —
+    either way no shuffle join over corpus-width rows."""
+    tree = tree_of(plan_of(all_queries()["text_kn_logprob"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 2, tree
+    assert tree.count("Scan ExistingRDD") == 3, tree
+    assert tree.count("BroadcastHashJoin") == 3, tree
+    assert "CartesianProduct" not in tree, tree
