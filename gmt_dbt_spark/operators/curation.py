@@ -2082,3 +2082,75 @@ def pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-aware train/test split — the dedup-aware leakage guard (Lee et
+# al. 2022 §6 showed near-identical train/test docs inflate eval):
+# hashing DOC IDs into splits lets byte-identical documents straddle
+# train and test; hashing the content-GROUP key cannot.
+
+SPLIT_BUCKETS = 10
+SPLIT_TRAIN_BUCKETS = 8  # 80/20
+
+
+_GROUP_SPLIT_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS fpn FROM documents
+),
+sized AS (
+  SELECT doc_id, fpn,
+         CAST(COUNT(*) OVER (PARTITION BY fpn) AS BIGINT) AS n_group
+  FROM g
+)
+SELECT doc_id, fpn, n_group,
+       CASE WHEN (CAST('0x' || substr(md5('split:' || fpn), 1, 8) AS BIGINT))
+                 % {SPLIT_BUCKETS} < {SPLIT_TRAIN_BUCKETS}
+            THEN 'train' ELSE 'test' END AS split
+FROM sized
+"""
+
+
+@query("pipeline_group_split", oracle=_GROUP_SPLIT_ORACLE)
+def pipeline_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/test split (header above): every document
+    is assigned train/test by hashing its CONTENT-GROUP key (md5 of
+    the coalesced text — the dedup_exact fingerprint, NULL and ''
+    merging into one group by spec), salted and bucketed 8/2 — so
+    byte-identical duplicates structurally CANNOT straddle the
+    split, which `pipeline_train_test_split`'s per-doc-id hash
+    (kept as the iid baseline) does not guarantee. Surface carries
+    the group fingerprint and group size so the consumer can audit
+    residual near-dup leakage with the fuzzy family.
+
+    Scale: one shuffle on the 16-byte fingerprint (the group-size
+    window); the split decision is pure projection. Production note:
+    for NEAR-dup-proof splits, substitute the dedup_clusters
+    component id for fpn — the plan is identical."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    fpn = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    b = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("fpn"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(SPLIT_BUCKETS),
+    )
+    return (
+        docs.select("doc_id", fpn.alias("fpn"))
+        .withColumn(
+            "n_group",
+            F.count(F.lit(1)).over(Window.partitionBy("fpn")).cast("bigint"),
+        )
+        .select(
+            "doc_id",
+            "fpn",
+            "n_group",
+            F.when(b < SPLIT_TRAIN_BUCKETS, F.lit("train"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )

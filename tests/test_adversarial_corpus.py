@@ -119,6 +119,10 @@ QUERIES = [
     "text_wordpiece_train",
     "text_wordpiece_encode",
     "text_wordpiece_fertility",
+    # r7: group-aware split — NULL and '' texts merge into one
+    # fingerprint group on both engines; triplicated hostile docs
+    # must report n_group=3 and share one split
+    "pipeline_group_split",
     # r7: DSIR — hostile corpus has empty-normalizing docs (0-token
     # pool rows must surface unscored with keep=false on both
     # engines) and NULL texts; the lexicographic-min target source

@@ -2015,3 +2015,57 @@ def test_kn_logprob_matches_python_reference(spark, tmp_path):
     # the planted corpus hits both edges: scored docs AND NULL docs
     want0, _ = _python_kn(dict(enumerate(cases[0])))
     assert want0[3] == (0, None) and want0[0][0] == 4
+
+
+# ---- group-aware split (r7): leakage planted tests ------------------
+
+
+def test_group_split_duplicates_never_straddle(spark, tmp_path):
+    """Planted positive: byte-identical documents MUST land in the
+    same split (the structural guarantee — doc-id hashing gives ~20%
+    straddle odds per dup pair). Planted negative/coverage: on a
+    40-doc corpus both splits are populated and sized by the 8/2
+    bucket rule computed independently via hashlib. NULL and ''
+    texts merge into one group by spec."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmt_dbt_spark.registry import all_queries
+
+    texts = [f"unique document number {i} body" for i in range(36)]
+    texts += ["the duplicated text"] * 2 + [None, ""]
+    d = tmp_path / "gsplit"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": [len(t or "") for t in texts],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = {
+        r.doc_id: (r.fpn, r.n_group, r.split)
+        for r in all_queries()["pipeline_group_split"](spark, str(d)).collect()
+    }
+    # independent expectation (hashlib, no oracle)
+    def want(t):
+        fpn = hashlib.md5((t or "").encode()).hexdigest()
+        b = int(hashlib.md5(("split:" + fpn).encode()).hexdigest()[:8], 16)
+        return fpn, "train" if b % 10 < 8 else "test"
+
+    for i, t in enumerate(texts):
+        fpn, sp = want(t)
+        assert got[i][0] == fpn and got[i][2] == sp, (i, got[i], fpn, sp)
+    # dup pair: same split, group size 2
+    assert got[36] == got[37] and got[36][1] == 2
+    # NULL and '' merged into one group of 2, same split
+    assert got[38] == got[39] and got[38][1] == 2
+    # both splits populated on this corpus
+    assert {v[2] for v in got.values()} == {"train", "test"}

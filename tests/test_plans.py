@@ -1574,3 +1574,13 @@ def test_kn_logprob_broadcast_stats_two_scans(spark):
     assert tree.count("Scan ExistingRDD") == 3, tree
     assert tree.count("BroadcastHashJoin") == 3, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_group_split_single_fp_shuffle(spark):
+    """pipeline_group_split (r7): ONE Exchange (the fingerprint
+    group-size window); the split decision is pure projection — no
+    join, no second shuffle."""
+    tree = tree_of(plan_of(all_queries()["pipeline_group_split"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
