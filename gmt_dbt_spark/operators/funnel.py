@@ -1053,3 +1053,135 @@ def mart_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE-class sequential pattern matching (r7) — the CEP
+# operator Spark SQL lacks (Flink/Trino/Oracle have MATCH_RECOGNIZE;
+# ClickHouse has sequenceMatch): find, per user, the FIRST occurrence
+# of the ordered pattern VIEW → CLICK → PURCHASE with NO ERROR
+# anywhere between the anchoring view and the purchase. This differs
+# from the funnel family above in exactly the two ways that define
+# the CEP class: an EXCLUSION event resets an in-progress match, and
+# matching re-anchors after a reset (a later view can still complete)
+# — `events_window_funnel` can express neither.
+
+_MR_ORACLE = """
+WITH e1 AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS seg
+  FROM events
+),
+e2 AS (
+  SELECT *,
+         COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER wsp
+           AS v_before,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) OVER wsp AS fv_ts
+  FROM e1
+  WINDOW wsp AS (PARTITION BY user_id, seg ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+e3 AS (
+  SELECT *,
+         MAX(CASE WHEN event_type = 'click' AND v_before >= 1
+                  THEN 1 ELSE 0 END) OVER wsp AS vc_before
+  FROM e2
+  WINDOW wsp AS (PARTITION BY user_id, seg ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+hits AS (
+  SELECT user_id, fv_ts, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM e3
+  WHERE event_type = 'purchase' AND vc_before = 1
+),
+spine AS (SELECT DISTINCT user_id FROM events)
+SELECT s.user_id,
+       (h.ts IS NOT NULL) AS matched,
+       h.fv_ts AS match_start_ts,
+       h.ts AS match_end_ts
+FROM spine s LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h USING (user_id)
+"""
+
+
+@query("events_match_recognize", oracle=_MR_ORACLE)
+def events_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match sequential pattern per user (header above) — NFA
+    semantics, RELATIONAL plan. The state machine (anchor at the
+    first view, advance on a later click, complete on a later
+    purchase, RESET on error, first match wins) is re-expressed as
+    windows so no per-user event array is ever materialized (the
+    whale-user hazard of the collect_list formulation):
+
+      seg       running error count → events in one (user, seg)
+                segment have no error between them;
+      v_before  views earlier in the segment → a click with
+                v_before ≥ 1 extends a live match;
+      vc_before a qualifying click earlier in the segment → a
+                purchase with vc_before completes one;
+      fv_ts     MIN view ts earlier in the segment = the NFA's
+                anchor (the first view after the last reset);
+      rn = 1    over qualifying purchases by (ts, event_id) = the
+                first match (AFTER MATCH SKIP semantics).
+
+    Equivalence to the sequential NFA is pinned by a pure-Python
+    state-machine reference on randomized logs plus planted reset /
+    exclusion / tie-break / re-anchor sequences. (ts, event_id)
+    total-orders every window on both engines. Scale: two exchanges
+    (user; user+seg — fixed-width rows), one purchase-only rank, a
+    distinct-user spine left join; streaming twin would be
+    applyInPandasWithState, noted for parity with the session ops."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    wu = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    e1 = ev.withColumn(
+        "seg",
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).over(wu),
+    )
+    wsp = (
+        Window.partitionBy("user_id", "seg")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    e2 = e1.withColumn(
+        "v_before",
+        F.count(F.when(F.col("event_type") == "view", F.lit(1))).over(wsp),
+    ).withColumn(
+        "fv_ts",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wsp),
+    )
+    e3 = e2.withColumn(
+        "vc_before",
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("v_before") >= 1),
+                1,
+            ).otherwise(0)
+        ).over(wsp),
+    )
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hits = (
+        e3.filter(
+            (F.col("event_type") == "purchase") & (F.col("vc_before") == 1)
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "fv_ts", F.col("ts").alias("match_end_ts"))
+    )
+    spine = ev.select("user_id").distinct()
+    return spine.join(hits, "user_id", "left").select(
+        "user_id",
+        F.col("match_end_ts").isNotNull().alias("matched"),
+        F.col("fv_ts").alias("match_start_ts"),
+        "match_end_ts",
+    )

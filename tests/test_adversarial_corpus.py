@@ -381,6 +381,10 @@ def test_adversarial_embeddings_match_oracle(spark, adv_emb_dir, name):
 
 
 EVT_QUERIES = [
+    # r7: CEP pattern matching — hostile ts collisions/duplicates
+    # exercise the (ts, event_id) total order through three window
+    # layers and the error-reset segmentation on both engines
+    "events_match_recognize",
     "events_funnel",
     "events_retention",
     "events_wau_sliding",

@@ -1584,3 +1584,16 @@ def test_group_split_single_fp_shuffle(spark):
     assert tree.count("Scan parquet") == 1, tree
     assert tree.count("Exchange") == 1, tree
     assert "Join" not in tree, tree
+
+
+def test_match_recognize_two_exchanges_no_arrays(spark):
+    """events_match_recognize (r7): the NFA runs as WINDOWS, never as
+    per-user collect_list arrays (the whale-user hazard) — exchanges
+    carry fixed-width event rows only: one user partitioning, one
+    (user, seg) partitioning, plus the purchase-rank and the
+    distinct-user spine; no Generate, no array aggregation."""
+    tree = tree_of(plan_of(all_queries()["events_match_recognize"](spark, SF_DIR)))
+    assert "collect_list" not in tree.lower(), tree
+    assert "Generate" not in tree, tree
+    assert tree.count("Window") >= 3, tree
+    assert "CartesianProduct" not in tree, tree

@@ -148,3 +148,150 @@ def test_volume_drift_inclusive_boundaries(spark, tmp_path):
     assert out["2020-01-02"] is True    # exact halving alerts
     assert out["2020-01-03"] is True    # exact doubling alerts
     assert out["2020-01-04"] is False   # 4 -> 3 is within band
+
+
+# ---- events_match_recognize (r7): NFA reference pins -----------------
+
+
+def _python_mr_nfa(events):
+    """The sequential state machine the relational plan must equal:
+    events = [(event_id, ts_str, user_id, event_type)]; per user,
+    scan in (ts, event_id) order — anchor on the first view, a later
+    click arms completion, a later purchase completes, ERROR resets,
+    first match wins. Returns {user: (matched, start_ts, end_ts)}."""
+    byu = {}
+    for eid, ts, u, et in events:
+        byu.setdefault(u, []).append((ts, eid, et))
+    out = {}
+    for u, evs in byu.items():
+        st, anchor = 0, None
+        res = (False, None, None)
+        for ts, eid, et in sorted(evs):
+            if et == "error":
+                st, anchor = 0, None
+            elif et == "view" and st == 0:
+                st, anchor = 1, ts
+            elif et == "click" and st == 1:
+                st = 2
+            elif et == "purchase" and st == 2:
+                res = (True, anchor, ts)
+                break
+        out[u] = res
+    return out
+
+
+def _write_events(spark, tmp_path, events):
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(e[0], e[1], e[2], e[3], 1.0, "{}") for e in events],
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(os.path.join(tmp_path, "events.parquet"))
+    return str(tmp_path)
+
+
+def test_match_recognize_planted_sequences(spark, tmp_path):
+    """Every defining CEP behavior on one fixture, expectations by
+    hand (the NFA reference corroborates): plain match, error-reset
+    (negative), re-anchor after reset (start = the SECOND view),
+    exclusion between click and purchase (negative), wrong order
+    (negative), first-view anchoring, same-ts tie broken by
+    event_id (click sorts before the view -> negative), and
+    first-match-wins on a double sequence."""
+    from gmt_dbt_spark.registry import all_queries
+
+    T = "2024-01-01 00:00:{:02d}"
+    ev = []
+    eid = 0
+
+    def add(u, seq):
+        nonlocal eid
+        for i, et in enumerate(seq):
+            ev.append((eid, T.format(i), u, et))
+            eid += 1
+
+    add(1, ["view", "click", "purchase"])                    # match
+    add(2, ["view", "error", "click", "purchase"])           # reset kills it
+    add(3, ["view", "error", "view", "click", "purchase"])   # re-anchor
+    add(4, ["view", "click", "error", "purchase"])           # exclusion
+    add(5, ["purchase", "click", "view"])                    # wrong order
+    add(6, ["view", "view", "click", "purchase"])            # first view
+    add(8, ["view", "click", "purchase", "view", "click", "purchase"])
+    # user 7: click and view share ts; click's LOWER event_id sorts it
+    # first, so no view precedes the click -> no match
+    ev.append((eid, T.format(0), 7, "click")); eid += 1
+    ev.append((eid, T.format(0), 7, "view")); eid += 1
+    ev.append((eid, T.format(1), 7, "purchase")); eid += 1
+
+    d = _write_events(spark, tmp_path, ev)
+    got = {
+        r.user_id: (
+            r.matched,
+            str(r.match_start_ts) if r.match_start_ts else None,
+            str(r.match_end_ts) if r.match_end_ts else None,
+        )
+        for r in all_queries()["events_match_recognize"](spark, d).collect()
+    }
+    s = lambda i: T.format(i)  # noqa: E731
+    assert got[1] == (True, s(0), s(2))
+    assert got[2] == (False, None, None)
+    assert got[3] == (True, s(2), s(4))   # re-anchored at the 2nd view
+    assert got[4] == (False, None, None)
+    assert got[5] == (False, None, None)
+    assert got[6] == (True, s(0), s(3))   # anchored at the FIRST view
+    assert got[7] == (False, None, None)  # tie-break: click before view
+    assert got[8] == (True, s(0), s(2))   # first match wins
+    # cross-check every row against the NFA reference
+    want = {
+        u: (m, a, b)
+        for u, (m, a, b) in _python_mr_nfa(
+            [(e[0], e[1], e[2], e[3]) for e in ev]
+        ).items()
+    }
+    assert {u: (m, a, b) for u, (m, a, b) in
+            ((u, v) for u, v in got.items())} == want
+
+
+def test_match_recognize_matches_nfa_randomized(spark, tmp_path):
+    """Randomized equivalence: 40 users x random event logs (with ts
+    collisions), the relational windows plan must equal the
+    sequential NFA on every user."""
+    import random
+
+    from gmt_dbt_spark.registry import all_queries
+
+    rng = random.Random(99)
+    ev = []
+    eid = 0
+    types = ["view", "click", "purchase", "error", "signup"]
+    for u in range(40):
+        t = 0
+        for _ in range(rng.randint(0, 25)):
+            t += rng.choice([0, 0, 1, 2])  # frequent ts collisions
+            ev.append(
+                (
+                    eid,
+                    f"2024-02-01 00:{t // 60:02d}:{t % 60:02d}",
+                    u,
+                    rng.choice(types),
+                )
+            )
+            eid += 1
+    # shuffle event_ids relative to time to exercise the tiebreak
+    rng.shuffle(ev)
+    ev = [(i, e[1], e[2], e[3]) for i, e in enumerate(ev)]
+    d = _write_events(spark, tmp_path / "rand", ev)
+    want = _python_mr_nfa(ev)
+    got = {
+        r.user_id: (
+            r.matched,
+            str(r.match_start_ts) if r.match_start_ts else None,
+            str(r.match_end_ts) if r.match_end_ts else None,
+        )
+        for r in all_queries()["events_match_recognize"](spark, d).collect()
+    }
+    assert got == want
