@@ -2069,3 +2069,43 @@ def test_group_split_duplicates_never_straddle(spark, tmp_path):
     assert got[38] == got[39] and got[38][1] == 2
     # both splits populated on this corpus
     assert {v[2] for v in got.values()} == {"train", "test"}
+
+
+def test_tokenizer_families_agree_on_word_counts(spark, tmp_path):
+    """Cross-family invariant: BPE, unigram, and WordPiece encode
+    surfaces all join the SAME normalized token stream, so per doc
+    n_words must be identical across the three — and every family's
+    piece budget is bounded below by n_words' piece-per-word minimum
+    of 1 (no family can emit fewer pieces than words). A join bug,
+    vocab-coverage hole, or stream divergence in any one family
+    breaks this even while its own oracle stays green (the
+    mirrored-bug doctrine applied across families)."""
+    from gmt_dbt_spark.registry import all_queries
+
+    words = [
+        "the quick brown fox jumps over the lazy dog",
+        "aaa bbb aaa ccc",
+        "unicode stripped ünïcode here",
+        "!!!",
+        "single",
+    ]
+    d = _write_docs(tmp_path, "tok_families", words)
+    qs = all_queries()
+    bpe = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in qs["text_bpe_encode"](spark, d).collect()
+    }
+    uni = {
+        r.doc_id: (r.n_words, r.n_pieces)
+        for r in qs["text_unigram_encode"](spark, d).collect()
+    }
+    wp = {
+        r.doc_id: (r.n_words, r.n_wp_tokens)
+        for r in qs["text_wordpiece_encode"](spark, d).collect()
+    }
+    # the empty-normalizing doc (id 3) drops from all three alike
+    assert set(bpe) == set(uni) == set(wp) == {0, 1, 2, 4}
+    for i in bpe:
+        assert bpe[i][0] == uni[i][0] == wp[i][0], (i, bpe[i], uni[i], wp[i])
+        for fam, (nw, np_) in (("bpe", bpe[i]), ("uni", uni[i]), ("wp", wp[i])):
+            assert np_ >= nw, (i, fam, nw, np_)
