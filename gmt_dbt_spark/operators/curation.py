@@ -2154,3 +2154,135 @@ def pipeline_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# No-split packing audit (r7): the pack family above SPLITS documents
+# across budget boundaries (concat-and-chunk — zero waste by
+# construction). Training recipes that forbid splitting (docs must
+# stay contiguous in one context window) pay real waste instead, and
+# the standard cheap layout is NEXT-FIT-DECREASING: sort docs by
+# token length descending, scan once, open a new bin when the
+# current one can't take the next doc. NFD is inherently SEQUENTIAL
+# (each bin boundary depends on the waste before it — no
+# floor(cumsum/budget) closed form exists), so this operator uses the
+# sanctioned custom-operator seam: applyInPandas per source, fed ONLY
+# (doc_id, tok) int pairs — document bodies never reach Python.
+
+
+def _pack_nfd(pdf):
+    """Per-source NFD scan (runs inside applyInPandas; imports only
+    pandas, safe for executor re-import)."""
+    import pandas as pd
+
+    d = pdf.sort_values(["tok", "doc_id"], ascending=[False, True])
+    cur = bins = waste = 0
+    b = int(d["budget"].iloc[0])
+    for t in d["tok"]:
+        t = int(t)
+        if bins == 0 or cur + t > b:
+            if bins > 0:
+                waste += max(b - cur, 0)
+            bins += 1
+            cur = t
+        else:
+            cur += t
+    if bins > 0:
+        waste += max(b - cur, 0)
+    total = int(d["tok"].sum())
+    return pd.DataFrame(
+        {
+            "source": [d["source"].iloc[0]],
+            "n_docs": [len(d)],
+            "total_tok": [total],
+            "bins_nfd": [bins],
+            "lb_bins": [-(-total // b)],
+            "waste_tok": [waste],
+            "n_oversize": [int((d["tok"] > b).sum())],
+        }
+    )
+
+
+_NFD_ORACLE = f"""
+WITH RECURSIVE t AS (
+  SELECT source, doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS tok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+             length(text) - length(replace(text, ' ', '')) + 1 DESC,
+             doc_id) AS rn
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT source, 0 AS rn, CAST(0 AS BIGINT) AS cur,
+         CAST(0 AS BIGINT) AS bins, CAST(0 AS BIGINT) AS waste
+  FROM (SELECT DISTINCT source FROM t)
+  UNION ALL
+  SELECT r.source, r.rn + 1,
+         CASE WHEN r.bins = 0 OR r.cur + t.tok > {PACK_BUDGET}
+              THEN t.tok ELSE r.cur + t.tok END,
+         CASE WHEN r.bins = 0 OR r.cur + t.tok > {PACK_BUDGET}
+              THEN r.bins + 1 ELSE r.bins END,
+         r.waste + CASE WHEN r.bins > 0 AND r.cur + t.tok > {PACK_BUDGET}
+                        THEN GREATEST({PACK_BUDGET} - r.cur, 0)
+                        ELSE CAST(0 AS BIGINT) END
+  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1
+),
+fin AS (
+  SELECT source, cur, bins, waste,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY rn DESC) AS rr
+  FROM r
+),
+st AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS total_tok,
+         CAST(count_if(tok > {PACK_BUDGET}) AS BIGINT) AS n_oversize
+  FROM t GROUP BY source
+)
+SELECT f.source, st.n_docs, st.total_tok,
+       f.bins AS bins_nfd,
+       CAST(CEIL(st.total_tok / {PACK_BUDGET}.0) AS BIGINT) AS lb_bins,
+       f.waste + CASE WHEN f.bins > 0
+                      THEN GREATEST({PACK_BUDGET} - f.cur, 0)
+                      ELSE CAST(0 AS BIGINT) END AS waste_tok,
+       st.n_oversize
+FROM fin f JOIN st USING (source)
+WHERE f.rr = 1
+"""
+
+
+@query("pack_nfd_audit", oracle=_NFD_ORACLE)
+def pack_nfd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit-decreasing no-split packing audit (header above): per
+    source, the bins NFD uses, the token lower bound ceil(total/B),
+    the waste (unused tokens across closed bins — what no-split
+    training actually pays vs concat-chunk's zero), and the count of
+    budget-oversize docs (each forced into its own over-full bin,
+    contributing zero waste by the max(B−cur, 0) rule).
+
+    Seam: the scan is genuinely sequential, so it runs applyInPandas
+    per source over (doc_id, tok) ONLY — 16 bytes per doc in Python,
+    never text (at production scale a source shards first; the audit
+    then runs per shard and bins/waste simply sum). DuckDB replays
+    the identical scan as a breadth-first recursive CTE carrying
+    (cur, bins, waste) — no lambdas (the Pattern-11 house rule).
+    NULL-text docs are excluded by spec on both engines. Ordering
+    (tok DESC, doc_id) totally orders every scan step, so the fold
+    and the recursion cannot diverge."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", " ", ""))
+        + F.lit(1)
+    ).cast("bigint")
+    t = docs.select(
+        "source",
+        "doc_id",
+        tok.alias("tok"),
+        F.lit(PACK_BUDGET).alias("budget"),
+    )
+    return t.groupBy("source").applyInPandas(
+        _pack_nfd,
+        "source string, n_docs bigint, total_tok bigint, bins_nfd bigint,"
+        " lb_bins bigint, waste_tok bigint, n_oversize bigint",
+    )

@@ -173,6 +173,10 @@ QUERIES = [
     # r6: concat-and-chunk spans — hostile docs pack under the
     # splits+1 proxy like any other (the pack_sequences rule)
     "pack_concat_chunk",
+    # r7: the no-split NFD audit — NULL texts excluded by spec on
+    # both engines; the applyInPandas fold and the recursive-CTE
+    # replay must agree on every (bins, waste) pair
+    "pack_nfd_audit",
     # r6: token accounting — empty-normalizing docs count 0 tokens
     # but real chars, identically on both engines
     "pipeline_token_budget",

@@ -2109,3 +2109,71 @@ def test_tokenizer_families_agree_on_word_counts(spark, tmp_path):
         assert bpe[i][0] == uni[i][0] == wp[i][0], (i, bpe[i], uni[i], wp[i])
         for fam, (nw, np_) in (("bpe", bpe[i]), ("uni", uni[i]), ("wp", wp[i])):
             assert np_ >= nw, (i, fam, nw, np_)
+
+
+# ---- NFD no-split packing audit (r7): planted + reference -----------
+
+
+def test_pack_nfd_planted_and_reference(spark, tmp_path):
+    """Hand-packable planted corpus at budget 2048 (one source):
+    docs of tok sizes built from space counts — [1500, 1200, 900,
+    600, 400, 40] NFD-sorted pack as [1500+400+40=1940 | 1200+600=
+    1800 | 900]: 3 bins, lb=ceil(4640/2048)=3, waste=(2048-1940)+
+    (2048-1800)+(2048-900)=1504. Plus an oversize doc (tok 3000) in
+    a second source: own bin, zero waste contribution, n_oversize=1.
+    Expectations derived by hand AND cross-checked by an independent
+    pure-Python NFD; the bins/lb sandwich lb <= bins is asserted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmt_dbt_spark.registry import all_queries
+
+    def doc(n_tok):
+        return "w" + " w" * (n_tok - 1)  # exactly n_tok whitespace tokens
+
+    rows = [
+        (0, doc(1500), "a"), (1, doc(1200), "a"), (2, doc(900), "a"),
+        (3, doc(600), "a"), (4, doc(400), "a"), (5, doc(40), "a"),
+        (6, doc(3000), "b"), (7, doc(100), "b"), (8, None, "b"),
+    ]
+    d = tmp_path / "nfd"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": [r[2] for r in rows],
+                "n_chars": [len(r[1] or "") for r in rows],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = {
+        r.source: (r.n_docs, r.total_tok, r.bins_nfd, r.lb_bins,
+                   r.waste_tok, r.n_oversize)
+        for r in all_queries()["pack_nfd_audit"](spark, str(d)).collect()
+    }
+    assert got["a"] == (6, 4640, 3, 3, 1504, 0), got["a"]
+    # source b: 3000 opens bin 1 (over budget, waste 0 on close),
+    # 100 opens bin 2 (waste 2048-100 at end); NULL doc excluded
+    assert got["b"] == (2, 3100, 2, 2, 1948, 1), got["b"]
+    for src, (_, tot, bins, lb, _, _) in got.items():
+        assert lb <= bins, (src, lb, bins)
+
+    # independent NFD reference on the same sizes
+    def nfd(sizes, b=2048):
+        cur = bins = waste = 0
+        for t in sorted(sizes, reverse=True):
+            if bins == 0 or cur + t > b:
+                if bins > 0:
+                    waste += max(b - cur, 0)
+                bins += 1
+                cur = t
+            else:
+                cur += t
+        return bins, waste + (max(b - cur, 0) if bins else 0)
+
+    assert nfd([1500, 1200, 900, 600, 400, 40]) == (3, 1504)
+    assert nfd([3000, 100]) == (2, 1948)

@@ -1597,3 +1597,17 @@ def test_match_recognize_two_exchanges_no_arrays(spark):
     assert "Generate" not in tree, tree
     assert tree.count("Window") >= 3, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_pack_nfd_int_pairs_only_into_python(spark):
+    """pack_nfd_audit (r7): the applyInPandas seam receives ONLY
+    (source, doc_id, tok, budget) — the text column must be pruned
+    from the scan (ReadSchema carries text for the tok projection but
+    the Python boundary's FlatMapGroupsInPandas sees int pairs);
+    one group-key shuffle, no join."""
+    plan = plan_of(all_queries()["pack_nfd_audit"](spark, SF_DIR))
+    tree = tree_of(plan)
+    assert tree.count("Scan parquet") == 1, tree
+    assert "FlatMapGroupsInPandas" in tree, tree
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
