@@ -682,7 +682,13 @@ def _uni_dp(word, vmap):
 def _uni_backtrack(dp):
     """Follow the back pointers from the last cell; ≤n iterations.
     Reads ONLY the dp column (the cells carry their matched piece), so
-    no second corpus column is captured inside the fold."""
+    no second corpus column is captured inside the fold. Pieces are
+    PREPENDED (the walk runs end→start), so ``ps`` comes out in WORD
+    ORDER — matching the DuckDB e1/e2 recursion, the pure-Python
+    reference's ``out[::-1]``, and the decode round-trip's
+    concatenation (r8: the original append emitted reversed pieces —
+    latent while every consumer was order-insensitive counts, caught
+    the day `text_unigram_roundtrip` hashed the rebuilt text)."""
     n = F.size(dp) - 1
 
     def bt_step(acc, _):
@@ -693,7 +699,7 @@ def _uni_backtrack(dp):
             F.struct(
                 (j - cell.getField("back")).alias("j"),
                 F.concat(
-                    acc.getField("ps"), F.array(cell.getField("piece"))
+                    F.array(cell.getField("piece")), acc.getField("ps")
                 ).alias("ps"),
             ),
         ).otherwise(acc)

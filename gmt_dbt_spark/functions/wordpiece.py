@@ -90,6 +90,102 @@ WP_SCALE = 4294967296  # 2^32 — fixed-point likelihood resolution
 WP_PROBE_MAX = 12  # greedy-encode probe window (part of the op spec)
 WP_UNK = "[UNK]"
 
+# Production-merge-count contract (r8, r7 VERDICT item 2). The
+# per-merge loop is the EXACT algorithm (no batch rule exists under
+# the likelihood objective — see the module docstring), but each merge
+# is ~6 driver-coordinated Spark jobs (symbol-count aggregate +
+# checkpoint, pair-count aggregate, two broadcast joins inside the
+# scored plan, the 1-row argmax collect, the merge-apply fold +
+# checkpoint). A production BERT vocab is ~30k merges ≈ 1.8e5
+# sequential jobs: at a 50-100 ms driver scheduling floor that is
+# 2.5-5 HOURS of pure coordination, invariant to cluster size —
+# the cost is round-trips, not data. The sanctioned escape past
+# WP_DRIVER_FOLD_AFTER merges: the trainer never re-scans the corpus
+# anyway — every step reads only the Heaps-bounded word-count
+# relation — so collect THAT once (the model-side vocabulary of
+# distinct words, ~1e7-1e8 entries at web scale; guarded by
+# WP_COLLECT_MAX_WORDS) and run the IDENTICAL integer fold
+# driver-side (`wp_train_driver_fold`). Bit-identity to the
+# distributed chain is unconditional — both sides compute the same
+# arbitrary-precision floor(n·2^32/(m_a·m_b)) argmax with the same
+# (score desc, n desc, a, b) tie-break over the same integer counts —
+# and is pinned by test on randomized corpora.
+WP_DRIVER_FOLD_AFTER = 64
+WP_COLLECT_MAX_WORDS = 5_000_000
+
+
+def _wp_fold_local(word_counts: dict, n_merges: int):
+    """The per-merge training loop on a COLLECTED word-count relation
+    — the driver-side half of the production contract above. Exact
+    twin of `_wp_train_chain`'s step (same argmax, same ties, same
+    greedy left-to-right merge application, same exhaustion
+    truncation), in arbitrary-precision Python ints so the fixed-
+    point floors agree with DECIMAL(38)/HUGEINT bit-for-bit (the
+    module's cross-engine floor contract). Returns (merge_rows,
+    alphabet, vocab) with vocab = {word: [pieces]}."""
+    vocab = {w: list(w) for w in word_counts}
+    alphabet = sorted({c for w in word_counts for c in w})
+    merge_rows = []
+    for step in range(1, n_merges + 1):
+        pc: dict = {}
+        sc: dict = {}
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for x in syms:
+                sc[x] = sc.get(x, 0) + c
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + c
+        if not pc:
+            break
+        best = min(
+            pc.items(),
+            key=lambda kv: (
+                -((kv[1] * WP_SCALE) // (sc[kv[0][0]] * sc[kv[0][1]])),
+                -kv[1],
+                kv[0],
+            ),
+        )
+        (a, b), n = best
+        merge_rows.append(
+            (step, a, b, int(n), (n * WP_SCALE) // (sc[a] * sc[b]))
+        )
+        for w, syms in vocab.items():
+            out: list = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merge_rows, alphabet, vocab
+
+
+def wp_train_driver_fold(docs: DataFrame, n_merges: int):
+    """Production-merge-count path: ONE corpus scan builds the word-
+    count relation (exactly `_wp_train_chain`'s first step), which is
+    collected — the Heaps-bounded MODEL, never the corpus — and the
+    identical integer fold runs driver-side, eliminating the ~6
+    driver-coordinated jobs PER MERGE that dominate wall-clock past
+    ~WP_DRIVER_FOLD_AFTER merges (job-count math above). Raises if
+    the distinct-word relation exceeds WP_COLLECT_MAX_WORDS rather
+    than silently materializing an unbounded collect; at that corpus
+    breadth, shard the fold by first-character partition or stay on
+    the distributed chain and pay the coordination."""
+    wc_rows = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .limit(WP_COLLECT_MAX_WORDS + 1)
+        .collect()
+    )
+    if len(wc_rows) > WP_COLLECT_MAX_WORDS:
+        raise ValueError(
+            f"word-count relation exceeds WP_COLLECT_MAX_WORDS="
+            f"{WP_COLLECT_MAX_WORDS}; use the distributed chain or shard"
+        )
+    return _wp_fold_local({r["word"]: int(r["cnt"]) for r in wc_rows}, n_merges)
+
 
 def _wp_pick(it: DataFrame) -> list:
     """One training step's argmax: score every adjacent pair of the

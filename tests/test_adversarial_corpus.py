@@ -136,6 +136,15 @@ QUERIES = [
     # artifact round-trip under hostile unicode pieces/merges: the
     # reloaded-parquet fingerprints must equal the replay's
     "sink_tokenizer_artifacts",
+    # r8: the three decode round-trips — hostile unicode words force
+    # multibyte piece concatenation through decode on all three
+    # families (BPE via the RELOADED merge table, unigram via the
+    # Viterbi segmentation, WordPiece via the reloaded-vocab greedy
+    # accumulator); empty-normalizing docs must rebuild to '' with
+    # ok=true on both engines
+    "text_bpe_roundtrip",
+    "text_unigram_roundtrip",
+    "text_wordpiece_roundtrip",
     # r5: readability — sentence runs counted on RAW text (hostile
     # punctuation-only docs have sentences but zero tokens → dropped
     # by the n_words gate on both engines), vowel groups on the

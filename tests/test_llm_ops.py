@@ -5,6 +5,7 @@ cluster, multimodal plumbing must round-trip through Arrow."""
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import pytest
@@ -2177,3 +2178,164 @@ def test_pack_nfd_planted_and_reference(spark, tmp_path):
 
     assert nfd([1500, 1200, 900, 600, 400, 40]) == (3, 1504)
     assert nfd([3000, 100]) == (2, 1948)
+
+
+# ---- tokenizer decode round-trips (r8): losslessness pins -----------
+
+
+def test_tokenizer_roundtrip_lossless_planted(spark, tmp_path):
+    """All three families must decode every doc back to its exact
+    normalized token stream: rebuilt_md5 equals the hashlib md5 of
+    the Python-side normalization (strip non-alnum → lower → split),
+    ok=true everywhere, n_pieces >= n_words, and the
+    empty-normalizing doc rebuilds to '' (md5 of the empty string).
+    The expectation is derived OUTSIDE both engines — a piece-order
+    bug (the r8 unigram backtrack reversal this op caught the day it
+    was written), a dropped piece, or a vocab-coverage hole breaks
+    the hash even while piece COUNTS stay plausible."""
+    import re
+
+    from gmt_dbt_spark.registry import all_queries
+
+    words = [
+        "the quick brown fox jumps over the lazy dog",
+        "aaa bbb aaa ccc aaa",
+        "unicode stripped ünïcode here",
+        "!!!",        # normalizes to '' → empty rebuild
+        "repetition repetition repetition",
+    ]
+    d = _write_docs(tmp_path, "rt_planted", words)
+
+    def norm_stream(t):
+        toks = [
+            w
+            for w in re.sub("[^a-zA-Z0-9 ]", " ", t).lower().strip().split()
+            if w
+        ]
+        return " ".join(toks), len(toks)
+
+    qs = all_queries()
+    for op in (
+        "text_bpe_roundtrip",
+        "text_unigram_roundtrip",
+        "text_wordpiece_roundtrip",
+    ):
+        got = {r.doc_id: r for r in qs[op](spark, d).collect()}
+        assert set(got) == set(range(len(words))), op
+        for i, w in enumerate(words):
+            stream, nw = norm_stream(w)
+            r = got[i]
+            assert r.ok is True, (op, i)
+            assert r.n_words == nw, (op, i)
+            assert r.n_pieces >= r.n_words, (op, i)
+            assert r.rebuilt_md5 == hashlib.md5(stream.encode()).hexdigest(), (
+                op,
+                i,
+            )
+        assert got[3].n_words == 0 and got[3].n_pieces == 0
+
+
+def test_wordpiece_roundtrip_unk_is_lossy(spark):
+    """The deliberately-lossy WordPiece path, direct-tested with a
+    RESTRICTED vocab (unreachable through the registered op — its
+    trained vocab is alphabet-closed): a word containing a character
+    outside the vocab decodes to the literal [UNK] with n_pieces=1,
+    and the rebuilt-vs-original comparison surfaces ok=false; clean
+    words in the same doc still decode exactly."""
+    from pyspark.sql import functions as F
+
+    from gmt_dbt_spark.functions.tokenizer_roundtrip import (
+        _rebuild_surface,
+        _wp_word_dec,
+    )
+
+    it = spark.createDataFrame(
+        [("cat",), ("dog",), ("qat",)], "word string"
+    )
+    # vocab lacks 'q': 'qat' must [UNK]; 'cat'/'dog' split clean
+    dec = _wp_word_dec(it, {"c", "a", "t", "d", "o", "g", "ca", "do"})
+    rows = {r.word: (r.n_pieces, r.decoded) for r in dec.collect()}
+    assert rows["cat"] == (2, "cat")  # greedy: 'ca' + 't'
+    assert rows["dog"] == (2, "dog")
+    assert rows["qat"] == (1, "[UNK]")
+    docs = spark.createDataFrame(
+        [(0, "cat dog"), (1, "qat cat")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in _rebuild_surface(docs, dec).collect()}
+    assert out[0].ok is True and out[0].n_pieces == 4
+    assert out[1].ok is False  # [UNK] broke the rebuild
+    assert out[1].rebuilt_md5 == hashlib.md5(b"[UNK] cat").hexdigest()
+
+
+def test_unigram_segmentation_is_word_ordered(spark, tmp_path):
+    """The r8 backtrack fix pinned directly: every word's Viterbi
+    segmentation must CONCATENATE back to the word (piece order =
+    word order, not reverse). Uses words whose multi-piece splits
+    are asymmetric, so a reversed ps would concatenate to a
+    different string and fail."""
+    from gmt_dbt_spark.functions.tokenizer import _uni_train
+    from gmt_dbt_spark.operators.dedup import tokens_col  # noqa: F401
+
+    words = [
+        "abcd efgh abcd efgh",
+        "abab cdcd abab",
+        "xyz xyz abcabc",
+    ]
+    d = _write_docs(tmp_path, "uni_order", words)
+    docs = spark.read.parquet(d + "/documents.parquet")
+    _, s1, seg = _uni_train(docs)
+    assert s1
+    for r in seg.collect():
+        assert "".join(r.ps) == r.word, (r.word, r.ps)
+
+
+def test_wordpiece_driver_fold_bit_identical(spark, tmp_path):
+    """The production-merge-count escape hatch (wordpiece.py r8:
+    collect the Heaps-bounded word-count relation once, run the
+    identical integer fold driver-side) must emit a merge table
+    BIT-IDENTICAL to the distributed per-merge chain — same argmax,
+    same (score desc, n desc, a, b) ties, same exhaustion truncation
+    — on randomized corpora including tie-heavy ones, and its final
+    vocabulary must match too."""
+    import random
+
+    from gmt_dbt_spark.functions.wordpiece import (
+        _wp_train_chain,
+        wp_train_driver_fold,
+    )
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        alpha = "abc" if seed % 2 else "abcd"
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(6, 14))
+        ]
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(2, 8)))
+            for _ in range(8)
+        ]
+        d = _write_docs(tmp_path, f"wp_drv_{seed}", texts)
+        docs = spark.read.parquet(d + "/documents.parquet")
+        dist_rows, dist_alpha, dist_it = _wp_train_chain(docs, 6)
+        loc_rows, loc_alpha, loc_vocab = wp_train_driver_fold(docs, 6)
+        assert loc_rows == dist_rows, f"seed {seed}"
+        assert loc_alpha == dist_alpha, f"seed {seed}"
+        dist_vocab = {r["word"]: list(r["syms"]) for r in dist_it.collect()}
+        assert dist_vocab == loc_vocab, f"seed {seed}"
+
+
+def test_wordpiece_driver_fold_word_cap_raises(spark, tmp_path):
+    """The collect is guarded: exceeding WP_COLLECT_MAX_WORDS must
+    raise, never silently materialize an unbounded relation."""
+    import gmt_dbt_spark.functions.wordpiece as wp
+
+    d = _write_docs(tmp_path, "wp_cap", ["one two three four five six"])
+    docs = spark.read.parquet(d + "/documents.parquet")
+    saved = wp.WP_COLLECT_MAX_WORDS
+    try:
+        wp.WP_COLLECT_MAX_WORDS = 3
+        with pytest.raises(ValueError, match="WP_COLLECT_MAX_WORDS"):
+            wp.wp_train_driver_fold(docs, 4)
+    finally:
+        wp.WP_COLLECT_MAX_WORDS = saved

@@ -254,6 +254,137 @@ GATES = {
         "class": "audit",
         "evidence": [],
     },
+    # --- r8 pattern extension: SPLIT / SAMPLE / PACK families --------
+    # (r7 VERDICT item 3). Routing gates assign every doc to a
+    # split/shard/pack rather than dropping any — but a wrong route
+    # leaks eval data into train or corrupts the pack layout just as
+    # silently as a wrong drop, and every one is planted-testable
+    # independently of its oracle. class "route" carries the same
+    # planted-evidence obligation as "removal".
+    "pipeline_train_test_split": {
+        # 90/10 Knuth-hash split: planted per-id expectations derived
+        # by pure-Python replication of the gate arithmetic
+        "class": "route",
+        "evidence": [
+            ("test_removal_gates", "test_train_test_split_planted")
+        ],
+    },
+    "pipeline_group_split": {
+        # dedup-aware split (assignment hashes the content-group
+        # fingerprint): per-doc fingerprint/group-size/split all
+        # derived independently via hashlib in the existing pin
+        "class": "route",
+        "evidence": [
+            (
+                "test_llm_ops",
+                "test_group_split_duplicates_never_straddle",
+            )
+        ],
+    },
+    "sample_epoch_shuffle": {
+        # md5(doc_id:epoch) shard routing: full (epoch, shard)
+        # aggregate incl. n_moved derived via hashlib
+        "class": "route",
+        "evidence": [
+            ("test_removal_gates", "test_epoch_shuffle_planted")
+        ],
+    },
+    "sample_stratified": {
+        # per-source rate gate doc_id % 10 < rate(source): planted
+        # keep/drop sets per source derived by construction
+        "class": "removal",
+        "evidence": [
+            ("test_removal_gates", "test_sample_stratified_planted")
+        ],
+    },
+    "sample_reservoir": {
+        # fixed-k per-key draw ordered by md5(doc_id): expected top-k
+        # ids derived via hashlib ordering
+        "class": "removal",
+        "evidence": [
+            ("test_removal_gates", "test_sample_reservoir_planted")
+        ],
+    },
+    "sample_temperature": {
+        # sqrt-proportional rates + Knuth id gate: perfect-square
+        # corpus sizes make every rate exactly derivable in Python,
+        # planted ids straddle one uncapped rate
+        "class": "removal",
+        "evidence": [
+            ("test_removal_gates", "test_sample_temperature_planted")
+        ],
+    },
+    "sample_mixture_unimax": {
+        # UniMax water-fill allocation plan: capped/uncapped corners,
+        # tie handling, and zero-token guards pinned by pure algebra
+        "class": "route",
+        "evidence": [
+            ("test_llm_ops", "test_unimax_edge_cases"),
+            (
+                "test_llm_ops",
+                "test_unimax_token_count_ignores_empty_normalizations",
+            ),
+        ],
+    },
+    "pipeline_mixture_materialize": {
+        # materialized epochs must equal the plan's allocation
+        "class": "route",
+        "evidence": [
+            ("test_llm_ops", "test_unimax_materialize_matches_plan")
+        ],
+    },
+    "pack_sequences": {
+        # contiguous-fill pack assignment: hand-packed corpus +
+        # cross-surface consistency with the other two layouts
+        "class": "route",
+        "evidence": [
+            (
+                "test_removal_gates",
+                "test_pack_family_cross_surface_consistency",
+            )
+        ],
+    },
+    "pack_attention_layout": {
+        "class": "route",
+        "evidence": [
+            (
+                "test_removal_gates",
+                "test_pack_family_cross_surface_consistency",
+            )
+        ],
+    },
+    "pack_concat_chunk": {
+        "class": "route",
+        "evidence": [
+            (
+                "test_removal_gates",
+                "test_pack_family_cross_surface_consistency",
+            )
+        ],
+    },
+    "pack_nfd_audit": {
+        # reports packing cost; drops/routes nothing itself
+        "class": "audit",
+        "evidence": [
+            ("test_llm_ops", "test_pack_nfd_planted_and_reference")
+        ],
+    },
+    "scan_tablesample": {
+        # seeded Bernoulli sampler: sample CONTENT is engine- and
+        # seed-specific, so no cross-engine planted expectation can
+        # exist; the registered surface is itself the audit of the
+        # two properties that are contractual (size within bound,
+        # same-seed determinism), both computed as booleans
+        "class": "audit",
+        "evidence": [],
+    },
+    "multimodal_frame_sample": {
+        # stub-codec frame-index arithmetic (superseded by the real
+        # WAV/BMP decoders, _TAIL-ranked); deterministic index math
+        # pinned by its sha256-replay oracle, no corpus keep/drop
+        "class": "audit",
+        "evidence": [],
+    },
 }
 
 
@@ -262,6 +393,11 @@ def _is_gate_name(name: str) -> bool:
     # only; selection gates (keep flags: ppl terciles, DSIR) and
     # content-rewrite gates (PII span removal) decide what survives
     # just the same, so they enroll too.
+    # r8 extension (r7 VERDICT item 3): SPLIT / SAMPLE / PACK
+    # families — routing gates that assign every doc somewhere.
+    # multimodal_audio_resample is deliberately NOT a gate (DSP rate
+    # conversion, no selection decision), hence the specific
+    # "sample" patterns instead of a substring match.
     return (
         "dedup" in name
         or "decontaminate" in name
@@ -269,6 +405,12 @@ def _is_gate_name(name: str) -> bool:
         or "ppl_filter" in name
         or "dsir" in name
         or "pii" in name
+        or name.startswith("sample_")
+        or name.startswith("pack_")
+        or name.endswith("_split")
+        or "tablesample" in name
+        or "frame_sample" in name
+        or "mixture" in name
     )
 
 
@@ -284,9 +426,11 @@ def test_removal_gate_sweep():
         f"stale entries: {set(GATES) - registry_gates}"
     )
     for name, meta in GATES.items():
-        assert meta["class"] in ("removal", "pair", "audit"), name
-        if meta["class"] == "removal":
-            assert meta["evidence"], f"{name}: removal gate with no planted test"
+        assert meta["class"] in ("removal", "route", "pair", "audit"), name
+        if meta["class"] in ("removal", "route"):
+            assert meta["evidence"], (
+                f"{name}: {meta['class']} gate with no planted test"
+            )
         for mod_name, test_name in meta["evidence"]:
             path = os.path.join(os.path.dirname(__file__), mod_name + ".py")
             assert os.path.exists(path), f"{name}: {mod_name}.py missing"
@@ -783,3 +927,200 @@ def test_substring_rewrite_matches_bruteforce_randomized(spark, tmp_path):
             ).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+# --------------------------------------------------------------------
+# r8 planted tests: SPLIT / SAMPLE routing gates (r7 VERDICT item 3).
+# Every expectation below is derived by pure-Python replication of
+# the documented gate arithmetic — never by running the oracle SQL.
+# --------------------------------------------------------------------
+
+
+def test_sample_stratified_planted(spark, tmp_path):
+    """Planted keep/drop sets per source: rate(srcN) = 2 if N even
+    else 6, gate doc_id % 10 < rate. src2 ids 0..9 must keep exactly
+    {0, 1}; src3 ids 10..19 must keep exactly {10..15}. Positives and
+    negatives both asserted (the drop side is the planted negative)."""
+    rows = [(i, f"w{i} text", "en", "src2") for i in range(10)]
+    rows += [(i, f"w{i} text", "en", "src3") for i in range(10, 20)]
+    d = _write_docs(tmp_path, "strat", rows)
+    got = {
+        r.doc_id: r.source
+        for r in all_queries()["sample_stratified"](spark, d).collect()
+    }
+    want_keep = {i: "src2" for i in range(10) if i % 10 < 2}
+    want_keep.update({i: "src3" for i in range(10, 20) if i % 10 < 6})
+    assert got == want_keep
+    assert 2 not in got and 16 not in got  # planted negatives
+
+
+def test_sample_reservoir_planted(spark, tmp_path):
+    """Fixed-k=3 per-source draw ordered by md5(str(doc_id)): the
+    expected winners are derived with hashlib over the same decimal
+    string bytes Spark hashes (CAST(id AS STRING) CAST(BINARY)).
+    Two sources so the per-key independence is also pinned."""
+    rows = [(i, "some text here", "en", "srcA") for i in range(10)]
+    rows += [(i, "other text here", "en", "srcB") for i in range(10, 16)]
+    d = _write_docs(tmp_path, "resv", rows)
+
+    def topk(ids):
+        return set(
+            sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:3]
+        )
+
+    want = {("srcA", i) for i in topk(range(10))}
+    want |= {("srcB", i) for i in topk(range(10, 16))}
+    got = {
+        (r.source, r.doc_id)
+        for r in all_queries()["sample_reservoir"](spark, d).collect()
+    }
+    assert got == want
+
+
+def test_sample_temperature_planted(spark, tmp_path):
+    """Perfect-square corpus sizes (1, 1, 4, 16 docs → sqrts 1,1,2,4,
+    wsum = 8 exactly, no decimal-quantization slack): rates are
+    floor(sqrt/8 * 5e6) capped at 1e6 ppm — 625000 for the singleton
+    sources, capped 1e6 for the rest. The two singleton docs are
+    planted to STRADDLE the uncapped gate: id 1 → (1·2654435761) %
+    1e6 = 435761 < 625000 (sampled), id 2 → 871522 ≥ 625000 (not)."""
+    rows = [(1, "x y", "en", "s_a"), (2, "x y", "en", "s_b")]
+    rows += [(100 + i, "x y", "en", "s_c") for i in range(4)]
+    rows += [(200 + i, "x y", "en", "s_d") for i in range(16)]
+    d = _write_docs(tmp_path, "temp", rows)
+    assert (1 * 2654435761) % 1000000 == 435761  # the planted straddle
+    assert (2 * 2654435761) % 1000000 == 871522
+    got = {
+        r.source: (r.n_docs, r.rate_ppm, r.n_sampled)
+        for r in all_queries()["sample_temperature"](spark, d).collect()
+    }
+    want = {
+        "s_a": (1, 625000, 1),
+        "s_b": (1, 625000, 0),
+        "s_c": (4, 1000000, 4),   # floor(2/8*5e6)=1250000 → capped
+        "s_d": (16, 1000000, 16),  # floor(4/8*5e6)=2500000 → capped
+    }
+    assert got == want
+
+
+def test_train_test_split_planted(spark, tmp_path):
+    """Per-id split expectations derived by replicating the Knuth
+    gate ((id % 1e6) · 2654435761) % 1000 < 900 in Python, then
+    compared as the op's per-(source, split) aggregate — both splits
+    must be populated by the planted id range (ids 0..49 contain
+    eval ids by construction, asserted before running the op)."""
+    ids = list(range(50))
+    gate = lambda i: ((i % 1000000) * 2654435761) % 1000
+    want_split = {i: ("train" if gate(i) < 900 else "eval") for i in ids}
+    assert set(want_split.values()) == {"train", "eval"}
+    rows = [(i, "t " * (i % 7 + 1), "en", f"src{i % 2}") for i in ids]
+    d = _write_docs(tmp_path, "tts", rows)
+    want = {}
+    for i, t, _l, s in rows:
+        key = (s, want_split[i])
+        n, c = want.get(key, (0, 0))
+        want[key] = (n + 1, c + len(t))
+    got = {
+        (r.source, r.split): (r.n_docs, r.sum_chars)
+        for r in all_queries()["pipeline_train_test_split"](spark, d).collect()
+    }
+    assert got == want
+
+
+def test_epoch_shuffle_planted(spark, tmp_path):
+    """Full (epoch, shard) aggregate — n_docs, id_sum, n_moved —
+    derived via hashlib: shard(id, e) = int(md5(f'{id}:{e}')[:8],
+    16) % 16, moved = shard changed vs the previous epoch. Pins the
+    exact assignment (determinism) AND the epoch decorrelation
+    accounting the surface reports."""
+    ids = list(range(40))
+    rows = [(i, "irrelevant text", "en", "s") for i in ids]
+    d = _write_docs(tmp_path, "epoch", rows)
+
+    def shard(i, e):
+        return int(
+            hashlib.md5(f"{i}:{e}".encode()).hexdigest()[:8], 16
+        ) % 16
+
+    want = {}
+    for e in range(3):
+        for i in ids:
+            s = shard(i, e)
+            moved = 1 if e > 0 and s != shard(i, e - 1) else 0
+            n, idsum, nm = want.get((e, s), (0, 0, 0))
+            want[(e, s)] = (n + 1, idsum + i, nm + (moved if e > 0 else 0))
+    got = {
+        (r.epoch, r.shard): (r.n_docs, r.id_sum, r.n_moved)
+        for r in all_queries()["sample_epoch_shuffle"](spark, d).collect()
+    }
+    assert got == want
+    # decorrelation sanity on the planted ids: some doc must move
+    assert sum(v[2] for k, v in want.items() if k[0] > 0) > 0
+
+
+# --------------------------------------------------------------------
+# r8: pack-family cross-surface consistency (r7 VERDICT item 3 —
+# "the three pack layouts share pack_frame: pin that they cannot
+# disagree", the tokenizer-sweep doctrine applied to packing).
+# --------------------------------------------------------------------
+
+
+def test_pack_family_cross_surface_consistency(spark, tmp_path):
+    """One hand-packable corpus through all THREE pack surfaces.
+    Hand-derived absolute pins (budget 2048, one source, toks
+    [2000, 100, 2048, 1] → run_excl [0, 2000, 2100, 4148] → pack_id
+    [0, 0, 1, 2]) plus the structural cross-surface invariants:
+      - sequences and concat_chunk agree on every (doc, tok,
+        pack_id/first_chunk);
+      - attention_layout's per-pack n_docs / pack_tokens /
+        boundaries / overflow are EXACTLY the aggregation of the
+        concat_chunk rows (boundaries = sorted head_offs);
+      - a pack overflows iff its max(head_off + tok) exceeds the
+        budget, and every doc with is_split spans
+        last_chunk - first_chunk + 1 = n_chunks chunks.
+    A drift in any one surface's arithmetic breaks the comparison
+    even while that surface's own mirrored oracle stays green."""
+    budget = 2048
+    toks = [2000, 100, 2048, 1]
+    rows = [
+        (i, "a " * (t - 1) + "a", "en", "s0") for i, t in enumerate(toks)
+    ]
+    d = _write_docs(tmp_path, "packs", rows)
+    qs = all_queries()
+    seq = {
+        r.doc_id: (r.tok, r.pack_id)
+        for r in qs["pack_sequences"](spark, d).collect()
+    }
+    assert seq == {0: (2000, 0), 1: (100, 0), 2: (2048, 1), 3: (1, 2)}
+    chunk = {
+        r.doc_id: r for r in qs["pack_concat_chunk"](spark, d).collect()
+    }
+    layout = {
+        (r.source, r.pack_id): r
+        for r in qs["pack_attention_layout"](spark, d).collect()
+    }
+    # sequences ≡ concat_chunk on the shared columns
+    for i in seq:
+        assert (chunk[i].tok, chunk[i].first_chunk) == seq[i], i
+        assert chunk[i].n_chunks == chunk[i].last_chunk - chunk[i].first_chunk + 1
+        assert chunk[i].is_split == (chunk[i].n_chunks > 1)
+    # hand pins on the chunk spans: doc 1 starts at 2000 and straddles
+    # into chunk 1; doc 2 starts at 2100 (head_off 52) and straddles
+    assert (chunk[1].head_off, chunk[1].is_split) == (2000, True)
+    assert (chunk[2].head_off, chunk[2].last_chunk) == (52, 2)
+    # attention_layout ≡ aggregate of concat_chunk rows
+    from collections import defaultdict
+
+    agg = defaultdict(list)
+    for i, r in chunk.items():
+        agg[("s0", r.first_chunk)].append((r.head_off, r.tok))
+    assert set(layout) == set(agg)
+    for key, docs_ in agg.items():
+        lr = layout[key]
+        offs = sorted(o for o, _ in docs_)
+        assert lr.n_docs == len(docs_)
+        assert lr.pack_tokens == sum(t for _, t in docs_)
+        assert lr.boundaries == ",".join(str(o) for o in offs)
+        assert lr.overflow_tokens == max(
+            0, max(o + t for o, t in docs_) - budget
+        )
