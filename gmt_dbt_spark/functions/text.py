@@ -1457,3 +1457,63 @@ def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("common")
     )
     return s.select("doc_id", "n_tokens", "n_rare", band.alias("band"))
+
+
+# Blocklist gate (the C4 recipe's other text filter: Raffel et al.
+# 2020 §2.2 dropped any page containing a word from the "List of
+# Dirty, Naughty, Obscene or Otherwise Bad Words"). The list below is
+# a frozen 3-word STAND-IN (the fixture vocabulary is synthetic and
+# the real list is a drop-in constant swap — the MECHANISM is the
+# op): 'dup' occurs in the fixture (in-corpus positives), the other
+# two are exercised by planted tests.
+BADWORDS = ("dup", "awful", "horrible")
+
+_BADWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in BADWORDS) + "]"
+
+
+@query(
+    "text_badwords_filter",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         {_DUCK_TOKENS} AS tk
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(tk, x -> list_contains({_BADWORDS_SQL}, x)))
+            AS BIGINT) AS n_bad,
+       (len(list_filter(tk, x -> list_contains({_BADWORDS_SQL}, x))) = 0
+        AND len(tk) > 0) AS keep
+FROM t
+""",
+)
+def text_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist word filter (the C4 "bad words" gate): per doc, the
+    token count, the number of blocklisted tokens, and keep = no
+    blocklisted token AND at least one token (C4 drops empty pages
+    too). Exact-match on normalized tokens — the production variant
+    swaps the 3-word stand-in for the full list and, for multi-word
+    entries, runs the same membership test over the `shingle_rows`
+    n-gram stream (same plan, more keys).
+
+    Scale shape: ONE scan-side projection — the membership test is a
+    JVM higher-order filter over the token array against an array
+    literal (at a 10^4-word production list: still a literal, or a
+    broadcast join on the exploded stream — AQE picks), ZERO
+    exchanges in the plan (plan-guarded; the `text_pii_redact`
+    class). NULL texts are excluded on both engines."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tk = tokens_col(F.col("text"))
+    bad = F.array(*[F.lit(w) for w in BADWORDS])
+    # token array behind a Generate barrier: n_bad and keep both read
+    # it, and inlined each reference would re-run the regex split
+    tok = d.select("doc_id", F.explode(F.array(tk)).alias("__tk"))
+    tka = F.col("__tk")
+    n_bad = F.size(F.filter(tka, lambda x: F.array_contains(bad, x)))
+    return tok.select(
+        "doc_id",
+        F.size(tka).cast("bigint").alias("n_tokens"),
+        n_bad.cast("bigint").alias("n_bad"),
+        ((n_bad == 0) & (F.size(tka) > 0)).alias("keep"),
+    )

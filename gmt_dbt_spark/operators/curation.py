@@ -307,6 +307,112 @@ def text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# C4 per-line heuristics (Raffel et al. 2020 §2.2, the "Colossal Clean
+# Crawled Corpus" rules): drop lines with fewer than N words and lines
+# containing boilerplate markers ("javascript", "lorem ipsum", "{"),
+# then drop documents left with too few lines. Adapted to the house
+# synthetic-line convention (the fixture has no newlines, so a "line"
+# is a fixed _LINE_W-token window — the `text_dedup_lines` rule; swap
+# the splitter for a newline split on real text) and to the normalized
+# token stream (punctuation-terminal rules can't survive
+# normalization, so the marker set is the frozen stand-in below —
+# swap for the production list, the MECHANISM is the op).
+C4_LINE_MIN_TOKENS = 3
+C4_MIN_KEPT_LINES = 2
+C4_LINE_MARKERS = ("dup", "slow")
+
+_C4_MARKER_SQL = "[" + ", ".join(f"'{m}'" for m in C4_LINE_MARKERS) + "]"
+
+_C4_LINE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents WHERE text IS NOT NULL
+),
+l AS (
+  SELECT doc_id, u.i AS idx,
+         tk[CAST(u.i * {_LINE_W} + 1 AS INT) :
+            CAST(u.i * {_LINE_W} + {_LINE_W} AS INT)] AS lt
+  FROM t, LATERAL (
+    SELECT unnest(range((len(tk) + {_LINE_W - 1}) // {_LINE_W})) AS i) u
+),
+k AS (
+  SELECT doc_id, idx, lt,
+         (len(lt) >= {C4_LINE_MIN_TOKENS}
+          AND len(list_intersect(lt, {_C4_MARKER_SQL})) = 0) AS kept
+  FROM l
+),
+per AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+         CAST(COALESCE(SUM(len(lt)), 0) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(len(lt)) FILTER (WHERE kept), 0) AS BIGINT)
+           AS n_kept_tokens,
+         md5(COALESCE(string_agg(array_to_string(lt, ' '), ' ' ORDER BY idx)
+                        FILTER (WHERE kept), '')) AS cleaned_md5
+  FROM k GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(p.n_lines, CAST(0 AS BIGINT)) AS n_lines,
+       COALESCE(p.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       COALESCE(p.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       COALESCE(p.n_kept_tokens, CAST(0 AS BIGINT)) AS n_kept_tokens,
+       COALESCE(p.cleaned_md5, md5('')) AS cleaned_md5,
+       (COALESCE(p.n_kept, 0) >= {C4_MIN_KEPT_LINES}) AS keep
+FROM t LEFT JOIN per p USING (doc_id)
+"""
+
+
+@query("text_c4_line_filter", oracle=_C4_LINE_ORACLE)
+def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-line boilerplate filtering WITH REWRITE (Raffel et
+    al. 2020 §2.2): a line survives iff it has ≥ C4_LINE_MIN_TOKENS
+    tokens and contains no marker token; the document is reassembled
+    from its surviving lines and value-hashed (rewrite-and-rehash —
+    the cleaned corpus is pinned, not just the counts), and the doc
+    itself is kept iff ≥ C4_MIN_KEPT_LINES lines survive (the paper's
+    ≥3-sentence rule scaled to the synthetic 10-token lines). The
+    rules are PER-LINE LOCAL — unlike `text_dedup_lines`' cross-doc
+    keeper election, nothing here needs any other row.
+
+    Scale shape: the whole op is ONE scan-side projection — the token
+    array materializes once behind a Generate barrier, line slicing /
+    rule evaluation / reassembly are JVM higher-order functions over
+    it, and there is ZERO exchange in the plan (plan-guarded): the
+    ideal 100 TB shape, same class as `text_pii_redact`. Docs that
+    normalize to zero tokens have zero lines → keep=false, md5('')."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array(tokens_col(F.col("text")))).alias("__tk"),
+    )
+    tk = F.col("__tk")
+    w = _LINE_W
+    nl = F.ceil(F.size(tk) / F.lit(w)).cast("int")
+    idxs = F.when(F.size(tk) > 0, F.sequence(F.lit(0), nl - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    markers = F.array(*[F.lit(m) for m in C4_LINE_MARKERS])
+
+    def line(i):
+        return F.slice(tk, i * w + 1, w)
+
+    kept_idx = F.filter(
+        idxs,
+        lambda i: (F.size(line(i)) >= C4_LINE_MIN_TOKENS)
+        & ~F.arrays_overlap(line(i), markers),
+    )
+    kept_flat = F.flatten(F.transform(kept_idx, line))
+    return tok.select(
+        "doc_id",
+        F.size(idxs).cast("bigint").alias("n_lines"),
+        F.size(kept_idx).cast("bigint").alias("n_kept"),
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        F.size(kept_flat).cast("bigint").alias("n_kept_tokens"),
+        F.md5(F.concat_ws(" ", kept_flat)).alias("cleaned_md5"),
+        (F.size(kept_idx) >= C4_MIN_KEPT_LINES).alias("keep"),
+    )
+
+
 PACK_BUDGET = 2048  # tokens per pack (context window)
 
 

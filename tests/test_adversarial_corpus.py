@@ -186,6 +186,12 @@ QUERIES = [
     # both engines; the applyInPandas fold and the recursive-CTE
     # replay must agree on every (bins, waste) pair
     "pack_nfd_audit",
+    # r8: the two C4-recipe filters — hostile empty-normalizing docs
+    # have zero lines/tokens (keep=false, md5('') on both engines);
+    # multibyte tokens exercise the marker/blocklist membership and
+    # the line-slice rewrite hash through unicode
+    "text_c4_line_filter",
+    "text_badwords_filter",
     # r6: token accounting — empty-normalizing docs count 0 tokens
     # but real chars, identically on both engines
     "pipeline_token_budget",

@@ -1611,3 +1611,24 @@ def test_pack_nfd_int_pairs_only_into_python(spark):
     assert "FlatMapGroupsInPandas" in tree, tree
     assert tree.count("Exchange") == 1, tree
     assert "Join" not in tree, tree
+
+
+def test_c4_line_filter_is_pure_scan_projection(spark):
+    """text_c4_line_filter (r8): line slicing, marker rules, and the
+    rewrite-and-rehash reassembly are all JVM higher-order functions
+    over the Generate-materialized token array — zero exchanges,
+    zero joins (the text_pii_redact plan class; at 100 TB this fuses
+    into the ingestion pass)."""
+    tree = tree_of(plan_of(all_queries()["text_c4_line_filter"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Exchange") == 0, tree
+    assert "Join" not in tree, tree
+
+
+def test_badwords_filter_is_pure_scan_projection(spark):
+    """text_badwords_filter (r8): blocklist membership over the token
+    array against an array literal — zero exchanges, zero joins."""
+    tree = tree_of(plan_of(all_queries()["text_badwords_filter"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Exchange") == 0, tree
+    assert "Join" not in tree, tree

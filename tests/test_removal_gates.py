@@ -378,6 +378,24 @@ GATES = {
         "class": "audit",
         "evidence": [],
     },
+    "text_c4_line_filter": {
+        # C4 per-line boilerplate rules with rewrite: planted marker
+        # lines / short lines dropped, clean lines kept, cleaned_md5
+        # hashlib-derived from the hand-constructed survivors
+        "class": "removal",
+        "evidence": [
+            ("test_removal_gates", "test_c4_line_filter_planted")
+        ],
+    },
+    "text_badwords_filter": {
+        # blocklist gate: planted positive (blocklisted token →
+        # keep=false) and negative (clean doc keeps), counts derived
+        # by construction
+        "class": "removal",
+        "evidence": [
+            ("test_removal_gates", "test_badwords_filter_planted")
+        ],
+    },
     "multimodal_frame_sample": {
         # stub-codec frame-index arithmetic (superseded by the real
         # WAV/BMP decoders, _TAIL-ranked); deterministic index math
@@ -411,6 +429,8 @@ def _is_gate_name(name: str) -> bool:
         or "tablesample" in name
         or "frame_sample" in name
         or "mixture" in name
+        or "c4_line" in name
+        or "badwords" in name
     )
 
 
@@ -1124,3 +1144,63 @@ def test_pack_family_cross_surface_consistency(spark, tmp_path):
         assert lr.overflow_tokens == max(
             0, max(o + t for o, t in docs_) - budget
         )
+
+
+def test_c4_line_filter_planted(spark, tmp_path):
+    """C4 line rules on hand-built 10-token lines: doc 0 = [clean
+    line, line containing the 'dup' marker, clean line] → 2 kept,
+    keep=true, cleaned_md5 = md5 of the two surviving lines joined;
+    doc 1 = [marker line, clean line] → 1 kept < C4_MIN_KEPT_LINES →
+    keep=false; doc 2 = clean 23 tokens → the 3-token tail line
+    passes the min-length rule but a planted 2-token tail (doc 3)
+    is dropped; doc 4 = punctuation-only → zero lines, keep=false,
+    md5('')."""
+    clean1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    marked = "kilo lima dup mike november oscar papa quebec romeo sierra"
+    clean2 = "tango uniform victor whiskey xray yankee zulu one two three"
+    rows = [
+        (0, f"{clean1} {marked} {clean2}", "en", "s"),
+        (1, f"{marked} {clean1}", "en", "s"),
+        (2, f"{clean1} {clean2} four five six", "en", "s"),
+        (3, f"{clean1} seven eight", "en", "s"),
+        (4, "!!! ???", "en", "s"),
+    ]
+    d = _write_docs(tmp_path, "c4", rows)
+    got = {
+        r.doc_id: r
+        for r in all_queries()["text_c4_line_filter"](spark, d).collect()
+    }
+    r0 = got[0]
+    assert (r0.n_lines, r0.n_kept, r0.keep) == (3, 2, True)
+    assert r0.cleaned_md5 == hashlib.md5(
+        f"{clean1} {clean2}".encode()
+    ).hexdigest()
+    assert (got[1].n_kept, got[1].keep) == (1, False)
+    # doc 2: two clean lines + a 3-token tail → all three survive
+    assert (got[2].n_lines, got[2].n_kept, got[2].keep) == (3, 3, True)
+    assert got[2].n_kept_tokens == 23
+    # doc 3: the 2-token tail line fails the min-length rule
+    assert (got[3].n_lines, got[3].n_kept) == (2, 1)
+    assert got[3].cleaned_md5 == hashlib.md5(clean1.encode()).hexdigest()
+    assert (got[4].n_lines, got[4].keep) == (0, False)
+    assert got[4].cleaned_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_badwords_filter_planted(spark, tmp_path):
+    """Planted positive: a doc containing blocklisted tokens is
+    flagged with the exact count and keep=false. Planted negative: a
+    clean doc keeps. Empty-normalizing doc: zero tokens → keep=false
+    (C4 drops empty pages)."""
+    rows = [
+        (0, "clean words only here", "en", "s"),
+        (1, "this dup text has dup twice and one awful word", "en", "s"),
+        (2, "???", "en", "s"),
+    ]
+    d = _write_docs(tmp_path, "badw", rows)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_bad, r.keep)
+        for r in all_queries()["text_badwords_filter"](spark, d).collect()
+    }
+    assert got[0] == (4, 0, True)
+    assert got[1] == (10, 3, False)
+    assert got[2] == (0, 0, False)
