@@ -321,3 +321,270 @@ def maint_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("heavy_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / theta-style) distinct sketches (r8). Beyer et al.
+# 2007 "On Synopses for Distinct-Value Estimation Under Multiset
+# Operations"; the K-Minimum-Values estimator behind DataSketches'
+# theta sketch. The one capability this class adds over HLL
+# (`agg_hll_sketch` / `agg_approx_distinct`): sketches INTERSECT —
+# HLL unions losslessly but cannot estimate |A ∩ B|, while two KMV
+# sketches yield an overlap estimate via the union sketch's Jaccard
+# sample. Everything here is DETERMINISTIC (the hash is md5, shared
+# by both engines), so unlike the xxhash64-based CMS the ENTIRE
+# sketch — hashes, kth values, estimates — replays bit-for-bit in
+# DuckDB: a full-value oracle, not a bounds oracle.
+#
+# Estimator (all-integer): hashes map keys to h uniform in
+# [0, 2^60) (first 15 md5 hex digits). With k_used = min(K, d) kept
+# minima and h_k their max, est = (K-1)·2^60 div h_k when the sketch
+# is full, else exactly k_used (a non-full sketch SAW every value).
+# Intersection: n_common = |union-sketch ∩ A-sketch ∩ B-sketch|,
+# est_inter = n_common·est_union div k_used(union) — exact whenever
+# the union sketch is not full.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_HEX = 15  # 60-bit hash — bigint-safe, engine-neutral
+
+
+def kmv_hash(col):
+    """60-bit md5-derived hash as BIGINT (the epoch-shuffle idiom)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, _KMV_HEX), 16, 10
+    ).cast("bigint")
+
+
+_KMV_HASH_SQL = (
+    "CAST('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 15) AS BIGINT)"
+)
+
+_KMV_EST = (
+    "CASE WHEN k_used < {K} THEN k_used "
+    "ELSE CAST((CAST({K} - 1 AS HUGEINT) * (CAST(1 AS HUGEINT) << 60))"
+    " // h_k AS BIGINT) END"
+)
+
+
+@query(
+    "agg_kmv_distinct",
+    oracle=f"""
+WITH d AS (
+  SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+),
+h AS (
+  SELECT o_orderpriority,
+         {_KMV_HASH_SQL.format(x='o_custkey')} AS h
+  FROM d
+),
+r AS (
+  SELECT o_orderpriority, h,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+  FROM h
+),
+sk AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(MAX(h) AS BIGINT) AS h_k
+  FROM r WHERE rn <= {KMV_K}
+  GROUP BY o_orderpriority
+),
+ex AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+  FROM d GROUP BY o_orderpriority
+)
+SELECT sk.o_orderpriority, sk.k_used, sk.h_k,
+       CAST({_KMV_EST.format(K=KMV_K)} AS BIGINT) AS est_distinct,
+       ex.exact_distinct
+FROM sk JOIN ex USING (o_orderpriority)
+""",
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct sketch per group: estimate distinct
+    customers per order priority from the K=64 smallest 60-bit
+    hashes, alongside the exact count so the surface itself shows
+    estimate-vs-truth (the estimator's ~1/sqrt(K-2) ≈ 12.7% standard
+    error is asserted as a 3-sigma planted bound in tests, not here —
+    the registered surface stays a pure value replay).
+
+    Scale shape: one distinct-projection shuffle, then the
+    rank-then-filter compiles to WindowGroupLimit (map-side per-key
+    bottom-k BEFORE the shuffle — K·|groups| rows move, the
+    `sample_reservoir` shape); the sketch relation is K·|groups|
+    rows total, mergeable by union + re-bottom-k (what
+    `agg_kmv_intersect` does). The estimator is exact integer
+    arithmetic (HUGEINT/DECIMAL(38) product-floor)."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    d = orders.select("o_orderpriority", "o_custkey").distinct()
+    h = d.select(
+        "o_orderpriority", kmv_hash(F.col("o_custkey")).alias("h")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("h")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_used"),
+            F.max("h").cast("bigint").alias("h_k"),
+        )
+    )
+    ex = d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
+    )
+    est = F.when(F.col("k_used") < KMV_K, F.col("k_used")).otherwise(
+        F.expr(
+            f"CAST((CAST({KMV_K - 1} AS DECIMAL(38,0))"
+            f" * CAST({1 << 60} AS DECIMAL(38,0))) div h_k AS BIGINT)"
+        )
+    )
+    return sk.join(ex, "o_orderpriority").select(
+        "o_orderpriority",
+        "k_used",
+        "h_k",
+        est.cast("bigint").alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+_KMV_PAIR = ("1-URGENT", "2-HIGH")
+
+
+@query(
+    "agg_kmv_intersect",
+    oracle=f"""
+WITH d AS (
+  SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+  WHERE o_orderpriority IN ('{_KMV_PAIR[0]}', '{_KMV_PAIR[1]}')
+),
+h AS (
+  SELECT o_orderpriority,
+         {_KMV_HASH_SQL.format(x='o_custkey')} AS h
+  FROM d
+),
+r AS (
+  SELECT o_orderpriority, h,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+  FROM h
+),
+sk AS (SELECT o_orderpriority, h FROM r WHERE rn <= {KMV_K}),
+un AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+  FROM (SELECT DISTINCT h FROM sk)
+),
+usk AS (SELECT h FROM un WHERE rn <= {KMV_K}),
+ustat AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_used, CAST(MAX(h) AS BIGINT) AS h_k
+  FROM usk
+),
+com AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM usk
+  WHERE h IN (SELECT h FROM sk WHERE o_orderpriority = '{_KMV_PAIR[0]}')
+    AND h IN (SELECT h FROM sk WHERE o_orderpriority = '{_KMV_PAIR[1]}')
+),
+exi AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter FROM (
+    SELECT o_custkey FROM d WHERE o_orderpriority = '{_KMV_PAIR[0]}'
+    INTERSECT
+    SELECT o_custkey FROM d WHERE o_orderpriority = '{_KMV_PAIR[1]}')
+)
+SELECT '{_KMV_PAIR[0]}' AS key_a, '{_KMV_PAIR[1]}' AS key_b,
+       ustat.k_used, com.n_common,
+       CAST({_KMV_EST.format(K=KMV_K)} AS BIGINT) AS est_union,
+       CAST((CAST(com.n_common AS HUGEINT) *
+             CAST({_KMV_EST.format(K=KMV_K)} AS HUGEINT))
+            // ustat.k_used AS BIGINT) AS est_inter,
+       exi.exact_inter
+FROM ustat, com, exi
+""",
+)
+def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-INTERSECTION estimate — the theta-sketch capability HLL
+    lacks: from the two priorities' K=64 KMV sketches alone, estimate
+    |A ∩ B| distinct customers as n_common/k_used of the union
+    sketch's distinct estimate (the union's bottom-k is a uniform
+    sample of A ∪ B; membership in both input sketches marks the
+    intersection — Beyer et al. 2007). Exact when the union sketch
+    is not full. The exact intersection rides along so the surface
+    shows estimate-vs-truth.
+
+    Scale shape: each input sketch is K rows (map-side bottom-k as in
+    `agg_kmv_distinct`); the union/merge, membership probes, and the
+    estimator all operate on ≤2K-row frames (broadcast); the only
+    corpus-sized work is the two distinct-projections and the exact
+    audit's intersection — which a production consumer drops,
+    keeping ONLY sketch-sized work after the scan."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    a, b = _KMV_PAIR
+    d = (
+        orders.filter(F.col("o_orderpriority").isin(a, b))
+        .select("o_orderpriority", "o_custkey")
+        .distinct()
+    )
+    h = d.select("o_orderpriority", kmv_hash(F.col("o_custkey")).alias("h"))
+    w = Window.partitionBy("o_orderpriority").orderBy("h")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("o_orderpriority", "h")
+        .localCheckpoint(eager=True)  # 2K rows; read by union + both probes
+    )
+    usk = (
+        sk.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= KMV_K)
+        .select("h")
+    )
+    ska = sk.filter(F.col("o_orderpriority") == a).select("h")
+    skb = sk.filter(F.col("o_orderpriority") == b).select("h")
+    com = (
+        usk.join(F.broadcast(ska), "h", "left_semi")
+        .join(F.broadcast(skb), "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    ustat = usk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.max("h").cast("bigint").alias("h_k"),
+    )
+    exi = (
+        d.filter(F.col("o_orderpriority") == a)
+        .select("o_custkey")
+        .join(
+            d.filter(F.col("o_orderpriority") == b).select("o_custkey"),
+            "o_custkey",
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    est_union = F.when(F.col("k_used") < KMV_K, F.col("k_used")).otherwise(
+        F.expr(
+            f"CAST((CAST({KMV_K - 1} AS DECIMAL(38,0))"
+            f" * CAST({1 << 60} AS DECIMAL(38,0))) div h_k AS BIGINT)"
+        )
+    )
+    return (
+        ustat.crossJoin(F.broadcast(com))
+        .crossJoin(F.broadcast(exi))
+        .select(
+            F.lit(a).alias("key_a"),
+            F.lit(b).alias("key_b"),
+            "k_used",
+            "n_common",
+            est_union.cast("bigint").alias("est_union"),
+            F.expr(
+                f"CAST((CAST(n_common AS DECIMAL(38,0)) * CAST("
+                f"CASE WHEN k_used < {KMV_K} THEN k_used "
+                f"ELSE CAST((CAST({KMV_K - 1} AS DECIMAL(38,0))"
+                f" * CAST({1 << 60} AS DECIMAL(38,0))) div h_k AS BIGINT) END"
+                f" AS DECIMAL(38,0))) div k_used AS BIGINT)"
+            ).alias("est_inter"),
+            "exact_inter",
+        )
+    )

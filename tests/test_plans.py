@@ -1632,3 +1632,17 @@ def test_badwords_filter_is_pure_scan_projection(spark):
     assert tree.count("Scan parquet") == 1, tree
     assert tree.count("Exchange") == 0, tree
     assert "Join" not in tree, tree
+
+
+def test_kmv_sketch_uses_map_side_group_limit(spark):
+    """agg_kmv_distinct (r8): the bottom-k must compile to
+    WindowGroupLimit with a PARTIAL (pre-shuffle, map-side) pass —
+    K·|groups| rows move, never the distinct-key relation — and no
+    cartesian anywhere. Two WindowGroupLimit nodes in the tree =
+    the Partial/Final pair; the mode word itself only renders in the
+    detail section, so it is asserted on the full plan string."""
+    plan = plan_of(all_queries()["agg_kmv_distinct"](spark, SF_DIR))
+    tree = tree_of(plan)
+    assert tree.count("WindowGroupLimit") == 2, tree
+    assert "Partial" in plan, plan
+    assert "CartesianProduct" not in tree, tree

@@ -295,3 +295,95 @@ def test_match_recognize_matches_nfa_randomized(spark, tmp_path):
         for r in all_queries()["events_match_recognize"](spark, d).collect()
     }
     assert got == want
+
+
+# ---- KMV bottom-k sketches (r8): pure-Python reference pins ---------
+
+
+def _py_kmv_hash(v):
+    import hashlib
+
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+def _py_kmv_est(hashes, k=64):
+    sk = sorted(hashes)[:k]
+    if len(sk) < k:
+        return len(sk), sk[-1] if sk else None, len(sk)
+    return k, sk[-1], ((k - 1) * (1 << 60)) // sk[-1]
+
+
+def test_kmv_distinct_matches_python_reference(spark, tmp_path):
+    """The whole sketch — k_used, kth hash, estimate — derived
+    independently via hashlib over the planted keys, for (a) a group
+    with fewer distinct keys than K (sketch not full → estimate
+    EXACT) and (b) a 1000-distinct group (full sketch → the
+    bottom-64 estimator, asserted bit-equal to the reference AND
+    inside the 3-sigma ~38% KMV bound around the truth)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmt_dbt_spark.registry import all_queries
+
+    small = list(range(40))          # < K=64 → exact
+    big = list(range(1000, 2000))    # 1000 distinct → estimated
+    rows_key = ["1-URGENT"] * len(small) * 2 + ["2-HIGH"] * len(big)
+    rows_ck = small * 2 + big        # duplicates must not matter
+    d = tmp_path / "kmv"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"o_orderpriority": rows_key, "o_custkey": rows_ck}),
+        str(d / "orders.parquet"),
+    )
+    got = {
+        r.o_orderpriority: (r.k_used, r.h_k, r.est_distinct, r.exact_distinct)
+        for r in all_queries()["agg_kmv_distinct"](spark, str(d)).collect()
+    }
+    ku, hk, est = _py_kmv_est([_py_kmv_hash(v) for v in small])
+    assert got["1-URGENT"] == (ku, hk, est, 40)
+    assert est == 40  # non-full sketch is exact
+    ku, hk, est = _py_kmv_est([_py_kmv_hash(v) for v in big])
+    assert got["2-HIGH"] == (ku, hk, est, 1000)
+    assert abs(est - 1000) * 8 <= 3 * 1000  # 3σ at K=64 (σ≈1/8)
+
+
+def test_kmv_intersect_matches_python_reference(spark, tmp_path):
+    """Planted overlap: A = ids 0..599, B = ids 400..999 → true
+    intersection 200. Full surface (k_used, n_common, est_union,
+    est_inter, exact_inter) derived independently in Python from the
+    same md5 arithmetic; est_inter must match bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmt_dbt_spark.registry import all_queries
+
+    a_ids = list(range(600))
+    b_ids = list(range(400, 1000))
+    d = tmp_path / "kmvint"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderpriority": ["1-URGENT"] * len(a_ids)
+                + ["2-HIGH"] * len(b_ids),
+                "o_custkey": a_ids + b_ids,
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    K = 64
+    ha = sorted(_py_kmv_hash(v) for v in a_ids)[:K]
+    hb = sorted(_py_kmv_hash(v) for v in b_ids)[:K]
+    usk = sorted(set(ha) | set(hb))[:K]
+    k_used, h_k = len(usk), usk[-1]
+    est_union = ((K - 1) * (1 << 60)) // h_k if k_used == K else k_used
+    n_common = sum(1 for h in usk if h in set(ha) and h in set(hb))
+    est_inter = (n_common * est_union) // k_used
+    r = all_queries()["agg_kmv_intersect"](spark, str(d)).collect()[0]
+    assert (r.k_used, r.n_common, r.est_union, r.est_inter, r.exact_inter) == (
+        k_used,
+        n_common,
+        est_union,
+        est_inter,
+        200,
+    )
