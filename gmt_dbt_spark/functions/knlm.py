@@ -251,3 +251,103 @@ def text_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "score_fp",
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution Shannon entropy (r8) — the information-theoretic
+# quality/diversity signal (low entropy = repetitive or templated
+# text; the Gopher/RefinedWeb rule family's missing member next to
+# text_repetition's max-bigram share and text_ttr's type-token
+# ratio). H = Σ (c_i/n)·log2(n/c_i), computed EXACTLY in the house
+# fixed-point: h_fp = Σ c_i·(ilog2(n) − ilog2(c_i)) — all-integer,
+# reusing the overflow-safe distributed ilog2 above, so the oracle
+# replays bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+tc AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2
+),
+nn AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM tc GROUP BY 1
+),
+j AS (
+  SELECT tc.doc_id, c, n, n_types,
+         {_kn_ilog2_sql('n')} AS ln, {_kn_ilog2_sql('c')} AS lc
+  FROM tc JOIN nn USING (doc_id)
+),
+per AS (
+  SELECT doc_id,
+         CAST(MAX(n) AS BIGINT) AS n_tokens,
+         CAST(MAX(n_types) AS BIGINT) AS n_types,
+         CAST(SUM(c * (ln - lc)) AS BIGINT) AS h_fp
+  FROM j GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       COALESCE(p.n_types, CAST(0 AS BIGINT)) AS n_types,
+       COALESCE(p.h_fp, CAST(0 AS BIGINT)) AS h_fp,
+       CASE WHEN p.n_tokens > 0
+            THEN CAST((p.h_fp * 1000) // (p.n_tokens * {KN_SCALE}) AS BIGINT)
+       END AS entropy_milli
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+LEFT JOIN per p USING (doc_id)
+"""
+
+
+@query("text_token_entropy", oracle=_ENTROPY_ORACLE)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token-distribution Shannon entropy in exact fixed
+    point: h_fp = Σ c_i·(ilog2(n) − ilog2(c_i)) (units 1/4096 bit),
+    surfaced with the floor-milli per-token entropy — a
+    single-repeated-token doc scores 0, a 100%-unique doc scores
+    ~log2(n). Complements `text_repetition` (max-bigram share: local
+    repetition) and `text_ttr` (type share: vocabulary breadth) with
+    the full-distribution measure both collapse. Zero-token docs
+    surface with NULL entropy (nothing to measure ≠ maximally
+    repetitive — the `text_ppl_filter` 'empty' convention).
+
+    Scale shape: one (doc, token)-grouped aggregate, one doc-keyed
+    join+rollup of the count relation (fixed-width ints only — the
+    token strings never leave the first aggregate); all arithmetic
+    is the overflow-safe integer ilog2, so the value hash is exact
+    cross-engine. All positive, so div == floor on both engines."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    tc = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    nn = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    j = tc.join(nn, "doc_id")
+    j = _with_ilog2(j, "n", "ln")
+    j = _with_ilog2(j, "c", "lc")
+    per = j.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_tokens"),
+        F.max("n_types").cast("bigint").alias("n_types"),
+        F.sum(F.col("c") * (F.col("ln") - F.col("lc")))
+        .cast("bigint")
+        .alias("h_fp"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0).cast("bigint")).alias("n_types"),
+            F.coalesce("h_fp", F.lit(0).cast("bigint")).alias("h_fp"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr(f"(h_fp * 1000) div (n_tokens * {KN_SCALE})"),
+            )
+            .cast("bigint")
+            .alias("entropy_milli"),
+        )
+    )

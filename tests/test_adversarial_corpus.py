@@ -186,6 +186,11 @@ QUERIES = [
     # both engines; the applyInPandas fold and the recursive-CTE
     # replay must agree on every (bins, waste) pair
     "pack_nfd_audit",
+    # r8: token-distribution entropy — hostile repeated docs band
+    # low, empty-normalizing docs surface NULL entropy on both
+    # engines; the ilog2 fixed point must agree through unicode-
+    # stripped token counts
+    "text_token_entropy",
     # r8: the two C4-recipe filters — hostile empty-normalizing docs
     # have zero lines/tokens (keep=false, md5('') on both engines);
     # multibyte tokens exercise the marker/blocklist membership and

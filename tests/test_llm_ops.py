@@ -2339,3 +2339,47 @@ def test_wordpiece_driver_fold_word_cap_raises(spark, tmp_path):
             wp.wp_train_driver_fold(docs, 4)
     finally:
         wp.WP_COLLECT_MAX_WORDS = saved
+
+
+def test_token_entropy_matches_python_reference(spark, tmp_path):
+    """text_token_entropy (r8) pinned against an independent Python
+    ilog2 implementation on planted distributions: a constant-token
+    doc scores exactly 0; a 4-unique-token doc scores exactly
+    4·ilog2(4) = 2.000 bits (power-of-two counts make the fixed
+    point EXACT, so entropy_milli == 2000 precisely); a skewed doc
+    matches the reference sum; an empty-normalizing doc surfaces
+    NULL entropy."""
+    from gmt_dbt_spark.registry import all_queries
+
+    S = 4096
+
+    def ilog2(x):
+        bl = x.bit_length()
+        p = 1 << (bl - 1)
+        return S * (bl - 1) + ((x - p) * S) // p
+
+    def href(tokens):
+        from collections import Counter
+
+        c = Counter(tokens)
+        n = len(tokens)
+        return sum(v * (ilog2(n) - ilog2(v)) for v in c.values()), n, len(c)
+
+    words = [
+        "same same same same",                # H = 0
+        "alpha bravo charlie delta",          # 2 bits exactly
+        "x x x x x x y z",                    # skewed
+        "???",                                # empty → NULL
+    ]
+    d = _write_docs(tmp_path, "entropy", words)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_types, r.h_fp, r.entropy_milli)
+        for r in all_queries()["text_token_entropy"](spark, d).collect()
+    }
+    for i, w in enumerate(words[:3]):
+        toks = w.split()
+        h, n, ty = href(toks)
+        assert got[i] == (n, ty, h, (h * 1000) // (n * S)), i
+    assert got[0][3] == 0
+    assert got[1][3] == 2000  # exact: power-of-two uniform
+    assert got[3] == (0, 0, 0, None)
