@@ -323,6 +323,39 @@ C4_LINE_MARKERS = ("dup", "slow")
 
 _C4_MARKER_SQL = "[" + ", ".join(f"'{m}'" for m in C4_LINE_MARKERS) + "]"
 
+# The per-doc line-filter relation as a composable CTE body (the
+# `_pack_sql` convention): both the registered line-filter oracle and
+# the end-to-end C4 pipeline oracle build on `c4per` (doc_id,
+# n_lines, n_kept, n_tokens, n_kept_tokens, cleaned_md5) over the
+# text-non-null docs `c4t`.
+_C4_CTES = f"""c4t AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents WHERE text IS NOT NULL
+),
+c4l AS (
+  SELECT doc_id, u.i AS idx,
+         tk[CAST(u.i * {_LINE_W} + 1 AS INT) :
+            CAST(u.i * {_LINE_W} + {_LINE_W} AS INT)] AS lt
+  FROM c4t, LATERAL (
+    SELECT unnest(range((len(tk) + {_LINE_W - 1}) // {_LINE_W})) AS i) u
+),
+c4k AS (
+  SELECT doc_id, idx, lt,
+         (len(lt) >= {C4_LINE_MIN_TOKENS}
+          AND len(list_intersect(lt, {_C4_MARKER_SQL})) = 0) AS kept
+  FROM c4l
+),
+c4per AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+         CAST(COALESCE(SUM(len(lt)), 0) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(len(lt)) FILTER (WHERE kept), 0) AS BIGINT)
+           AS n_kept_tokens,
+         md5(COALESCE(string_agg(array_to_string(lt, ' '), ' ' ORDER BY idx)
+                        FILTER (WHERE kept), '')) AS cleaned_md5
+  FROM c4k GROUP BY doc_id
+)"""
+
 _C4_LINE_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents WHERE text IS NOT NULL
@@ -410,6 +443,101 @@ def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept_flat).cast("bigint").alias("n_kept_tokens"),
         F.md5(F.concat_ws(" ", kept_flat)).alias("cleaned_md5"),
         (F.size(kept_idx) >= C4_MIN_KEPT_LINES).alias("keep"),
+    )
+
+
+def _c4_pipeline_oracle() -> str:
+    from gmt_dbt_spark.functions.text import _BADWORDS_SQL
+
+    return f"""
+WITH {_C4_CTES},
+bw AS (
+  SELECT doc_id,
+         (len(list_filter(tk, x -> list_contains({_BADWORDS_SQL}, x))) = 0
+          AND len(tk) > 0) AS bw_ok
+  FROM c4t
+),
+m AS (
+  SELECT d.source, t.doc_id, bw.bw_ok,
+         (COALESCE(p.n_kept, 0) >= {C4_MIN_KEPT_LINES}) AS line_ok,
+         p.cleaned_md5, p.n_kept_tokens
+  FROM c4t t
+  JOIN documents d USING (doc_id)
+  JOIN bw USING (doc_id)
+  LEFT JOIN c4per p USING (doc_id)
+),
+w AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY (bw_ok AND line_ok), cleaned_md5 ORDER BY doc_id) AS rn
+  FROM m
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) FILTER (WHERE bw_ok) AS BIGINT) AS n_pass_badwords,
+  CAST(COUNT(*) FILTER (WHERE bw_ok AND line_ok) AS BIGINT) AS n_pass_both,
+  CAST(COUNT(*) FILTER (WHERE bw_ok AND line_ok AND rn = 1) AS BIGINT)
+    AS n_after_dedup,
+  CAST(COALESCE(SUM(n_kept_tokens)
+                  FILTER (WHERE bw_ok AND line_ok AND rn = 1), 0) AS BIGINT)
+    AS kept_tokens
+FROM w GROUP BY source
+"""
+
+
+@query("pipeline_c4_reproduce", oracle=_c4_pipeline_oracle())
+def pipeline_c4_reproduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning recipe END-TO-END as one plan (Raffel et al.
+    2020 §2.2), composed from the REGISTERED gates — the same
+    composition doctrine as `pipeline_curation_report`: the bad-words
+    gate (`text_badwords_filter`), the per-line boilerplate rules
+    with rewrite (`text_c4_line_filter`), then exact dedup of the
+    CLEANED text (keep-first by doc_id — C4 §2.2's discard-repeats
+    step at cleaned-doc granularity; the span-granular variant is
+    `text_dedup_lines`). Per-source funnel report: docs in, passing
+    the bad-words gate, passing both gates, surviving dedup, and the
+    final kept-token budget — the numbers a pretraining run starts
+    from.
+
+    Scale shape: both gates are the ZERO-exchange scan projections
+    they are individually (their plans compose without new corpus
+    shuffles — one shared scan subtree each); dedup adds ONE
+    16-byte-md5-partitioned window over the (flag, md5) pairs; the
+    report is a label-bounded rollup. Every stage decision is
+    identical to its standalone op by construction (shared
+    implementation, not copy-paste)."""
+    from pyspark.sql import Window
+
+    from gmt_dbt_spark.functions.text import text_badwords_filter
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bw = text_badwords_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("bw_ok")
+    )
+    c4 = text_c4_line_filter(spark, sf_dir).select(
+        "doc_id",
+        F.col("keep").alias("line_ok"),
+        "cleaned_md5",
+        "n_kept_tokens",
+    )
+    m = (
+        docs.select("doc_id", "source")
+        .join(bw, "doc_id")
+        .join(c4, "doc_id")
+    )
+    surv = F.col("bw_ok") & F.col("line_ok")
+    w = Window.partitionBy(surv, "cleaned_md5").orderBy("doc_id")
+    m2 = m.withColumn("rn", F.row_number().over(w))
+    final = surv & (F.col("rn") == 1)
+    return m2.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_if(F.col("bw_ok")).cast("bigint").alias("n_pass_badwords"),
+        F.count_if(surv).cast("bigint").alias("n_pass_both"),
+        F.count_if(final).cast("bigint").alias("n_after_dedup"),
+        F.coalesce(
+            F.sum(F.when(final, F.col("n_kept_tokens"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("kept_tokens"),
     )
 
 

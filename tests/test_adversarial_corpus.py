@@ -197,6 +197,10 @@ QUERIES = [
     # the line-slice rewrite hash through unicode
     "text_c4_line_filter",
     "text_badwords_filter",
+    # r8: the composed C4 funnel — triplicated hostile docs must
+    # dedup on CLEANED text identically; all-empty sources must
+    # report zero survivors on both engines
+    "pipeline_c4_reproduce",
     # r6: token accounting — empty-normalizing docs count 0 tokens
     # but real chars, identically on both engines
     "pipeline_token_budget",

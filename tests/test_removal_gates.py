@@ -396,6 +396,15 @@ GATES = {
             ("test_removal_gates", "test_badwords_filter_planted")
         ],
     },
+    "pipeline_c4_reproduce": {
+        # the composed C4 funnel: every stage transition pinned on a
+        # hand-built corpus (badwords drop, line-gate drop with a
+        # marker that is NOT a badword, cleaned-text dedup election)
+        "class": "removal",
+        "evidence": [
+            ("test_removal_gates", "test_c4_pipeline_planted")
+        ],
+    },
     "multimodal_frame_sample": {
         # stub-codec frame-index arithmetic (superseded by the real
         # WAV/BMP decoders, _TAIL-ranked); deterministic index math
@@ -429,7 +438,7 @@ def _is_gate_name(name: str) -> bool:
         or "tablesample" in name
         or "frame_sample" in name
         or "mixture" in name
-        or "c4_line" in name
+        or "c4_" in name
         or "badwords" in name
     )
 
@@ -1204,3 +1213,39 @@ def test_badwords_filter_planted(spark, tmp_path):
     assert got[0] == (4, 0, True)
     assert got[1] == (10, 3, False)
     assert got[2] == (0, 0, False)
+
+
+def test_c4_pipeline_planted(spark, tmp_path):
+    """pipeline_c4_reproduce funnel on a hand-built corpus (single
+    source): doc 0 clean (survives everything), docs 1+2 clean
+    byte-identical (same cleaned text → dedup keeps doc 1 only),
+    doc 3 contains a blocklisted token (fails bad-words), doc 4 is
+    one clean line + one 'slow'-marker line ('slow' is a line marker
+    but NOT a badword — 1 surviving line < 2 → fails the line gate
+    while PASSING bad-words), doc 5 empty-normalizing (fails
+    bad-words' non-empty rule). Expected funnel: 6 in → 4 pass
+    badwords → 3 pass both → 2 after dedup; kept_tokens = hand sum."""
+    clean1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    clean2 = "tango uniform victor whiskey xray yankee zulu one two three"
+    pair = f"{clean1} {clean2}"
+    rows = [
+        (0, f"{clean2} {clean1}", "en", "s"),
+        (1, pair, "en", "s"),
+        (2, pair, "en", "s"),
+        (3, f"{clean1} awful {clean2}", "en", "s"),
+        (4, f"{clean1} kilo slow mike november oscar papa quebec romeo sierra", "en", "s"),
+        (5, "...", "en", "s"),
+    ]
+    d = _write_docs(tmp_path, "c4pipe", rows)
+    r = {
+        x.source: (
+            x.n_docs,
+            x.n_pass_badwords,
+            x.n_pass_both,
+            x.n_after_dedup,
+            x.kept_tokens,
+        )
+        for x in all_queries()["pipeline_c4_reproduce"](spark, d).collect()
+    }
+    # survivors: doc 0 (20 tokens) + doc 1 (20 tokens) = 40 kept
+    assert r == {"s": (6, 4, 3, 2, 40)}
