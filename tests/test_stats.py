@@ -387,3 +387,29 @@ def test_kmv_intersect_matches_python_reference(spark, tmp_path):
         est_inter,
         200,
     )
+
+
+def test_kmv_shard_merge_equals_whole():
+    """Mergeability (the property that makes KMV a distributed
+    sketch, the `test_cms_shard_merge_equals_whole` twin): bottom-k
+    of the UNION of per-shard bottom-k sketches equals the bottom-k
+    of the whole key set — for any sharding. Checked on randomized
+    shardings of 1000 keys with the same md5 arithmetic the operator
+    uses; also pins that merge never needs more than K values per
+    shard."""
+    import random
+
+    K = 64
+    keys = list(range(5000, 6000))
+    hashes = sorted(_py_kmv_hash(v) for v in keys)
+    whole = hashes[:K]
+    for seed in (3, 7, 19):
+        rng = random.Random(seed)
+        n_shards = rng.randint(2, 9)
+        shards = [[] for _ in range(n_shards)]
+        for v in keys:
+            shards[rng.randrange(n_shards)].append(v)
+        merged = sorted(
+            {h for s in shards for h in sorted(_py_kmv_hash(v) for v in s)[:K]}
+        )[:K]
+        assert merged == whole, seed
