@@ -1244,3 +1244,143 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return final.localCheckpoint(eager=True)  # detach from store, executor-side
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
+
+
+_KMV_STREAM_BATCHES = 3
+
+
+@query(
+    "stream_kmv_distinct",
+    oracle=f"""
+WITH hh AS (
+  SELECT DISTINCT (doc_id % {_KMV_STREAM_BATCHES}) AS b,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+  FROM documents WHERE text IS NOT NULL
+),
+pr AS (SELECT DISTINCT b AS p FROM hh),
+ph AS (SELECT DISTINCT pr.p, hh.h FROM pr JOIN hh ON hh.b <= pr.p),
+r AS (
+  SELECT p, h, ROW_NUMBER() OVER (PARTITION BY p ORDER BY h) AS rn FROM ph
+),
+sk AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS k_used, CAST(MAX(h) AS BIGINT) AS h_k
+  FROM r WHERE rn <= 64 GROUP BY p
+),
+ex AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM ph GROUP BY p
+)
+SELECT CAST(sk.p AS BIGINT) AS batch_key, sk.k_used, sk.h_k,
+       CAST(CASE WHEN sk.k_used < 64 THEN sk.k_used
+            ELSE CAST((CAST(63 AS HUGEINT) * (CAST(1 AS HUGEINT) << 60))
+                      // sk.h_k AS BIGINT) END AS BIGINT) AS est_distinct,
+       ex.exact_distinct
+FROM sk JOIN ex USING (p)
+""",
+)
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING running-distinct-count via a BOUNDED KMV sketch
+    store — the crawl-monitoring primitive ("how many distinct
+    documents have we seen so far?") done the way it must be done at
+    100 TB: each micro-batch ships only its own bottom-K hashes, the
+    store merges batch sketch ∪ stored sketch → re-bottom-K (constant
+    K·8 bytes of state forever), and the per-batch report carries the
+    running estimate. The exact running distinct rides along from a
+    separate audit store, so the surface shows estimate-vs-truth per
+    batch.
+
+    THE MERGE THEOREM IS THE VALUE HASH: the oracle computes each
+    batch's sketch from the FULL cumulative prefix, while the
+    streaming side only ever merges bounded sketches — they agree
+    exactly iff bottom-k is a semilattice morphism (pinned
+    independently in test_stats' randomized-sharding test; this op
+    proves it THROUGH a real availableNow micro-batched execution
+    with arrival order admitted one shard per trigger).
+
+    Scale: per batch the sketch math is K-row; only the exact-audit
+    store (production drops it) grows with distinct content."""
+    from gmt_dbt_spark.operators.stats import KMV_K, kmv_hash
+
+    run_dir = os.path.join(SCRATCH, f"stream_kmv_{uuid.uuid4().hex[:8]}")
+    src_dir = os.path.join(run_dir, "src")
+    skstore = os.path.join(run_dir, "sketch")
+    hstore = os.path.join(run_dir, "seen")
+    rstore = os.path.join(run_dir, "report")
+    ckpt = os.path.join(run_dir, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    out_schema = (
+        "batch_key bigint, k_used bigint, h_k bigint,"
+        " est_distinct bigint, exact_distinct bigint"
+    )
+    try:
+        docs = (
+            table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("text").isNotNull())
+        )
+        for i in range(_KMV_STREAM_BATCHES):
+            write_json_shard(
+                docs.filter(F.col("doc_id") % _KMV_STREAM_BATCHES == i),
+                os.path.join(src_dir, f"part-{i}.json"),
+            )
+        pin_mtimes(src_dir)
+        empty = spark.createDataFrame([], "h bigint")
+        empty.write.mode("overwrite").parquet(skstore)
+        empty.write.mode("overwrite").parquet(hstore)
+        spark.createDataFrame([], out_schema).write.mode("overwrite").parquet(
+            rstore
+        )
+
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src_dir)
+        )
+
+        def upd(batch: DataFrame, _epoch: int) -> None:
+            sp = batch.sparkSession
+            bk = batch.agg(
+                F.min(F.col("doc_id") % _KMV_STREAM_BATCHES).alias("bk")
+            ).collect()[0]["bk"]
+            if bk is None:
+                return  # empty batch — nothing arrived
+            bh = batch.select(kmv_hash(F.col("text")).alias("h")).distinct()
+            rn = F.row_number().over(Window.orderBy("h"))
+            # the batch ships ONLY its own bottom-K (what a remote
+            # shard would send)
+            bsk = bh.withColumn("rn", rn).filter(F.col("rn") <= KMV_K).drop(
+                "rn"
+            )
+            merged = (
+                sp.read.parquet(skstore)
+                .unionByName(bsk)
+                .distinct()
+                .withColumn("rn", rn)
+                .filter(F.col("rn") <= KMV_K)
+                .drop("rn")
+                .localCheckpoint(eager=True)  # detach before overwrite
+            )
+            merged.write.mode("overwrite").parquet(skstore)
+            new = (
+                bh.join(sp.read.parquet(hstore), "h", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            new.write.mode("append").parquet(hstore)
+            n_exact = sp.read.parquet(hstore).count()
+            st = merged.agg(
+                F.count(F.lit(1)).alias("k_used"), F.max("h").alias("h_k")
+            ).collect()[0]
+            k_used = int(st["k_used"])
+            est = (
+                k_used
+                if k_used < KMV_K
+                else ((KMV_K - 1) * (1 << 60)) // int(st["h_k"])
+            )
+            sp.createDataFrame(
+                [(int(bk), k_used, int(st["h_k"]), est, int(n_exact))],
+                out_schema,
+            ).write.mode("append").parquet(rstore)
+
+        run_replay(stream, ckpt, mode="append", foreach=upd)
+        return spark.read.parquet(rstore).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)

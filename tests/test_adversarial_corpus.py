@@ -201,6 +201,11 @@ QUERIES = [
     # dedup on CLEANED text identically; all-empty sources must
     # report zero survivors on both engines
     "pipeline_c4_reproduce",
+    # r8: streaming KMV running-distinct — triplicated hostile texts
+    # land in different arrival shards, so the cumulative sketch must
+    # dedup them across micro-batches; the tiny corpus keeps the
+    # sketch NON-FULL, exercising the exact (est == truth) branch
+    "stream_kmv_distinct",
     # r6: token accounting — empty-normalizing docs count 0 tokens
     # but real chars, identically on both engines
     "pipeline_token_budget",
