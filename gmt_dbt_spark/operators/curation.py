@@ -2520,3 +2520,221 @@ def pack_nfd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source string, n_docs bigint, total_tok bigint, bins_nfd bigint,"
         " lb_bins bigint, waste_tok bigint, n_oversize bigint",
     )
+
+
+def _source_overlap_oracle() -> str:
+    from gmt_dbt_spark.operators.stats import KMV_K
+
+    K = KMV_K
+    est = (
+        "CASE WHEN {p}k_used < {K} THEN {p}k_used "
+        "ELSE CAST((CAST({K} - 1 AS HUGEINT) * (CAST(1 AS HUGEINT) << 60))"
+        " // {p}h_k AS BIGINT) END"
+    )
+    eu = est.format(p="us.", K=K)
+    return f"""
+WITH t AS (
+  SELECT source, {_DUCK_TOKENS} AS tk FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT source AS src,
+         CAST('0x' || substr(md5(tk[CAST(u.i + 1 AS INT)] || ' ' ||
+                                  tk[CAST(u.i + 2 AS INT)] || ' ' ||
+                                  tk[CAST(u.i + 3 AS INT)]), 1, 15) AS BIGINT)
+           AS h
+  FROM (SELECT source, tk FROM t WHERE len(tk) >= 3) z,
+       LATERAL (SELECT unnest(range(len(tk) - 2)) AS i) u
+),
+d AS (SELECT DISTINCT src, h FROM g),
+r AS (
+  SELECT src, h, ROW_NUMBER() OVER (PARTITION BY src ORDER BY h) AS rn FROM d
+),
+sk AS MATERIALIZED (SELECT src, h FROM r WHERE rn <= {K}),
+ss AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS k_used, CAST(MAX(h) AS BIGINT) AS h_k
+  FROM sk GROUP BY 1
+),
+sse AS (SELECT src, CAST({est.format(p='', K=K)} AS BIGINT) AS e FROM ss),
+pr AS (SELECT a.src AS src_a, b.src AS src_b FROM ss a JOIN ss b
+       ON a.src < b.src),
+pu AS (
+  SELECT DISTINCT src_a, src_b, h FROM (
+    SELECT pr.src_a, pr.src_b, sk.h FROM pr JOIN sk ON sk.src = pr.src_a
+    UNION ALL
+    SELECT pr.src_a, pr.src_b, sk.h FROM pr JOIN sk ON sk.src = pr.src_b)
+),
+rp AS (
+  SELECT src_a, src_b, h,
+         ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+  FROM pu
+),
+pk AS MATERIALIZED (SELECT src_a, src_b, h FROM rp WHERE rn <= {K}),
+us AS (
+  SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(MAX(h) AS BIGINT) AS h_k
+  FROM pk GROUP BY 1, 2
+),
+cm AS (
+  SELECT pk.src_a, pk.src_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM pk
+  JOIN sk sa ON sa.src = pk.src_a AND sa.h = pk.h
+  JOIN sk sb ON sb.src = pk.src_b AND sb.h = pk.h
+  GROUP BY 1, 2
+)
+SELECT us.src_a, us.src_b,
+       ea.e AS est_a, eb.e AS est_b,
+       us.k_used,
+       COALESCE(cm.n_common, CAST(0 AS BIGINT)) AS n_common,
+       CAST({eu} AS BIGINT) AS est_union,
+       CAST((CAST(COALESCE(cm.n_common, 0) AS HUGEINT)
+             * CAST({eu} AS HUGEINT)) // us.k_used AS BIGINT) AS est_inter,
+       CAST((CAST(COALESCE(cm.n_common, 0) AS HUGEINT)
+             * CAST({eu} AS HUGEINT) * 1000)
+            // (us.k_used * CAST({eu} AS HUGEINT)) AS BIGINT) AS jaccard_milli
+FROM us
+LEFT JOIN cm USING (src_a, src_b)
+JOIN sse ea ON ea.src = us.src_a
+JOIN sse eb ON eb.src = us.src_b
+"""
+
+
+@query("pipeline_source_overlap", oracle=_source_overlap_oracle())
+def pipeline_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair lexical-overlap matrix from KMV sketches — the
+    mixture-planning input ("which of my corpora are near-copies of
+    each other?") computed WITHOUT any cross-source data join: one
+    K=64 bottom-k sketch of each source's distinct token-3-gram
+    hashes, then every pairwise union/intersection estimate (the
+    `agg_kmv_intersect` algebra) over the 190 sketch pairs — all
+    K-row frames after the sketch build. Surface per (src_a, src_b):
+    both sources' distinct-shingle estimates, the union sketch's
+    k_used, the common-membership count, the union and intersection
+    estimates, and the integer-milli Jaccard.
+
+    Scale shape: the only corpus-sized work is the zero-shuffle
+    shingle stream (`shingle_rows`) and ONE distinct aggregate;
+    per-source bottom-k is the map-side WindowGroupLimit shape; the
+    pairwise stage touches |sources|²·K rows of 8-byte hashes —
+    independent of corpus size, the property that makes an
+    every-pair overlap matrix feasible at 100 TB. Docs with < 3
+    tokens are excluded (full 3-grams only, both engines —
+    the `text_containment_audit` gating)."""
+    from pyspark.sql import Window
+
+    from gmt_dbt_spark.operators.stats import KMV_K, kmv_hash
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .filter(F.size(tokens_col(F.col("text"))) >= 3)
+    )
+    sh = shingle_rows(docs, "source", "text")
+    d = sh.select(
+        F.col("__id").alias("src"), kmv_hash(F.col("__sh")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("src").orderBy("h")
+    sk = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("src", "h")
+        .localCheckpoint(eager=True)  # K·|sources| rows, read 5×
+    )
+
+    def kmv_est(k_used, h_k):
+        return F.when(k_used < KMV_K, k_used).otherwise(
+            F.expr(
+                f"CAST((CAST({KMV_K - 1} AS DECIMAL(38,0))"
+                f" * CAST({1 << 60} AS DECIMAL(38,0)))"
+                f" div {h_k} AS BIGINT)"
+            )
+        )
+
+    ss = sk.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.max("h").cast("bigint").alias("h_k"),
+    )
+    sse = ss.select(
+        "src", kmv_est(F.col("k_used"), "h_k").cast("bigint").alias("e")
+    )
+    srcs = ss.select("src")
+    pr = (
+        srcs.select(F.col("src").alias("src_a"))
+        .join(
+            srcs.select(F.col("src").alias("src_b")),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    pu = (
+        pr.join(sk.withColumnRenamed("src", "src_a"), "src_a")
+        .select("src_a", "src_b", "h")
+        .unionByName(
+            pr.join(sk.withColumnRenamed("src", "src_b"), "src_b").select(
+                "src_a", "src_b", "h"
+            )
+        )
+        .distinct()
+    )
+    wp = Window.partitionBy("src_a", "src_b").orderBy("h")
+    pk = (
+        pu.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= KMV_K)
+        .select("src_a", "src_b", "h")
+        .localCheckpoint(eager=True)  # ≤ |pairs|·K rows, read 3×
+    )
+    us = pk.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.max("h").cast("bigint").alias("h_k"),
+    )
+    cm = (
+        pk.join(
+            sk.withColumnRenamed("src", "src_a"), ["src_a", "h"], "left_semi"
+        )
+        .join(
+            sk.withColumnRenamed("src", "src_b"), ["src_b", "h"], "left_semi"
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    eu = kmv_est(F.col("k_used"), "h_k")
+    out = (
+        us.join(cm, ["src_a", "src_b"], "left")
+        .withColumn(
+            "n_common",
+            F.coalesce("n_common", F.lit(0).cast("bigint")),
+        )
+        .join(
+            sse.select(F.col("src").alias("src_a"), F.col("e").alias("est_a")),
+            "src_a",
+        )
+        .join(
+            sse.select(F.col("src").alias("src_b"), F.col("e").alias("est_b")),
+            "src_b",
+        )
+        .withColumn("est_union", eu.cast("bigint"))
+        .withColumn(
+            "est_inter",
+            F.expr(
+                "CAST((CAST(n_common AS DECIMAL(38,0))"
+                " * est_union) div k_used AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "jaccard_milli",
+            F.expr(
+                "CAST((CAST(n_common AS DECIMAL(38,0)) * est_union * 1000)"
+                " div (k_used * CAST(est_union AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        "est_a",
+        "est_b",
+        "k_used",
+        "n_common",
+        "est_union",
+        "est_inter",
+        "jaccard_milli",
+    )

@@ -201,6 +201,11 @@ QUERIES = [
     # dedup on CLEANED text identically; all-empty sources must
     # report zero survivors on both engines
     "pipeline_c4_reproduce",
+    # r8: the source-overlap matrix — triplicated hostile docs land
+    # in all four sources, so every pair overlaps; <3-token and
+    # empty-normalizing docs must contribute no shingles on either
+    # engine (full-3-gram gating)
+    "pipeline_source_overlap",
     # r8: streaming KMV running-distinct — triplicated hostile texts
     # land in different arrival shards, so the cumulative sketch must
     # dedup them across micro-batches; the tiny corpus keeps the

@@ -2383,3 +2383,49 @@ def test_token_entropy_matches_python_reference(spark, tmp_path):
     assert got[0][3] == 0
     assert got[1][3] == 2000  # exact: power-of-two uniform
     assert got[3] == (0, 0, 0, None)
+
+
+def test_source_overlap_planted(spark, tmp_path):
+    """pipeline_source_overlap on planted vocabularies: sources A and
+    B carry the SAME shingle set (identical doc text) → non-full
+    sketches are exact → jaccard_milli == 1000 and est_inter ==
+    est_union; source C is lexically disjoint → n_common == 0 and
+    jaccard_milli == 0 against both. A <3-token doc must contribute
+    nothing (full-3-gram gating)."""
+    from gmt_dbt_spark.registry import all_queries
+
+    shared = "alpha bravo charlie delta echo foxtrot golf"
+    rows = [
+        (0, shared, "en", "srcA"),
+        (1, shared, "en", "srcB"),
+        (2, "one two", "en", "srcB"),  # <3 tokens → no shingles
+        (3, "kilo lima mike november oscar papa quebec", "en", "srcC"),
+    ]
+    d = _write_docs(tmp_path, "overlap", [r[1] for r in rows])
+    # rewrite with per-row sources (the helper writes a single source)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": [r[2] for r in rows],
+                "source": [r[3] for r in rows],
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        ),
+        d + "/documents.parquet",
+    )
+    got = {
+        (r.src_a, r.src_b): r
+        for r in all_queries()["pipeline_source_overlap"](spark, d).collect()
+    }
+    ab = got[("srcA", "srcB")]
+    assert ab.est_a == ab.est_b == 5  # 7 tokens → 5 distinct 3-grams
+    assert ab.n_common == 5 and ab.est_union == 5 and ab.est_inter == 5
+    assert ab.jaccard_milli == 1000
+    for pair in (("srcA", "srcC"), ("srcB", "srcC")):
+        r = got[pair]
+        assert r.n_common == 0 and r.est_inter == 0 and r.jaccard_milli == 0
