@@ -175,6 +175,47 @@ def sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sort_order_audit",
+    oracle="""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_mktsegment ASC NULLS LAST,
+                               c_acctbal DESC NULLS LAST,
+                               c_custkey ASC NULLS LAST) AS BIGINT) AS rn,
+       c_custkey, c_name, c_acctbal, c_mktsegment
+FROM customer
+""",
+)
+def sort_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sort_order`'s ORDER-SENSITIVE twin (r8, VERIFICATION pattern
+    13 — the driver's multiset hash cannot see row order, so the bare
+    global sort's actual ordering was the one surface in the registry
+    a sort-direction or nulls-placement bug could not reach): every
+    row is stamped with its position under the same (segment asc,
+    acctbal desc nulls last, custkey) total order, making the
+    (position ↔ row) assignment part of the value hash. Nulls
+    placement is explicit on every key on both engines (DuckDB's
+    ASC default is configuration-dependent).
+
+    The global row_number is a single-partition window — acceptable
+    here for the same reason as `text_ppl_filter`'s exact global
+    rank: this is the VERIFICATION twin; the production global sort
+    is `sort_order`'s range-partitioned plan, and a scalable
+    position stamp rides zipWithIndex over its sorted partitions."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("c_mktsegment").asc_nulls_last(),
+        F.col("c_acctbal").desc_nulls_last(),
+        F.col("c_custkey").asc_nulls_last(),
+    )
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .select("rn", "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    )
+
+
+@query(
     "limit_n",
     oracle="""
 SELECT o_orderkey, o_totalprice

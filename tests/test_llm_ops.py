@@ -2429,3 +2429,56 @@ def test_source_overlap_planted(spark, tmp_path):
     for pair in (("srcA", "srcC"), ("srcB", "srcC")):
         r = got[pair]
         assert r.n_common == 0 and r.est_inter == 0 and r.jaccard_milli == 0
+
+
+def test_sort_order_audit_planted_nulls_and_ties(spark, tmp_path):
+    """The order-sensitive sort twin on planted corners the fixture
+    never exercises: NULL acctbal must land LAST within its segment
+    (desc_nulls_last), equal acctbals break by custkey, and segments
+    order lexically. Expected positions derived by an independent
+    Python sort."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmt_dbt_spark.registry import all_queries
+
+    rows = [
+        # (custkey, name, acctbal, segment)
+        (1, "a", 50.0, "AUTO"),
+        (2, "b", None, "AUTO"),     # null → last within AUTO
+        (3, "c", 900.0, "AUTO"),
+        (4, "d", 50.0, "AUTO"),     # tie with 1 → custkey breaks
+        (5, "e", -10.0, "AUTO"),
+        (6, "f", None, "AUTO"),     # second null → custkey breaks
+        (7, "g", 1e9, "BUILDING"),  # later segment despite max bal
+    ]
+    d = tmp_path / "sortaudit"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": [r[0] for r in rows],
+                "c_name": [r[1] for r in rows],
+                "c_acctbal": pa.array(
+                    [r[2] for r in rows], type=pa.float64()
+                ),
+                "c_mktsegment": [r[3] for r in rows],
+            }
+        ),
+        str(d / "customer.parquet"),
+    )
+
+    def key(r):
+        return (
+            r[3],
+            (1, 0.0) if r[2] is None else (0, -r[2]),
+            r[0],
+        )
+
+    want = {r[0]: i + 1 for i, r in enumerate(sorted(rows, key=key))}
+    got = {
+        r.c_custkey: r.rn
+        for r in all_queries()["sort_order_audit"](spark, str(d)).collect()
+    }
+    assert got == want
+    assert want == {3: 1, 1: 2, 4: 3, 5: 4, 2: 5, 6: 6, 7: 7}
