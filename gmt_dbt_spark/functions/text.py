@@ -1468,7 +1468,29 @@ def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # two are exercised by planted tests.
 BADWORDS = ("dup", "awful", "horrible")
 
-_BADWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in BADWORDS) + "]"
+
+def sql_str_list(words) -> str:
+    """DuckDB list literal from Python strings, quote-safe (the
+    production blocklists contain apostrophe entries — the documented
+    drop-in swap must not produce malformed oracle SQL)."""
+    quoted = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    return "[" + quoted + "]"
+
+
+_BADWORDS_SQL = sql_str_list(BADWORDS)
+
+
+def _badwords_cols(tk: Column) -> dict:
+    """The blocklist-gate columns as pure functions of the
+    MATERIALIZED token-array column — the single implementation
+    shared by `text_badwords_filter` and `pipeline_c4_reproduce`."""
+    bad = F.array(*[F.lit(w) for w in BADWORDS])
+    n_bad = F.size(F.filter(tk, lambda x: F.array_contains(bad, x)))
+    return {
+        "n_tokens": F.size(tk).cast("bigint"),
+        "n_bad": n_bad.cast("bigint"),
+        "keep": (n_bad == 0) & (F.size(tk) > 0),
+    }
 
 
 @query(
@@ -1504,16 +1526,15 @@ def text_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges in the plan (plan-guarded; the `text_pii_redact`
     class). NULL texts are excluded on both engines."""
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    tk = tokens_col(F.col("text"))
-    bad = F.array(*[F.lit(w) for w in BADWORDS])
     # token array behind a Generate barrier: n_bad and keep both read
     # it, and inlined each reference would re-run the regex split
-    tok = d.select("doc_id", F.explode(F.array(tk)).alias("__tk"))
-    tka = F.col("__tk")
-    n_bad = F.size(F.filter(tka, lambda x: F.array_contains(bad, x)))
+    tok = d.select(
+        "doc_id", F.explode(F.array(tokens_col(F.col("text")))).alias("__tk")
+    )
+    cols = _badwords_cols(F.col("__tk"))
     return tok.select(
         "doc_id",
-        F.size(tka).cast("bigint").alias("n_tokens"),
-        n_bad.cast("bigint").alias("n_bad"),
-        ((n_bad == 0) & (F.size(tka) > 0)).alias("keep"),
+        cols["n_tokens"].alias("n_tokens"),
+        cols["n_bad"].alias("n_bad"),
+        cols["keep"].alias("keep"),
     )

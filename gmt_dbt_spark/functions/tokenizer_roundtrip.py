@@ -59,8 +59,9 @@ from gmt_dbt_spark.functions.wordpiece import (
     WP_MERGES,
     WP_PROBE_MAX,
     WP_UNK,
-    _wp_encode_sql,
+    _wp_probe_branches,
     _wp_train_chain,
+    _wp_vocab_sql,
     _wp_with_clause,
 )
 from gmt_dbt_spark.operators.dedup import tokens_col
@@ -349,18 +350,17 @@ def _wp_word_dec(it: DataFrame, vocab: set) -> DataFrame:
 
 
 def _wp_rt_oracle(k: int) -> str:
-    """Training replay + the encode vocab CTEs, then a decode-
-    accumulating twin of the `gr` greedy recursion (`grd` carries the
-    concatenated matched substrings), then the shared rebuild tail."""
-    branches = "\n           ".join(
-        f"WHEN j + {l} - 1 <= length(word) AND"
-        f" len(map_extract(wvm.mp, substr(word, j, {l}))) > 0"
-        f" THEN CAST({l} AS INTEGER)"
-        for l in range(WP_PROBE_MAX, 0, -1)
-    )
+    """Training replay + the shared vocab CTEs (`_wp_vocab_sql`),
+    then a decode-accumulating twin of the `gr` greedy recursion
+    (`grd` carries the concatenated matched substrings) built from
+    the SAME probe-branch generator the encode oracle uses
+    (`_wp_probe_branches` — one probe definition, the two recursions
+    structurally unable to probe differently), then the shared
+    rebuild tail."""
+    branches = _wp_probe_branches()
     return (
         _wp_with_clause(k, recursive=True)
-        + _wp_encode_sql(k)
+        + _wp_vocab_sql(k)
         + f""",
 grd AS (
   SELECT word, CAST(1 AS INTEGER) AS j, CAST(0 AS INTEGER) AS np,

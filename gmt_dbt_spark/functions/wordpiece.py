@@ -417,14 +417,48 @@ def _wp_encode_sql(k: int) -> str:
     guard), and `wp` (word, n_pieces, is_unk). A word's chain ends
     either past the last char (complete) or at the first unmatchable
     position (bad → one [UNK] token)."""
-    prods = " UNION ALL ".join(
-        f"SELECT a || b AS piece FROM p{i}" for i in range(1, k + 1)
+    return (
+        _wp_vocab_sql(k)
+        + f""",
+gr AS (
+  SELECT word, CAST(1 AS INTEGER) AS j, CAST(0 AS INTEGER) AS np, FALSE AS bad
+  FROM wc
+  UNION ALL
+  SELECT word, j + COALESCE(ml, 0), np + 1, ml IS NULL
+  FROM (
+    SELECT word, j, np,
+      CASE {_wp_probe_branches()} END AS ml
+    FROM gr CROSS JOIN wvm
+    WHERE NOT bad AND j <= length(word)
+  ) z
+),
+wp AS (
+  SELECT word, CASE WHEN bad THEN 1 ELSE np END AS n_pieces, bad AS is_unk
+  FROM gr WHERE bad OR j > length(word)
+)"""
     )
-    branches = "\n           ".join(
+
+
+def _wp_probe_branches() -> str:
+    """The greedy longest-match-first probe as SQL CASE branches
+    (WP_PROBE_MAX..1 with the remaining-suffix guard) — THE single
+    definition, shared by the encode recursion here and the decode
+    recursion in tokenizer_roundtrip.py (one implementation, the two
+    oracles structurally unable to probe differently)."""
+    return "\n           ".join(
         f"WHEN j + {l} - 1 <= length(word) AND"
         f" len(map_extract(wvm.mp, substr(word, j, {l}))) > 0"
         f" THEN CAST({l} AS INTEGER)"
         for l in range(WP_PROBE_MAX, 0, -1)
+    )
+
+
+def _wp_vocab_sql(k: int) -> str:
+    """The trained-vocabulary CTEs (wv = alphabet + merge products,
+    wvm = its membership map) — shared by the encode oracle and the
+    round-trip decode oracle."""
+    prods = " UNION ALL ".join(
+        f"SELECT a || b AS piece FROM p{i}" for i in range(1, k + 1)
     )
     return f""",
 wv AS (
@@ -435,22 +469,6 @@ wv AS (
 ),
 wvm AS (
   SELECT map(list(piece ORDER BY piece), list(1 ORDER BY piece)) AS mp FROM wv
-),
-gr AS (
-  SELECT word, CAST(1 AS INTEGER) AS j, CAST(0 AS INTEGER) AS np, FALSE AS bad
-  FROM wc
-  UNION ALL
-  SELECT word, j + COALESCE(ml, 0), np + 1, ml IS NULL
-  FROM (
-    SELECT word, j, np,
-      CASE {branches} END AS ml
-    FROM gr CROSS JOIN wvm
-    WHERE NOT bad AND j <= length(word)
-  ) z
-),
-wp AS (
-  SELECT word, CASE WHEN bad THEN 1 ELSE np END AS n_pieces, bad AS is_unk
-  FROM gr WHERE bad OR j > length(word)
 )"""
 
 

@@ -13,11 +13,14 @@ semi-join's build side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmt_dbt_spark.catalog import table
-from gmt_dbt_spark.functions.text import _DUCK_TOKENS  # DuckDB twin of tokens_col
+from gmt_dbt_spark.functions.text import (  # DuckDB twin of tokens_col
+    _DUCK_TOKENS,
+    sql_str_list,
+)
 from gmt_dbt_spark.operators.dedup import shingle_rows, tokens_col
 from gmt_dbt_spark.exprs import dsum
 from gmt_dbt_spark.registry import query
@@ -321,7 +324,7 @@ C4_LINE_MIN_TOKENS = 3
 C4_MIN_KEPT_LINES = 2
 C4_LINE_MARKERS = ("dup", "slow")
 
-_C4_MARKER_SQL = "[" + ", ".join(f"'{m}'" for m in C4_LINE_MARKERS) + "]"
+_C4_MARKER_SQL = sql_str_list(C4_LINE_MARKERS)
 
 # The per-doc line-filter relation as a composable CTE body (the
 # `_pack_sql` convention): both the registered line-filter oracle and
@@ -357,42 +360,49 @@ c4per AS (
 )"""
 
 _C4_LINE_ORACLE = f"""
-WITH t AS (
-  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents WHERE text IS NOT NULL
-),
-l AS (
-  SELECT doc_id, u.i AS idx,
-         tk[CAST(u.i * {_LINE_W} + 1 AS INT) :
-            CAST(u.i * {_LINE_W} + {_LINE_W} AS INT)] AS lt
-  FROM t, LATERAL (
-    SELECT unnest(range((len(tk) + {_LINE_W - 1}) // {_LINE_W})) AS i) u
-),
-k AS (
-  SELECT doc_id, idx, lt,
-         (len(lt) >= {C4_LINE_MIN_TOKENS}
-          AND len(list_intersect(lt, {_C4_MARKER_SQL})) = 0) AS kept
-  FROM l
-),
-per AS (
-  SELECT doc_id,
-         CAST(COUNT(*) AS BIGINT) AS n_lines,
-         CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
-         CAST(COALESCE(SUM(len(lt)), 0) AS BIGINT) AS n_tokens,
-         CAST(COALESCE(SUM(len(lt)) FILTER (WHERE kept), 0) AS BIGINT)
-           AS n_kept_tokens,
-         md5(COALESCE(string_agg(array_to_string(lt, ' '), ' ' ORDER BY idx)
-                        FILTER (WHERE kept), '')) AS cleaned_md5
-  FROM k GROUP BY doc_id
-)
-SELECT t.doc_id,
+WITH {_C4_CTES}
+SELECT c4t.doc_id,
        COALESCE(p.n_lines, CAST(0 AS BIGINT)) AS n_lines,
        COALESCE(p.n_kept, CAST(0 AS BIGINT)) AS n_kept,
        COALESCE(p.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
        COALESCE(p.n_kept_tokens, CAST(0 AS BIGINT)) AS n_kept_tokens,
        COALESCE(p.cleaned_md5, md5('')) AS cleaned_md5,
        (COALESCE(p.n_kept, 0) >= {C4_MIN_KEPT_LINES}) AS keep
-FROM t LEFT JOIN per p USING (doc_id)
+FROM c4t LEFT JOIN c4per p USING (doc_id)
 """
+
+
+def _c4_line_cols(tk: Column) -> dict:
+    """The C4 line-rule columns as pure functions of the MATERIALIZED
+    token-array column — THE single implementation of the rules,
+    shared by `text_c4_line_filter` and `pipeline_c4_reproduce` (the
+    pack_frame convention: one definition, surfaces structurally
+    unable to disagree). Caller must pass a Generate-barriered
+    column, never an inline tokens_col expression."""
+    w = _LINE_W
+    nl = F.ceil(F.size(tk) / F.lit(w)).cast("int")
+    idxs = F.when(F.size(tk) > 0, F.sequence(F.lit(0), nl - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    markers = F.array(*[F.lit(m) for m in C4_LINE_MARKERS])
+
+    def line(i):
+        return F.slice(tk, i * w + 1, w)
+
+    kept_idx = F.filter(
+        idxs,
+        lambda i: (F.size(line(i)) >= C4_LINE_MIN_TOKENS)
+        & ~F.arrays_overlap(line(i), markers),
+    )
+    kept_flat = F.flatten(F.transform(kept_idx, line))
+    return {
+        "n_lines": F.size(idxs).cast("bigint"),
+        "n_kept": F.size(kept_idx).cast("bigint"),
+        "n_tokens": F.size(tk).cast("bigint"),
+        "n_kept_tokens": F.size(kept_flat).cast("bigint"),
+        "cleaned_md5": F.md5(F.concat_ws(" ", kept_flat)),
+        "keep": F.size(kept_idx) >= C4_MIN_KEPT_LINES,
+    }
 
 
 @query("text_c4_line_filter", oracle=_C4_LINE_ORACLE)
@@ -418,31 +428,13 @@ def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array(tokens_col(F.col("text")))).alias("__tk"),
     )
-    tk = F.col("__tk")
-    w = _LINE_W
-    nl = F.ceil(F.size(tk) / F.lit(w)).cast("int")
-    idxs = F.when(F.size(tk) > 0, F.sequence(F.lit(0), nl - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    markers = F.array(*[F.lit(m) for m in C4_LINE_MARKERS])
-
-    def line(i):
-        return F.slice(tk, i * w + 1, w)
-
-    kept_idx = F.filter(
-        idxs,
-        lambda i: (F.size(line(i)) >= C4_LINE_MIN_TOKENS)
-        & ~F.arrays_overlap(line(i), markers),
-    )
-    kept_flat = F.flatten(F.transform(kept_idx, line))
+    cols = _c4_line_cols(F.col("__tk"))
     return tok.select(
         "doc_id",
-        F.size(idxs).cast("bigint").alias("n_lines"),
-        F.size(kept_idx).cast("bigint").alias("n_kept"),
-        F.size(tk).cast("bigint").alias("n_tokens"),
-        F.size(kept_flat).cast("bigint").alias("n_kept_tokens"),
-        F.md5(F.concat_ws(" ", kept_flat)).alias("cleaned_md5"),
-        (F.size(kept_idx) >= C4_MIN_KEPT_LINES).alias("keep"),
+        *[cols[n].alias(n) for n in (
+            "n_lines", "n_kept", "n_tokens", "n_kept_tokens",
+            "cleaned_md5", "keep",
+        )],
     )
 
 
@@ -498,31 +490,37 @@ def pipeline_c4_reproduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     final kept-token budget — the numbers a pretraining run starts
     from.
 
-    Scale shape: both gates are the ZERO-exchange scan projections
-    they are individually (their plans compose without new corpus
-    shuffles — one shared scan subtree each); dedup adds ONE
-    16-byte-md5-partitioned window over the (flag, md5) pairs; the
-    report is a label-bounded rollup. Every stage decision is
-    identical to its standalone op by construction (shared
-    implementation, not copy-paste)."""
+    Scale shape: ONE corpus scan — both gates' columns are per-row
+    functions of the text, computed from a SINGLE Generate-
+    materialized token array (one regex tokenization, not one per
+    gate; plan-guarded: 1 scan, no joins before the dedup window);
+    dedup adds ONE 16-byte-md5-partitioned window over the
+    (flag, md5) pairs; the report is a label-bounded rollup. Every
+    stage decision is identical to its standalone op by construction:
+    the gates share the `_badwords_cols` / `_c4_line_cols`
+    implementations with `text_badwords_filter` /
+    `text_c4_line_filter` (the pack_frame one-definition rule, not
+    composition-by-join and not copy-paste)."""
     from pyspark.sql import Window
 
-    from gmt_dbt_spark.functions.text import text_badwords_filter
+    from gmt_dbt_spark.functions.text import _badwords_cols
 
     docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    bw = text_badwords_filter(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("bw_ok")
-    )
-    c4 = text_c4_line_filter(spark, sf_dir).select(
+    tok = docs.select(
         "doc_id",
-        F.col("keep").alias("line_ok"),
-        "cleaned_md5",
-        "n_kept_tokens",
+        "source",
+        F.explode(F.array(tokens_col(F.col("text")))).alias("__tk"),
     )
-    m = (
-        docs.select("doc_id", "source")
-        .join(bw, "doc_id")
-        .join(c4, "doc_id")
+    tk = F.col("__tk")
+    bw = _badwords_cols(tk)
+    c4 = _c4_line_cols(tk)
+    m = tok.select(
+        "doc_id",
+        "source",
+        bw["keep"].alias("bw_ok"),
+        c4["keep"].alias("line_ok"),
+        c4["cleaned_md5"].alias("cleaned_md5"),
+        c4["n_kept_tokens"].alias("n_kept_tokens"),
     )
     surv = F.col("bw_ok") & F.col("line_ok")
     w = Window.partitionBy(surv, "cleaned_md5").orderBy("doc_id")
@@ -2588,9 +2586,10 @@ SELECT us.src_a, us.src_b,
        CAST({eu} AS BIGINT) AS est_union,
        CAST((CAST(COALESCE(cm.n_common, 0) AS HUGEINT)
              * CAST({eu} AS HUGEINT)) // us.k_used AS BIGINT) AS est_inter,
-       CAST((CAST(COALESCE(cm.n_common, 0) AS HUGEINT)
-             * CAST({eu} AS HUGEINT) * 1000)
-            // (us.k_used * CAST({eu} AS HUGEINT)) AS BIGINT) AS jaccard_milli
+       -- ρ of the union sample; the est_union factor cancels exactly
+       -- (floor((n·e·1000)/(k·e)) = floor(n·1000/k) for positives)
+       CAST((COALESCE(cm.n_common, 0) * 1000) // us.k_used AS BIGINT)
+         AS jaccard_milli
 FROM us
 LEFT JOIN cm USING (src_a, src_b)
 JOIN sse ea ON ea.src = us.src_a
@@ -2720,11 +2719,7 @@ def pipeline_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "jaccard_milli",
-            F.expr(
-                "CAST((CAST(n_common AS DECIMAL(38,0)) * est_union * 1000)"
-                " div (k_used * CAST(est_union AS DECIMAL(38,0)))"
-                " AS BIGINT)"
-            ),
+            F.expr("CAST((n_common * 1000) div k_used AS BIGINT)"),
         )
     )
     return out.select(

@@ -572,18 +572,16 @@ def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ustat.crossJoin(F.broadcast(com))
         .crossJoin(F.broadcast(exi))
+        .withColumn("est_union", est_union.cast("bigint"))
         .select(
             F.lit(a).alias("key_a"),
             F.lit(b).alias("key_b"),
             "k_used",
             "n_common",
-            est_union.cast("bigint").alias("est_union"),
+            "est_union",
             F.expr(
-                f"CAST((CAST(n_common AS DECIMAL(38,0)) * CAST("
-                f"CASE WHEN k_used < {KMV_K} THEN k_used "
-                f"ELSE CAST((CAST({KMV_K - 1} AS DECIMAL(38,0))"
-                f" * CAST({1 << 60} AS DECIMAL(38,0))) div h_k AS BIGINT) END"
-                f" AS DECIMAL(38,0))) div k_used AS BIGINT)"
+                "CAST((CAST(n_common AS DECIMAL(38,0)) * est_union)"
+                " div k_used AS BIGINT)"
             ).alias("est_inter"),
             "exact_inter",
         )

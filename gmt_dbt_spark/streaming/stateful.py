@@ -1248,6 +1248,11 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMV_STREAM_BATCHES = 3
 
+# the oracle interpolates the sketch size from the SAME constant the
+# Spark side imports (operators.stats.KMV_K) — a retune there cannot
+# silently diverge from this oracle
+from gmt_dbt_spark.operators.stats import KMV_K as _STREAM_KMV_K  # noqa: E402
+
 
 @query(
     "stream_kmv_distinct",
@@ -1264,14 +1269,15 @@ r AS (
 ),
 sk AS (
   SELECT p, CAST(COUNT(*) AS BIGINT) AS k_used, CAST(MAX(h) AS BIGINT) AS h_k
-  FROM r WHERE rn <= 64 GROUP BY p
+  FROM r WHERE rn <= {_STREAM_KMV_K} GROUP BY p
 ),
 ex AS (
   SELECT p, CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM ph GROUP BY p
 )
 SELECT CAST(sk.p AS BIGINT) AS batch_key, sk.k_used, sk.h_k,
-       CAST(CASE WHEN sk.k_used < 64 THEN sk.k_used
-            ELSE CAST((CAST(63 AS HUGEINT) * (CAST(1 AS HUGEINT) << 60))
+       CAST(CASE WHEN sk.k_used < {_STREAM_KMV_K} THEN sk.k_used
+            ELSE CAST((CAST({_STREAM_KMV_K - 1} AS HUGEINT)
+                       * (CAST(1 AS HUGEINT) << 60))
                       // sk.h_k AS BIGINT) END AS BIGINT) AS est_distinct,
        ex.exact_distinct
 FROM sk JOIN ex USING (p)

@@ -1646,3 +1646,15 @@ def test_kmv_sketch_uses_map_side_group_limit(spark):
     assert tree.count("WindowGroupLimit") == 2, tree
     assert "Partial" in plan, plan
     assert "CartesianProduct" not in tree, tree
+
+
+def test_c4_pipeline_single_scan_no_joins(spark):
+    """pipeline_c4_reproduce (r8, post-review): both gates' columns
+    come from ONE shared Generate-materialized token array on a
+    SINGLE corpus scan (one regex tokenization, not one per gate),
+    with no joins anywhere — the only exchanges are the dedup window
+    and the per-source rollup."""
+    tree = tree_of(plan_of(all_queries()["pipeline_c4_reproduce"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree, tree
+    assert tree.count("Exchange") <= 2, tree
