@@ -195,22 +195,46 @@ def sort_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     placement is explicit on every key on both engines (DuckDB's
     ASC default is configuration-dependent).
 
-    The global row_number is a single-partition window — acceptable
-    here for the same reason as `text_ppl_filter`'s exact global
-    rank: this is the VERIFICATION twin; the production global sort
-    is `sort_order`'s range-partitioned plan, and a scalable
-    position stamp rides zipWithIndex over its sorted partitions."""
+    The global rank is computed the SCALABLE way (a naive
+    row_number() over the whole table is exactly the data-scale
+    global window the registry-wide plan sweep bans — it banned the
+    first draft of this op): a two-phase rank. Phase 1 ranks within
+    each leading-key partition (segment — the partitioned window);
+    phase 2 adds each segment's exclusive cumulative row count,
+    computed by an aggregate whose global window is dim-sized
+    (|segments| rows) and broadcast back. rn = offset + within-rank
+    equals the global ROW_NUMBER exactly because the leading sort
+    key IS the partition key."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(
-        F.col("c_mktsegment").asc_nulls_last(),
+    base = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    w_in = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").desc_nulls_last(),
         F.col("c_custkey").asc_nulls_last(),
     )
+    w_off = (
+        Window.orderBy(F.col("c_mktsegment").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        base.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+        )
+        .select(F.col("c_mktsegment").alias("__seg"), "__off")
+    )
     return (
-        table(spark, sf_dir, "customer")
-        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
-        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        base.join(
+            F.broadcast(off),
+            base["c_mktsegment"].eqNullSafe(off["__seg"]),
+        )
+        .withColumn(
+            "rn",
+            (F.col("__off") + F.row_number().over(w_in)).cast("bigint"),
+        )
         .select("rn", "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
     )
 
