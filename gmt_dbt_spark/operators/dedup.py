@@ -36,7 +36,64 @@ _AB = [(13 + 27 * j, 7 + 101 * j) for j in range(12)]  # 12 hash funcs
 _BANDS = 4  # 4 bands × 3 rows — candidates at jaccard ≳ 0.6
 
 
-def normalize_text(c: Column) -> Column:
+# ---------------------------------------------------------------- unicode
+# The r9 Unicode opt-in (VERDICT r8 item 2). The default ASCII path
+# below stays the default for every pre-r9 op — its frozen hashes
+# (minhash signatures, fingerprint stores, tokenizer artifacts) are
+# derived from ASCII normalization and must not drift. The Unicode
+# path is the opt-in (`unicode=True` on normalize_text/tokens_col)
+# for multilingual corpora, where the ASCII path tokenizes CJK /
+# Cyrillic / Arabic / Devanagari text to NOTHING.
+#
+# Frozen contract (probed cross-engine on 20 hostile rows — CJK,
+# Cyrillic, Arabic RTL, Devanagari+marks, precomposed vs combining
+# é, 'İstanbul', fullwidth & Arabic-Indic digits, circled numbers,
+# emoji, ZWJ/soft-hyphen format chars, NULL/empty/whitespace —
+# Spark Java regex vs DuckDB RE2 agreed EXACTLY on all 20 before
+# freezing; tests/test_unicode_text.py re-runs the probe):
+#   - token class [\p{L}\p{M}\p{N}]+ — letters, combining marks
+#     (so decomposed accents stay inside their token), and ALL
+#     Unicode numbers. Symbols (emoji), punctuation, and format
+#     chars (ZWJ, soft hyphen) split tokens on both engines.
+#   - case folding is ASCII-ONLY, via translate(A-Z → a-z) — full
+#     lower() diverges cross-engine on 'İ' (JVM emits i +
+#     COMBINING DOT, DuckDB plain i; the r3 finding that forced
+#     strip-before-lower on the ASCII path). Non-ASCII case is
+#     PRESERVED ('İstanbul' keeps its İ; 'ΚΕΊΜΕΝΟ' stays upper).
+#   - no Unicode normalization (NFC ≠ NFD: 'café' and 'café'
+#     are distinct tokens — deterministic, documented).
+#   - Unicode-version skew (Java 17 = Unicode 13 vs DuckDB RE2):
+#     codepoints classified differently across versions would
+#     diverge; all major scripts are category-stable since
+#     Unicode 5, so this is a non-issue outside unassigned-point
+#     corner cases.
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+UNI_TOKEN_RE = r"[\p{L}\p{M}\p{N}]+"
+
+# DuckDB twins (RE2 shares the \p{...} class semantics — probed).
+DUCK_UNI_TOKENS = (
+    f"regexp_extract_all(translate(text, '{_ASCII_UPPER}', '{_ASCII_LOWER}'),"
+    f" '{UNI_TOKEN_RE}')"
+)
+
+
+def uni_tokens_col(c: Column) -> Column:
+    """Unicode word tokens: ASCII-fold then extract [\\p{{L}}\\p{{M}}
+    \\p{{N}}]+ runs. NULL text → NULL (regexp_extract_all passes
+    NULL through on both engines); empty / no-token text → [] (a
+    `+` pattern never yields empty matches, so no phantom-token
+    filter is needed — unlike the ASCII split path). Patterns go
+    through the DataFrame API (`F.lit`), never SQL literals, per
+    the redact.py backslash-eating contract."""
+    return F.regexp_extract_all(
+        F.translate(c, _ASCII_UPPER, _ASCII_LOWER),
+        F.lit(UNI_TOKEN_RE),
+        F.lit(0),
+    )
+
+
+def normalize_text(c: Column, unicode: bool = False) -> Column:
     """strip non-alnum + lower + collapse spaces (shared by all text ops).
 
     ORDER MATTERS (r3 unicode-fuzz finding): stripping to
@@ -46,14 +103,24 @@ def normalize_text(c: Column) -> Column:
     lower('İ') is 'i' + COMBINING DOT (two chars) while DuckDB's is
     plain 'i', so 'İstanbul' tokenized as ['i','stanbul'] vs
     ['istanbul']. ASCII inputs (the fixture) are identical under both
-    orders."""
+    orders.
+
+    ``unicode=True`` (r9 opt-in): the canonical form is the Unicode
+    token stream joined by single spaces (ASCII-only fold, token
+    class above) — NULL stays NULL. DuckDB twin: ``CASE WHEN text IS
+    NULL THEN NULL ELSE COALESCE(array_to_string(<DUCK_UNI_TOKENS>,
+    ' '), '') END`` (DuckDB's array_to_string([]) is NULL while
+    Spark's concat_ws is '' — the _sig_cte_prefix COALESCE rule)."""
+    if unicode:
+        return F.when(c.isNotNull(), F.concat_ws(" ", uni_tokens_col(c)))
     return F.trim(F.lower(F.regexp_replace(c, "[^a-zA-Z0-9 ]", " ")))
 
 
-def tokens_col(c: Column) -> Column:
+def tokens_col(c: Column, unicode: bool = False) -> Column:
     """Normalized word tokens, EMPTIES DROPPED — the exact Spark twin
     of ``_DUCK_TOKENS`` (functions/text.py), which list_filters
-    ``t <> ''``.
+    ``t <> ''``. ``unicode=True`` routes to :func:`uni_tokens_col`
+    (twin: ``DUCK_UNI_TOKENS``).
 
     The empty-drop lives HERE, not at call sites (r3 review): Spark's
     ``split('', ' +')`` yields ``['']`` — one phantom token for any
@@ -64,6 +131,8 @@ def tokens_col(c: Column) -> Column:
     all-alnum). ``array_remove`` not ``F.filter``: interior empties
     are impossible after trim+squeeze, and ArrayRemove avoids a
     higher-order lambda in the hot shingle/token paths."""
+    if unicode:
+        return uni_tokens_col(c)
     return F.array_remove(F.split(normalize_text(c), " +"), "")
 
 

@@ -227,6 +227,14 @@ QUERIES = [
     # small corpus exercises sparse shards (empty shards must be
     # absent, not zero-rows, on both engines)
     "sample_epoch_shuffle",
+    # r9: the unicode opt-in — on THIS corpus the Russian/CJK docs
+    # finally tokenize to real tokens (the ASCII twin sees none);
+    # triplicated non-ASCII docs must collapse under the unicode
+    # fingerprint on both engines, and the planted literal rows ride
+    # along in every run
+    "text_tokenize_unicode",
+    "text_token_count_unicode",
+    "dedup_exact_unicode",
 ]
 
 

@@ -1658,3 +1658,27 @@ def test_c4_pipeline_single_scan_no_joins(spark):
     assert tree.count("Scan parquet") == 1, tree
     assert "Join" not in tree, tree
     assert tree.count("Exchange") <= 2, tree
+
+
+def test_unicode_tokenize_zero_shuffle(spark):
+    """text_tokenize_unicode / text_token_count_unicode (r9): the
+    unicode tokenizer is a pure scan-side projection — regex extract
+    + Generate (tokenize) or sizes (count) inside the one corpus
+    scan's stage, union with the 8 literal planted rows, ZERO
+    exchanges. The 100 TB shape of the multilingual path is identical
+    to the ASCII twin's."""
+    for qid in ("text_tokenize_unicode", "text_token_count_unicode"):
+        tree = tree_of(plan_of(all_queries()[qid](spark, SF_DIR)))
+        assert "Exchange" not in tree, (qid, tree)
+        assert "Join" not in tree, (qid, tree)
+        assert tree.count("Scan parquet") == 1, (qid, tree)
+
+
+def test_dedup_exact_unicode_fingerprints_only_shuffle(spark):
+    """dedup_exact_unicode (r9): exactly one exchange — the groupBy
+    on the 16-byte md5 fingerprint (partial/final hash agg pair) —
+    and no join: document bodies never leave the scan stage."""
+    tree = tree_of(plan_of(all_queries()["dedup_exact_unicode"](spark, SF_DIR)))
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
+    assert tree.count("HashAggregate") == 2, tree

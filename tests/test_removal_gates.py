@@ -254,6 +254,20 @@ GATES = {
         "class": "audit",
         "evidence": [],
     },
+    # --- r9: the unicode opt-in's dedup gate --------------------------
+    "dedup_exact_unicode": {
+        # exact dedup keyed on the UNICODE canonical form: planted
+        # positive (-1/-2 same CJK words mod punctuation → one
+        # fingerprint), planted negative (-3 different CJK → never
+        # collapses), plus the direct demonstration that the ASCII
+        # default WOULD spuriously collapse all three — expectations
+        # derived by the independent `regex`-module reference, never
+        # the oracle SQL
+        "class": "removal",
+        "evidence": [
+            ("test_unicode_text", "test_dedup_exact_unicode_planted")
+        ],
+    },
     # --- r8 pattern extension: SPLIT / SAMPLE / PACK families --------
     # (r7 VERDICT item 3). Routing gates assign every doc to a
     # split/shard/pack rather than dropping any — but a wrong route

@@ -1,0 +1,220 @@
+"""Unicode text path — probe, pure-Python reference, planted gates.
+
+Three evidence layers for the r9 unicode opt-in
+(functions/unicode_text.py):
+
+1. THE FROZEN-CONTRACT PROBE (the redact.py precedent): the 20
+   hostile rows that the [\\p{L}\\p{M}\\p{N}]+ / ASCII-fold contract
+   was probed on BEFORE freezing, re-run Spark-vs-DuckDB exactly —
+   a Unicode-version or dialect drift in either engine fails here
+   first.
+2. PURE-PYTHON REFERENCE (the planted-test doctrine): the same rows
+   tokenized by an INDEPENDENT implementation (the stdlib-adjacent
+   `regex` module, not Java regex, not RE2, not the oracle SQL) —
+   a bug mirrored into both engines cannot hide behind parity.
+3. PLANTED GATE EVIDENCE for `dedup_exact_unicode` (removal class):
+   planted positive (-1/-2: same CJK words, different punctuation →
+   MUST collapse to one fingerprint) and planted negative (-3:
+   different CJK words → must NEVER collapse), plus the explicit
+   demonstration that the ASCII default WOULD spuriously collapse
+   all three (the bug the unicode path exists to fix).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from gmt_dbt_spark.functions.unicode_text import PLANTED_MULTILINGUAL
+from gmt_dbt_spark.operators.dedup import (
+    _ASCII_LOWER,
+    _ASCII_UPPER,
+    UNI_TOKEN_RE,
+    tokens_col,
+    uni_tokens_col,
+)
+from gmt_dbt_spark.registry import all_queries
+
+from tests.conftest import SF_DIR
+
+# The probe corpus the contract was frozen on (dedup.py docstring).
+HOSTILE_ROWS = [
+    (1, "Hello WORLD 123"),
+    (2, "İstanbul and ISTANBUL"),  # dotted capital I — the r3 trap
+    (3, "中文文本处理 123"),  # CJK run + digits
+    (4, "Привет мир"),  # Cyrillic
+    (5, "caf\u00e9 vs cafe\u0301"),  # NFC é vs e + U+0301
+    (6, "مرحبا بالعالم"),  # Arabic RTL
+    (7, "straße STRASSE"),  # sharp s (no folding)
+    (8, "हिन्दी भाषा"),  # Devanagari + combining marks
+    (9, "１２３ fullwidth"),  # fullwidth digits (Nd)
+    (10, "emoji \U0001f600 test"),  # So — excluded, splits tokens
+    (11, "zero​width and zwj‍ join"),  # Cf — excluded
+    (12, "한국어 테스트"),  # Hangul
+    (13, "mixed中文english"),  # unbroken CJK/Latin run = ONE token
+    (14, "Ελληνικά ΚΕΊΜΕΝΟ"),  # Greek (upper preserved)
+    (15, None),
+    (16, ""),
+    (17, "   \t\n  "),
+    (18, "a­b soft-hyphen"),  # soft hyphen (Cf) splits
+    (19, "① circled one"),  # No is still \p{N}
+    (20, "x́ marḱmid ́lead"),  # bare combining marks
+]
+
+
+def _py_uni_tokens(text):
+    """Independent reference tokenizer: python `regex` module (its
+    own Unicode tables — neither Java regex nor RE2), same frozen
+    contract: ASCII-only fold, [\\p{L}\\p{M}\\p{N}]+ runs."""
+    import regex
+
+    if text is None:
+        return None
+    folded = text.translate(str.maketrans(_ASCII_UPPER, _ASCII_LOWER))
+    return regex.findall(UNI_TOKEN_RE, folded)
+
+
+def _spark_tokens(spark, rows):
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    out = df.select(
+        "id", uni_tokens_col(F.col("text")).alias("toks")
+    ).collect()
+    return {r.id: r.toks for r in out}
+
+
+def test_unicode_probe_cross_engine(spark):
+    """Re-run the freeze probe: Spark (Java regex) and DuckDB (RE2)
+    must tokenize all 20 hostile rows IDENTICALLY."""
+    spark_toks = _spark_tokens(spark, HOSTILE_ROWS)
+    con = duckdb.connect()
+    for i, t in HOSTILE_ROWS:
+        duck = con.execute(
+            "SELECT regexp_extract_all(translate(?, ?, ?), ?)",
+            [t, _ASCII_UPPER, _ASCII_LOWER, UNI_TOKEN_RE],
+        ).fetchone()[0]
+        assert spark_toks[i] == duck, (i, t, spark_toks[i], duck)
+
+
+def test_unicode_tokens_match_python_reference(spark):
+    """Both the probe rows and the planted corpus must match the
+    independent `regex`-module reference token-for-token (including
+    order — this is a positional compare, not a multiset)."""
+    rows = HOSTILE_ROWS + [(100 + k, t) for k, (_, t) in enumerate(PLANTED_MULTILINGUAL)]
+    spark_toks = _spark_tokens(spark, rows)
+    for i, t in rows:
+        assert spark_toks[i] == _py_uni_tokens(t), (i, t, spark_toks[i])
+
+
+def test_unicode_probe_pins_specific_semantics(spark):
+    """Pin the contract rows that future readers will reach for:
+    folding, marks, format chars, and the no-NFC rule."""
+    toks = _spark_tokens(spark, HOSTILE_ROWS)
+    # ASCII-only fold: ISTANBUL folds, İ is preserved.
+    assert toks[2] == ["İstanbul", "and", "istanbul"]
+    # No folding of ß / non-ASCII uppercase.
+    assert toks[7] == ["straße", "strasse"]
+    assert toks[14] == ["Ελληνικά", "ΚΕΊΜΕΝΟ"]
+    # NFC and NFD spellings are distinct tokens.
+    assert toks[5] == ["caf\u00e9", "vs", "cafe\u0301"]
+    # Combining marks stay inside tokens; bare marks are tokens.
+    assert toks[20] == ["x́", "marḱmid", "́lead"]
+    # Format chars (ZWSP/ZWJ/soft hyphen) split tokens.
+    assert toks[11] == ["zero", "width", "and", "zwj", "join"]
+    assert toks[18] == ["a", "b", "soft", "hyphen"]
+    # All Unicode numbers are tokens (fullwidth, circled).
+    assert toks[9] == ["１２３", "fullwidth"]
+    assert toks[19] == ["①", "circled", "one"]
+    # NULL/empty/whitespace: NULL → None, others → [].
+    assert toks[15] is None and toks[16] == [] and toks[17] == []
+    # Unbroken mixed-script letter run is ONE token.
+    assert toks[13] == ["mixed中文english"]
+
+
+def _canon(text):
+    """Pure-Python unicode canonical form (normalize_text twin)."""
+    toks = _py_uni_tokens(text)
+    return None if toks is None else " ".join(toks)
+
+
+def test_dedup_exact_unicode_planted(spark):
+    """Removal-gate evidence (GATES class 'removal'):
+
+    PLANTED POSITIVE: -1 and -2 differ only in CJK punctuation → the
+    unicode canonical forms are equal by construction, so they MUST
+    share one fingerprint group (winner = min doc_id = -2, size 2).
+    PLANTED NEGATIVE: -3 is a different CJK document → it must NEVER
+    join that group.
+    THE BUG BEING FIXED: under the ASCII default, -1/-2/-3 ALL
+    normalize to '' (every CJK codepoint is stripped) and would
+    spuriously dedup — asserted directly on the ASCII helper below.
+    """
+    texts = dict(PLANTED_MULTILINGUAL)
+    # Construction sanity, independent of any engine:
+    assert _canon(texts[-1]) == _canon(texts[-2])
+    assert _canon(texts[-1]) != _canon(texts[-3])
+
+    out = all_queries()["dedup_exact_unicode"](spark, SF_DIR)
+    rows = {
+        r.fp: r
+        for r in out.filter(F.col("doc_id") < 0).collect()
+    }
+    fp_12 = hashlib.md5(_canon(texts[-1]).encode()).hexdigest()
+    fp_3 = hashlib.md5(_canon(texts[-3]).encode()).hexdigest()
+    assert rows[fp_12].doc_id == -2 and rows[fp_12].n_docs == 2
+    assert rows[fp_3].doc_id == -3 and rows[fp_3].n_docs == 1
+
+    # The ASCII default WOULD collapse all three (the motivating bug):
+    df = spark.createDataFrame(
+        [(i, texts[i]) for i in (-1, -2, -3)], "id INT, text STRING"
+    )
+    ascii_toks = {
+        r.id: r.toks
+        for r in df.select("id", tokens_col(F.col("text")).alias("toks")).collect()
+    }
+    assert ascii_toks == {-1: [], -2: [], -3: []}
+
+
+def test_token_count_unicode_planted(spark):
+    """Planted count expectations, computed by construction: the
+    ASCII column counts only embedded ASCII/digit runs."""
+    out = all_queries()["text_token_count_unicode"](spark, SF_DIR)
+    got = {
+        r.doc_id: (r.n_tokens_uni, r.n_tokens_ascii)
+        for r in out.filter(F.col("doc_id") < 0).collect()
+    }
+    expect = {}
+    for i, t in PLANTED_MULTILINGUAL:
+        uni = len(_py_uni_tokens(t))
+        # ASCII twin reference: strip non-alnum, split.
+        ascii_n = len(
+            "".join(c if c.isascii() and (c.isalnum() or c == " ") else " " for c in t)
+            .lower()
+            .split()
+        )
+        expect[i] = (uni, ascii_n)
+    assert got == expect
+    # And the headline asymmetries explicitly:
+    assert got[-1] == (4, 0)  # pure CJK: invisible to the ASCII path
+    assert got[-8][0] > got[-8][1]  # mixed doc undercounted by ASCII
+
+
+def test_ascii_default_unchanged_on_ascii_corpus(spark):
+    """The opt-in must not move the default: on pure-ASCII text the
+    unicode tokenizer and the ASCII tokenizer agree exactly (so every
+    pre-r9 frozen hash is provably untouched by this change)."""
+    rows = [
+        (1, "The Quick BROWN fox 42"),
+        (2, "punct!!! only??? ..."),
+        (3, "tabs\tand\nnewlines  collapse"),
+    ]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    got = df.select(
+        "id",
+        tokens_col(F.col("text")).alias("a"),
+        uni_tokens_col(F.col("text")).alias("u"),
+    ).collect()
+    for r in got:
+        assert r.a == r.u, (r.id, r.a, r.u)
