@@ -258,10 +258,14 @@ def text_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality/diversity signal (low entropy = repetitive or templated
 # text; the Gopher/RefinedWeb rule family's missing member next to
 # text_repetition's max-bigram share and text_ttr's type-token
-# ratio). H = Σ (c_i/n)·log2(n/c_i), computed EXACTLY in the house
-# fixed-point: h_fp = Σ c_i·(ilog2(n) − ilog2(c_i)) — all-integer,
-# reusing the overflow-safe distributed ilog2 above, so the oracle
-# replays bit-for-bit.
+# ratio). H = Σ (c_i/n)·log2(n/c_i), realized as the all-integer
+# h_fp = Σ c_i·(ilog2(n) − ilog2(c_i)) reusing the overflow-safe
+# distributed ilog2 above. What is EXACT is the cross-engine
+# fixed-point REPLAY (the oracle reproduces every integer
+# bit-for-bit); entropy_milli itself APPROXIMATES Shannon H —
+# ilog2 is piecewise-linear between powers of two, so the value
+# equals true H only when every count is a power of two (r9
+# ADVICE reword: do not read entropy_milli as exact H).
 # ---------------------------------------------------------------------------
 
 _ENTROPY_ORACLE = f"""

@@ -1521,10 +1521,18 @@ def text_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE scan-side projection — the membership test is a
     JVM higher-order filter over the token array against an array
-    literal (at a 10^4-word production list: still a literal, or a
-    broadcast join on the exploded stream — AQE picks), ZERO
-    exchanges in the plan (plan-guarded; the `text_pii_redact`
-    class). NULL texts are excluded on both engines."""
+    literal, ZERO exchanges (plan-guarded; the `text_pii_redact`
+    class). The literal scan is O(tokens × |list|) PER ROW and no
+    optimizer will rewrite it (r9 ADVICE correction: AQE re-plans
+    exchanges — it cannot turn an `array_contains` literal into a
+    join), so it is right only for small lists. The production
+    swap for 10^4-word lists is the EXPLICIT exploded-stream
+    broadcast-join variant `badwords_filter_broadcast` below —
+    O(tokens) per row via the broadcast hash lookup, at the cost of
+    one doc_id re-aggregation exchange; pinned output-equal to this
+    op by tests/test_llm_ops.py::
+    test_badwords_broadcast_variant_matches_literal. NULL texts are
+    excluded on both engines."""
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # token array behind a Generate barrier: n_bad and keep both read
     # it, and inlined each reference would re-run the regex split
@@ -1537,4 +1545,41 @@ def text_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["n_tokens"].alias("n_tokens"),
         cols["n_bad"].alias("n_bad"),
         cols["keep"].alias("keep"),
+    )
+
+
+def badwords_filter_broadcast(
+    docs: DataFrame, badwords: list[str]
+) -> DataFrame:
+    """The LARGE-blocklist variant of `text_badwords_filter` (r9
+    ADVICE): explode the token stream, mark blocklisted tokens via a
+    broadcast hash join against the blocklist RELATION, re-aggregate
+    per doc. Same output schema and semantics as the registered op
+    (pinned equal on the fixture by test_llm_ops).
+
+    Tradeoff, stated: the literal `array_contains` scan is zero-
+    exchange but O(tokens × |list|) per row — fine at |list| ≈ 10,
+    quadratic-ish at 10^4. This variant is O(tokens) per row (hash
+    probe into the broadcast set) plus ONE exchange (the doc_id
+    re-aggregation, partial-agg'd map-side). At a 10^4-word list on
+    100 TB the exchange is noise and the per-token factor dominates
+    — use this form. `explode_outer` keeps zero-token docs (their
+    one NULL-token row counts as 0 tokens → keep=false, matching
+    the registered gate)."""
+    spark = docs.sparkSession
+    bl = spark.createDataFrame([(w,) for w in badwords], "bad_tok STRING")
+    arr = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.explode(F.array(tokens_col(F.col("text")))).alias("__tk"),
+    )
+    tok = arr.select("doc_id", F.explode_outer("__tk").alias("tok"))
+    hit = tok.join(
+        F.broadcast(bl), tok["tok"] == bl["bad_tok"], "left"
+    )
+    return hit.groupBy("doc_id").agg(
+        F.count("tok").cast("bigint").alias("n_tokens"),
+        F.count("bad_tok").cast("bigint").alias("n_bad"),
+        (
+            (F.count("bad_tok") == 0) & (F.count("tok") > 0)
+        ).alias("keep"),
     )

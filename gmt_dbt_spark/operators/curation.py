@@ -450,9 +450,15 @@ bw AS (
   FROM c4t
 ),
 m AS (
+  -- COALESCE(…, md5('')) (r9 ADVICE): a zero-token doc has no c4per
+  -- row, but the Spark side computes cleaned_md5 = md5('') for it —
+  -- currently invisible (such docs always fail bw_ok's len(tk) > 0
+  -- and only surviving rows surface rn), but the two sides must
+  -- agree UNCONDITIONALLY, not conditionally on the gate order.
   SELECT d.source, t.doc_id, bw.bw_ok,
          (COALESCE(p.n_kept, 0) >= {C4_MIN_KEPT_LINES}) AS line_ok,
-         p.cleaned_md5, p.n_kept_tokens
+         COALESCE(p.cleaned_md5, md5('')) AS cleaned_md5,
+         p.n_kept_tokens
   FROM c4t t
   JOIN documents d USING (doc_id)
   JOIN bw USING (doc_id)
@@ -2622,12 +2628,12 @@ def pipeline_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from gmt_dbt_spark.operators.stats import KMV_K, kmv_hash
 
-    docs = (
-        table(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .filter(F.size(tokens_col(F.col("text"))) >= 3)
-    )
-    sh = shingle_rows(docs, "source", "text")
+    # Token-count gate applied to the MATERIALIZED array behind
+    # shingle_rows' Generate barrier (r9 ADVICE fix: the old
+    # pre-filter `F.size(tokens_col(text)) >= 3` inlined a SECOND
+    # full tokenization into the corpus scan).
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sh = shingle_rows(docs, "source", "text", min_tokens=3)
     d = sh.select(
         F.col("__id").alias("src"), kmv_hash(F.col("__sh")).alias("h")
     ).distinct()

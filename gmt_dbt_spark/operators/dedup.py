@@ -156,7 +156,13 @@ def shingles_col(tokens: Column, n: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", tokens)))
 
 
-def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingle_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_tokens: int | None = None,
+) -> DataFrame:
     """(id, shingle) rows via zip_with over n shifted slices of the
     token array, then ONE explode — ZERO shuffles: the whole n-gram
     construction is scan-side codegen (r2; the r1 version assembled
@@ -180,11 +186,23 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     shingles at all (same as the r1 posexplode form, where exploding
     a NULL token array produced zero rows — without the filter a NULL
     doc would collapse to the {''} shingle set and spuriously match
-    every other NULL doc at jaccard 1.0)."""
+    every other NULL doc at jaccard 1.0).
+
+    ``min_tokens`` (r9, ADVICE): a caller gating on token count must
+    NOT pre-filter with ``F.size(tokens_col(...))`` — that inlines a
+    second full tokenization into the corpus scan, the exact
+    double-regex this module's barrier exists to prevent. Passing
+    ``min_tokens`` applies the gate to the MATERIALIZED token array
+    behind the Generate barrier instead, so the corpus is tokenized
+    once. With ``min_tokens >= n`` the short-doc whole-text fallback
+    is unreachable (those docs are dropped, matching the SQL
+    ``len(tokens) >= k`` gate)."""
     tok = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.explode(F.array(tokens_col(F.col(text_col)))).alias("__t"),
     )
+    if min_tokens is not None:
+        tok = tok.filter(F.size(F.col("__t")) >= min_tokens)
     t = F.col("__t")
     sz = F.size(t)
     grams = F.slice(t, 1, sz - (n - 1))

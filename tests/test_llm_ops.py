@@ -2482,3 +2482,36 @@ def test_sort_order_audit_planted_nulls_and_ties(spark, tmp_path):
     }
     assert got == want
     assert want == {3: 1, 1: 2, 4: 3, 5: 4, 2: 5, 6: 6, 7: 7}
+
+
+def test_badwords_broadcast_variant_matches_literal(spark):
+    """The documented large-blocklist production swap (r9 ADVICE):
+    the exploded-stream broadcast-join variant must produce EXACTLY
+    the registered literal gate's output on the fixture — same rows,
+    same counts, same keep decisions — and its plan must actually
+    broadcast the blocklist relation (the claim being documented)."""
+    import io
+    import contextlib
+
+    from gmt_dbt_spark.catalog import table as cat_table
+    from gmt_dbt_spark.functions.text import (
+        BADWORDS,
+        badwords_filter_broadcast,
+    )
+    from gmt_dbt_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    lit = {
+        r.doc_id: (r.n_tokens, r.n_bad, r.keep)
+        for r in all_queries()["text_badwords_filter"](spark, SF_DIR).collect()
+    }
+    docs = cat_table(spark, SF_DIR, "documents")
+    bc_df = badwords_filter_broadcast(docs, list(BADWORDS))
+    bc = {
+        r.doc_id: (r.n_tokens, r.n_bad, r.keep) for r in bc_df.collect()
+    }
+    assert bc == lit
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bc_df.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
