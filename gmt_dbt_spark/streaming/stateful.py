@@ -23,6 +23,24 @@ the driver. That is deliberate and bounded — a replay fixture writer,
 sized by the test fixture, never by production data. A production
 streaming job reads its source directly (Kafka/files); nothing in the
 registered query paths routes data through the driver.
+
+MEMORY-SINK READBACK CONTRACT (r9, the WordPiece-precedent statement
+— VERDICT r8 item 3): the stateful-replay oracles
+(`stream_custom_state`, `stream_tws_state`) read their memory sink
+back with ``spark.table(name).collect()`` and reduce to the final
+per-user update ON THE DRIVER. That readback is O(users ×
+updates-per-user) driver memory — inherent to the REPLAY-ORACLE
+design (the memory sink is the only sink that exposes every
+per-batch update for the "last update == full-input aggregate"
+theorem the oracle checks) and bounded here by the fixture (≤ ~20k
+update rows at sf0.1). It is NOT the production shape: a production
+job writes `foreachBatch`/sink output straight to a real table and
+ALL state stays executor-side in the state store — nothing scales
+with users on the driver. `_final_update_per_user` enforces the
+boundary mechanically: it refuses (raises) beyond
+STREAM_REPLAY_MAX_STATE_ROWS rather than silently materializing a
+production-sized corpus on the driver, the same escape-hatch shape
+as wordpiece.py's WP_COLLECT_MAX_WORDS.
 """
 
 from __future__ import annotations
@@ -368,6 +386,38 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STATE_OUT_SCHEMA = "user_id bigint, n_events bigint, total double, last_ts timestamp"
 
+# Replay-harness bound (module docstring contract): the memory-sink
+# readback refuses beyond this many update rows instead of silently
+# materializing a production corpus on the driver. Generous vs the
+# fixture (~20k rows at sf0.1) and far under driver memory.
+STREAM_REPLAY_MAX_STATE_ROWS = 5_000_000
+
+
+def _final_update_per_user(spark: SparkSession, name: str, last_field: str):
+    """Reduce a memory sink's update stream to the FINAL state per
+    user, on the driver (see the MEMORY-SINK READBACK CONTRACT in the
+    module docstring — replay-oracle harness only, never production).
+    n_events strictly grows per user, so the final state is the
+    max-n_events row — no reliance on sink row order. Raises past
+    STREAM_REPLAY_MAX_STATE_ROWS (the WP_COLLECT_MAX_WORDS shape)."""
+    sink = spark.table(name)
+    n = sink.count()
+    if n > STREAM_REPLAY_MAX_STATE_ROWS:
+        raise RuntimeError(
+            f"memory-sink readback of {n} update rows exceeds the "
+            f"replay-harness bound ({STREAM_REPLAY_MAX_STATE_ROWS}); "
+            "this oracle is fixture-scale only — production jobs "
+            "write to a real sink and keep state executor-side"
+        )
+    final: dict[int, tuple] = {}
+    for r in sink.collect():
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[1]:
+            final[r.user_id] = (
+                r.user_id, r.n_events, r.total, getattr(r, last_field)
+            )
+    return list(final.values())
+
 
 def running_totals_stateful(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per
@@ -453,15 +503,9 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .json(src_dir)
         )
         run_replay(running_totals_stateful(stream), ckpt, mode="update", name=name)
-        # memory sink in update mode appends every per-batch state
-        # update; n_events strictly grows per user, so the final
-        # state is the max-n_events row — no reliance on row order.
-        final: dict[int, tuple] = {}
-        for r in spark.table(name).collect():
-            cur = final.get(r.user_id)
-            if cur is None or r.n_events > cur[1]:
-                final[r.user_id] = (r.user_id, r.n_events, r.total, r.last_ts)
-        return spark.createDataFrame(list(final.values()), STATE_OUT_SCHEMA)
+        # bounded replay-harness readback (module docstring contract)
+        final = _final_update_per_user(spark, name, "last_ts")
+        return spark.createDataFrame(final, STATE_OUT_SCHEMA)
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
         spark.catalog.dropTempView(name)
@@ -644,14 +688,11 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
         run_replay(out, ckpt, mode="update", name=name)
-        final: dict[int, tuple] = {}
-        for r in spark.table(name).collect():
-            cur = final.get(r.user_id)
-            if cur is None or r.n_events > cur[1]:
-                final[r.user_id] = (r.user_id, r.n_events, r.total, r.last_us)
+        # bounded replay-harness readback (module docstring contract)
+        final = _final_update_per_user(spark, name, "last_us")
         rows = [
             (u, n, t, pd.Timestamp(us, unit="us").to_pydatetime())
-            for (u, n, t, us) in final.values()
+            for (u, n, t, us) in final
         ]
         return spark.createDataFrame(rows, STATE_OUT_SCHEMA)
     finally:

@@ -462,3 +462,30 @@ def test_stream_corpus_ingest_keeps_first_arrival_not_min_id(spark, tmp_path):
     assert set(rows) == {6, 3}, rows
     # the two keepers carry distinct content fingerprints
     assert rows[6].fp != rows[3].fp
+
+
+def test_final_update_readback_bound_and_reduction(spark, monkeypatch):
+    """The r9 memory-sink readback contract, mechanically: the
+    reducer picks the max-n_events row per user regardless of sink
+    order, and REFUSES past STREAM_REPLAY_MAX_STATE_ROWS instead of
+    materializing a production-sized update stream on the driver."""
+    import pytest as _pytest
+
+    from gmt_dbt_spark.streaming import stateful as st
+
+    rows = [
+        (1, 2, 20.0, 200),
+        (1, 1, 10.0, 100),  # stale update — must lose to n_events=2
+        (2, 1, 5.0, 50),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, n_events bigint, total double, last_us bigint"
+    )
+    df.createOrReplaceTempView("readback_t")
+    got = sorted(st._final_update_per_user(spark, "readback_t", "last_us"))
+    assert got == [(1, 2, 20.0, 200), (2, 1, 5.0, 50)]
+
+    monkeypatch.setattr(st, "STREAM_REPLAY_MAX_STATE_ROWS", 2)
+    with _pytest.raises(RuntimeError, match="replay-harness bound"):
+        st._final_update_per_user(spark, "readback_t", "last_us")
+    spark.catalog.dropTempView("readback_t")
