@@ -687,10 +687,15 @@ def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sql_offset_paging",
     oracle="""
-SELECT c_custkey, c_name, c_acctbal
-FROM customer
-ORDER BY c_acctbal DESC, c_custkey
-LIMIT 20 OFFSET 40
+WITH page AS (
+  SELECT c_custkey, c_name, c_acctbal
+  FROM customer
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 20 OFFSET 40
+)
+SELECT c_custkey, c_name, c_acctbal,
+       40 + ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+FROM page
 """,
 )
 def sql_offset_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,15 +710,37 @@ def sql_offset_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deep pagination (page 10⁶) should switch to keyset pagination
     (WHERE (c_acctbal, c_custkey) < last_seen ORDER BY ... LIMIT k),
     which this same total order makes correct — documented here
-    because OFFSET-walking a 100 TB table is the classic anti-pattern."""
+    because OFFSET-walking a 100 TB table is the classic anti-pattern.
+
+    `rn` (r9, the pattern-13 order audit): the page's SELECTION was
+    always hash-visible, but the (position ↔ row) assignment WITHIN
+    the page was not — a tiebreak-direction bug that kept the same
+    20-row set in a different display order was invisible to the
+    multiset hash. The global position stamp (40 + within-page
+    row_number under the same total order) makes it visible. The
+    stamp is computed on the 20-row PAGE, after the
+    TakeOrderedAndProject — an unpartitioned window bounded by page
+    size, never by table size (the sort_order_audit lesson:
+    stamping before the limit would force a global window over the
+    whole table)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(
+    page = spark.sql(
         """
         SELECT c_custkey, c_name, c_acctbal
         FROM customer
         ORDER BY c_acctbal DESC, c_custkey
         LIMIT 20 OFFSET 40
         """
+    )
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return page.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        (F.lit(40) + F.row_number().over(w)).cast("bigint").alias("rn"),
     )
 
 

@@ -2515,3 +2515,96 @@ def test_badwords_broadcast_variant_matches_literal(spark):
     with contextlib.redirect_stdout(buf):
         bc_df.explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_bpe_and_wp_fertility_match_python_reference(spark, tmp_path):
+    """r9 drill finding: a MIRRORED bug in the BPE/WordPiece fertility
+    aggregates (e.g. n_split counting >=1 pieces, planted on a scratch
+    tree) survived every existing test — the unigram fertility had a
+    pure-Python pin (which caught the same planted bug instantly),
+    these two only had the parity oracle. This is that missing pin:
+    seeded random bilingual corpora, per-lang (n_words, piece totals,
+    split/unk counts, max pieces) computed from the INDEPENDENT
+    _python_bpe / _python_wordpiece + _python_wp_encode references."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmt_dbt_spark.functions.tokenizer import N_MERGES
+    from gmt_dbt_spark.functions.wordpiece import WP_MERGES, WP_PROBE_MAX
+    from gmt_dbt_spark.registry import all_queries
+
+    qs = all_queries()
+    for seed in range(3):
+        rng = random.Random(4200 + seed)
+        pool = [
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+            for _ in range(10)
+        ]
+        texts = [
+            " ".join(rng.choice(pool) for _ in range(rng.randint(1, 5)))
+            for _ in range(rng.randint(6, 12))
+        ]
+        rows = [
+            (i, t, "en" if i % 2 == 0 else "fr") for i, t in enumerate(texts)
+        ]
+        dd = tmp_path / f"fert_rand_{seed}"
+        dd.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "text": [r[1] for r in rows],
+                    "lang": [r[2] for r in rows],
+                    "source": ["s"] * len(rows),
+                    "n_chars": [len(r[1]) for r in rows],
+                }
+            ),
+            str(dd / "documents.parquet"),
+        )
+        d = str(dd)
+
+        counts = {}
+        for _i, t, _l in rows:
+            for w in t.split():
+                counts[w] = counts.get(w, 0) + 1
+
+        # --- BPE expected: vocab from the reference trainer ----------
+        _, bpe_vocab = _python_bpe(counts, N_MERGES)
+        expect_bpe = {}
+        for _i, t, lang in rows:
+            for w in t.split():
+                n_sub = len(bpe_vocab[w])
+                e = expect_bpe.setdefault(lang, [0, 0, 0, 0])
+                e[0] += 1
+                e[1] += n_sub
+                e[2] += 1 if n_sub > 1 else 0
+                e[3] = max(e[3], n_sub)
+        got = {
+            r.lang: [r.n_words, r.n_bpe_tokens, r.n_split_words,
+                     r.max_word_pieces]
+            for r in qs["text_bpe_fertility"](spark, d).collect()
+        }
+        assert got == expect_bpe, f"seed {seed}: bpe fertility diverges"
+
+        # --- WordPiece expected: trained vocab + greedy encode -------
+        wp_merges, _ = _python_wordpiece(counts, WP_MERGES)
+        alphabet = {c for w in counts for c in w}
+        wp_vocab = alphabet | {a + b for _s, a, b, _n, _sc in wp_merges}
+        expect_wp = {}
+        for _i, t, lang in rows:
+            for w in t.split():
+                n_p, unk = _python_wp_encode(w, wp_vocab, WP_PROBE_MAX)
+                e = expect_wp.setdefault(lang, [0, 0, 0, 0, 0])
+                e[0] += 1
+                e[1] += n_p
+                e[2] += 1 if n_p > 1 else 0
+                e[3] += 1 if unk else 0
+                e[4] = max(e[4], n_p)
+        got = {
+            r.lang: [r.n_words, r.n_wp_tokens, r.n_split_words,
+                     r.n_unk_words, r.max_word_pieces]
+            for r in qs["text_wordpiece_fertility"](spark, d).collect()
+        }
+        assert got == expect_wp, f"seed {seed}: wp fertility diverges"

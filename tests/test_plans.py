@@ -1682,3 +1682,19 @@ def test_dedup_exact_unicode_fingerprints_only_shuffle(spark):
     assert tree.count("Exchange") == 1, tree
     assert "Join" not in tree, tree
     assert tree.count("HashAggregate") == 2, tree
+
+
+def test_offset_paging_stamps_after_take_ordered(spark):
+    """sql_offset_paging (r9 order audit): the rn stamp must be
+    computed ON THE PAGE — Window sits above TakeOrderedAndProject
+    (top-60 global heap), never the other way around (a pre-limit
+    stamp would be a whole-table global window, the exact plan the
+    sort_order_audit sweep bans)."""
+    tree = tree_of(plan_of(all_queries()["sql_offset_paging"](spark, SF_DIR)))
+    assert "TakeOrderedAndProject" in tree, tree
+    assert tree.count("Window") == 1, tree
+    # The window must CONSUME the page: in the tree listing (root
+    # first) Window prints above TakeOrderedAndProject.
+    assert tree.index("Window") < tree.index("TakeOrderedAndProject"), tree
+    # and no Exchange: the page is one partition already
+    assert "Exchange" not in tree, tree

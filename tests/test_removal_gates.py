@@ -373,7 +373,11 @@ GATES = {
             (
                 "test_removal_gates",
                 "test_pack_family_cross_surface_consistency",
-            )
+            ),
+            (
+                "test_removal_gates",
+                "test_pack_concat_chunk_boundary_exact_planted",
+            ),
         ],
     },
     "pack_nfd_audit": {
@@ -1263,3 +1267,66 @@ def test_c4_pipeline_planted(spark, tmp_path):
     }
     # survivors: doc 0 (20 tokens) + doc 1 (20 tokens) = 40 kept
     assert r == {"s": (6, 4, 3, 2, 40)}
+
+
+def test_pack_concat_chunk_boundary_exact_planted(spark, tmp_path):
+    """r9 drill finding: a MIRRORED off-by-one in last_chunk
+    (floor((run+tok)/B) for floor((run+tok-1)/B), planted on a
+    scratch tree) survived the cross-surface test, the property
+    fuzz AND the parity oracle — the hand corpus had no doc ending
+    EXACTLY on a chunk boundary, the only place the two formulas
+    differ. This pin plants that doc class plus a randomized sweep
+    against the pure-Python span arithmetic (the same reference the
+    property test fuzzes, now wired to the SPARK output)."""
+    import random
+
+    from gmt_dbt_spark.operators.curation import PACK_BUDGET
+
+    B = PACK_BUDGET
+
+    def py_spans(toks):
+        out, run = {}, 0
+        for i, tok in enumerate(toks):
+            pack = run // B
+            last = (run + max(tok, 1) - 1) // B if tok > 0 else pack
+            out[i] = (pack, last, last - pack + 1, run - pack * B, last > pack)
+            run += tok
+        return out
+
+    # planted: doc 2 ends EXACTLY at 2*B (run 2148, tok 2*B-2148+... )
+    toks = [B, 100, 2 * B - B - 100, 1]  # cum: B, B+100, 2B, 2B+1
+    assert sum(toks[:3]) == 2 * B
+    rows = [
+        (i, "a " * (t - 1) + "a", "en", "s0") for i, t in enumerate(toks)
+    ]
+    d = _write_docs(tmp_path, "packs_boundary", rows)
+    got = {
+        r.doc_id: (r.first_chunk, r.last_chunk, r.n_chunks, r.head_off,
+                   r.is_split)
+        for r in all_queries()["pack_concat_chunk"](spark, d).collect()
+    }
+    want = py_spans(toks)
+    assert got == want, (got, want)
+    # the planted pin itself, absolute: the boundary-ending doc stays
+    # inside chunk 1 (floor((2B-1)/B) == 1, NOT floor(2B/B) == 2)
+    assert got[2] == (1, 1, 1, (B + 100) % B, False)
+
+    # randomized spans vs the python reference (3 seeds, tok values
+    # straddling 0 / 1 / exact-multiples / >B)
+    for seed in range(3):
+        rng = random.Random(9100 + seed)
+        toks = [
+            rng.choice([1, 7, B - 1, B, B + 1, 2 * B, rng.randint(1, 3 * B)])
+            for _ in range(rng.randint(4, 12))
+        ]
+        rows = [
+            (i, "a " * (t - 1) + "a", "en", "s0")
+            for i, t in enumerate(toks)
+        ]
+        d = _write_docs(tmp_path, f"packs_rand_{seed}", rows)
+        got = {
+            r.doc_id: (r.first_chunk, r.last_chunk, r.n_chunks,
+                       r.head_off, r.is_split)
+            for r in all_queries()["pack_concat_chunk"](spark, d).collect()
+        }
+        assert got == py_spans(toks), f"seed {seed}"

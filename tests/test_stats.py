@@ -413,3 +413,39 @@ def test_kmv_shard_merge_equals_whole():
             {h for s in shards for h in sorted(_py_kmv_hash(v) for v in s)[:K]}
         )[:K]
         assert merged == whole, seed
+
+
+def test_bench_band_adjudication_rules():
+    """tools/bench_band.py (r9, VERDICT item 6): the standing
+    uniform-ratio rule as code — a uniform host shift is noise even
+    above the band; a concentrated single-query blowup is a suspect
+    regression; tiny absolute deltas never flag."""
+    import json
+
+    from tools.bench_band import BAND_PATH, adjudicate
+
+    band = json.load(open(BAND_PATH))
+    ref = band["reference_queries"]
+
+    # identical run → in-band
+    v = adjudicate({"value": sum(ref.values()), "queries": dict(ref)}, band)
+    assert v["verdict"] in ("in-band", "fast") and not v["outliers"]
+
+    # uniform 1.6x host shift (total above band) → noise, not regression
+    shifted = {q: t * 1.6 for q, t in ref.items()}
+    v = adjudicate({"value": sum(shifted.values()), "queries": shifted}, band)
+    assert v["verdict"] == "host-shift-noise", v
+    assert not v["outliers"]
+
+    # one query 3x (material seconds), rest flat → suspect-regression
+    spiked = dict(ref)
+    spiked["dedup_simhash"] = ref["dedup_simhash"] * 3
+    v = adjudicate({"value": sum(spiked.values()), "queries": spiked}, band)
+    assert v["verdict"] == "suspect-regression"
+    assert list(v["outliers"]) == ["dedup_simhash"]
+
+    # a 0.1 s query tripling is immaterial → no flag
+    tiny = dict(ref)
+    tiny["topk"] = 0.28  # ref 0.202 → ratio 1.39; and even 3x stays < 0.3s delta
+    v = adjudicate({"value": sum(tiny.values()), "queries": tiny}, band)
+    assert v["verdict"] == "in-band"

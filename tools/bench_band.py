@@ -1,0 +1,143 @@
+"""Bench-band adjudicator — the machine-readable form of the
+standing uniform-ratio rule (NOTES_r7/r8; VERDICT r8 item 6).
+
+This host is a noisy microVM: identical code has measured the 24q
+headline anywhere in ~29-45 s (six quiet passes in NOTES_r8), with
+per-query deltas up to ~2x that change identity between back-to-back
+passes. Chasing a single-query delta against a single prior pass is
+therefore meaningless; the decision procedure that three rounds of
+A/B evidence converged on is:
+
+  1. compare the TOTAL against the recorded band (BENCH_BAND.json);
+  2. compute per-query ratios vs the recorded reference vector;
+  3. a HOST shift is UNIFORM — the median ratio moves but no query
+     exceeds `outlier_ratio` (2.2, the threshold all NOTES passes
+     used) with a material absolute delta;
+  4. only a query that exceeds both is a suspected PLAN regression —
+     and even then, re-run back-to-back quiet passes and believe it
+     only if the SAME query is the outlier repeatedly.
+
+Usage:
+  python tools/bench_band.py BENCH_r09.json     # driver wrapper file
+  python tools/bench_band.py out.json           # raw bench.py line
+  python tools/bench_band.py --run              # run bench.py now
+
+Emits one verdict JSON to stdout and writes it next to the input as
+`<input>.band.json` (for --run: BENCH_BAND_VERDICT.json at the repo
+root). Verdicts:
+  in-band            total within the band, no outliers
+  fast               total below the band, no outliers
+  host-shift-noise   total above the band but ratios uniform
+  suspect-regression >=1 query over outlier_ratio with abs delta
+                     over min_outlier_abs_delta_sec (listed)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BAND_PATH = os.path.join(REPO, "BENCH_BAND.json")
+
+
+def _load_bench(path: str) -> dict:
+    """Accept either the driver's BENCH_r{N}.json wrapper (has
+    'parsed') or bench.py's raw one-line JSON."""
+    with open(path) as fh:
+        d = json.load(fh)
+    return d.get("parsed", d)
+
+
+def adjudicate(bench: dict, band: dict) -> dict:
+    ref = band["reference_queries"]
+    cur = bench.get("queries", {})
+    shared = sorted(set(ref) & set(cur))
+    lo, hi = band["headline_total_band_sec"]
+    total = bench.get("value")
+
+    ratios = {q: (cur[q] / ref[q]) if ref[q] > 0 else None for q in shared}
+    valid = {q: r for q, r in ratios.items() if r is not None}
+    med = statistics.median(valid.values()) if valid else None
+    mx_q, mx = (None, None)
+    if valid:
+        mx_q = max(valid, key=valid.get)
+        mx = valid[mx_q]
+    outliers = {
+        q: {
+            "ratio": round(r, 3),
+            "ref_sec": ref[q],
+            "cur_sec": cur[q],
+            "delta_sec": round(cur[q] - ref[q], 3),
+        }
+        for q, r in valid.items()
+        if r > band["outlier_ratio"]
+        and (cur[q] - ref[q]) > band["min_outlier_abs_delta_sec"]
+    }
+
+    if outliers:
+        verdict = "suspect-regression"
+        advice = (
+            "re-run back-to-back quiet passes; believe only if the same "
+            "query is the outlier repeatedly (the NOTES_r8 max-identity "
+            "rule)"
+        )
+    elif total is not None and total > hi:
+        verdict = "host-shift-noise"
+        advice = (
+            "total above the recorded band but per-query ratios uniform — "
+            "host band drift; re-measure quiet and consider re-recording "
+            "the band"
+        )
+    elif total is not None and total < lo:
+        verdict = "fast"
+        advice = "below the band with uniform ratios — enjoy it"
+    else:
+        verdict = "in-band"
+        advice = "no action"
+
+    return {
+        "verdict": verdict,
+        "total_sec": total,
+        "band_sec": [lo, hi],
+        "median_ratio": round(med, 3) if med is not None else None,
+        "max_ratio": round(mx, 3) if mx is not None else None,
+        "max_ratio_query": mx_q,
+        "n_shared_queries": len(shared),
+        "n_new_queries": len(set(cur) - set(ref)),
+        "outliers": outliers,
+        "reference": band["reference_label"],
+        "advice": advice,
+    }
+
+
+def main() -> int:
+    band = json.load(open(BAND_PATH))
+    args = sys.argv[1:]
+    if args and args[0] == "--run":
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True,
+            text=True,
+        )
+        line = [
+            ln for ln in out.stdout.splitlines() if ln.startswith("{")
+        ][-1]
+        bench = json.loads(line)
+        dest = os.path.join(REPO, "BENCH_BAND_VERDICT.json")
+    else:
+        path = args[0] if args else os.path.join(REPO, "BENCH_r08.json")
+        bench = _load_bench(path)
+        dest = path + ".band.json"
+    verdict = adjudicate(bench, band)
+    print(json.dumps(verdict, indent=1))
+    with open(dest, "w") as fh:
+        json.dump(verdict, fh, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
