@@ -449,3 +449,81 @@ def test_bench_band_adjudication_rules():
     tiny["topk"] = 0.28  # ref 0.202 → ratio 1.39; and even 3x stays < 0.3s delta
     v = adjudicate({"value": sum(tiny.values()), "queries": tiny}, band)
     assert v["verdict"] == "in-band"
+
+
+def _kmv_skew_dir(tmp_path, name, groups, custkeys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(
+        pa.table({"o_orderpriority": groups, "o_custkey": custkeys}),
+        str(d / "orders.parquet"),
+    )
+    return str(d)
+
+
+def test_kmv_skew_mega_group(spark, tmp_path):
+    """r9 adversarial-skew drill (VERDICT item 7), leg 1: EVERY key
+    in ONE group — the worst case for any per-group top-k. The
+    map-side Partial WindowGroupLimit must still bound what shuffles:
+    each task retains at most K rows for the group pre-exchange, so
+    the shuffle carries ≤ K·n_tasks 8-byte hashes and the final heap
+    sees ≤ K·n_tasks rows — NEVER the 20k-key distinct relation.
+    Memory bound: one K-row heap per (task, group) = K·8 B here.
+    Estimator sanity on the full sketch: |est/N - 1| within 3σ of
+    the ~1/sqrt(K-2) KMV standard error."""
+    import io
+    import contextlib
+
+    from gmt_dbt_spark.operators.stats import KMV_K
+    from gmt_dbt_spark.registry import all_queries
+
+    n = 20_000
+    d = _kmv_skew_dir(
+        tmp_path, "kmv_mega", ["only"] * n, list(range(n))
+    )
+    df = all_queries()["agg_kmv_distinct"](spark, d)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    tree = plan.split("\n\n(1)")[0]
+    assert tree.count("WindowGroupLimit") == 2, tree  # Partial + Final
+    assert "Partial" in plan, plan
+
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.exact_distinct == n and r.k_used == KMV_K
+    sigma = 1.0 / (KMV_K - 2) ** 0.5
+    assert abs(r.est_distinct / n - 1.0) <= 3 * sigma, r
+
+
+def test_kmv_skew_all_groups_distinct(spark, tmp_path):
+    """Leg 2: |groups| == |rows| (every key its own group — the
+    opposite skew). The sketch relation is |groups| rows of one hash
+    each; k_used = 1 < K so the estimator takes the EXACT branch and
+    est == exact == 1 for every group; the WindowGroupLimit pair
+    stays in the plan (it is a no-op cut, not a blowup)."""
+    import io
+    import contextlib
+
+    from gmt_dbt_spark.registry import all_queries
+
+    n = 5_000
+    d = _kmv_skew_dir(
+        tmp_path, "kmv_flat", [f"g{i}" for i in range(n)], list(range(n))
+    )
+    df = all_queries()["agg_kmv_distinct"](spark, d)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    tree = buf.getvalue().split("\n\n(1)")[0]
+    assert tree.count("WindowGroupLimit") == 2, tree
+
+    rows = df.collect()
+    assert len(rows) == n
+    assert all(r.k_used == 1 and r.est_distinct == 1 and
+               r.exact_distinct == 1 for r in rows)
