@@ -15,19 +15,26 @@ hostile rows) at `dedup.py::UNI_TOKEN_RE`:
   NULL · probe test re-run in tests/test_unicode_text.py.
 
 WHICH OPS INHERIT IT (the documented statement the r8 VERDICT asked
-for): the opt-in is the ``unicode=True`` flag on ``normalize_text`` /
-``tokens_col`` — any composition built on those helpers can switch.
-The REGISTERED unicode surface is the three ops here
-(`text_tokenize_unicode`, `text_token_count_unicode`,
-`dedup_exact_unicode`: the tokenizer itself, the scan-side count
-shape every quality/filter op reduces to, and one real removal gate
-proving a dedup key built on the unicode canonical form). Every
-pre-r9 op KEEPS the ASCII default on purpose: their frozen artifacts
-(minhash signatures, fingerprint stores, tokenizer merge tables,
-oracle hashes) are derived from ASCII normalization, and silently
-re-keying them would orphan every incremental store built before r9.
-A multilingual deployment opts in per-pipeline, rebuilding its stores
-once under the unicode key.
+for): the opt-in is the ``unicode=True`` flag threaded through
+``normalize_text`` / ``tokens_col`` / ``shingle_rows`` /
+``shingle_sets`` / ``minhash_signature`` / ``verify_jaccard`` — any
+composition built on those helpers can switch. The REGISTERED
+unicode surface is the five ops here: `text_tokenize_unicode` (the
+tokenizer itself), `text_token_count_unicode` (the scan-side count
+shape every quality/filter op reduces to), `dedup_exact_unicode` (a
+real removal gate keyed on the unicode canonical form),
+`dedup_fuzzy_unicode` (the DEEP inheritance demo — the full
+MinHash-LSH shingle→signature→band→verify chain under the unicode
+tokenizer, oracle generated from the same `_minhash_oracle` with
+only the tokenizer expression swapped), and `text_langid_script`
+(script-range language ID, the router a multilingual pipeline puts
+in front of everything else). Every pre-r9 op KEEPS the ASCII
+default on purpose: their frozen artifacts (minhash signatures,
+fingerprint stores, tokenizer merge tables, oracle hashes) are
+derived from ASCII normalization, and silently re-keying them would
+orphan every incremental store built before r9. A multilingual
+deployment opts in per-pipeline, rebuilding its stores once under
+the unicode key.
 
 Planted multilingual corpus: the sf fixtures are ASCII-only, so each
 op here UNIONs a small literal corpus (negative doc_ids; generated
@@ -81,6 +88,14 @@ PLANTED_MULTILINGUAL: list[tuple[int, str]] = [
     (-6, "café café plain cafe"),
     (-7, "हिन्दी भाषा और संस्कृति"),
     (-8, "mixed 混合 text ١٢٣ and 123"),
+    # r9 near-dup pair for dedup_fuzzy_unicode: 12 CJK tokens, the
+    # first 11 shared → 10 3-gram shingles each, 9 common, union 11
+    # → jaccard 9/11 ≈ 0.82 ≥ 0.6 (the banding-guaranteed range).
+    # Under the ASCII path BOTH tokenize to [] → the {''} whole-text
+    # shingle → they would spuriously pair with EVERY other
+    # empty-normalizing doc at jaccard 1.0.
+    (-11, "甲 乙 丙 丁 戊 己 庚 辛 壬 癸 子 丑"),
+    (-12, "甲 乙 丙 丁 戊 己 庚 辛 壬 癸 子 寅"),
 ]
 
 _PLANTED_VALUES = ", ".join(
@@ -104,6 +119,27 @@ _DUCK_UNI_CANON = (
     "CASE WHEN text IS NULL THEN NULL ELSE"
     f" COALESCE(array_to_string({DUCK_UNI_TOKENS}, ' '), '') END"
 )
+
+
+# Script detection ranges — EXPLICIT BMP codepoint classes, the same
+# literal on both engines (Java and RE2 spell Unicode SCRIPT
+# properties differently — \p{IsHan} vs \p{Han} — so named script
+# classes are outside the engine-neutral subset; explicit ranges are
+# dialect-free and were probed cross-engine on multilingual + empty +
+# NULL + beyond-BMP rows before freezing). Supplementary-plane
+# codepoints (emoji, CJK ext B) match no range on either engine —
+# documented, identical. Dict order IS the deterministic tie-break
+# order of the dominant-script argmax.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "[A-Za-zÀ-ɏ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "arabic": "[؀-ۿ]",
+    "devanagari": "[ऀ-ॿ]",
+    "han": "[一-鿿]",
+    "kana": "[぀-ヿ]",
+    "hangul": "[가-힯ᄀ-ᇿ]",
+}
 
 
 def _with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,3 +230,124 @@ def dedup_exact_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_docs"))
     )
+
+
+def _langid_script_oracle() -> str:
+    cnt_cols = ",\n       ".join(
+        f"CAST(CASE WHEN text IS NULL THEN NULL ELSE"
+        f" len(regexp_extract_all(text, '{p}')) END AS BIGINT) AS n_{k}"
+        for k, p in SCRIPT_RANGES.items()
+    )
+    m = "GREATEST(" + ", ".join(f"n_{k}" for k in SCRIPT_RANGES) + ")"
+    when = "\n            ".join(
+        f"WHEN n_{k} = m THEN '{k}'" for k in SCRIPT_RANGES
+    )
+    return f"""
+WITH {_SRC_SQL},
+c AS (
+  SELECT doc_id,
+       {cnt_cols}
+  FROM src
+),
+g AS (SELECT *, {m} AS m FROM c)
+SELECT doc_id, {", ".join(f"n_{k}" for k in SCRIPT_RANGES)},
+       CASE WHEN m = 0 THEN 'none'
+            {when}
+       END AS script
+FROM g
+"""
+
+
+@query("text_langid_script", oracle=_langid_script_oracle())
+def text_langid_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-based language ID — the multilingual companion to the
+    stopword-heuristic `text_langid` (functions/text.py), which is
+    structurally blind outside its 3 stopword profiles: per doc, the
+    letter count in each of the 8 frozen script ranges
+    (SCRIPT_RANGES — explicit BMP classes, probed cross-engine) and
+    the dominant script (argmax; ties break in dict order via the
+    generated WHEN chain — same generated logic on both engines;
+    all-zero → 'none', NULL text → NULL). Script ID is the standard
+    cheap first-pass router of multilingual pretraining pipelines
+    (which tokenizer/filter family a doc enters) ahead of any
+    trained lang-ID.
+
+    Scale shape: a pure scan-side projection — 8 vectorized regex
+    counts + a greatest + a CASE inside the one corpus scan, ZERO
+    exchanges (the text_pii_redact plan class; plan-guarded). The
+    planted multilingual corpus rides along so the driver hash
+    exercises every range."""
+    src = _with_planted(spark, sf_dir)
+    cnts = {
+        k: F.when(
+            F.col("text").isNotNull(),
+            F.regexp_count("text", F.lit(p)),
+        ).cast("bigint")
+        for k, p in SCRIPT_RANGES.items()
+    }
+    base = src.select(
+        "doc_id", *[c.alias(f"n_{k}") for k, c in cnts.items()]
+    )
+    m = F.greatest(*[F.col(f"n_{k}") for k in SCRIPT_RANGES])
+    dom = F.when(m == 0, F.lit("none"))
+    for k in SCRIPT_RANGES:
+        dom = dom.when(F.col(f"n_{k}") == m, F.lit(k))
+    return base.select(
+        "doc_id",
+        *[f"n_{k}" for k in SCRIPT_RANGES],
+        dom.alias("script"),
+    )
+
+
+def _fuzzy_unicode_oracle() -> str:
+    from gmt_dbt_spark.operators.dedup import _minhash_oracle
+
+    return _minhash_oracle(
+        6,
+        tokens_sql=DUCK_UNI_TOKENS,
+        src="src",
+        prefix_ctes=_SRC_SQL + ",\n",
+    )
+
+
+@query("dedup_fuzzy_unicode", oracle=_fuzzy_unicode_oracle())
+def dedup_fuzzy_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs under the UNICODE tokenizer —
+    the deep-pipeline inheritance demo for the r9 opt-in: the ENTIRE
+    shingle → md5-hash → 12-min signature → band → verify chain is
+    the `dedup_fuzzy` implementation with `unicode=True` threaded
+    through `shingle_rows`/`minhash_signature`/`verify_jaccard`, and
+    the oracle is the SAME generated `_minhash_oracle` with only the
+    tokenizer expression and source relation swapped — the algebra
+    is byte-identical (generate-from-constants, no second copy).
+
+    Runs over documents ∪ the planted multilingual corpus: the
+    planted (-11, -12) CJK pair shares 9 of 11 union shingles
+    (jaccard ≈ 0.82) and MUST pair; under the ASCII default both
+    docs tokenize to NOTHING and would collapse onto the {''}
+    whole-text shingle, spuriously pairing with every other
+    empty-normalizing doc at jaccard 1.0 — the exact multilingual
+    failure mode this surface fixes (pinned in
+    tests/test_unicode_text.py). The md5 hash family is forced (the
+    oracle replays md5 only — the `_hash_family` contract).
+
+    Scale shape: identical to dedup_fuzzy — 96-byte/doc signatures,
+    band-key equi-join, verify bounded by |candidates|; text never
+    shuffles."""
+    from gmt_dbt_spark.operators.dedup import (
+        lsh_candidate_ids,
+        lsh_candidates,
+        minhash_signature,
+        verify_jaccard,
+    )
+
+    docs = _with_planted(spark, sf_dir)
+    sig = minhash_signature(
+        docs, "doc_id", "text", "md5", unicode=True
+    ).localCheckpoint(eager=True)
+    pairs = lsh_candidates(sig, "md5")
+    cand = lsh_candidate_ids(sig, "md5")
+    return verify_jaccard(
+        pairs, docs, "doc_id", "text", 0.6,
+        cand_ids=cand, shingle=True, unicode=True,
+    ).select("id_a", "id_b", "n_inter", "n_union")

@@ -162,6 +162,7 @@ def shingle_rows(
     text_col: str,
     n: int = 3,
     min_tokens: int | None = None,
+    unicode: bool = False,
 ) -> DataFrame:
     """(id, shingle) rows via zip_with over n shifted slices of the
     token array, then ONE explode — ZERO shuffles: the whole n-gram
@@ -199,7 +200,9 @@ def shingle_rows(
     ``len(tokens) >= k`` gate)."""
     tok = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
-        F.explode(F.array(tokens_col(F.col(text_col)))).alias("__t"),
+        F.explode(
+            F.array(tokens_col(F.col(text_col), unicode=unicode))
+        ).alias("__t"),
     )
     if min_tokens is not None:
         tok = tok.filter(F.size(F.col("__t")) >= min_tokens)
@@ -214,11 +217,17 @@ def shingle_rows(
     return tok.select("__id", F.explode(shingles).alias("__sh"))
 
 
-def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingle_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    unicode: bool = False,
+) -> DataFrame:
     """(id, distinct-shingle array) via the fast shingle_rows path +
     collect_set — the verify-stage input for n-gram Jaccard."""
     return (
-        shingle_rows(df, id_col, text_col, n)
+        shingle_rows(df, id_col, text_col, n, unicode=unicode)
         .groupBy("__id")
         .agg(F.collect_set("__sh").alias("__shs"))
     )
@@ -272,7 +281,11 @@ def shingle_hash(col: str, family: str | None = None) -> Column:
 
 
 def minhash_signature(
-    df: DataFrame, id_col: str, text_col: str, family: str | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    family: str | None = None,
+    unicode: bool = False,
 ) -> DataFrame:
     """id → 12 minhash values over 3-word shingles.
 
@@ -284,7 +297,7 @@ def minhash_signature(
     ``family`` pins the base-hash family for this plan; None resolves
     the session conf ONCE here (never per-expression)."""
     family = family or _hash_family()
-    sh = shingle_rows(df, id_col, text_col).withColumn(
+    sh = shingle_rows(df, id_col, text_col, unicode=unicode).withColumn(
         "__h", shingle_hash("__sh", family)
     )
     aggs = [
@@ -366,6 +379,7 @@ def verify_jaccard(
     threshold: float,
     cand_ids: DataFrame | None = None,
     shingle: bool = False,
+    unicode: bool = False,
 ) -> DataFrame:
     """Exact set-Jaccard on candidate pairs only — over 3-word
     SHINGLE sets when ``shingle=True`` (the quantity the MinHash
@@ -395,13 +409,15 @@ def verify_jaccard(
         cand_ids = cand_ids.toDF(id_col)
     pruned = df.join(cand_ids, id_col, "left_semi")
     if shingle:
-        toks = shingle_sets(pruned, id_col, text_col).select(
+        toks = shingle_sets(pruned, id_col, text_col, unicode=unicode).select(
             F.col("__id").alias("__tid"), F.col("__shs").alias("__toks")
         )
     else:
         toks = pruned.select(
             F.col(id_col).alias("__tid"),
-            F.array_distinct(tokens_col(F.col(text_col))).alias("__toks"),
+            F.array_distinct(
+                tokens_col(F.col(text_col), unicode=unicode)
+            ).alias("__toks"),
         )
     # Materialize the candidate token/shingle sets ONCE: the a/b
     # self-join below otherwise recomputes the whole prune+shingle
@@ -472,21 +488,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "source")
 
 
-def _sig_cte_prefix() -> str:
+_DUCK_ASCII_TOKENS_ML = """list_filter(string_split_regex(trim(lower(regexp_replace(text,
+             '[^a-zA-Z0-9 ]', ' ', 'g'))), ' +'), t -> t <> '')"""
+
+
+def _sig_cte_prefix(tokens_sql: str | None = None, src: str = "documents") -> str:
     """The shared tokenize → shingle → md5-hash → 12-min signature
     CTE prefix (t0/sh/hs/sig), generated ONCE from the `_AB`/`_P`
     constants — `_minhash_oracle` and `_incremental_minhash_oracle`
     both build on it (review pass: two hand-maintained copies of
     this SQL would silently diverge on the next hash-family change,
-    the exact drift the generate-from-constants design prevents)."""
+    the exact drift the generate-from-constants design prevents).
+
+    ``tokens_sql``/``src`` (r9): the unicode variant swaps ONLY the
+    tokenizer expression and the source relation; the shingle/hash/
+    signature algebra is byte-identical. Defaults reproduce the
+    pre-r9 string exactly (frozen oracle hashes)."""
+    if tokens_sql is None:
+        tokens_sql = _DUCK_ASCII_TOKENS_ML
     ab_mins = ",\n       ".join(
         f"MIN((h * {a} + {b}) % {_P}) AS mh{j}" for j, (a, b) in enumerate(_AB)
     )
     return f"""t0 AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(lower(regexp_replace(text,
-             '[^a-zA-Z0-9 ]', ' ', 'g'))), ' +'), t -> t <> '') AS tk
-  FROM documents WHERE text IS NOT NULL
+         {tokens_sql} AS tk
+  FROM {src} WHERE text IS NOT NULL
 ),
 sh AS (
   SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
@@ -527,15 +553,22 @@ def _banded_sql(src: str) -> str:
     )
 
 
-def _minhash_oracle(thresh_num: int) -> str:
+def _minhash_oracle(
+    thresh_num: int,
+    tokens_sql: str | None = None,
+    src: str = "documents",
+    prefix_ctes: str = "",
+) -> str:
     """DuckDB FULL replay of the custom MinHash-LSH pipeline (r3) —
     shingles (with the short-doc whole-text fallback), md5-derived
     base hashes, the 12-function universal-hash signature, md5 band
     keys, the band self-join, and the exact shingle-Jaccard verify as
     an integer cross-multiplication at ``thresh_num``/10. Generated
-    from the same `_AB` constants the Spark plan uses."""
+    from the same `_AB` constants the Spark plan uses.
+    ``tokens_sql``/``src``/``prefix_ctes``: the r9 unicode variant
+    (see _sig_cte_prefix); defaults reproduce the frozen string."""
     return f"""
-WITH {_sig_cte_prefix()},
+WITH {prefix_ctes}{_sig_cte_prefix(tokens_sql, src)},
 banded AS (
   {_banded_sql("sig")}
 ),

@@ -235,6 +235,12 @@ QUERIES = [
     "text_tokenize_unicode",
     "text_token_count_unicode",
     "dedup_exact_unicode",
+    # r9 late additions: the unicode MinHash chain (hostile CJK/
+    # Russian docs finally shingle; triplicated docs must pair
+    # identically on both engines) and the script router (NULL/
+    # empty/emoji rows must land 'none'/NULL identically)
+    "dedup_fuzzy_unicode",
+    "text_langid_script",
 ]
 
 

@@ -1698,3 +1698,29 @@ def test_offset_paging_stamps_after_take_ordered(spark):
     assert tree.index("Window") < tree.index("TakeOrderedAndProject"), tree
     # and no Exchange: the page is one partition already
     assert "Exchange" not in tree, tree
+
+
+def test_langid_script_zero_shuffle(spark):
+    """text_langid_script (r9): 8 regex counts + greatest + CASE in
+    the one corpus scan's projection (plus the literal planted-rows
+    branch) — ZERO exchanges, no join (the text_pii_redact class)."""
+    tree = tree_of(plan_of(all_queries()["text_langid_script"](spark, SF_DIR)))
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree, tree
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_unicode_minhash_signature_single_shuffle(spark):
+    """dedup_fuzzy_unicode's signature build (r9): same contract as
+    the ASCII twin — ONE shuffle (the per-doc min aggregate), shingle
+    generation scan-side, no window before the aggregate."""
+    from gmt_dbt_spark.catalog import table
+    from gmt_dbt_spark.operators.dedup import minhash_signature
+
+    sig = minhash_signature(
+        table(spark, SF_DIR, "documents"), "doc_id", "text", "md5",
+        unicode=True,
+    )
+    tree = tree_of(plan_of(sig))
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1, tree
+    assert tree.count("Window") - tree.count("WindowGroupLimit") == 0, tree

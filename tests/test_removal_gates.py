@@ -268,6 +268,15 @@ GATES = {
             ("test_unicode_text", "test_dedup_exact_unicode_planted")
         ],
     },
+    "dedup_fuzzy_unicode": {
+        # the unicode MinHash chain: planted CJK near-dup pair with
+        # construction-derived (n_inter, n_union), planted disjoint
+        # negative, and the demonstrated ASCII-default collapse
+        "class": "pair",
+        "evidence": [
+            ("test_unicode_text", "test_dedup_fuzzy_unicode_planted")
+        ],
+    },
     # --- r8 pattern extension: SPLIT / SAMPLE / PACK families --------
     # (r7 VERDICT item 3). Routing gates assign every doc to a
     # split/shard/pack rather than dropping any — but a wrong route

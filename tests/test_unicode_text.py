@@ -218,3 +218,60 @@ def test_ascii_default_unchanged_on_ascii_corpus(spark):
     ).collect()
     for r in got:
         assert r.a == r.u, (r.id, r.a, r.u)
+
+
+def test_dedup_fuzzy_unicode_planted(spark):
+    """Pair-gate evidence for the deep-pipeline unicode inheritance:
+
+    PLANTED POSITIVE: the (-11, -12) CJK pair shares the first 11 of
+    12 tokens by construction → 10 shingles each, 9 common, union 11
+    (jaccard 9/11 ≥ 0.6) — MUST appear with exactly those integer
+    set sizes. The identical-token pair (-1, -2) must appear at
+    (n_inter == n_union). PLANTED NEGATIVE: (-11, -3) share no
+    vocabulary — must never pair.
+    THE BUG BEING FIXED: under the ASCII default both -11 and -12
+    tokenize to [] (asserted), i.e. they would collapse onto the
+    whole-text '' shingle and pair spuriously at jaccard 1.0 with
+    every other empty-normalizing doc."""
+    out = all_queries()["dedup_fuzzy_unicode"](spark, SF_DIR)
+    planted = {
+        (r.id_a, r.id_b): (r.n_inter, r.n_union)
+        for r in out.filter(
+            (F.col("id_a") < 0) & (F.col("id_b") < 0)
+        ).collect()
+    }
+    assert planted[(-12, -11)] == (9, 11)
+    ab = planted[(-2, -1)]
+    assert ab[0] == ab[1]  # identical token streams
+    assert (-11, -3) not in planted and (-3, -11) not in planted
+
+    texts = dict(PLANTED_MULTILINGUAL)
+    df = spark.createDataFrame(
+        [(i, texts[i]) for i in (-11, -12)], "id INT, text STRING"
+    )
+    ascii_toks = {
+        r.id: r.toks
+        for r in df.select(
+            "id", tokens_col(F.col("text")).alias("toks")
+        ).collect()
+    }
+    assert ascii_toks == {-11: [], -12: []}
+
+
+def test_langid_script_planted(spark):
+    """Dominant-script expectations for the planted rows, by
+    construction (counts are letters inside each frozen range):
+    CJK rows → han, Cyrillic → cyrillic, Devanagari → devanagari,
+    Latin-dominant rows → latin; the mixed row (-8) has 5 han chars
+    vs 8 latin letters → latin."""
+    out = all_queries()["text_langid_script"](spark, SF_DIR)
+    got = {
+        r.doc_id: r.script
+        for r in out.filter(F.col("doc_id") < 0).collect()
+    }
+    assert got[-1] == "han" and got[-2] == "han" and got[-3] == "han"
+    assert got[-4] == "cyrillic"
+    assert got[-5] == "latin"
+    assert got[-7] == "devanagari"
+    assert got[-8] == "latin"
+    assert got[-11] == "han" and got[-12] == "han"
