@@ -351,3 +351,176 @@ def dedup_fuzzy_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, docs, "doc_id", "text", 0.6,
         cand_ids=cand, shingle=True, unicode=True,
     ).select("id_a", "id_b", "n_inter", "n_union")
+
+
+# CJK run class (han + kana + hangul) — the scripts written without
+# word spaces, where the [\p{L}..]+ tokenizer necessarily yields one
+# giant token per run. Character bigrams are the standard unsegmented
+# answer (the CJK analyzer in every production search engine).
+CJK_RUN_RE = "[一-鿿぀-ヿ가-힯]+"
+
+
+@query(
+    "text_tokenize_cjk_bigram",
+    oracle=f"""
+WITH {_SRC_SQL},
+r AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{CJK_RUN_RE}')) AS run
+  FROM src
+)
+SELECT doc_id,
+       unnest(CASE WHEN len(run) >= 2
+           THEN list_transform(range(1, len(run)),
+                               i -> substring(run, CAST(i AS INT), 2))
+           ELSE [run] END) AS gram
+FROM r
+""",
+)
+def text_tokenize_cjk_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram tokenization of CJK runs — the unsegmented-
+    script companion to `text_tokenize_unicode` (whose word tokenizer
+    necessarily emits one token per spaceless CJK run; bigrams are
+    what search engines and n-gram dedup actually index for
+    han/kana/hangul). Per doc: every overlapping 2-char gram of every
+    CJK run; single-char runs emit themselves. Non-CJK text emits
+    nothing (this op COMPOSES with the word tokenizer, it does not
+    replace it).
+
+    Cross-engine contract: the run class is the explicit-BMP-range
+    subset of SCRIPT_RANGES (dialect-free, probed) and the bigram
+    slice is char-based substring — probed identical on multibyte
+    chars (Spark substr vs DuckDB substring, both character-counted,
+    the tokenizer_roundtrip multibyte-substr class).
+
+    Scale shape: scan-side — regex run extraction + two Generates
+    (runs, grams) inside the one corpus scan's stage, ZERO exchanges
+    (plan-guarded). `run` is a Generate output column, so the
+    per-gram substr reads a materialized value, never re-runs the
+    regex (the shingle_rows barrier rule)."""
+    src = _with_planted(spark, sf_dir)
+    r = src.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(CJK_RUN_RE), F.lit(0))
+        ).alias("run"),
+    )
+    run = F.col("run")
+    grams = F.when(
+        F.length(run) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(run) - 1),
+            lambda i: run.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array(run))
+    return r.select("doc_id", F.explode(grams).alias("gram"))
+
+
+def _multilingual_oracle() -> str:
+    cnt_cols = ",\n       ".join(
+        f"CAST(CASE WHEN text IS NULL THEN NULL ELSE"
+        f" len(regexp_extract_all(text, '{p}')) END AS BIGINT) AS n_{k}"
+        for k, p in SCRIPT_RANGES.items()
+    )
+    m = "GREATEST(" + ", ".join(f"n_{k}" for k in SCRIPT_RANGES) + ")"
+    when = "\n            ".join(
+        f"WHEN n_{k} = m THEN '{k}'" for k in SCRIPT_RANGES
+    )
+    return f"""
+WITH {_SRC_SQL},
+c AS (
+  SELECT doc_id,
+       {cnt_cols},
+       CAST(len({DUCK_UNI_TOKENS}) AS BIGINT) AS ntok,
+       md5({_DUCK_UNI_CANON}) AS fp
+  FROM src WHERE text IS NOT NULL
+),
+g AS (SELECT *, {m} AS m FROM c),
+s AS (
+  SELECT doc_id, ntok, fp,
+         CASE WHEN m = 0 THEN 'none'
+              {when}
+         END AS script
+  FROM g
+),
+w AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY (ntok >= 3), fp ORDER BY doc_id) AS rn
+  FROM s
+)
+SELECT script,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) FILTER (WHERE ntok >= 3) AS BIGINT) AS n_pass_len,
+  CAST(COUNT(*) FILTER (WHERE ntok >= 3 AND rn = 1) AS BIGINT)
+    AS n_after_dedup,
+  CAST(COALESCE(SUM(ntok) FILTER (WHERE ntok >= 3 AND rn = 1), 0)
+    AS BIGINT) AS kept_tokens
+FROM w GROUP BY script
+"""
+
+
+@query("pipeline_multilingual_curation", oracle=_multilingual_oracle())
+def pipeline_multilingual_curation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The multilingual curation funnel — the r9 unicode family
+    composed end-to-end, per script: route every doc by dominant
+    script (the `text_langid_script` argmax), gate on ≥ 3 unicode
+    tokens (the length floor a CJK/Cyrillic doc FAILS under the
+    ASCII tokenizer — the whole point of the opt-in), dedup exactly
+    on the unicode canonical fingerprint (keep-lowest-id), and
+    report the labeled funnel (docs → pass-length → after-dedup →
+    kept token mass) per script. The shape every multilingual
+    pretraining corpus report takes before mixture planning.
+
+    Plan (the pipeline_c4_reproduce doctrine, plan-guarded): ONE
+    corpus scan — script counts, dominant CASE, token count, and
+    fingerprint are all projections inside it (the token array is
+    materialized once behind a Generate barrier; the 8 script
+    counts are independent regexes on the raw text) — then exactly
+    two exchanges: the dedup window (16-byte fp + 2 ints) and the
+    ≤9-row script rollup. No joins. Dedup partitions on (gate, fp)
+    so failing docs can never steal rn=1 from a passing duplicate
+    (the C4 recipe's partition rule)."""
+    from pyspark.sql import Window
+
+    src = _with_planted(spark, sf_dir).filter(F.col("text").isNotNull())
+    # token array ONCE behind the Generate barrier (referenced twice:
+    # count + canonical join)
+    bar = src.select(
+        "doc_id",
+        "text",
+        F.explode(F.array(uni_tokens_col(F.col("text")))).alias("__ut"),
+    )
+    cnts = [
+        F.when(
+            F.col("text").isNotNull(), F.regexp_count("text", F.lit(p))
+        )
+        .cast("bigint")
+        .alias(f"n_{k}")
+        for k, p in SCRIPT_RANGES.items()
+    ]
+    base = bar.select(
+        "doc_id",
+        *cnts,
+        F.size("__ut").cast("bigint").alias("ntok"),
+        F.md5(F.concat_ws(" ", F.col("__ut"))).alias("fp"),
+    )
+    m = F.greatest(*[F.col(f"n_{k}") for k in SCRIPT_RANGES])
+    dom = F.when(m == 0, F.lit("none"))
+    for k in SCRIPT_RANGES:
+        dom = dom.when(F.col(f"n_{k}") == m, F.lit(k))
+    s = base.select(
+        "doc_id", "ntok", "fp", dom.alias("script"),
+        (F.col("ntok") >= 3).alias("__pass"),
+    )
+    w = Window.partitionBy("__pass", "fp").orderBy("doc_id")
+    ranked = s.withColumn("rn", F.row_number().over(w))
+    kept = F.col("__pass") & (F.col("rn") == 1)
+    return ranked.groupBy("script").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_if(F.col("__pass")).cast("bigint").alias("n_pass_len"),
+        F.count_if(kept).cast("bigint").alias("n_after_dedup"),
+        F.coalesce(
+            F.sum(F.when(kept, F.col("ntok"))), F.lit(0)
+        ).cast("bigint").alias("kept_tokens"),
+    )

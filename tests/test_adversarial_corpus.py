@@ -241,6 +241,13 @@ QUERIES = [
     # empty/emoji rows must land 'none'/NULL identically)
     "dedup_fuzzy_unicode",
     "text_langid_script",
+    # the hostile CJK/kana rows produce real bigram grams; empty/
+    # punctuation/Latin-only rows produce none — identically
+    "text_tokenize_cjk_bigram",
+    # the composed funnel: triplicated hostile docs dedup on the
+    # unicode fingerprint; Russian/CJK docs route to their scripts
+    # and PASS the length gate they failed under ASCII
+    "pipeline_multilingual_curation",
 ]
 
 

@@ -1724,3 +1724,29 @@ def test_unicode_minhash_signature_single_shuffle(spark):
     tree = tree_of(plan_of(sig))
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1, tree
     assert tree.count("Window") - tree.count("WindowGroupLimit") == 0, tree
+
+
+def test_cjk_bigram_zero_shuffle(spark):
+    """text_tokenize_cjk_bigram (r9): run extraction + two Generates
+    inside the one corpus scan's stage — zero exchanges, no join."""
+    tree = tree_of(
+        plan_of(all_queries()["text_tokenize_cjk_bigram"](spark, SF_DIR))
+    )
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree, tree
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_multilingual_curation_single_scan_two_exchanges(spark):
+    """pipeline_multilingual_curation (r9): the c4_reproduce shape —
+    ONE corpus scan (script counts, dominant CASE, token count and
+    fingerprint are projections inside it), no joins, exactly the
+    dedup-window + script-rollup exchanges."""
+    tree = tree_of(
+        plan_of(
+            all_queries()["pipeline_multilingual_curation"](spark, SF_DIR)
+        )
+    )
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree, tree
+    assert tree.count("Exchange") <= 2, tree

@@ -275,3 +275,73 @@ def test_langid_script_planted(spark):
     assert got[-7] == "devanagari"
     assert got[-8] == "latin"
     assert got[-11] == "han" and got[-12] == "han"
+
+
+def test_cjk_bigram_matches_python_reference(spark):
+    """CJK char-bigram grams pinned against an independent pure-
+    Python computation (regex runs + string slicing) for the planted
+    corpus plus hostile rows — including single-char runs, mixed
+    Latin/CJK, and kana/hangul."""
+    import regex
+
+    from gmt_dbt_spark.functions.unicode_text import CJK_RUN_RE
+
+    rows = [(100 + k, t) for k, (_, t) in enumerate(PLANTED_MULTILINGUAL)] + [
+        (1, "中文文本处理 and english 混合文本"),
+        (2, "日本語テキスト"),
+        (3, "한"),
+        (4, ""),
+        (5, None),
+        (6, "abc 中 def 文本"),
+    ]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    out = df.select(
+        "id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(CJK_RUN_RE), F.lit(0))
+        ).alias("run"),
+    )
+    run = F.col("run")
+    grams = F.when(
+        F.length(run) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(run) - 1),
+            lambda i: run.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array(run))
+    got = sorted(
+        (r.id, r.g)
+        for r in out.select("id", F.explode(grams).alias("g")).collect()
+    )
+    want = []
+    for i, t in rows:
+        if t is None:
+            continue
+        for r in regex.findall(CJK_RUN_RE, t):
+            if len(r) >= 2:
+                want += [(i, r[j : j + 2]) for j in range(len(r) - 1)]
+            else:
+                want.append((i, r))
+    assert got == sorted(want)
+
+
+def test_multilingual_curation_planted(spark):
+    """Funnel expectations for the planted rows, by construction:
+    -1/-2 are han-script duplicates (one survives dedup), -3 han
+    distinct, -11/-12 han distinct fingerprints (near-dup, NOT
+    exact-dup — both survive the EXACT gate), -5 latin passes,
+    -6 latin passes, -4 cyrillic passes, -7 devanagari passes,
+    -8 latin (8 latin letters vs 5 han chars) passes."""
+    out = all_queries()["pipeline_multilingual_curation"](spark, SF_DIR)
+    rows = {r.script: r for r in out.collect()}
+    # planted han docs: -1,-2,-3,-11,-12 → all pass len, -1/-2 dedup
+    # to one; fixture is pure-ASCII so han counts come ONLY from the
+    # planted rows
+    han = rows["han"]
+    assert han.n_docs == 5 and han.n_pass_len == 5
+    assert han.n_after_dedup == 4  # -1/-2 collapsed
+    assert han.kept_tokens == 4 + 4 + 12 + 12  # -2(min id? no: min doc_id of {-1,-2} is -2) + -3 + -11 + -12
+    assert rows["cyrillic"].n_docs == 1
+    assert rows["devanagari"].n_docs == 1
+    # latin = 500 fixture docs + -5, -6, -8
+    assert rows["latin"].n_docs == 503
