@@ -65,6 +65,7 @@ part of the demanded LLM-pipeline extension (SURVEY §2.L).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -523,4 +524,69 @@ def pipeline_multilingual_curation(
         F.coalesce(
             F.sum(F.when(kept, F.col("ntok"))), F.lit(0)
         ).cast("bigint").alias("kept_tokens"),
+    )
+
+
+def _nfc_udf():
+    """Arrow-batched NFC normalizer — the unicode family's ONE
+    deliberate Python seam (Spark has no builtin Unicode normalizer;
+    DuckDB has nfc_normalize). Built lazily inside the query so the
+    module imports without Arrow/pandas; executors re-import safely.
+    Cross-engine contract: CPython unicodedata NFC ≡ DuckDB
+    utf8proc nfc_normalize — probed on hostile rows (NFD accents,
+    Hangul jamo composition, angstrom sign, combining stacks,
+    compatibility ligatures which NFC must NOT fold) before
+    freezing; the probe is a permanent test."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    return nfc
+
+
+@query(
+    "text_nfc_audit",
+    oracle=f"""
+WITH {_SRC_SQL}
+SELECT doc_id,
+       (nfc_normalize(text) = text) AS is_nfc,
+       md5(nfc_normalize(text)) AS nfc_md5,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc
+FROM src
+""",
+)
+def text_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalization audit — the data-quality gate in front
+    of the no-NFC tokenizer contract: per doc, whether the text is
+    already NFC, the md5 of its NFC form (the rewrite-and-rehash
+    surface — a normalizer drift anywhere is a hash mismatch), and
+    the char counts before/after (composition shortens). A corpus
+    mixing NFC and NFD spellings of the same words (the planted -6
+    row) silently splits tokens/fingerprints across the whole text
+    stack; this audit is how a pipeline DECIDES to pre-normalize
+    (and the md5 proves what the normalized bytes would be).
+
+    Scale shape: one scan → one Arrow-batched pandas UDF (the stated
+    Python seam — ~GB/s per core for normalization, no JVM
+    alternative exists) → JVM-side md5/length projections; ZERO
+    exchanges (plan-guarded). The UDF output is referenced three
+    times but evaluates once (ArrowEvalPython is a plan node, not an
+    inlined expression)."""
+    src = _with_planted(spark, sf_dir)
+    nfc = _nfc_udf()(F.col("text"))
+    base = src.select("doc_id", "text", nfc.alias("__nfc"))
+    return base.select(
+        "doc_id",
+        (F.col("__nfc") == F.col("text")).alias("is_nfc"),
+        F.md5("__nfc").alias("nfc_md5"),
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+        F.length("__nfc").cast("bigint").alias("n_chars_nfc"),
     )

@@ -248,6 +248,9 @@ QUERIES = [
     # unicode fingerprint; Russian/CJK docs route to their scripts
     # and PASS the length gate they failed under ASCII
     "pipeline_multilingual_curation",
+    # the NFC seam over hostile rows: unicodedata vs utf8proc must
+    # hash-agree on every normalization (NULL/empty included)
+    "text_nfc_audit",
 ]
 
 

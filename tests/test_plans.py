@@ -1750,3 +1750,17 @@ def test_multilingual_curation_single_scan_two_exchanges(spark):
     assert tree.count("Scan parquet") == 1, tree
     assert "Join" not in tree, tree
     assert tree.count("Exchange") <= 2, tree
+
+
+def test_nfc_audit_zero_shuffle_single_python_eval(spark):
+    """text_nfc_audit (r9): scan → ArrowEvalPython (the stated seam)
+    → JVM projections; zero exchanges, no join. Catalyst pushes the
+    projection through the Union into both branches (corpus scan +
+    8-literal planted branch), so exactly one ArrowEvalPython per
+    branch — the 3 references to the UDF output must NOT replicate
+    the node beyond that."""
+    tree = tree_of(plan_of(all_queries()["text_nfc_audit"](spark, SF_DIR)))
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree, tree
+    n_py = tree.count("ArrowEvalPython") + tree.count("BatchEvalPython")
+    assert n_py == tree.count("Union") + 1 == 2, tree

@@ -345,3 +345,37 @@ def test_multilingual_curation_planted(spark):
     assert rows["devanagari"].n_docs == 1
     # latin = 500 fixture docs + -5, -6, -8
     assert rows["latin"].n_docs == 503
+
+
+def test_nfc_probe_cross_engine_and_planted(spark):
+    """The NFC freeze probe re-run (CPython unicodedata vs DuckDB
+    utf8proc on hostile rows) + planted audit expectations: the -6
+    row carries an NFD spelling → is_nfc false and n_chars shrinks
+    by exactly the one composed accent; every other planted row is
+    already NFC."""
+    import unicodedata
+
+    import duckdb
+
+    rows = [
+        "café", "café", "中文", "한국어", "가",
+        "á̂", "İstanbul", "", "ascii only",
+        "ﬁ ligature", "Å angstrom",
+    ]
+    con = duckdb.connect()
+    for t in rows:
+        d = con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
+        assert d == unicodedata.normalize("NFC", t), repr(t)
+
+    out = all_queries()["text_nfc_audit"](spark, SF_DIR)
+    got = {
+        r.doc_id: (r.is_nfc, r.n_chars_raw, r.n_chars_nfc)
+        for r in out.filter(F.col("doc_id") < 0).collect()
+    }
+    texts = dict(PLANTED_MULTILINGUAL)
+    for i, t in PLANTED_MULTILINGUAL:
+        nfc = unicodedata.normalize("NFC", t)
+        assert got[i] == (nfc == t, len(t), len(nfc)), (i, got[i])
+    # the headline planted fact: -6 is the mixed-normalization row
+    assert got[-6][0] is False and got[-6][2] == got[-6][1] - 1
+    assert all(v[0] for k, v in got.items() if k != -6)
