@@ -590,3 +590,113 @@ def text_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("n_chars_raw"),
         F.length("__nfc").cast("bigint").alias("n_chars_nfc"),
     )
+
+
+def _cjk_gram_rows(src: DataFrame) -> DataFrame:
+    """(__id, __sh) char-bigram gram rows of CJK runs — the Spark
+    grain shared by `text_tokenize_cjk_bigram` and the bigram
+    near-dup (one implementation; `run` is a Generate output so the
+    per-gram substr never re-runs the run regex)."""
+    r = src.select(
+        F.col("doc_id").alias("__id"),
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(CJK_RUN_RE), F.lit(0))
+        ).alias("run"),
+    )
+    run = F.col("run")
+    grams = F.when(
+        F.length(run) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(run) - 1),
+            lambda i: run.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array(run))
+    return r.select("__id", F.explode(grams).alias("__sh"))
+
+
+# SQL twin of _cjk_gram_rows' gram expansion (expects a prior
+# relation r(doc_id, run)).
+_DUCK_CJK_GRAMS = """SELECT doc_id, unnest(CASE WHEN len(run) >= 2
+      THEN list_transform(range(1, len(run)),
+                          i -> substring(run, CAST(i AS INT), 2))
+      ELSE [run] END) AS s
+  FROM r"""
+
+
+def _cjk_neardup_oracle() -> str:
+    from gmt_dbt_spark.operators.dedup import _banded_sql, _hash_sig_ctes
+
+    return f"""
+WITH {_SRC_SQL},
+r AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{CJK_RUN_RE}')) AS run
+  FROM src
+),
+sh AS (
+  {_DUCK_CJK_GRAMS}
+),
+{_hash_sig_ctes()},
+banded AS (
+  {_banded_sql("sig")}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS n_inter,
+       CAST(len(list_distinct(a.shs || b.shs)) AS BIGINT) AS n_union
+FROM cand c
+JOIN sets a ON c.id_a = a.doc_id
+JOIN sets b ON c.id_b = b.doc_id
+WHERE len(list_intersect(a.shs, b.shs)) * 10
+      >= len(list_distinct(a.shs || b.shs)) * 6
+"""
+
+
+@query("dedup_cjk_bigram_neardup", oracle=_cjk_neardup_oracle())
+def dedup_cjk_bigram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs at the CJK CHAR-BIGRAM grain
+    — the right granularity for unsegmented scripts, where even the
+    unicode WORD tokenizer yields one token per spaceless run (so
+    `dedup_fuzzy_unicode`'s word-3-gram shingles are whole-run-sized
+    and brittle to single-char edits). Grams from the shared
+    `_cjk_gram_rows`; signature/banding/verify are dedup_fuzzy's
+    EXACT algebra via the grain-agnostic seams factored this round
+    (`sig_from_rows`, `verify_jaccard(sets_df=...)`, and the oracle's
+    `_hash_sig_ctes`/`_banded_sql` — generated from the same
+    constants, no second copy of the hash family).
+
+    Docs with no CJK runs contribute no grams and can never pair
+    (the NULL-doc rule); the planted (-11, -12) CJK docs share a
+    long bigram overlap (construction-pinned in tests). Jaccard
+    threshold 0.6, integer cross-multiplied.
+
+    Scale shape: identical to dedup_fuzzy — 96-byte signatures over
+    gram rows, band-key equi-join, verify bounded by |candidates|;
+    gram text never exceeds 2 chars and only candidate docs'
+    distinct-gram sets materialize."""
+    from gmt_dbt_spark.operators.dedup import (
+        lsh_candidate_ids,
+        lsh_candidates,
+        sig_from_rows,
+        verify_jaccard,
+    )
+
+    src = _with_planted(spark, sf_dir)
+    grams = _cjk_gram_rows(src)
+    sig = sig_from_rows(grams, "md5").localCheckpoint(eager=True)
+    pairs = lsh_candidates(sig, "md5")
+    cand = lsh_candidate_ids(sig, "md5")
+    sets = (
+        grams.join(cand.toDF("__id"), "__id", "left_semi")
+        .groupBy("__id")
+        .agg(F.collect_set("__sh").alias("__toks"))
+        .select(F.col("__id").alias("__tid"), "__toks")
+        .localCheckpoint(eager=True)
+    )
+    return verify_jaccard(
+        pairs, src, "doc_id", "text", 0.6, sets_df=sets
+    ).select("id_a", "id_b", "n_inter", "n_union")

@@ -297,9 +297,17 @@ def minhash_signature(
     ``family`` pins the base-hash family for this plan; None resolves
     the session conf ONCE here (never per-expression)."""
     family = family or _hash_family()
-    sh = shingle_rows(df, id_col, text_col, unicode=unicode).withColumn(
-        "__h", shingle_hash("__sh", family)
+    return sig_from_rows(
+        shingle_rows(df, id_col, text_col, unicode=unicode), family
     )
+
+
+def sig_from_rows(rows: DataFrame, family: str | None = None) -> DataFrame:
+    """(__id, __sh) gram/shingle rows → the 12-minhash signature —
+    the grain-agnostic half of `minhash_signature` (r9: the CJK
+    char-bigram near-dup feeds bigram grams through the IDENTICAL
+    hash family/signature algebra)."""
+    sh = rows.withColumn("__h", shingle_hash("__sh", family))
     aggs = [
         F.min(F.pmod(F.col("__h") * a + b, F.lit(_P))).alias(f"mh{j}")
         for j, (a, b) in enumerate(_AB)
@@ -380,6 +388,7 @@ def verify_jaccard(
     cand_ids: DataFrame | None = None,
     shingle: bool = False,
     unicode: bool = False,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact set-Jaccard on candidate pairs only — over 3-word
     SHINGLE sets when ``shingle=True`` (the quantity the MinHash
@@ -401,6 +410,12 @@ def verify_jaccard(
     consume-once spine). When omitted it's derived by exploding
     ``pairs`` — then pass a MATERIALIZED pairs frame, since it gets
     consumed three times (prune + both join sides)."""
+    if sets_df is not None:
+        # caller supplies (__tid, __toks) sets at its own grain (r9:
+        # CJK char-bigram sets) — prune/tokenize here would be the
+        # wrong grain; the pair-join/verify algebra below is shared
+        toks = sets_df
+        return _verify_pairs(pairs, toks, threshold)
     if cand_ids is None:
         cand_ids = pairs.select(
             F.explode(F.array("id_a", "id_b")).alias(id_col)
@@ -426,6 +441,14 @@ def verify_jaccard(
     # one set each — small by construction, and the r2→r3 fix for
     # dedup_fuzzy's +50% verify regression.
     toks = toks.localCheckpoint(eager=True)
+    return _verify_pairs(pairs, toks, threshold)
+
+
+def _verify_pairs(
+    pairs: DataFrame, toks: DataFrame, threshold: float
+) -> DataFrame:
+    """The shared exact-set verify: join (__tid, __toks) onto both
+    pair sides, integer cross-multiplied jaccard decision."""
     a = toks.alias("a")
     b = toks.alias("b")
     return (
@@ -492,6 +515,27 @@ _DUCK_ASCII_TOKENS_ML = """list_filter(string_split_regex(trim(lower(regexp_repl
              '[^a-zA-Z0-9 ]', ' ', 'g'))), ' +'), t -> t <> '')"""
 
 
+def _hash_sig_ctes() -> str:
+    """The grain-agnostic hs/sig CTE pair (expects a prior `sh`
+    relation of (doc_id, s) gram rows) — generated from the SAME
+    `_AB`/`_P` constants as the Spark `sig_from_rows` (r9 factoring:
+    the CJK bigram oracle reuses it; the default `_sig_cte_prefix`
+    output is byte-identical)."""
+    ab_mins = ",\n       ".join(
+        f"MIN((h * {a} + {b}) % {_P}) AS mh{j}" for j, (a, b) in enumerate(_AB)
+    )
+    return f"""hs AS (
+  SELECT doc_id,
+         (CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) % {_P} AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+       {ab_mins}
+  FROM hs GROUP BY doc_id
+)"""
+
+
 def _sig_cte_prefix(tokens_sql: str | None = None, src: str = "documents") -> str:
     """The shared tokenize → shingle → md5-hash → 12-min signature
     CTE prefix (t0/sh/hs/sig), generated ONCE from the `_AB`/`_P`
@@ -506,9 +550,6 @@ def _sig_cte_prefix(tokens_sql: str | None = None, src: str = "documents") -> st
     pre-r9 string exactly (frozen oracle hashes)."""
     if tokens_sql is None:
         tokens_sql = _DUCK_ASCII_TOKENS_ML
-    ab_mins = ",\n       ".join(
-        f"MIN((h * {a} + {b}) % {_P}) AS mh{j}" for j, (a, b) in enumerate(_AB)
-    )
     return f"""t0 AS (
   SELECT doc_id,
          {tokens_sql} AS tk
@@ -524,16 +565,7 @@ sh AS (
       ELSE [COALESCE(array_to_string(tk, ' '), '')] END) AS s
   FROM t0
 ),
-hs AS (
-  SELECT doc_id,
-         (CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) % {_P} AS h
-  FROM sh
-),
-sig AS (
-  SELECT doc_id,
-       {ab_mins}
-  FROM hs GROUP BY doc_id
-)"""
+{_hash_sig_ctes()}"""
 
 
 def _banded_sql(src: str) -> str:

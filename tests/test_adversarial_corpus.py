@@ -251,6 +251,10 @@ QUERIES = [
     # the NFC seam over hostile rows: unicodedata vs utf8proc must
     # hash-agree on every normalization (NULL/empty included)
     "text_nfc_audit",
+    # bigram-grain near-dup: the triplicated CJK doc must self-pair
+    # at jaccard 1.0 on both engines; ASCII-only hostile docs emit
+    # no grams
+    "dedup_cjk_bigram_neardup",
 ]
 
 

@@ -277,6 +277,15 @@ GATES = {
             ("test_unicode_text", "test_dedup_fuzzy_unicode_planted")
         ],
     },
+    "dedup_cjk_bigram_neardup": {
+        # bigram-grain CJK near-dup: planted pair with construction-
+        # derived (11, 13) distinct-char overlap, identical pair at
+        # n_inter == n_union, and the no-CJK-docs-never-pair negative
+        "class": "pair",
+        "evidence": [
+            ("test_unicode_text", "test_cjk_bigram_neardup_planted")
+        ],
+    },
     # --- r8 pattern extension: SPLIT / SAMPLE / PACK families --------
     # (r7 VERDICT item 3). Routing gates assign every doc to a
     # split/shard/pack rather than dropping any — but a wrong route

@@ -379,3 +379,22 @@ def test_nfc_probe_cross_engine_and_planted(spark):
     # the headline planted fact: -6 is the mixed-normalization row
     assert got[-6][0] is False and got[-6][2] == got[-6][1] - 1
     assert all(v[0] for k, v in got.items() if k != -6)
+
+
+def test_cjk_bigram_neardup_planted(spark):
+    """Pair-gate evidence at the bigram grain, by construction: the
+    planted -11/-12 docs are space-separated single CJK chars, so
+    every run has length 1 and each doc's gram set is its distinct
+    CHARS — 11 shared of 13 union (12+12 tokens, 11 common) →
+    jaccard 11/13 ≥ 0.6, MUST pair with exactly (11, 13). -1 and -2
+    share ALL their distinct grams (same words mod punctuation) →
+    pair at n_inter == n_union. Docs with no CJK (the entire ASCII
+    fixture, -4, -5, -6) contribute no grams and never appear."""
+    out = all_queries()["dedup_cjk_bigram_neardup"](spark, SF_DIR)
+    rows = {(r.id_a, r.id_b): (r.n_inter, r.n_union) for r in out.collect()}
+    assert all(a < 0 and b < 0 for a, b in rows), rows  # CJK-only corpus slice
+    assert rows[(-12, -11)] == (11, 13)
+    ab = rows[(-2, -1)]
+    assert ab[0] == ab[1]
+    for pair in rows:
+        assert -4 not in pair and -5 not in pair and -6 not in pair
