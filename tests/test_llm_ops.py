@@ -2608,3 +2608,141 @@ def test_bpe_and_wp_fertility_match_python_reference(spark, tmp_path):
             for r in qs["text_wordpiece_fertility"](spark, d).collect()
         }
         assert got == expect_wp, f"seed {seed}: wp fertility diverges"
+
+
+def test_pretrain_corpus_funnel_planted(spark, tmp_path):
+    """r9 drill follow-up: pipeline_pretrain_corpus had NO
+    construction-derived pin — only oracle parity (blind to mirrored
+    bugs) and a plan guard. (The drill's first mutation — dropping
+    the q gate from the keeper window — turned out semantically
+    EQUIVALENT because q is a function of text alone and fp groups
+    share text; recorded, not a bug.) This test pins every stage
+    transition on a hand corpus with the expectations computed by a
+    PURE-PYTHON replay of the funnel (hashlib md5 + the same _AB
+    constants — independent of both engines):
+
+      d0=A keeper · d1=A exact-dup · d2,d6 near-dups of A (fuzzy,
+      verified ≥8/12 by the python replay) · d3 fails quality ·
+      d4 clean survivor · d5 contaminated (first-5 tokens shared
+      with an eval doc) — chosen so |fdup∩keepers| != |contam∩
+      keepers| (a stage-order bug cannot produce the same counts).
+    """
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmt_dbt_spark.operators.curation import (
+        EVAL_SRC_LIST,
+        MIN_CHARS,
+        MIN_TOKENS,
+        _PIPE_FUZZY_MIN_MATCH,
+    )
+    from gmt_dbt_spark.operators.dedup import _AB, _BANDS, _P
+    from gmt_dbt_spark.registry import all_queries
+
+    A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    A2 = A.replace("kappa", "lambda")
+    A3 = A.replace("kappa", "mu")
+    B = "one two three four five six seven eight nine ten words"
+    C = "red green blue cyan magenta extra tokens here now"
+    rows = [
+        (0, A, "s_train"), (1, A, "s_train"), (2, A2, "s_train"),
+        (3, "tiny", "s_train"), (4, B, "s_train"), (5, C, "s_train"),
+        (6, A3, "s_train"),
+        (100, " ".join(C.split()[:5]) + " different tail", EVAL_SRC_LIST[0]),
+    ]
+    d = tmp_path / "funnel"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": [r[2] for r in rows],
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+
+    # ---- pure-python replay -----------------------------------------
+    def toks(t):
+        return [
+            w
+            for w in "".join(
+                c if c.isalnum() or c == " " else " " for c in t
+            ).lower().split()
+            if w
+        ]
+
+    def shingles(t):
+        tk = toks(t)
+        if len(tk) >= 3:
+            return [" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)]
+        return [" ".join(tk)]
+
+    def sig(t):
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % _P
+            for s in shingles(t)
+        ]
+        return [min((h * a + b) % _P for h in hs) for a, b in _AB]
+
+    def bands(sg):
+        per = len(_AB) // _BANDS
+        out = []
+        for b in range(_BANDS):
+            joined = ",".join(str(x) for x in sg[b * per : (b + 1) * per])
+            out.append((b, int(hashlib.md5(joined.encode()).hexdigest()[:15], 16)))
+        return out
+
+    train = [(i, t) for i, t, s in rows if s == "s_train"]
+    q = {i: len(toks(t)) >= MIN_TOKENS and len(t) >= MIN_CHARS for i, t in train}
+    fp = {i: hashlib.md5(t.encode()).hexdigest() for i, t in train}
+    keepers = sorted(
+        i for i, t in train
+        if q[i] and i == min(j for j, _ in train if fp[j] == fp[i] and q[j])
+    )
+    sigs = {i: sig(dict(train)[i]) for i in keepers}
+    fdup = set()
+    for ia in keepers:
+        for ib in keepers:
+            if ia < ib and set(bands(sigs[ia])) & set(bands(sigs[ib])):
+                n_match = sum(x == y for x, y in zip(sigs[ia], sigs[ib]))
+                if n_match >= _PIPE_FUZZY_MIN_MATCH:
+                    fdup.add(ib)
+    eval_fp5 = {
+        hashlib.md5(" ".join(t.split(" ")[:5]).encode()).hexdigest()
+        for i, t, s in rows
+        if s in EVAL_SRC_LIST
+    }
+    contam = {
+        i
+        for i, t in train
+        if hashlib.md5(" ".join(t.split(" ")[:5]).encode()).hexdigest()
+        in eval_fp5
+    }
+    # construction sanity: both near-dups flagged, exactly d5 contam,
+    # and the two drop sets differ in size on keepers
+    assert fdup == {2, 6} and contam == {5}
+    final = [i for i in keepers if i not in fdup and i not in contam]
+    expect = (
+        len(train),
+        sum(q.values()),
+        len(keepers),
+        len([i for i in keepers if i not in fdup]),
+        len(final),
+        sum(len(toks(dict(train)[i])) for i in final),
+    )
+    assert expect == (7, 6, 5, 3, 2, 21)
+
+    got = {
+        r.source: (r.n_raw, r.n_quality, r.n_exact, r.n_fuzzy,
+                   r.n_final, r.total_tokens)
+        for r in all_queries()["pipeline_pretrain_corpus"](
+            spark, str(d)
+        ).collect()
+    }
+    assert got == {"s_train": expect}
