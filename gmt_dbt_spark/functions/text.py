@@ -1583,3 +1583,41 @@ def badwords_filter_broadcast(
             (F.count("bad_tok") == 0) & (F.count("tok") > 0)
         ).alias("keep"),
     )
+
+
+@query(
+    "text_badwords_filter_bcast",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         {_DUCK_TOKENS} AS tk
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(tk, x -> list_contains({_BADWORDS_SQL}, x)))
+            AS BIGINT) AS n_bad,
+       (len(list_filter(tk, x -> list_contains({_BADWORDS_SQL}, x))) = 0
+        AND len(tk) > 0) AS keep
+FROM t
+""",
+)
+def text_badwords_filter_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered PRODUCTION-shaped blocklist gate (r9, advisor
+    follow-through): `badwords_filter_broadcast` — exploded token
+    stream, broadcast hash join against the blocklist RELATION,
+    doc_id re-aggregation — run as a first-class driver-proven query.
+    SAME oracle as `text_badwords_filter` (identical semantics by
+    spec; list_contains IS the membership the join computes), so the
+    two registered plans are pinned output-equal through the driver
+    hash itself, on top of the direct test pin.
+
+    Why two registered shapes: the literal array scan is zero-
+    exchange but O(tokens × |list|) per row — right at |list| ≈ 10;
+    this join form is O(tokens) per row plus one exchange — right at
+    the 10^4-word production list (the AQE claim this replaced could
+    never deliver: no optimizer rewrites a literal membership test
+    into a join). Plan-guarded: BroadcastHashJoin present, exactly
+    one non-broadcast exchange (the partial-agg'd doc_id rollup)."""
+    docs = table(spark, sf_dir, "documents")
+    return badwords_filter_broadcast(docs, list(BADWORDS))

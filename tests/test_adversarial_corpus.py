@@ -255,6 +255,10 @@ QUERIES = [
     # at jaccard 1.0 on both engines; ASCII-only hostile docs emit
     # no grams
     "dedup_cjk_bigram_neardup",
+    # the broadcast-join blocklist shape under hostile tokens (empty-
+    # normalizing docs keep=false via the zero-token rule, same as
+    # the literal form)
+    "text_badwords_filter_bcast",
 ]
 
 

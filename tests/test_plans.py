@@ -1764,3 +1764,16 @@ def test_nfc_audit_zero_shuffle_single_python_eval(spark):
     assert "Join" not in tree, tree
     n_py = tree.count("ArrowEvalPython") + tree.count("BatchEvalPython")
     assert n_py == tree.count("Union") + 1 == 2, tree
+
+
+def test_badwords_bcast_plan_shape(spark):
+    """text_badwords_filter_bcast (r9): the production join form —
+    blocklist relation BROADCAST into the exploded token stream,
+    exactly ONE non-broadcast exchange (the doc_id re-aggregation,
+    partial/final hash agg pair)."""
+    tree = tree_of(
+        plan_of(all_queries()["text_badwords_filter_bcast"](spark, SF_DIR))
+    )
+    assert "BroadcastHashJoin" in tree, tree
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1, tree
+    assert tree.count("HashAggregate") == 2, tree

@@ -432,6 +432,17 @@ GATES = {
             ("test_removal_gates", "test_badwords_filter_planted")
         ],
     },
+    "text_badwords_filter_bcast": {
+        # the broadcast-join production shape of the same gate —
+        # pinned output-equal to the literal form by the direct test
+        # AND by sharing the literal op's oracle; the planted
+        # evidence transfers through that equality
+        "class": "removal",
+        "evidence": [
+            ("test_removal_gates", "test_badwords_filter_planted"),
+            ("test_llm_ops", "test_badwords_broadcast_variant_matches_literal"),
+        ],
+    },
     "pipeline_c4_reproduce": {
         # the composed C4 funnel: every stage transition pinned on a
         # hand-built corpus (badwords drop, line-gate drop with a
