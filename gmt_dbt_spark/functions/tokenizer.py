@@ -1112,13 +1112,13 @@ def text_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one token-stream scan joined to the checkpointed
     segmentation (fingerprint-width keys), one per-doc aggregate. The
-    tercile rank here is an exact global ROW_NUMBER over the (doc_id,
-    4 ints) score relation — replayable and value-hashed; at 100 TB
-    the same banding runs as a 2-pass threshold split (approx
-    percentiles then a scan-side filter), trading the exact rank for
-    no global sort while this surface stays the verification twin."""
-    from pyspark.sql import Window
-
+    tercile rank is an exact global ROW_NUMBER over the (doc_id,
+    4 ints) score relation computed the SCALABLE way (r10; the r9
+    draft's single unpartitioned window was the registry's one
+    corpus-wide global sort): `scored_global_rank` buckets by
+    approx-percentile cutpoints of the score and adds broadcast
+    cumulative offsets — exact rank, no single-task sort (rank.py
+    has the proof sketch)."""
     docs = table(spark, sf_dir, "documents")
     _, s1, seg = _uni_train(docs)
     if not s1:
@@ -1162,12 +1162,10 @@ def text_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(ts * 1000 - pmod(ts * 1000, n_pieces)) div n_pieces"
         ).cast("bigint").alias("score_milli"),
     ).localCheckpoint(eager=True)
-    n = scored.agg(F.count(F.lit(1)).alias("n"))
-    ranked = scored.crossJoin(F.broadcast(n)).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.orderBy(F.desc("score_milli"), F.asc("doc_id"))
-        ),
+    from gmt_dbt_spark.rank import scored_global_rank
+
+    ranked = scored_global_rank(
+        scored, "score_milli", "doc_id", total_name="n"
     )
     band = (
         F.when((F.col("rn") - 1) * 3 < F.col("n"), F.lit("head"))

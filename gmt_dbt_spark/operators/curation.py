@@ -2230,12 +2230,14 @@ def pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, never strings); the bucket-count relation is ≤1024 rows —
     collected driver-side (the model, not the data), weights computed
     in Python ilog2 and re-broadcast as a 1024-row join side. The
-    global rank window moves only the (doc_id, 2 ints) scored
-    relation. Empty pool (single-source corpus) → empty result on
-    both engines."""
-    from pyspark.sql import Window
-
+    global rank is `scored_global_rank` (r10; the r9 draft's single
+    unpartitioned window was a corpus-wide sort): approx-percentile
+    score buckets + broadcast cumulative offsets — exact ROW_NUMBER
+    over the (doc_id, 2 ints) scored relation, no single-task sort
+    (rank.py has the proof sketch). Empty pool (single-source
+    corpus) → empty result on both engines."""
     from gmt_dbt_spark.functions.tokenizer import _uni_ilog2
+    from gmt_dbt_spark.rank import scored_global_rank
     from gmt_dbt_spark.operators.dedup import shingle_hash
 
     docs = table(spark, sf_dir, "documents").filter(
@@ -2296,16 +2298,12 @@ def pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum("w").cast("bigint").alias("score_fp"),
         )
+        # (doc_id, 2 ints), consumed twice by the two-phase rank
+        # (cutpoint aggregate + the ranked pass)
+        .localCheckpoint(eager=True)
     )
-    wr = Window.orderBy(F.col("score_fp").desc(), F.col("doc_id"))
-    ranked = scored.select(
-        "doc_id",
-        "n_tokens",
-        "score_fp",
-        F.row_number().over(wr).cast("bigint").alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias(
-            "nsc"
-        ),
+    ranked = scored_global_rank(
+        scored, "score_fp", "doc_id", total_name="nsc"
     )
     spine = docs.filter(F.col("source") != tgt).select("doc_id")
     return spine.join(ranked, "doc_id", "left").select(
