@@ -450,6 +450,21 @@ def test_bench_band_adjudication_rules():
     v = adjudicate({"value": sum(tiny.values()), "queries": tiny}, band)
     assert v["verdict"] == "in-band"
 
+    # r10 rebase: a query with a RECORDED volatile history carries
+    # its own threshold — its observed-max ratio must NOT flag, but
+    # exceeding even that still does (the override widens, never
+    # disables)
+    per_q = band["per_query_outlier_ratio"]
+    assert "pipeline_reference_e2e" in per_q and per_q["pipeline_reference_e2e"] > band["outlier_ratio"]
+    vol = dict(ref)
+    vol["pipeline_reference_e2e"] = ref["pipeline_reference_e2e"] * 2.5  # the r9 driver value's ratio
+    v = adjudicate({"value": sum(vol.values()), "queries": vol}, band)
+    assert v["verdict"] == "in-band", v
+    vol["pipeline_reference_e2e"] = ref["pipeline_reference_e2e"] * 3.2  # past its own threshold
+    v = adjudicate({"value": sum(vol.values()), "queries": vol}, band)
+    assert v["verdict"] == "suspect-regression"
+    assert list(v["outliers"]) == ["pipeline_reference_e2e"]
+
 
 def _kmv_skew_dir(tmp_path, name, groups, custkeys):
     import pyarrow as pa

@@ -66,6 +66,13 @@ def adjudicate(bench: dict, band: dict) -> dict:
     if valid:
         mx_q = max(valid, key=valid.get)
         mx = valid[mx_q]
+    # Per-query threshold overrides (r10 rebase): a few queries'
+    # RECORDED multi-pass history on identical code already exceeds
+    # the global ratio (disk-state/JIT-sensitive — see the band
+    # file's _doc); they carry their own observed-max-derived
+    # threshold so the tool stops flagging its own calibration
+    # artifacts while the global rule still guards everything else.
+    per_q = band.get("per_query_outlier_ratio", {})
     outliers = {
         q: {
             "ratio": round(r, 3),
@@ -74,7 +81,7 @@ def adjudicate(bench: dict, band: dict) -> dict:
             "delta_sec": round(cur[q] - ref[q], 3),
         }
         for q, r in valid.items()
-        if r > band["outlier_ratio"]
+        if r > per_q.get(q, band["outlier_ratio"])
         and (cur[q] - ref[q]) > band["min_outlier_abs_delta_sec"]
     }
 
