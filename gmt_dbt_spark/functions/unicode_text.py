@@ -700,3 +700,421 @@ def dedup_cjk_bigram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_jaccard(
         pairs, src, "doc_id", "text", 0.6, sets_df=sets
     ).select("id_a", "id_b", "n_inter", "n_union")
+
+
+# ---------------------------------------------------------------------------
+# r10 multilingual QUALITY gates (VERDICT r9 item 3): the r9 family
+# routed and deduped non-Latin text correctly but still SCORED it
+# with ASCII heuristics (text_quality/gopher see zero tokens, the
+# stopword lists are Latin); these two ops are the scoring side of
+# the unicode inheritance — stopword-FREE signals that work in any
+# script (char entropy / run shape / punct ratios), plus a trained
+# LM score at the CJK char grain.
+#
+# They ride a SECOND planted constant (PLANTED_QUALITY) rather than
+# extending PLANTED_MULTILINGUAL: the r9 ops' planted expectations
+# (the -11/-12 (9,11) jaccard pin, the token-count rows) are
+# construction-derived in tests, so the r9 corpus stays frozen and
+# the quality ops union BOTH constants (generate-from-constants on
+# both engines, as always).
+
+from gmt_dbt_spark.functions.knlm import (  # noqa: E402 — r10 section
+    KN_SCALE as _KN_SCALE_U,
+    _kn_ilog2_sql as _kn_ilog2_sql_u,
+    _with_ilog2 as _with_ilog2_u,
+)
+from gmt_dbt_spark.operators.dedup import (  # noqa: E402 — r10 section
+    _ASCII_LOWER as _ASCII_LO,
+    _ASCII_UPPER as _ASCII_UP,
+)
+
+PLANTED_QUALITY: list[tuple[int, str]] = [
+    # long unsegmented Han+Kana run (18 chars -> 16 char-trigram LM
+    # events) — the CJK-grain LM needs runs of >= 3 chars, which
+    # PLANTED_MULTILINGUAL (2-char words) never provides
+    (-20, "機械学習の研究開発を推進する国際会議"),
+    # single repeated char: entropy 0, max_run = doc length
+    (-21, "ははははははははは"),
+    # Cyrillic prose row for the per-script run stats
+    (-22, "Привет мир как дела сегодня"),
+    # punctuation-only: script none, punct_milli near 1000
+    (-23, "!!! ??? ... ###"),
+    # near-template pair sharing a long prefix: repeated trigrams
+    # make the LM bigram counts exceed 1 (hapax vs non-hapax split)
+    (-24, "自然言語処理の品質評価"),
+    (-25, "自然言語処理の品質管理"),
+    # low-entropy Latin template
+    (-26, "aaaa bbbb aaaa bbbb aaaa bbbb"),
+    # Arabic prose (RTL storage order is identical in both engines)
+    (-27, "العربية لغة جميلة ومفيدة"),
+    # Hangul: two 3-char runs -> one LM bigram each
+    (-28, "한국어는 자연어 처리 기술"),
+]
+
+_QPLANTED_VALUES = ", ".join(f"({i}, '{t}')" for i, t in PLANTED_QUALITY)
+
+# Quality-op source: documents ∪ BOTH planted corpora.
+_QSRC_SQL = f"""qsrc AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(id AS BIGINT) AS doc_id, text
+  FROM (VALUES {_PLANTED_VALUES}) v(id, text)
+  UNION ALL
+  SELECT CAST(id AS BIGINT) AS doc_id, text
+  FROM (VALUES {_QPLANTED_VALUES}) q(id, text)
+)"""
+
+
+def _with_qplanted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id, text) ∪ PLANTED_MULTILINGUAL ∪ PLANTED_QUALITY."""
+    return _with_planted(spark, sf_dir).unionAll(
+        spark.createDataFrame(PLANTED_QUALITY, "doc_id BIGINT, text STRING")
+    )
+
+
+# Single-char classes of the probed token contract (the per-char
+# membership predicate of UNI_TOKEN_RE — same frozen classes, length-1
+# matches; probe rows in tests/test_unicode_text.py cover the singles
+# too). Space class is explicit ASCII whitespace (Java \s and RE2 \s
+# are both ASCII-only but spelled differently — the explicit class is
+# the dialect-free subset, the SCRIPT_RANGES rule).
+WORD_CHAR_RE = r"[\p{L}\p{M}\p{N}]"
+SPACE_CHAR_RE = "[ \\t\\n\\r]"
+
+
+def _quality_script_oracle() -> str:
+    cnt_cols = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS s_{k}"
+        for k, p in SCRIPT_RANGES.items()
+    )
+    m = "GREATEST(" + ", ".join(f"s_{k}" for k in SCRIPT_RANGES) + ")"
+    when = "\n            ".join(
+        f"WHEN s_{k} = m THEN '{k}'" for k in SCRIPT_RANGES
+    )
+    run_n = "\n          ".join(
+        f"WHEN script = '{k}' THEN"
+        f" CAST(len(regexp_extract_all(text, '{p}+')) AS BIGINT)"
+        for k, p in SCRIPT_RANGES.items()
+    )
+    run_mx = "\n          ".join(
+        f"WHEN script = '{k}' THEN CAST(COALESCE(list_max(list_transform("
+        f"regexp_extract_all(text, '{p}+'), r -> len(r))), 0) AS BIGINT)"
+        for k, p in SCRIPT_RANGES.items()
+    )
+    folded = (
+        f"regexp_extract_all(translate(text, '{_ASCII_UP}', '{_ASCII_LO}'),"
+        f" '{WORD_CHAR_RE}')"
+    )
+    return f"""
+WITH {_QSRC_SQL},
+base AS (
+  SELECT doc_id, text,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '{WORD_CHAR_RE}')) AS BIGINT)
+         AS n_word_chars,
+       CAST(len(regexp_extract_all(text, '{SPACE_CHAR_RE}')) AS BIGINT)
+         AS n_space,
+       {cnt_cols}
+  FROM qsrc WHERE text IS NOT NULL
+),
+g AS (SELECT *, {m} AS m FROM base),
+s AS (
+  SELECT doc_id, text, n_chars, n_word_chars, n_space,
+         CASE WHEN m = 0 THEN 'none'
+              {when}
+         END AS script
+  FROM g
+),
+ch AS (
+  SELECT doc_id, unnest({folded}) AS c
+  FROM qsrc WHERE text IS NOT NULL
+),
+cc AS (
+  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k FROM ch GROUP BY 1, 2
+),
+cc2 AS (
+  SELECT doc_id, k,
+         CAST(SUM(k) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
+         CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT)
+           AS n_char_types
+  FROM cc
+),
+ent AS (
+  SELECT doc_id,
+         CAST(MAX(n) AS BIGINT) AS hn,
+         CAST(MAX(n_char_types) AS BIGINT) AS n_char_types,
+         CAST(SUM(k * ({_kn_ilog2_sql_u('n')} - {_kn_ilog2_sql_u('k')}))
+              AS BIGINT) AS h_fp
+  FROM cc2 GROUP BY 1
+)
+SELECT s.doc_id, s.script, s.n_chars, s.n_word_chars, s.n_space,
+       CASE WHEN s.n_chars > 0
+            THEN CAST((1000 * (s.n_chars - s.n_word_chars - s.n_space))
+                      // s.n_chars AS BIGINT) END AS punct_milli,
+       CASE {run_n} ELSE CAST(0 AS BIGINT) END AS n_runs,
+       CASE {run_mx} ELSE CAST(0 AS BIGINT) END AS max_run,
+       COALESCE(e.n_char_types, CAST(0 AS BIGINT)) AS n_char_types,
+       COALESCE(e.h_fp, CAST(0 AS BIGINT)) AS h_fp,
+       CASE WHEN e.hn > 0
+            THEN CAST((e.h_fp * 1000) // (e.hn * {_KN_SCALE_U})
+                 AS BIGINT) END AS char_entropy_milli
+FROM s LEFT JOIN ent e USING (doc_id)
+"""
+
+
+@query("text_quality_script_aware", oracle=_quality_script_oracle())
+def text_quality_script_aware(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Script-aware, stopword-FREE quality signals (r10, VERDICT r9
+    item 3): the ASCII quality family (`text_quality`, the gopher
+    gates, the C4 line filter) scores a CJK/Cyrillic/Arabic doc
+    through heuristics that see zero tokens or Latin stopwords; this
+    op measures the signals that exist in EVERY script, per doc:
+
+      script            dominant-script argmax (the langid router)
+      n_chars/word/space char-class census on the probed classes
+      punct_milli       non-word non-space share ×1000 (boilerplate
+                        / markup / symbol-spam gate)
+      n_runs, max_run   run shape of the DOMINANT script's range —
+                        spam elongation (ははは…) and unsegmented-run
+                        length, the run-length signal
+      n_char_types,     char-distribution Shannon entropy in exact
+      h_fp,             fixed point (the text_token_entropy ilog2
+      char_entropy_milli machinery at CHAR grain — template/repeat
+                        spam scores near 0 in any script)
+
+    All arithmetic is exact-integer (ilog2 at scale 4096; floor-milli
+    via `div`), so the value hash is exact cross-engine; entropy of a
+    zero-word-char doc is NULL (nothing to measure), its counts 0.
+    The run CASE evaluates ONLY the dominant script's branch per row
+    (lazy CASE on both engines) — 8 census regexes + 2 run regexes
+    per row, all scan-side.
+
+    Scale shape: the census/run signals are pure scan-side
+    projections; the entropy is one (doc, char)-grouped aggregate +
+    one doc-keyed rollup joined back to the spine — shuffles carry
+    (doc_id, single-char, int) rows only, text never leaves the scan
+    (the text_token_entropy shape). Planted rows: PLANTED_QUALITY
+    plants a zero-entropy repeat doc (-21), a punct-only doc (-23),
+    and prose in 5 scripts so every signal fires under the driver
+    hash."""
+    src = _with_qplanted(spark, sf_dir).filter(F.col("text").isNotNull())
+    cnts = [
+        F.regexp_count("text", F.lit(p)).alias(f"s_{k}")
+        for k, p in SCRIPT_RANGES.items()
+    ]
+    base = src.select(
+        "doc_id",
+        "text",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.regexp_count("text", F.lit(WORD_CHAR_RE))
+        .cast("bigint")
+        .alias("n_word_chars"),
+        F.regexp_count("text", F.lit(SPACE_CHAR_RE))
+        .cast("bigint")
+        .alias("n_space"),
+        *cnts,
+    )
+    m = F.greatest(*[F.col(f"s_{k}") for k in SCRIPT_RANGES])
+    dom = F.when(m == 0, F.lit("none"))
+    for k in SCRIPT_RANGES:
+        dom = dom.when(F.col(f"s_{k}") == m, F.lit(k))
+    s = base.select(
+        "doc_id", "text", "n_chars", "n_word_chars", "n_space",
+        dom.alias("script"),
+    )
+    run_n = F.lit(None)
+    run_mx = F.lit(None)
+    nruns = None
+    mxrun = None
+    for k, p in SCRIPT_RANGES.items():
+        pat = F.lit(p + "+")
+        cond = F.col("script") == k
+        n_k = F.regexp_count("text", pat).cast("bigint")
+        mx_k = F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.regexp_extract_all(F.col("text"), pat, F.lit(0)),
+                    lambda r: F.length(r),
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint")
+        nruns = F.when(cond, n_k) if nruns is None else nruns.when(cond, n_k)
+        mxrun = (
+            F.when(cond, mx_k) if mxrun is None else mxrun.when(cond, mx_k)
+        )
+    nruns = nruns.otherwise(F.lit(0).cast("bigint"))
+    mxrun = mxrun.otherwise(F.lit(0).cast("bigint"))
+    sig = s.select(
+        "doc_id", "script", "n_chars", "n_word_chars", "n_space",
+        F.when(
+            F.col("n_chars") > 0,
+            F.expr(
+                "(1000 * (n_chars - n_word_chars - n_space)) div n_chars"
+            ),
+        ).cast("bigint").alias("punct_milli"),
+        nruns.alias("n_runs"),
+        mxrun.alias("max_run"),
+    )
+    ch = src.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.translate("text", _ASCII_UP, _ASCII_LO),
+                F.lit(WORD_CHAR_RE),
+                F.lit(0),
+            )
+        ).alias("c"),
+    )
+    from pyspark.sql import Window
+
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    # per-doc totals as a PARTITIONED window over the count relation
+    # — one pass, no self-join (one corpus read cheaper than the
+    # text_token_entropy join form; the window shares cc's doc_id
+    # clustering)
+    w_doc = Window.partitionBy("doc_id")
+    j = cc.withColumn(
+        "n", F.sum("k").over(w_doc).cast("bigint")
+    ).withColumn(
+        "n_char_types", F.count(F.lit(1)).over(w_doc).cast("bigint")
+    )
+    j = _with_ilog2_u(j, "n", "ln")
+    j = _with_ilog2_u(j, "k", "lk")
+    ent = j.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("hn"),
+        F.max("n_char_types").cast("bigint").alias("n_char_types"),
+        F.sum(F.col("k") * (F.col("ln") - F.col("lk")))
+        .cast("bigint")
+        .alias("h_fp"),
+    )
+    return sig.join(ent, "doc_id", "left").select(
+        "doc_id", "script", "n_chars", "n_word_chars", "n_space",
+        "punct_milli", "n_runs", "max_run",
+        F.coalesce("n_char_types", F.lit(0).cast("bigint")).alias(
+            "n_char_types"
+        ),
+        F.coalesce("h_fp", F.lit(0).cast("bigint")).alias("h_fp"),
+        F.when(
+            F.col("hn") > 0,
+            F.expr(f"(h_fp * 1000) div (hn * {_KN_SCALE_U})"),
+        ).cast("bigint").alias("char_entropy_milli"),
+    )
+
+
+_CJK_LM_ORACLE = f"""
+WITH {_QSRC_SQL},
+r AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{CJK_RUN_RE}')) AS run
+  FROM qsrc
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(run) - 1),
+                i -> substring(run, CAST(i AS INT), 2) || ' '
+                  || substring(run, CAST(i + 1 AS INT), 2))) AS bg
+  FROM r WHERE len(run) >= 3
+),
+bcnt AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cb FROM big GROUP BY bg),
+ccnt AS (
+  SELECT string_split(bg, ' ')[1] AS w1, CAST(COUNT(*) AS BIGINT) AS cc
+  FROM big GROUP BY string_split(bg, ' ')[1]
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lm_bigrams,
+       CAST(SUM(CASE WHEN bc.cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(MIN(bc.cb) AS BIGINT) AS min_big_cnt,
+       CAST(MAX(bc.cb) AS BIGINT) AS max_big_cnt,
+       CAST(MAX(cc.cc) AS BIGINT) AS max_ctx_cnt,
+       TRUE AS bound_ok
+FROM big b
+JOIN bcnt bc USING (bg)
+JOIN ccnt cc ON string_split(b.bg, ' ')[1] = cc.w1
+GROUP BY b.doc_id
+"""
+
+
+@query("text_cjk_bigram_logprob", oracle=_CJK_LM_ORACLE)
+def text_cjk_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score at the CJK char-bigram grain (r10,
+    VERDICT r9 item 3's second half): `text_bigram_logprob`'s exact
+    machinery — corpus model P(unit₂|unit₁), per-doc mean negative
+    conditional log-probability, integer-evidence oracle surface —
+    where the UNIT is `text_tokenize_cjk_bigram`'s char bigram and
+    adjacency is WITHIN a han/kana/hangul run (unit bigram = char
+    trigram of the run — the standard unsegmented-script LM grain; a
+    word LM is meaningless where the word tokenizer yields one giant
+    token per run). Runs need >= 3 chars to emit an LM event; docs
+    without any CJK trigram are absent (the text_bigram_logprob
+    < 2-token convention).
+
+    Oracle surface (the house libm pattern): ln() is engine-specific,
+    so the hashed columns are the exact integer LM evidence — per-doc
+    LM-bigram count, corpus-hapax count, min/max corpus counts, max
+    context count — plus bound_ok: every neg-logprob is
+    ln(c(ctx)/c(pair)) with c(pair) <= c(ctx), so the mean lies in
+    [0, ln(max_ctx_cnt)].
+
+    Scale shape: identical to text_bigram_logprob — the LM-bigram
+    stream is built scan-side (run regex + one Generate; the
+    per-gram substr reads the materialized `run`, the shingle_rows
+    barrier rule), the two count relations aggregate from it and
+    AQE-broadcast back while they fit. PLANTED_QUALITY plants the
+    grain: an 18-char run (-20), a shared-prefix template pair
+    (-24/-25) so non-hapax counts appear, and 3-char hangul runs
+    (-28)."""
+    src = _with_qplanted(spark, sf_dir)
+    r = src.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(CJK_RUN_RE), F.lit(0))
+        ).alias("run"),
+    ).filter(F.length("run") >= 3)
+    run = F.col("run")
+    big = r.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(run) - 2),
+                lambda i: F.concat_ws(
+                    " ", run.substr(i, F.lit(2)), run.substr(i + 1, F.lit(2))
+                ),
+            )
+        ).alias("bg"),
+    )
+    bcnt = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    ccnt = (
+        big.select(F.split("bg", " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    scored = (
+        big.join(bcnt, "bg")
+        .join(ccnt, F.split(big["bg"], " ").getItem(0) == ccnt["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lm_bigrams"),
+            F.sum(F.when(F.col("cb") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+            F.min("cb").cast("bigint").alias("min_big_cnt"),
+            F.max("cb").cast("bigint").alias("max_big_cnt"),
+            F.max("cc").cast("bigint").alias("max_ctx_cnt"),
+            F.avg(F.log(F.col("cc") / F.col("cb"))).alias("__score"),
+        )
+    )
+    eps = 1e-9
+    return scored.select(
+        "doc_id",
+        "n_lm_bigrams",
+        "n_hapax",
+        "min_big_cnt",
+        "max_big_cnt",
+        "max_ctx_cnt",
+        (
+            (F.col("__score") >= -eps)
+            & (F.col("__score") <= F.log(F.col("max_ctx_cnt")) + eps)
+        ).alias("bound_ok"),
+    )

@@ -259,6 +259,12 @@ QUERIES = [
     # normalizing docs keep=false via the zero-token rule, same as
     # the literal form)
     "text_badwords_filter_bcast",
+    # r10: the multilingual QUALITY gates — hostile punct-only /
+    # empty / CJK / Cyrillic rows drive every census branch, the
+    # zero-word-char entropy NULL, and the dominant-script run CASE;
+    # the CJK LM sees the kana doc's runs (plus the planted grain)
+    "text_quality_script_aware",
+    "text_cjk_bigram_logprob",
 ]
 
 

@@ -1817,3 +1817,31 @@ def test_badwords_bcast_plan_shape(spark):
     assert "BroadcastHashJoin" in tree, tree
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1, tree
     assert tree.count("HashAggregate") == 2, tree
+
+
+def test_quality_script_aware_two_scans_no_global_window(spark):
+    """text_quality_script_aware (r10): census/run signals are pure
+    scan-side projections (one documents scan + the literal planted
+    branches); the char entropy adds exactly one more corpus pass
+    (the (doc,char) aggregate chain) joined back — TWO parquet scans
+    total, no cartesian anything, and ZERO unpartitioned Windows
+    (the signals are joins + aggregates only)."""
+    df = all_queries()["text_quality_script_aware"](spark, SF_DIR)
+    tree = tree_of(plan_of(df))
+    assert tree.count("Scan parquet") == 2, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    opt = df._jdf.queryExecution().optimizedPlan()
+    for n in _iter_logical_nodes(opt):
+        if n.getClass().getSimpleName() == "Window":
+            assert not n.partitionSpec().isEmpty(), "global window crept in"
+
+
+def test_cjk_bigram_logprob_no_nested_loop(spark):
+    """text_cjk_bigram_logprob (r10): the two LM-count joins must
+    stay hash joins (the text_bigram_logprob pin) — a nested loop
+    here would be the all-pairs regression; the LM stream itself is
+    scan-side (run regex + Generate, the shingle_rows barrier)."""
+    tree = tree_of(plan_of(all_queries()["text_cjk_bigram_logprob"](spark, SF_DIR)))
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree

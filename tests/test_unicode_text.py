@@ -398,3 +398,168 @@ def test_cjk_bigram_neardup_planted(spark):
     assert ab[0] == ab[1]
     for pair in rows:
         assert -4 not in pair and -5 not in pair and -6 not in pair
+
+
+# --------------------------------------------------------------------
+# r10 multilingual quality gates (VERDICT r9 item 3) — pure-Python
+# references computed from the SAME frozen constants, independent of
+# both engines and of the oracle SQL.
+
+
+def _py_ilog2(x):
+    """The knlm ilog2 contract, scale 4096, pure Python."""
+    bl = x.bit_length()
+    p = 1 << (bl - 1)
+    return 4096 * (bl - 1) + ((x - p) * 4096) // p
+
+
+def _py_quality(text):
+    """Independent replay of text_quality_script_aware for one doc
+    (python `regex` — neither Java regex nor RE2)."""
+    import regex
+
+    from gmt_dbt_spark.functions.unicode_text import (
+        SCRIPT_RANGES,
+        SPACE_CHAR_RE,
+        WORD_CHAR_RE,
+    )
+
+    n_chars = len(text)
+    n_word = len(regex.findall(WORD_CHAR_RE, text))
+    n_space = len(regex.findall(SPACE_CHAR_RE, text))
+    cnts = {k: len(regex.findall(p, text)) for k, p in SCRIPT_RANGES.items()}
+    m = max(cnts.values())
+    script = "none" if m == 0 else next(
+        k for k in SCRIPT_RANGES if cnts[k] == m
+    )
+    if script == "none":
+        n_runs, max_run = 0, 0
+    else:
+        runs = regex.findall(SCRIPT_RANGES[script] + "+", text)
+        n_runs = len(runs)
+        max_run = max((len(r) for r in runs), default=0)
+    punct_milli = (
+        (1000 * (n_chars - n_word - n_space)) // n_chars
+        if n_chars > 0
+        else None
+    )
+    folded = text.translate(str.maketrans(_ASCII_UPPER, _ASCII_LOWER))
+    chars = regex.findall(WORD_CHAR_RE, folded)
+    n = len(chars)
+    if n == 0:
+        return (
+            script, n_chars, n_word, n_space, punct_milli, n_runs,
+            max_run, 0, 0, None,
+        )
+    from collections import Counter
+
+    ks = Counter(chars)
+    h_fp = sum(k * (_py_ilog2(n) - _py_ilog2(k)) for k in ks.values())
+    return (
+        script, n_chars, n_word, n_space, punct_milli, n_runs, max_run,
+        len(ks), h_fp, (h_fp * 1000) // (n * 4096),
+    )
+
+
+def test_quality_script_aware_matches_python_reference(spark):
+    """Every planted row (both constants) pinned against the
+    independent pure-Python replay — script routing, census, run
+    shape, punct ratio, and the exact-integer char entropy."""
+    from gmt_dbt_spark.functions.unicode_text import PLANTED_QUALITY
+
+    out = all_queries()["text_quality_script_aware"](spark, SF_DIR)
+    got = {
+        r.doc_id: (
+            r.script, r.n_chars, r.n_word_chars, r.n_space,
+            r.punct_milli, r.n_runs, r.max_run, r.n_char_types,
+            r.h_fp, r.char_entropy_milli,
+        )
+        for r in out.filter(F.col("doc_id") < 0).collect()
+    }
+    planted = dict(PLANTED_MULTILINGUAL) | dict(PLANTED_QUALITY)
+    assert set(got) == set(planted)
+    for i, t in planted.items():
+        assert got[i] == _py_quality(t), (i, t, got[i], _py_quality(t))
+
+
+def test_quality_script_aware_planted_signals(spark):
+    """The headline planted facts, stated as construction-derived
+    integers (not via the replay): the repeat doc (-21) has exactly
+    one kana run spanning the doc and ZERO entropy; the punct-only
+    doc (-23) routes 'none' with NULL entropy and punct_milli
+    1000*(15-3)/15 = 800; the Latin template (-26) has char entropy
+    strictly below a same-length prose doc's."""
+    out = all_queries()["text_quality_script_aware"](spark, SF_DIR)
+    got = {r.doc_id: r for r in out.filter(F.col("doc_id") < 0).collect()}
+    r21 = got[-21]
+    assert (r21.script, r21.n_runs, r21.max_run) == ("kana", 1, 9)
+    assert (r21.n_char_types, r21.h_fp, r21.char_entropy_milli) == (1, 0, 0)
+    r23 = got[-23]
+    assert (r23.script, r23.punct_milli) == ("none", 800)
+    assert r23.n_char_types == 0 and r23.char_entropy_milli is None
+    assert r23.n_runs == 0 and r23.max_run == 0
+    # template (-26: 3 distinct chars over 24) vs prose (-22: richer)
+    assert got[-26].char_entropy_milli < got[-22].char_entropy_milli
+
+
+def _py_cjk_lm(planted):
+    """Independent replay of text_cjk_bigram_logprob's integer
+    evidence over a corpus with no other CJK (the ASCII fixtures
+    contribute no runs)."""
+    import regex
+
+    from gmt_dbt_spark.functions.unicode_text import CJK_RUN_RE
+
+    events = {}
+    for i, t in planted.items():
+        for run in regex.findall(CJK_RUN_RE, t):
+            if len(run) >= 3:
+                grams = [run[j : j + 2] for j in range(len(run) - 1)]
+                events.setdefault(i, []).extend(
+                    f"{a} {b}" for a, b in zip(grams, grams[1:])
+                )
+    from collections import Counter
+
+    bcnt = Counter(e for es in events.values() for e in es)
+    ccnt = Counter(
+        e.split(" ")[0] for es in events.values() for e in es
+    )
+    exp = {}
+    for i, es in events.items():
+        cbs = [bcnt[e] for e in es]
+        exp[i] = (
+            len(es),
+            sum(1 for c in cbs if c == 1),
+            min(cbs),
+            max(cbs),
+            max(ccnt[e.split(" ")[0]] for e in es),
+            True,
+        )
+    return exp
+
+
+def test_cjk_bigram_logprob_matches_python_reference(spark):
+    """The CJK-grain LM's integer evidence pinned against the pure-
+    Python corpus replay: only the planted docs with >=3-char runs
+    appear (-20 with 16 events, the -24/-25 template pair whose 7
+    shared prefix events are the non-hapax counts, -28's two short
+    hangul runs); the ASCII fixture contributes nothing."""
+    from gmt_dbt_spark.functions.unicode_text import (
+        PLANTED_MULTILINGUAL as PM,
+        PLANTED_QUALITY as PQ,
+    )
+
+    out = all_queries()["text_cjk_bigram_logprob"](spark, SF_DIR)
+    got = {
+        r.doc_id: (
+            r.n_lm_bigrams, r.n_hapax, r.min_big_cnt, r.max_big_cnt,
+            r.max_ctx_cnt, r.bound_ok,
+        )
+        for r in out.collect()
+    }
+    exp = _py_cjk_lm(dict(PM) | dict(PQ))
+    assert got == exp, (got, exp)
+    # construction-derived spot pins (independent of the replay)
+    assert got[-20][0] == 16  # 18-char run -> 16 unit bigrams
+    assert got[-24][3] == 2 and got[-25][3] == 2  # shared prefix
+    assert got[-28][0] == 3  # runs of 4 and 3 chars -> 2 + 1
