@@ -62,6 +62,15 @@ HOSTILE_ROWS = [
     (18, "a­b soft-hyphen"),  # soft hyphen (Cf) splits
     (19, "① circled one"),  # No is still \p{N}
     (20, "x́ marḱmid ́lead"),  # bare combining marks
+    # r10 probe extension (VERDICT r9 item 8): normalization edges
+    (21, "한국 jamo run"),  # NFD 한국 as conjoining jamo --
+    # \p{L} letters (ONE unbroken token with the trailing latin? no:
+    # space-separated), and the class NFC composes to syllables
+    (22, "ạ̀ and ạ̀x stacked"),  # NFD combining stack:
+    # NFC composes only a+0323 -> ạ, the grave stays combining
+    # (partial composition)
+    (23, "İstanbul 東京タワー ısparta"),  # dotted İ / dotless ı
+    # next to a CJK run -- the casefold asymmetry vs the bigram grain
 ]
 
 
@@ -563,3 +572,88 @@ def test_cjk_bigram_logprob_matches_python_reference(spark):
     assert got[-20][0] == 16  # 18-char run -> 16 unit bigrams
     assert got[-24][3] == 2 and got[-25][3] == 2  # shared prefix
     assert got[-28][0] == 3  # runs of 4 and 3 chars -> 2 + 1
+
+
+def test_normalization_edges_probe(spark):
+    """r10 probe extension (VERDICT r9 item 8) — the normalization
+    edge cases the NFC audit exposed, each pinned cross-engine AND
+    against CPython unicodedata:
+
+    1. Hangul JAMO composition: the conjoining-jamo spelling of
+       한국 (row 21) is six \\p{L} letters that NFC composes to two
+       precomposed syllables — n_chars shrinks 6→2 and is_nfc is
+       false.
+    2. Partial composition: a + U+0323 + U+0300 (row 22) NFC-composes
+       only the first mark (a+0323→ạ); the grave survives as a
+       combining char — 3 chars → 2, never 1.
+    3. İstanbul under the CJK-bigram GRAIN (row 23): the grain
+       extracts han/kana/hangul runs only, so the İ/I/ı casefold
+       asymmetry (the r3 trap) is structurally INVISIBLE there —
+       all case variants yield identical grams.
+    """
+    import unicodedata
+
+    import duckdb
+
+    from gmt_dbt_spark.functions.unicode_text import CJK_RUN_RE
+
+    rows = dict(HOSTILE_ROWS)
+    jamo_word = rows[21].split()[0]
+    assert all(0x1100 <= ord(c) <= 0x11FF for c in jamo_word)
+    nfc = unicodedata.normalize("NFC", jamo_word)
+    assert len(jamo_word) == 6 and len(nfc) == 2 and nfc == "한국"
+    con = duckdb.connect()
+    assert con.execute(
+        "SELECT nfc_normalize(?)", [jamo_word]
+    ).fetchone()[0] == nfc
+
+    stack = rows[22].split()[0]
+    assert [ord(c) for c in stack] == [0x61, 0x323, 0x300]
+    snfc = unicodedata.normalize("NFC", stack)
+    assert len(snfc) == 2 and ord(snfc[0]) == 0x1EA1 and ord(snfc[1]) == 0x300
+    assert con.execute(
+        "SELECT nfc_normalize(?)", [stack]
+    ).fetchone()[0] == snfc
+
+    # the audit surface itself reports both (via a scratch corpus
+    # through the registered op's expression shape): is_nfc false,
+    # shrinking char counts
+    df = spark.createDataFrame(
+        [(1, jamo_word), (2, stack)], "doc_id BIGINT, text STRING"
+    )
+    from gmt_dbt_spark.functions.unicode_text import _nfc_udf
+
+    out = {
+        r.doc_id: (r.n_raw, r.n_nfc)
+        for r in df.select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_raw"),
+            F.length(_nfc_udf()(F.col("text"))).cast("bigint").alias("n_nfc"),
+        ).collect()
+    }
+    assert out == {1: (6, 2), 2: (3, 2)}
+
+    # casefold asymmetry invisible at the CJK-bigram grain
+    def grams(spark_text):
+        d = spark.createDataFrame([(1, spark_text)], "id INT, text STRING")
+        return sorted(
+            r.run
+            for r in d.select(
+                F.explode(
+                    F.regexp_extract_all(
+                        F.col("text"), F.lit(CJK_RUN_RE), F.lit(0)
+                    )
+                ).alias("run")
+            ).collect()
+        )
+    base = grams("istanbul 東京タワー isparta")
+    assert grams(rows[23]) == base
+    assert grams("ISTANBUL 東京タワー ISPARTA") == base
+    assert base == ["東京タワー"]
+
+    # the jamo/bigram-grain hazard: the NFD spelling emits ZERO grams
+    # (conjoining jamo are outside the precomposed-syllable run
+    # class) while its NFC form emits one — exactly the corpus skew
+    # text_nfc_audit exists to surface before the grain runs
+    assert grams(jamo_word) == []
+    assert grams(nfc) == ["한국"]
