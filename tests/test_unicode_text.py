@@ -657,3 +657,108 @@ def test_normalization_edges_probe(spark):
     # text_nfc_audit exists to surface before the grain runs
     assert grams(jamo_word) == []
     assert grams(nfc) == ["한국"]
+
+
+# --------------------------------------------------------------------
+# r10 funnel drill (VERDICT r9 item 4, VERIFICATION pattern 14): the
+# multilingual curation funnel's construction-derived FULL replay.
+# Neither the sf fixtures nor the planted corpus contain a doc that
+# FAILS the >=3-token gate or a passing dup group with asymmetric
+# counts, so before this test a mirrored stage-order/transition-count
+# bug (kept counted without the gate; pass counted after dedup) could
+# alias through every existing pin. The scratch corpus exercises
+# EVERY transition — gate fail (short/empty docs), dup-collapse among
+# passers (x3 group), dup-collapse among failers (x2 group), and
+# per-script splits with distinct counts — and the expectation is a
+# pure-Python replay of the whole funnel (script argmax, unicode
+# tokens, md5 fingerprint, (gate, fp)-partitioned keep-lowest-id),
+# never the oracle SQL.
+
+
+def _py_curation_funnel(rows):
+    import hashlib as _h
+    from collections import defaultdict
+
+    import regex
+
+    from gmt_dbt_spark.functions.unicode_text import SCRIPT_RANGES
+
+    per_doc = []
+    for i, t in rows:
+        if t is None:
+            continue
+        cnts = {
+            k: len(regex.findall(p, t)) for k, p in SCRIPT_RANGES.items()
+        }
+        m = max(cnts.values())
+        script = (
+            "none" if m == 0 else next(
+                k for k in SCRIPT_RANGES if cnts[k] == m
+            )
+        )
+        toks = _py_uni_tokens(t)
+        fp = _h.md5(" ".join(toks).encode()).hexdigest()
+        per_doc.append((i, script, len(toks), fp, len(toks) >= 3))
+    first = {}
+    for i, _, _, fp, p in per_doc:
+        key = (p, fp)
+        first[key] = min(first.get(key, i), i)
+    out = defaultdict(lambda: [0, 0, 0, 0])
+    for i, script, ntok, fp, p in per_doc:
+        row = out[script]
+        row[0] += 1
+        if p:
+            row[1] += 1
+            if first[(p, fp)] == i:
+                row[2] += 1
+                row[3] += ntok
+    return {s: tuple(v) for s, v in out.items()}
+
+
+_FUNNEL_ROWS = [
+    (1, "short doc"),                      # latin, 2 tokens -> FAIL
+    (2, "短文"),                            # han, 1 token -> FAIL
+    (3, "短文"),                            # ... x2: FAILING dup group
+    (4, "le corpus multilingue est prêt"),  # latin pass
+    (5, "le corpus multilingue est prêt"),  # x3: PASSING dup group
+    (6, "le corpus multilingue est prêt"),
+    (7, "Привет мир сегодня хорошо"),       # cyrillic pass
+    (8, ""),                                # none, 0 tokens -> FAIL
+    (9, "中文 文本 处理 测试 额外"),          # han pass, distinct
+    (10, "こんにちは せかい です"),           # kana pass
+]
+
+
+def test_multilingual_curation_funnel_replay(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "funnel_sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in _FUNNEL_ROWS],
+                "text": [r[1] for r in _FUNNEL_ROWS],
+                "lang": ["xx"] * len(_FUNNEL_ROWS),
+                "source": ["drill"] * len(_FUNNEL_ROWS),
+                "n_chars": [len(r[1]) for r in _FUNNEL_ROWS],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = all_queries()["pipeline_multilingual_curation"](spark, str(d))
+    got = {
+        r.script: (r.n_docs, r.n_pass_len, r.n_after_dedup, r.kept_tokens)
+        for r in out.collect()
+    }
+    # the op unions the planted corpus onto whatever sf_dir it reads
+    want = _py_curation_funnel(_FUNNEL_ROWS + PLANTED_MULTILINGUAL)
+    assert got == want, (got, want)
+    # construction spot-pins, independent of the replay: the x3
+    # passing latin dup group collapses 3 -> 1 (n_pass_len counts all
+    # three, n_after_dedup one); the failing groups never reach kept
+    assert got["latin"][1] - got["latin"][2] == 2
+    assert got["none"] == (1, 0, 0, 0)
+    # kana: the scratch doc + no planted kana
+    assert got["kana"] == (1, 1, 1, 3)
