@@ -265,6 +265,9 @@ QUERIES = [
     # the CJK LM sees the kana doc's runs (plus the planted grain)
     "text_quality_script_aware",
     "text_cjk_bigram_logprob",
+    # ...and the removal gate those signals feed (hostile punct-only/
+    # empty/repeat rows must drop identically on both engines)
+    "pipeline_script_quality_gate",
 ]
 
 

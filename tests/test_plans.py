@@ -1845,3 +1845,19 @@ def test_cjk_bigram_logprob_no_nested_loop(spark):
     tree = tree_of(plan_of(all_queries()["text_cjk_bigram_logprob"](spark, SF_DIR)))
     assert "BroadcastNestedLoopJoin" not in tree, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_script_quality_gate_shares_signal_plan(spark):
+    """pipeline_script_quality_gate (r10): the gate is a pure
+    projection over `_quality_signal_frame` — same 2-scan shape as
+    the signal op, no extra exchange, no cartesian anything, zero
+    unpartitioned Windows."""
+    df = all_queries()["pipeline_script_quality_gate"](spark, SF_DIR)
+    tree = tree_of(plan_of(df))
+    assert tree.count("Scan parquet") == 2, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    opt = df._jdf.queryExecution().optimizedPlan()
+    for n in _iter_logical_nodes(opt):
+        if n.getClass().getSimpleName() == "Window":
+            assert not n.partitionSpec().isEmpty(), "global window crept in"

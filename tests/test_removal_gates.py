@@ -459,6 +459,13 @@ GATES = {
         "class": "audit",
         "evidence": [],
     },
+    # r10: the multilingual quality gate — signals -> keep/drop
+    "pipeline_script_quality_gate": {
+        "class": "removal",
+        "evidence": [
+            ("test_unicode_text", "test_script_quality_gate_planted")
+        ],
+    },
 }
 
 
@@ -487,6 +494,7 @@ def _is_gate_name(name: str) -> bool:
         or "mixture" in name
         or "c4_" in name
         or "badwords" in name
+        or "quality_gate" in name
     )
 
 

@@ -762,3 +762,37 @@ def test_multilingual_curation_funnel_replay(spark, tmp_path):
     assert got["none"] == (1, 0, 0, 0)
     # kana: the scratch doc + no planted kana
     assert got["kana"] == (1, 1, 1, 3)
+
+
+def test_script_quality_gate_planted(spark):
+    """Removal-gate evidence (GATES class 'removal') for
+    pipeline_script_quality_gate, by construction:
+
+    PLANTED POSITIVES (must be dropped): -21 (single repeated kana
+    char — char entropy exactly 0 < 1500), -23 (punct-only — zero
+    word chars, NULL entropy, punct_milli 800 > 300), -26 (the
+    'aaaa bbbb' template — 24 word chars split over 2 symbols gives
+    entropy_milli exactly 1000 < 1500, failing ONLY the entropy
+    sub-gate: punct/run/len all pass, so this row proves the entropy
+    gate does the dropping).
+    PLANTED NEGATIVES (must never be dropped): prose rows in five
+    scripts (-20 kana/han, -22 cyrillic, -27 arabic, -28 hangul,
+    -7 devanagari, -4 cyrillic, -1 han)."""
+    from gmt_dbt_spark.registry import all_queries as _aq
+
+    out = _aq()["pipeline_script_quality_gate"](spark, SF_DIR)
+    got = {r.doc_id: r for r in out.filter(F.col("doc_id") < 0).collect()}
+
+    assert got[-21].keep is False and got[-21].pass_entropy is False
+    assert got[-23].keep is False
+    assert got[-23].pass_len is False and got[-23].pass_punct is False
+    assert got[-23].pass_entropy is None  # NULL entropy -> COALESCE false
+    r26 = got[-26]
+    assert r26.char_entropy_milli == 1000  # construction: 12a+12b
+    assert (
+        r26.pass_entropy, r26.pass_punct, r26.pass_run, r26.pass_len
+    ) == (False, True, True, True)
+    assert r26.keep is False
+
+    for i in (-20, -22, -27, -28, -7, -4, -1):
+        assert got[i].keep is True, (i, got[i])
