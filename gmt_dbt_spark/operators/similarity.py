@@ -910,3 +910,229 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rel").alias("rel_micro"),
         F.col("maxsim").alias("maxsim_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: hybrid retrieval — reciprocal-rank fusion of a sparse (term)
+# leg and a dense (embedding) leg, the standard production shape
+# (Cormack et al. 2009; every hybrid search stack ships it). A hybrid
+# query is (term, query vector); RRF needs only the two RANK lists,
+# which makes it the rare fusion that is EXACTLY mirrorable: both
+# legs rank by integer keys with id tiebreaks, and the fused score is
+# floor(SCALE/(K+rank)) sums — no float anywhere in the surface.
+
+RRF_K = 60               # the canonical RRF constant
+RRF_SCALE = 1_000_000    # fixed-point numerator (floor-div mirrored)
+RRF_TOPK = 50            # per-leg candidate list depth
+_RRF_TERMS = ("vector", "hash", "stream")  # query i = (term_i, vec_i)
+
+
+def _rrf_oracle() -> str:
+    from gmt_dbt_spark.functions.text import _DUCK_TOKENS
+
+    qid_case = "CASE t " + " ".join(
+        f"WHEN '{t}' THEN {i}" for i, t in enumerate(_RRF_TERMS)
+    ) + " END"
+    terms_in = ", ".join(f"'{t}'" for t in _RRF_TERMS)
+    return f"""
+WITH norm AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents WHERE text IS NOT NULL
+),
+tkd AS (SELECT doc_id, tk, len(tk) AS dl FROM norm WHERE len(tk) >= 1),
+hit AS (
+  SELECT doc_id, dl, t
+  FROM (SELECT doc_id, dl, unnest(tk) AS t FROM tkd)
+  WHERE t IN ({terms_in})
+),
+tf AS (
+  SELECT {qid_case} AS qid, doc_id, MAX(dl) AS dl,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM hit GROUP BY 1, 2
+),
+sp AS (
+  SELECT qid, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY tf DESC, dl ASC, doc_id) AS BIGINT) AS rs
+  FROM tf QUALIFY rs <= {RRF_TOPK}
+),
+v AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+vq AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM v
+),
+qs AS (
+  SELECT CAST(vec_id AS INT) AS qid, qv AS qqv
+  FROM vq WHERE vec_id < {len(_RRF_TERMS)} AND n2 > 0
+),
+sc AS (
+  SELECT qs.qid, c.vec_id,
+         CAST(list_dot_product(qs.qqv, c.qv) AS BIGINT) AS d, c.n2
+  FROM vq c CROSS JOIN qs
+  WHERE c.vec_id <> qs.qid AND c.n2 > 0
+),
+keyed AS (
+  SELECT qid, vec_id,
+         CASE WHEN d >= 0
+              THEN CAST((CAST(d AS HUGEINT) * d) // n2 AS BIGINT)
+              ELSE -CAST((CAST(d AS HUGEINT) * d) // n2 AS BIGINT)
+         END AS key
+  FROM sc
+),
+dn AS (
+  SELECT qid, vec_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY key DESC, vec_id) AS BIGINT) AS rd
+  FROM keyed QUALIFY rd <= {RRF_TOPK}
+),
+fused AS (
+  SELECT COALESCE(sp.qid, dn.qid) AS query_id,
+         COALESCE(sp.doc_id, dn.vec_id) AS doc_id,
+         sp.rs AS rank_sparse, dn.rd AS rank_dense,
+         (COALESCE({RRF_SCALE} // ({RRF_K} + sp.rs), 0)
+          + COALESCE({RRF_SCALE} // ({RRF_K} + dn.rd), 0)) AS rrf_fp
+  FROM sp FULL OUTER JOIN dn
+    ON sp.qid = dn.qid AND sp.doc_id = dn.vec_id
+)
+SELECT CAST(query_id AS INT) AS query_id, doc_id,
+       rank_sparse, rank_dense, CAST(rrf_fp AS BIGINT) AS rrf_fp,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS fused_rank
+FROM fused
+"""
+
+
+@query("sim_rrf_fusion", oracle=_rrf_oracle())
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (r10): three
+    hybrid queries, each a (term, query-vector) pair — query i
+    searches term _RRF_TERMS[i] on the sparse leg and embedding
+    vec_id=i on the dense leg (documents and embeddings share the id
+    space) — fused as RRF: rrf_fp = Σ_leg floor(10⁶/(60+rank_leg)),
+    absent-leg contribution 0, plus the fused per-query rank.
+
+    Exactness (why RRF and not score fusion): RRF consumes only the
+    two rank lists, and both legs rank by INTEGER keys with id
+    tiebreaks — sparse by (tf desc, dl asc, doc_id), dense by the
+    signed milli-quantized cos² surrogate sign(dot)·(dot² div ‖v‖²)
+    (monotone in cosine: the query norm is constant per partition and
+    squaring is monotone per sign; DECIMAL(38) div ≡ HUGEINT //, the
+    dedup_embed_cosine convention) — so ranks, RRF scores, and the
+    fused rank all hash bit-exactly cross-engine. Zero-norm vectors
+    carry no cosine and are excluded from both sides of the dense leg
+    (the _NONZERO_SQL rationale, here division-free as dot²·n2
+    cross-multiplication never divides by the norm... the guard is
+    n2 > 0 on the quantized ints).
+
+    Scale shape: sparse leg = the text_bm25 funnel (term filter
+    INSIDE the Generate stage, only hit rows shuffle) + a per-query
+    windowed top-k (rank ≤ 50 compiles to WindowGroupLimit — the
+    running heap, never a full sort); dense leg = the sim_topk shape
+    (3-row query broadcast, per-query WindowGroupLimit top-k); the
+    fusion joins two ≤ 3·50-row rank lists and its final window is
+    partitioned by query. Production swaps the dense leg's
+    brute-force scoring for sim_topk_ivf's partition-pruned probe —
+    the fusion layer is unchanged."""
+    from gmt_dbt_spark.operators.dedup import tokens_col
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tkd = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("tk")
+    ).filter(F.size("tk") >= 1)
+    hits = tkd.select(
+        "doc_id", F.size("tk").alias("dl"), F.explode("tk").alias("t")
+    ).filter(F.col("t").isin(*_RRF_TERMS))
+    qid = F.when(F.col("t") == _RRF_TERMS[0], 0)
+    for i, t in enumerate(_RRF_TERMS[1:], start=1):
+        qid = qid.when(F.col("t") == t, i)
+    tf = hits.groupBy(qid.cast("int").alias("qid"), "doc_id").agg(
+        F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
+    )
+    w_sp = Window.partitionBy("qid").orderBy(
+        F.col("tf").desc(), F.col("dl").asc(), F.col("doc_id").asc()
+    )
+    sp = (
+        tf.withColumn("rs", F.row_number().over(w_sp).cast("bigint"))
+        .filter(F.col("rs") <= RRF_TOPK)
+        .select("qid", "doc_id", "rs")
+    )
+
+    v = _vecs(spark, sf_dir)
+    qv = F.transform(
+        F.col("vec"), lambda x: F.floor(x * 1000.0).cast("bigint")
+    )
+    vq = v.select("vec_id", qv.alias("qv")).select(
+        "vec_id",
+        "qv",
+        F.aggregate(
+            F.transform(F.col("qv"), lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, y: acc + y,
+        ).alias("n2"),
+    )
+    qs = vq.filter(
+        (F.col("vec_id") < len(_RRF_TERMS)) & (F.col("n2") > 0)
+    ).select(
+        F.col("vec_id").cast("int").alias("qid"), F.col("qv").alias("qqv")
+    )
+    sc = (
+        vq.filter(F.col("n2") > 0)
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "d",
+            F.aggregate(
+                F.zip_with("qqv", "qv", lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, y: acc + y,
+            ),
+        )
+        .withColumn(
+            "key",
+            F.expr(
+                "CASE WHEN d >= 0 THEN"
+                " CAST((CAST(d AS DECIMAL(38,0)) * d) div n2 AS BIGINT)"
+                " ELSE -CAST((CAST(d AS DECIMAL(38,0)) * d) div n2"
+                " AS BIGINT) END"
+            ),
+        )
+    )
+    w_dn = Window.partitionBy("qid").orderBy(
+        F.col("key").desc(), F.col("vec_id").asc()
+    )
+    dn = (
+        sc.withColumn("rd", F.row_number().over(w_dn).cast("bigint"))
+        .filter(F.col("rd") <= RRF_TOPK)
+        .select(F.col("qid").alias("dqid"), F.col("vec_id").alias("did"), "rd")
+    )
+    fused = sp.join(
+        dn,
+        (sp["qid"] == dn["dqid"]) & (sp["doc_id"] == dn["did"]),
+        "full_outer",
+    ).select(
+        F.coalesce(sp["qid"], dn["dqid"]).cast("int").alias("query_id"),
+        F.coalesce(sp["doc_id"], dn["did"]).alias("doc_id"),
+        F.col("rs").alias("rank_sparse"),
+        F.col("rd").alias("rank_dense"),
+        (
+            F.coalesce(
+                F.expr(f"{RRF_SCALE} div ({RRF_K} + rs)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{RRF_SCALE} div ({RRF_K} + rd)"), F.lit(0)
+            )
+        ).cast("bigint").alias("rrf_fp"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_fp").desc(), F.col("doc_id").asc()
+    )
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w_f).cast("bigint")
+    )

@@ -2746,3 +2746,149 @@ def test_pretrain_corpus_funnel_planted(spark, tmp_path):
         ).collect()
     }
     assert got == {"s_train": expect}
+
+
+# --------------------------------------------------------------------
+# r10: sim_rrf_fusion — pure-Python reference on a hand corpus whose
+# tokenization is trivially exact (lowercase alnum + single spaces →
+# split()), covering: multi-term docs, term-free docs, empty text,
+# the zero vector, a sub-milli-resolution vector (quantizes to all
+# zeros → excluded like the zero vector), and a negative-cosine
+# candidate (the signed cos² key must rank it LAST, not by |cos|).
+
+_RRF_DOCS = [
+    (1, "vector vector hash stream data"),
+    (2, "vector pipeline"),
+    (3, "hash hash hash join"),
+    (4, "no query terms here"),
+    (5, "stream stream"),
+    (6, ""),
+]
+_RRF_VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.0, 1.0, 0.0]),
+    (2, [0.7, 0.7, 0.0]),
+    (3, [0.9, 0.1, 0.0]),
+    (4, [0.0, 0.0, 0.0]),      # zero vector -> no cosine, excluded
+    (5, [-1.0, 0.0, 0.0]),     # negative cosine vs query 0
+    (6, [0.0005, 0.0, 0.0]),   # quantizes to all-zero -> excluded
+    (7, [0.3, 0.2, 0.9]),
+]
+
+
+def _py_rrf():
+    import math
+
+    from gmt_dbt_spark.operators.similarity import (
+        _RRF_TERMS,
+        RRF_K,
+        RRF_SCALE,
+        RRF_TOPK,
+    )
+
+    sp = {}
+    for qi, term in enumerate(_RRF_TERMS):
+        scored = []
+        for did, text in _RRF_DOCS:
+            toks = text.split()
+            if not toks:
+                continue
+            tf = toks.count(term)
+            if tf:
+                scored.append((-tf, len(toks), did))
+        scored.sort()
+        for r, (_, _, did) in enumerate(scored[:RRF_TOPK], start=1):
+            sp[(qi, did)] = r
+    dn = {}
+    import numpy as np
+
+    # quantize from the FLOAT32-stored value (the parquet column is
+    # float32; both engines widen it to double before *1000) — a
+    # float64 literal like 0.9 differs in the 3rd milli digit
+    vq = {
+        vid: [math.floor(float(np.float32(x)) * 1000.0) for x in vec]
+        for vid, vec in _RRF_VECS
+    }
+    n2 = {vid: sum(x * x for x in q) for vid, q in vq.items()}
+    for qi in range(len(_RRF_TERMS)):
+        assert n2[qi] > 0
+        scored = []
+        for vid, q in vq.items():
+            if vid == qi or n2[vid] == 0:
+                continue
+            d = sum(a * b for a, b in zip(vq[qi], q))
+            key = (d * d) // n2[vid]
+            if d < 0:
+                key = -key
+            scored.append((-key, vid))
+        scored.sort()
+        for r, (_, vid) in enumerate(scored[:RRF_TOPK], start=1):
+            dn[(qi, vid)] = r
+    out = {}
+    for k in set(sp) | set(dn):
+        rs, rd = sp.get(k), dn.get(k)
+        fp = (RRF_SCALE // (RRF_K + rs) if rs else 0) + (
+            RRF_SCALE // (RRF_K + rd) if rd else 0
+        )
+        out[k] = (rs, rd, fp)
+    fused = {}
+    for qi in range(len(_RRF_TERMS)):
+        rows = sorted(
+            ((-v[2], k[1]) for k, v in out.items() if k[0] == qi)
+        )
+        for fr, (_, did) in enumerate(rows, start=1):
+            rs, rd, fp = out[(qi, did)]
+            fused[(qi, did)] = (rs, rd, fp, fr)
+    return fused
+
+
+def test_rrf_fusion_matches_python_reference(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmt_dbt_spark.registry import all_queries
+
+    d = tmp_path / "rrf_sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in _RRF_DOCS],
+                "text": [r[1] for r in _RRF_DOCS],
+                "lang": ["en"] * len(_RRF_DOCS),
+                "source": ["s"] * len(_RRF_DOCS),
+                "n_chars": [len(r[1]) for r in _RRF_DOCS],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(
+                    [r[0] for r in _RRF_VECS], type=pa.int64()
+                ),
+                "embedding": pa.array(
+                    [r[1] for r in _RRF_VECS],
+                    type=pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * len(_RRF_VECS), type=pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    out = all_queries()["sim_rrf_fusion"](spark, str(d))
+    got = {
+        (r.query_id, r.doc_id): (
+            r.rank_sparse, r.rank_dense, r.rrf_fp, r.fused_rank
+        )
+        for r in out.collect()
+    }
+    want = _py_rrf()
+    assert got == want, (got, want)
+    # construction spot-pins: the zero and sub-milli vectors never
+    # appear in any dense list; the negative-cosine candidate ranks
+    # strictly below every non-negative one for query 0
+    assert all(k[1] not in (4, 6) or got[k][1] is None for k in got)
+    dense0 = {k[1]: v[1] for k, v in got.items() if k[0] == 0 and v[1]}
+    assert dense0[5] == max(dense0.values())

@@ -1861,3 +1861,22 @@ def test_script_quality_gate_shares_signal_plan(spark):
     for n in _iter_logical_nodes(opt):
         if n.getClass().getSimpleName() == "Window":
             assert not n.partitionSpec().isEmpty(), "global window crept in"
+
+
+def test_rrf_fusion_leg_topk_and_broadcast(spark):
+    """sim_rrf_fusion (r10): both legs' rank<=K filters must compile
+    to WindowGroupLimit (running per-query heaps — partial+final
+    pairs, never a full sort of candidates); the 3-row hybrid query
+    side attaches by broadcast; no cartesian anything beyond that
+    one deliberate broadcast cross (the sim_topk query-attach
+    shape); term filtering happens before any exchange (only hit
+    rows shuffle)."""
+    df = all_queries()["sim_rrf_fusion"](spark, SF_DIR)
+    tree = tree_of(plan_of(df))
+    assert tree.count("WindowGroupLimit") >= 4, tree  # 2 legs x partial+final
+    assert "CartesianProduct" not in tree, tree
+    assert tree.count("BroadcastNestedLoopJoin Cross") == 1, tree
+    opt = df._jdf.queryExecution().optimizedPlan()
+    for n in _iter_logical_nodes(opt):
+        if n.getClass().getSimpleName() == "Window":
+            assert not n.partitionSpec().isEmpty(), "global window crept in"
