@@ -291,4 +291,5 @@ def _load_all() -> None:
     import gmt_dbt_spark.functions.knlm  # noqa: F401
     import gmt_dbt_spark.functions.tokenizer_roundtrip  # noqa: F401
     import gmt_dbt_spark.functions.unicode_text  # noqa: F401
+    import gmt_dbt_spark.functions.script_quality  # noqa: F401
     _LOADED = True

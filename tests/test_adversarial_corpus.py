@@ -268,6 +268,15 @@ QUERIES = [
     # ...and the removal gate those signals feed (hostile punct-only/
     # empty/repeat rows must drop identically on both engines)
     "pipeline_script_quality_gate",
+    # r10 late: the per-script tuning loop — percentiles must agree
+    # over hostile distributions (NULL-entropy docs excluded on both
+    # engines, triplicated docs triple their value counts), the
+    # threshold-table gate must fall back identically for 'none'
+    # docs, and the stopword join must count zero hits on the CJK /
+    # punct-only rows while the English dups hit 'the'/'and'
+    "text_quality_percentiles_by_script",
+    "pipeline_quality_gate_per_script",
+    "text_stopword_ratio_table",
 ]
 
 

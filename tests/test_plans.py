@@ -1880,3 +1880,56 @@ def test_rrf_fusion_leg_topk_and_broadcast(spark):
     for n in _iter_logical_nodes(opt):
         if n.getClass().getSimpleName() == "Window":
             assert not n.partitionSpec().isEmpty(), "global window crept in"
+
+
+def test_quality_gate_per_script_broadcast_table(spark):
+    """pipeline_quality_gate_per_script (r10 late): the signal plan
+    (2 scans + entropy aggregate) plus exactly one extra join — the
+    5-row threshold table attached by BroadcastHashJoin (the whole
+    point of the table form: a retune never recompiles the plan);
+    no cartesian anything, zero unpartitioned Windows."""
+    df = all_queries()["pipeline_quality_gate_per_script"](spark, SF_DIR)
+    tree = tree_of(plan_of(df))
+    assert "BroadcastHashJoin" in tree, tree
+    assert tree.count("Scan parquet") == 2, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    opt = df._jdf.queryExecution().optimizedPlan()
+    for n in _iter_logical_nodes(opt):
+        if n.getClass().getSimpleName() == "Window":
+            assert not n.partitionSpec().isEmpty(), "global window crept in"
+
+
+def test_stopword_ratio_broadcast_join(spark):
+    """text_stopword_ratio_table (r10 late): the stopword relation
+    BROADCASTS into the exploded token stream (the badwords-bcast
+    production shape at per-script grain) — only (doc_id, hit) rows
+    reach the per-doc re-aggregation; census + tokenize stay
+    scan-side; no cartesian anything."""
+    df = all_queries()["text_stopword_ratio_table"](spark, SF_DIR)
+    tree = tree_of(plan_of(df))
+    assert "BroadcastHashJoin" in tree, tree
+    assert tree.count("Scan parquet") == 2, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+
+
+def test_quality_percentiles_windows_post_aggregate(spark):
+    """text_quality_percentiles_by_script (r10 late): the cumulative
+    windows are PARTITIONED by (script, signal) and run over the
+    value-count AGGREGATE — a relation bounded by the value domain,
+    never the corpus; nothing in the plan sorts or single-partitions
+    the corpus (the straggler class VERDICT r9 item 2 eliminated
+    stays eliminated in the op that TUNES those thresholds)."""
+    df = all_queries()["text_quality_percentiles_by_script"](spark, SF_DIR)
+    tree = tree_of(plan_of(df))
+    assert tree.count("Scan parquet") == 2, tree
+    assert "Exchange SinglePartition" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    opt = df._jdf.queryExecution().optimizedPlan()
+    saw_window = False
+    for n in _iter_logical_nodes(opt):
+        if n.getClass().getSimpleName() == "Window":
+            saw_window = True
+            assert not n.partitionSpec().isEmpty(), "global window crept in"
+    assert saw_window  # the cumulative-count window is the mechanism

@@ -466,6 +466,19 @@ GATES = {
             ("test_unicode_text", "test_script_quality_gate_planted")
         ],
     },
+    # r10 late: the per-script threshold TABLE form of the same
+    # decision — planted FLIP evidence (table decides differently
+    # from the global gate in both directions) plus the
+    # fallback-equality pin
+    "pipeline_quality_gate_per_script": {
+        "class": "removal",
+        "evidence": [
+            (
+                "test_script_quality",
+                "test_quality_gate_per_script_planted_flips",
+            )
+        ],
+    },
 }
 
 
