@@ -102,9 +102,10 @@ _PCT_COLS_SQL = ",\n       ".join(
     for q in _PCTS
 )
 
-_PCTL_ORACLE = f"""
-WITH sig AS MATERIALIZED (SELECT * FROM ({{oracle}}) q0),
-m AS (
+# The melt -> count -> cumulative chain, as a CTE fragment expecting
+# a relation `sig` (the signal oracle) to exist — shared verbatim by
+# the percentile surface and the autotuned gate (zero second copies).
+_PCT_CORE_SQL = f"""m AS (
   {_MELT_SQL}
 ),
 f AS (
@@ -122,11 +123,18 @@ cum AS (
          CAST(SUM(cnt) OVER (PARTITION BY script, signal)
               AS BIGINT) AS n
   FROM vc
-)
-SELECT script, signal, CAST(MAX(n) AS BIGINT) AS n_docs,
+),
+pct AS (
+  SELECT script, signal, CAST(MAX(n) AS BIGINT) AS n_docs,
        {_PCT_COLS_SQL}
-FROM cum GROUP BY 1, 2
-""".format(oracle=_quality_script_oracle())
+  FROM cum GROUP BY 1, 2
+)"""
+
+_PCTL_ORACLE = f"""
+WITH sig AS MATERIALIZED (SELECT * FROM ({_quality_script_oracle()}) q0),
+{_PCT_CORE_SQL}
+SELECT * FROM pct
+"""
 
 
 @query("text_quality_percentiles_by_script", oracle=_PCTL_ORACLE)
@@ -154,6 +162,13 @@ def text_quality_percentiles_by_script(
     hardened plan sweep checks the leaf-to-window path crosses the
     aggregate).  Spark melts via `stack` in ONE pass; the oracle's
     4-way UNION melt reads a MATERIALIZED CTE (pattern 12)."""
+    return _percentile_frame(spark, sf_dir)
+
+
+def _percentile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared builder behind the percentile surface and the
+    autotuned gate — ONE implementation of the melt -> count ->
+    cumulative -> conditional-min plan (mirrors _PCT_CORE_SQL)."""
     q = _quality_signal_frame(spark, sf_dir)
     stack_args = ", ".join(f"'{lbl}', {col}" for lbl, col in _SIGNALS)
     m = q.selectExpr(
@@ -475,4 +490,123 @@ def text_stopword_ratio_table(
         )
         .cast("bigint")
         .alias("stop_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_quality_gate_autotuned
+# ---------------------------------------------------------------------------
+
+# Which percentile of each signal's per-script distribution becomes
+# the cut (the demo tuning policy, stated once and generated into
+# both engines): drop the bottom entropy quartile, the top punct
+# quartile, and the top run decile; the word-char floor stays the
+# global constant (a floor, not a distributional quantity).
+AUTOTUNE_CUTS: dict[str, tuple[str, int]] = {
+    # threshold name -> (signal label, percentile point in milli)
+    "c_entropy": ("entropy_milli", 250),
+    "c_punct": ("punct_milli", 750),
+    "c_run": ("max_run", 900),
+}
+
+_THR_PIVOT_SQL = ",\n         ".join(
+    f"MAX(CASE WHEN signal = '{sig}' THEN p{q} END) AS {name}"
+    for name, (sig, q) in AUTOTUNE_CUTS.items()
+)
+
+_AUTOTUNED_ORACLE = f"""
+WITH sig AS MATERIALIZED (SELECT * FROM ({_quality_script_oracle()}) q0),
+{_PCT_CORE_SQL},
+thr AS (
+  SELECT script,
+         {_THR_PIVOT_SQL}
+  FROM pct GROUP BY 1
+)
+SELECT s.doc_id, s.script, s.n_word_chars, s.punct_milli, s.max_run,
+       s.char_entropy_milli,
+       CAST(COALESCE(t.c_entropy, {QG_MIN_ENTROPY_MILLI}) AS BIGINT)
+         AS thr_entropy,
+       CAST(COALESCE(t.c_punct, {QG_MAX_PUNCT_MILLI}) AS BIGINT)
+         AS thr_punct,
+       CAST(COALESCE(t.c_run, {QG_MAX_RUN}) AS BIGINT) AS thr_run,
+       (s.char_entropy_milli >=
+          COALESCE(t.c_entropy, {QG_MIN_ENTROPY_MILLI})) AS pass_entropy,
+       (s.punct_milli <= COALESCE(t.c_punct, {QG_MAX_PUNCT_MILLI}))
+         AS pass_punct,
+       (s.max_run <= COALESCE(t.c_run, {QG_MAX_RUN})) AS pass_run,
+       (s.n_word_chars >= {QG_MIN_WORD_CHARS}) AS pass_len,
+       COALESCE(s.char_entropy_milli >=
+                  COALESCE(t.c_entropy, {QG_MIN_ENTROPY_MILLI})
+                AND s.punct_milli <= COALESCE(t.c_punct,
+                  {QG_MAX_PUNCT_MILLI})
+                AND s.max_run <= COALESCE(t.c_run, {QG_MAX_RUN})
+                AND s.n_word_chars >= {QG_MIN_WORD_CHARS},
+                FALSE) AS keep
+FROM sig s LEFT JOIN thr t ON s.script = t.script
+"""
+
+
+@query("pipeline_quality_gate_autotuned", oracle=_AUTOTUNED_ORACLE)
+def pipeline_quality_gate_autotuned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SELF-tuning per-script gate — no frozen thresholds at
+    all: pass 1 computes each script's signal percentiles (the
+    shared `_percentile_frame`), the cut policy (AUTOTUNE_CUTS)
+    pivots them into a per-script threshold row (keep iff entropy >=
+    its script's p25, punct <= p75, max_run <= p90, word chars >=
+    the global floor), and pass 2 broadcast-joins the <=8-row
+    threshold relation back onto the signals.  This is the CCNet
+    relative-threshold idea ("quality is relative to the corpus
+    slice") applied to the script-aware signals — and it is exactly
+    the 2-pass cutpoint-split shape that replaced the global-rank
+    windows in VERDICT r9 item 2: statistics pass, then scan-side
+    decision, never a corpus-wide sort.
+
+    A script whose percentile row is missing for a signal (no
+    non-NULL values) falls back to the global QG_* constants via
+    COALESCE — the same fallback doctrine as the threshold-table
+    gate.  NULL-signal docs keep=false via COALESCE.
+
+    One implementation: signals AND percentiles are the shared
+    builders; the oracle composes the SAME _PCT_CORE_SQL fragment
+    and wraps the signal oracle MATERIALIZED (referenced by both
+    the stats chain and the gate scan — pattern 12).
+
+    Scale: the signal relation is computed twice (stats pass + gate
+    pass — 4 scans at toy sf; a production run checkpoints the
+    doc-keyed signal relation once and feeds both, SCALE.md row);
+    the threshold relation is dimension-sized and broadcast; no new
+    shuffle class.  Planted evidence (GATES class removal): the full
+    pure-Python replay in tests/test_script_quality.py recomputes
+    signals -> percentiles -> cuts -> keep for EVERY doc
+    independently and compares the whole verdict map."""
+    pct = _percentile_frame(spark, sf_dir)
+    thr_cols = [
+        F.max(
+            F.when(F.col("signal") == sig, F.col(f"p{q}"))
+        ).alias(name)
+        for name, (sig, q) in AUTOTUNE_CUTS.items()
+    ]
+    thr = pct.groupBy("script").agg(*thr_cols)
+    q = _quality_signal_frame(spark, sf_dir)
+    j = q.join(F.broadcast(thr), "script", "left")
+    te = F.coalesce("c_entropy", F.lit(QG_MIN_ENTROPY_MILLI).cast("bigint"))
+    tp = F.coalesce("c_punct", F.lit(QG_MAX_PUNCT_MILLI).cast("bigint"))
+    tr = F.coalesce("c_run", F.lit(QG_MAX_RUN).cast("bigint"))
+    pe = F.col("char_entropy_milli") >= te
+    pp = F.col("punct_milli") <= tp
+    pr = F.col("max_run") <= tr
+    pl = F.col("n_word_chars") >= F.lit(QG_MIN_WORD_CHARS)
+    return j.select(
+        "doc_id", "script", "n_word_chars", "punct_milli", "max_run",
+        "char_entropy_milli",
+        te.alias("thr_entropy"),
+        tp.alias("thr_punct"),
+        tr.alias("thr_run"),
+        pe.alias("pass_entropy"),
+        pp.alias("pass_punct"),
+        pr.alias("pass_run"),
+        pl.alias("pass_len"),
+        F.coalesce(pe & pp & pr & pl, F.lit(False)).alias("keep"),
     )

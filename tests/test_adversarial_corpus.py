@@ -277,6 +277,10 @@ QUERIES = [
     "text_quality_percentiles_by_script",
     "pipeline_quality_gate_per_script",
     "text_stopword_ratio_table",
+    # ...and the self-tuning gate: the hostile corpus is dominated by
+    # triplicated docs, so its own percentile cuts land ON repeated
+    # values — the exact-percentile tie handling must agree
+    "pipeline_quality_gate_autotuned",
 ]
 
 

@@ -1933,3 +1933,24 @@ def test_quality_percentiles_windows_post_aggregate(spark):
             saw_window = True
             assert not n.partitionSpec().isEmpty(), "global window crept in"
     assert saw_window  # the cumulative-count window is the mechanism
+
+
+def test_quality_gate_autotuned_two_pass_broadcast(spark):
+    """pipeline_quality_gate_autotuned (r10 late): the 2-pass
+    cutpoint-split shape — a stats pass (signal plan -> bounded
+    percentile relation) whose <=8-row pivot BROADCASTS back onto a
+    second signal pass; 4 scans at toy sf (production checkpoints
+    the signal relation once — SCALE.md row), no SinglePartition
+    exchange, every Window partitioned (the straggler class must not
+    re-enter through the gate that tunes itself)."""
+    df = all_queries()["pipeline_quality_gate_autotuned"](spark, SF_DIR)
+    tree = tree_of(plan_of(df))
+    assert "BroadcastHashJoin" in tree, tree
+    assert tree.count("Scan parquet") == 4, tree
+    assert "Exchange SinglePartition" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    opt = df._jdf.queryExecution().optimizedPlan()
+    for n in _iter_logical_nodes(opt):
+        if n.getClass().getSimpleName() == "Window":
+            assert not n.partitionSpec().isEmpty(), "global window crept in"

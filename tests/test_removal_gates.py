@@ -479,6 +479,18 @@ GATES = {
             )
         ],
     },
+    # r10 late: the SELF-tuning gate (cuts from the corpus's own
+    # per-script percentiles) — full independent replay of
+    # signals -> cuts -> verdict for every doc
+    "pipeline_quality_gate_autotuned": {
+        "class": "removal",
+        "evidence": [
+            (
+                "test_script_quality",
+                "test_quality_gate_autotuned_full_replay",
+            )
+        ],
+    },
 }
 
 

@@ -231,3 +231,76 @@ def test_stopword_lists_are_lowercase_single_tokens():
         i for i, _ in PLANTED_QUALITY
     }
     assert len(set(ids)) == len(ids) and not (set(ids) & others)
+
+
+# --------------------------------------------------------------------
+# pipeline_quality_gate_autotuned — FULL pure-Python replay
+# --------------------------------------------------------------------
+
+
+def _pdisc(vs, q):
+    vs = sorted(vs)
+    n = len(vs)
+    i = -(-q * n // 1000)  # ceil(q*n/1000)
+    return vs[max(i, 1) - 1]
+
+
+def test_quality_gate_autotuned_full_replay(spark):
+    """REMOVAL-gate evidence: signals -> per-script percentile cuts
+    -> verdict recomputed independently (python `regex` signals, the
+    percentile contract, the AUTOTUNE_CUTS policy, the per-signal
+    COALESCE fallback) for EVERY doc, whole verdict map compared."""
+    from gmt_dbt_spark.functions.script_quality import AUTOTUNE_CUTS
+
+    tbl = pq.read_table(
+        SF_DIR + "/documents.parquet", columns=["doc_id", "text"]
+    )
+    rows = list(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    rows += list(PLANTED_MULTILINGUAL) + list(PLANTED_QUALITY)
+    sig = {}
+    for i, t in rows:
+        if t is None:
+            continue
+        sig[i] = _py_quality(t)
+    dist = {}
+    for s in sig.values():
+        for signal, v in (
+            ("punct_milli", s[4]),
+            ("max_run", s[6]),
+            ("entropy_milli", s[9]),
+            ("n_word_chars", s[2]),
+        ):
+            if v is not None:
+                dist.setdefault((s[0], signal), []).append(v)
+    defaults = {"c_entropy": 1500, "c_punct": 300, "c_run": 40}
+    cuts = {}
+    for script in {s[0] for s in sig.values()}:
+        cuts[script] = tuple(
+            _pdisc(dist[(script, signal)], q)
+            if (script, signal) in dist
+            else defaults[name]
+            for name, (signal, q) in AUTOTUNE_CUTS.items()
+        )
+    want = {}
+    for i, s in sig.items():
+        ce, cp, cr = cuts[s[0]]
+        ent, punct, mr, nw = s[9], s[4], s[6], s[2]
+        keep = (
+            ent is not None and ent >= ce
+            and punct is not None and punct <= cp
+            and mr <= cr
+            and nw >= 3
+        )
+        want[i] = (s[0], ce, cp, cr, bool(keep))
+    out = all_queries()["pipeline_quality_gate_autotuned"](spark, SF_DIR)
+    got = {
+        r.doc_id: (r.script, r.thr_entropy, r.thr_punct, r.thr_run, r.keep)
+        for r in out.collect()
+    }
+    assert got == want
+    # the gate is RELATIVE: some doc of each populous script must
+    # fall in its own bottom entropy quartile and be dropped
+    assert any(not k for (_, _, _, _, k) in got.values())
+    assert any(k for (_, _, _, _, k) in got.values())
