@@ -352,6 +352,11 @@ PLANTED_STOP: list[tuple[int, str]] = [
     (-41, "привет мир и все что есть"),
     (-42, "データ処理の基盤システム"),
     (-43, "هذا كتاب جيد في المدرسة"),
+    # mixed-script: latin-dominant doc carrying the CYRILLIC stopword
+    # token - correct join key is (script, token), so this doc counts
+    # ONLY its latin stop; a token-only join would also match the
+    # cyrillic list (drill finding, VERIFICATION pattern 14)
+    (-44, "the report и data analysis"),
 ]
 
 _STOP_VALUES = ", ".join(

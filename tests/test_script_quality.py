@@ -215,6 +215,12 @@ def test_stopword_ratio_planted(spark):
     # ASCII-only fold: 'Привет' keeps its capital (token != list form)
     # but lowercase 'как' hits — 1 stop over 5 tokens = 200 milli.
     assert got[-22] == ("cyrillic", 5, True, 1, 200)
+    # mixed-script key pin (drill finding, pattern 14): -44 is
+    # latin-dominant (18 latin vs 4 cyrillic chars) so its 'и' must
+    # NOT match the cyrillic list under the (script, token) key —
+    # only 'the' counts: 1 stop over 5 tokens = 200 milli. A
+    # token-only join (the planted mirrored bug) reports 2/5 = 400.
+    assert got[-44] == ("latin", 5, True, 1, 200)
 
 
 def test_stopword_lists_are_lowercase_single_tokens():
