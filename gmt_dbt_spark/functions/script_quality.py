@@ -63,6 +63,8 @@ from pyspark.sql import functions as F
 from gmt_dbt_spark.functions.unicode_text import (
     _ASCII_LO,
     _ASCII_UP,
+    _PLANTED_VALUES as _M_VALUES,
+    _QPLANTED_VALUES as _Q_VALUES,
     _QSRC_SQL,
     _quality_script_oracle,
     _quality_signal_frame,
@@ -374,14 +376,21 @@ _STOP_WHEN = "\n              ".join(
     f"WHEN s_{k} = m THEN '{k}'" for k in SCRIPT_RANGES
 )
 
-_STOPWORD_ORACLE = f"""
-WITH {_QSRC_SQL},
+# Default source head for the stopword oracle: a WITH chain ending
+# in a CTE named src2 (doc_id, text).  The combined gate passes a
+# wider union under the same CTE name.
+_STOP_SRC_HEAD = f"""WITH {_QSRC_SQL},
 src2 AS (
   SELECT doc_id, text FROM qsrc
   UNION ALL
   SELECT CAST(id AS BIGINT) AS doc_id, text
   FROM (VALUES {_SPLANTED_VALUES}) p(id, text)
-),
+)"""
+
+
+def _stopword_oracle_sql(src_head: str = _STOP_SRC_HEAD) -> str:
+    return f"""
+{src_head},
 base AS (
   SELECT doc_id, text,
          regexp_extract_all(translate(text, '{_ASCII_UP}', '{_ASCII_LO}'),
@@ -415,6 +424,9 @@ FROM s LEFT JOIN h USING (doc_id)
 """
 
 
+_STOPWORD_ORACLE = _stopword_oracle_sql()
+
+
 @query("text_stopword_ratio_table", oracle=_STOPWORD_ORACLE)
 def text_stopword_ratio_table(
     spark: SparkSession, sf_dir: str
@@ -440,13 +452,18 @@ def text_stopword_ratio_table(
     (doc_id, token-hit) rows shuffle into the per-doc count; the
     stopword join is a BroadcastHashJoin (plan-guarded).  Documents
     never leave the scan stage."""
-    src = (
-        _with_qplanted(spark, sf_dir)
-        .unionAll(
-            spark.createDataFrame(PLANTED_STOP, "doc_id BIGINT, text STRING")
-        )
-        .filter(F.col("text").isNotNull())
+    src = _with_qplanted(spark, sf_dir).unionAll(
+        spark.createDataFrame(PLANTED_STOP, "doc_id BIGINT, text STRING")
     )
+    return _stopword_frame(spark, src)
+
+
+def _stopword_frame(spark: SparkSession, src: DataFrame) -> DataFrame:
+    """The shared builder behind the stopword surface and the
+    combined gate — ONE implementation of the census + tokenize +
+    broadcast-join + per-doc-count plan (mirrors
+    `_stopword_oracle_sql`'s body over its src2 CTE)."""
+    src = src.filter(F.col("text").isNotNull())
     cnts = [
         F.regexp_count("text", F.lit(p)).alias(f"s_{k}")
         for k, p in SCRIPT_RANGES.items()
@@ -614,4 +631,148 @@ def pipeline_quality_gate_autotuned(
         pr.alias("pass_run"),
         pl.alias("pass_len"),
         F.coalesce(pe & pp & pr & pl, F.lit(False)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_quality_gate_combined
+# ---------------------------------------------------------------------------
+
+# The stopword sub-gate (Gopher's "does it read like prose" rule,
+# per-script): applicable only where a stopword list EXISTS and the
+# doc is long enough for the absence of function words to be signal
+# rather than noise; then require at least STOP_MIN_HITS list hits.
+STOP_MIN_TOKENS = 20
+STOP_MIN_HITS = 2
+
+# Planted combined-gate corpus (ids -45/-46; PLANTED_STOP stays as
+# the stopword op shipped it).  Construction:
+#   -45 latin keyword-stuffing: 20 unique commerce words, ZERO
+#       stopwords — passes every distribution-free signal gate
+#       (high entropy, no punct, short runs, plenty of word chars)
+#       and is EXACTLY what the stopword sub-gate exists to drop.
+#   -46 CJK prose (22 chars, one token): no stopword list exists ->
+#       sub-gate NOT APPLICABLE (NULL), doc keeps on the signal
+#       gates — the per-script honesty the combined gate preserves.
+PLANTED_COMBINED: list[tuple[int, str]] = [
+    (
+        -45,
+        "buy cheap watches best price quality discount offer deal"
+        " sale shop today limited stock order fast free ship gift"
+        " brand",
+    ),
+    (-46, "深層学習モデルの訓練データ品質管理手法の研究"),
+]
+
+_CPLANTED_VALUES = ", ".join(f"({i}, '{t}')" for i, t in PLANTED_COMBINED)
+
+# The widened source (documents ∪ all four planted constants) as a
+# CTE named qsrc (for the signal oracle) and as a src2 head (for the
+# stopword oracle) — generate-from-constants on both engines.
+_SRC3_SQL = f"""qsrc AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(id AS BIGINT) AS doc_id, text
+  FROM (VALUES {_M_VALUES}) v(id, text)
+  UNION ALL
+  SELECT CAST(id AS BIGINT) AS doc_id, text
+  FROM (VALUES {_Q_VALUES}) q(id, text)
+  UNION ALL
+  SELECT CAST(id AS BIGINT) AS doc_id, text
+  FROM (VALUES {_SPLANTED_VALUES}) p(id, text)
+  UNION ALL
+  SELECT CAST(id AS BIGINT) AS doc_id, text
+  FROM (VALUES {_CPLANTED_VALUES}) c(id, text)
+)"""
+
+_SRC3_STOP_HEAD = f"""WITH {_SRC3_SQL},
+src2 AS (SELECT doc_id, text FROM qsrc)"""
+
+_STOP_SUBGATE_SQL = (
+    f"CASE WHEN w.has_list AND w.n_tokens >= {STOP_MIN_TOKENS}"
+    f" THEN (w.n_stop >= {STOP_MIN_HITS}) END"
+)
+
+_COMBINED_ORACLE = f"""
+SELECT s.doc_id, s.script, s.n_word_chars, s.punct_milli, s.max_run,
+       s.char_entropy_milli, w.n_tokens, w.has_list, w.n_stop,
+       (s.char_entropy_milli >= {QG_MIN_ENTROPY_MILLI}) AS pass_entropy,
+       (s.punct_milli <= {QG_MAX_PUNCT_MILLI}) AS pass_punct,
+       (s.max_run <= {QG_MAX_RUN}) AS pass_run,
+       (s.n_word_chars >= {QG_MIN_WORD_CHARS}) AS pass_len,
+       {_STOP_SUBGATE_SQL} AS pass_stop,
+       COALESCE(s.char_entropy_milli >= {QG_MIN_ENTROPY_MILLI}
+                AND s.punct_milli <= {QG_MAX_PUNCT_MILLI}
+                AND s.max_run <= {QG_MAX_RUN}
+                AND s.n_word_chars >= {QG_MIN_WORD_CHARS}
+                AND COALESCE({_STOP_SUBGATE_SQL}, TRUE),
+                FALSE) AS keep
+FROM ({_quality_script_oracle(_SRC3_SQL)}) s
+JOIN ({_stopword_oracle_sql(_SRC3_STOP_HEAD)}) w USING (doc_id)
+"""
+
+
+@query("pipeline_quality_gate_combined", oracle=_COMBINED_ORACLE)
+def pipeline_quality_gate_combined(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The COMBINED multilingual gate — entropy/punct/run/length
+    signals PLUS the stopword sub-gate where it applies: a doc whose
+    script has a stopword list and >= STOP_MIN_TOKENS tokens must
+    show >= STOP_MIN_HITS list hits (Gopher's prose rule — keyword
+    stuffing, tag soup, and title-case link farms score HIGH on
+    entropy yet carry no function words); scripts with no list (CJK)
+    or short docs get pass_stop = NULL and the sub-gate is NOT
+    APPLICABLE (COALESCE TRUE) — the signal gates carry them, the
+    honest division of labor `text_stopword_ratio_table` documents.
+
+    One implementation everywhere: both legs are the shared builders
+    (`_quality_signal_frame(src=...)`, `_stopword_frame`) over ONE
+    widened source, and the oracle composes the SAME two oracle
+    builders parameterized by the source CTE — zero second copies of
+    census/tokenize/entropy/join logic on either engine.
+
+    Scale: signal plan (2 scans) + stopword plan (2 scans) joined on
+    doc_id (doc-keyed integers; the stopword list broadcast) — a
+    production run checkpoints one census projection and feeds both
+    legs (SCALE.md row); no new shuffle class, no corpus sort.
+
+    Planted evidence (GATES class removal): -45 drops ONLY via
+    pass_stop (all four signal sub-gates true); -46 (CJK) keeps with
+    pass_stop NULL; -40 (9 tokens) is exempt below STOP_MIN_TOKENS."""
+    src = (
+        _with_qplanted(spark, sf_dir)
+        .unionAll(
+            spark.createDataFrame(PLANTED_STOP, "doc_id BIGINT, text STRING")
+        )
+        .unionAll(
+            spark.createDataFrame(
+                PLANTED_COMBINED, "doc_id BIGINT, text STRING"
+            )
+        )
+    )
+    sig = _quality_signal_frame(spark, sf_dir, src=src)
+    sw = _stopword_frame(spark, src).select(
+        "doc_id", "n_tokens", "has_list", "n_stop"
+    )
+    j = sig.join(sw, "doc_id")
+    ps = F.when(
+        F.col("has_list") & (F.col("n_tokens") >= STOP_MIN_TOKENS),
+        F.col("n_stop") >= STOP_MIN_HITS,
+    )
+    pe = F.col("char_entropy_milli") >= F.lit(QG_MIN_ENTROPY_MILLI)
+    pp = F.col("punct_milli") <= F.lit(QG_MAX_PUNCT_MILLI)
+    pr = F.col("max_run") <= F.lit(QG_MAX_RUN)
+    pl = F.col("n_word_chars") >= F.lit(QG_MIN_WORD_CHARS)
+    return j.select(
+        "doc_id", "script", "n_word_chars", "punct_milli", "max_run",
+        "char_entropy_milli", "n_tokens", "has_list", "n_stop",
+        pe.alias("pass_entropy"),
+        pp.alias("pass_punct"),
+        pr.alias("pass_run"),
+        pl.alias("pass_len"),
+        ps.alias("pass_stop"),
+        F.coalesce(
+            pe & pp & pr & pl & F.coalesce(ps, F.lit(True)), F.lit(False)
+        ).alias("keep"),
     )

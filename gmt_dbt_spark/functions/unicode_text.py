@@ -782,7 +782,11 @@ WORD_CHAR_RE = r"[\p{L}\p{M}\p{N}]"
 SPACE_CHAR_RE = "[ \\t\\n\\r]"
 
 
-def _quality_script_oracle() -> str:
+def _quality_script_oracle(src_sql: str = _QSRC_SQL) -> str:
+    """The signal oracle. ``src_sql`` must be a CTE definition named
+    ``qsrc`` with columns (doc_id, text) — the default is the frozen
+    documents ∪ planted union; the r10-late combined gate passes a
+    wider union (same name, extra planted constants)."""
     cnt_cols = ",\n       ".join(
         f"len(regexp_extract_all(text, '{p}')) AS s_{k}"
         for k, p in SCRIPT_RANGES.items()
@@ -806,7 +810,7 @@ def _quality_script_oracle() -> str:
         f" '{WORD_CHAR_RE}')"
     )
     return f"""
-WITH {_QSRC_SQL},
+WITH {src_sql},
 base AS (
   SELECT doc_id, text,
        CAST(length(text) AS BIGINT) AS n_chars,
@@ -862,12 +866,19 @@ FROM s LEFT JOIN ent e USING (doc_id)
 """
 
 
-def _quality_signal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _quality_signal_frame(
+    spark: SparkSession, sf_dir: str, src: DataFrame | None = None
+) -> DataFrame:
     """The shared builder behind `text_quality_script_aware` and the
     `pipeline_script_quality_gate` removal gate — one implementation
     of the signal plan (census scan + entropy aggregate), consumed by
-    both registered surfaces."""
-    src = _with_qplanted(spark, sf_dir).filter(F.col("text").isNotNull())
+    both registered surfaces.  ``src`` (doc_id, text) overrides the
+    default documents ∪ planted source (the r10-late combined gate
+    passes a wider union, mirroring `_quality_script_oracle`'s
+    src_sql parameter)."""
+    if src is None:
+        src = _with_qplanted(spark, sf_dir)
+    src = src.filter(F.col("text").isNotNull())
     cnts = [
         F.regexp_count("text", F.lit(p)).alias(f"s_{k}")
         for k, p in SCRIPT_RANGES.items()

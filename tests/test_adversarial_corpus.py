@@ -281,6 +281,10 @@ QUERIES = [
     # triplicated docs, so its own percentile cuts land ON repeated
     # values — the exact-percentile tie handling must agree
     "pipeline_quality_gate_autotuned",
+    # ...and the combined gate: the triplicated English docs clear
+    # STOP_MIN_TOKENS only via 'the'-heavy rows, empty/CJK rows ride
+    # the NULL sub-gate — both joins must agree over hostile shapes
+    "pipeline_quality_gate_combined",
 ]
 
 

@@ -1954,3 +1954,22 @@ def test_quality_gate_autotuned_two_pass_broadcast(spark):
     for n in _iter_logical_nodes(opt):
         if n.getClass().getSimpleName() == "Window":
             assert not n.partitionSpec().isEmpty(), "global window crept in"
+
+
+def test_quality_gate_combined_plan(spark):
+    """pipeline_quality_gate_combined (r10 late): signal leg (2
+    scans) + stopword leg (2 scans) joined on doc_id — 4 scans, the
+    stopword list attached by BroadcastHashJoin, no cartesian
+    anything, no SinglePartition exchange, zero unpartitioned
+    Windows."""
+    df = all_queries()["pipeline_quality_gate_combined"](spark, SF_DIR)
+    tree = tree_of(plan_of(df))
+    assert "BroadcastHashJoin" in tree, tree
+    assert tree.count("Scan parquet") == 4, tree
+    assert "Exchange SinglePartition" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    opt = df._jdf.queryExecution().optimizedPlan()
+    for n in _iter_logical_nodes(opt):
+        if n.getClass().getSimpleName() == "Window":
+            assert not n.partitionSpec().isEmpty(), "global window crept in"

@@ -491,6 +491,18 @@ GATES = {
             )
         ],
     },
+    # r10 late: signal gates + the stopword sub-gate where a list
+    # exists — planted keyword-stuffing positive drops ONLY via
+    # pass_stop; CJK/short docs exempt (NULL ≡ not consulted)
+    "pipeline_quality_gate_combined": {
+        "class": "removal",
+        "evidence": [
+            (
+                "test_script_quality",
+                "test_quality_gate_combined_planted",
+            )
+        ],
+    },
 }
 
 

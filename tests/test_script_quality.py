@@ -310,3 +310,50 @@ def test_quality_gate_autotuned_full_replay(spark):
     # fall in its own bottom entropy quartile and be dropped
     assert any(not k for (_, _, _, _, k) in got.values())
     assert any(k for (_, _, _, _, k) in got.values())
+
+
+# --------------------------------------------------------------------
+# pipeline_quality_gate_combined — planted sub-gate evidence
+# --------------------------------------------------------------------
+
+
+def test_quality_gate_combined_planted(spark):
+    """REMOVAL-gate evidence by construction: -45 (latin keyword
+    stuffing, 20 unique commerce words, zero stopwords) passes all
+    four signal sub-gates and drops ONLY via pass_stop — the doc
+    class the stopword sub-gate exists for; -46 (CJK prose) has no
+    list -> pass_stop NULL, keeps on the signal gates; -40 (9
+    tokens) sits below STOP_MIN_TOKENS -> exempt (NULL); the
+    decision matches the global signal-only gate wherever pass_stop
+    is NULL (not-applicable means not-consulted)."""
+    from gmt_dbt_spark.functions.script_quality import (
+        STOP_MIN_HITS,
+        STOP_MIN_TOKENS,
+    )
+
+    out = all_queries()["pipeline_quality_gate_combined"](spark, SF_DIR)
+    got = {r.doc_id: r for r in out.filter(F.col("doc_id") < 0).collect()}
+    r45 = got[-45]
+    assert (r45.script, r45.n_tokens, r45.has_list) == ("latin", 20, True)
+    assert r45.n_tokens >= STOP_MIN_TOKENS and r45.n_stop < STOP_MIN_HITS
+    assert (
+        r45.pass_entropy, r45.pass_punct, r45.pass_run, r45.pass_len
+    ) == (True, True, True, True)
+    assert r45.pass_stop is False and r45.keep is False
+    r46 = got[-46]
+    assert r46.has_list is False and r46.pass_stop is None
+    assert r46.keep is True
+    r40 = got[-40]
+    assert r40.has_list is True and r40.n_tokens < STOP_MIN_TOKENS
+    assert r40.pass_stop is None  # short-doc exemption
+    # where pass_stop is NULL the combined verdict equals the pure
+    # signal gate's verdict on the SAME doc (global constants)
+    glb = {
+        r.doc_id: r
+        for r in all_queries()["pipeline_script_quality_gate"](
+            spark, SF_DIR
+        ).filter(F.col("doc_id") < 0).collect()
+    }
+    for i, r in got.items():
+        if r.pass_stop is None and i in glb:
+            assert r.keep == glb[i].keep, (i, r, glb[i])
