@@ -919,15 +919,20 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     score(d) = Σ_t ln(1 + (N−df+½)/(df+½)) · tf(k₁+1) /
                     (tf + k₁(1−b+b·dl/avgdl))
 
-    Scale shape: the token explode filters to the 3 query terms
-    INSIDE the Generate stage (only hit rows reach any shuffle); the
-    corpus stats (N, total token length) and per-term document
-    frequencies are two one-row aggregates attached by broadcast —
-    the same bounded-crossJoin pattern as the dedup audit stats. No
-    data-scale join anywhere: cost = two pushed-down corpus scans
-    (one for the length stats, one for the term hits — cheaper than
-    materializing the tokenized corpus to save the second) + a
-    hit-row aggregate.
+    Scale shape (r10 optimization pass): ONE tokenize pass. Each doc
+    reduces scan-side to the 4-int frame (doc_id, dl, tf per term) —
+    tf via `size(filter(tk, t = term))`, a JVM higher-order function,
+    so the token array never explodes and no (doc, token) row ever
+    shuffles. That ~40 B/doc narrow frame is localCheckpoint'd and
+    serves all three consumers (corpus stats, per-term document
+    frequencies, output), replacing the r4 shape's SECOND full
+    corpus scan + re-tokenization (guide §2.3/§2.4: the length stats
+    only need dl, which the hit pass already computed — re-deriving
+    it from text paid the regex tokenizer twice per doc; at 100 TB
+    materializing 40 B/doc is orders of magnitude cheaper than a
+    second 10 KB/doc scan). The corpus stats and dfs stay one-row
+    aggregates attached by broadcast — the bounded-crossJoin pattern
+    as the dedup audit stats. No data-scale join anywhere.
 
     Oracle surface (the house libm pattern): the idf log is engine-
     specific, so the hashed surface is the COMPLETE exact-integer
@@ -944,29 +949,35 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     tkd = docs.select(
         "doc_id", tokens_col(F.col("text")).alias("tk")
     ).filter(F.size("tk") >= 1)
-    corpus = tkd.agg(
+    # ONE tokenize pass: per-doc length + per-term tf computed
+    # scan-side on the token array (higher-order `filter`, no
+    # Generate, no (doc, token) shuffle), checkpointed as the
+    # ~40 B/doc narrow frame every downstream consumer reads.
+    def _tf(term):
+        # NB: the term must be captured by closure, NOT as a lambda
+        # default arg — pyspark binds EVERY named lambda parameter to
+        # a higher-order-function variable (a 2-arg filter lambda
+        # receives (element, index)), which would turn the term into
+        # the array index.
+        return F.size(F.filter("tk", lambda t: t == F.lit(term)))
+
+    narrow = tkd.select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("dl"),
+        *[_tf(term).cast("bigint").alias(f"tf_{term}") for term in _BM25_TERMS],
+    ).localCheckpoint(eager=True)
+    corpus = narrow.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("tk")).cast("bigint").alias("total_len"),
+        F.sum("dl").cast("bigint").alias("total_len"),
     )
-    hits = tkd.select(
-        "doc_id", F.size("tk").alias("dl"), F.explode("tk").alias("t")
-    ).filter(F.col("t").isin(*_BM25_TERMS))
-    # per_doc is tiny (docs containing a query term) and read twice
-    # (df aggregate + output) — checkpoint it so `documents` is
-    # scanned exactly twice (corpus stats + hits), never three times
-    per_doc = (
-        hits.groupBy("doc_id")
-        .agg(
-            F.max("dl").cast("bigint").alias("dl"),
-            *[
-                F.sum(F.when(F.col("t") == term, 1).otherwise(0))
-                .cast("bigint")
-                .alias(f"tf_{term}")
-                for term in _BM25_TERMS
-            ],
-        )
-        .localCheckpoint(eager=True)
-    )
+    # per_doc = docs containing a query term; a cheap filter over the
+    # checkpointed narrow frame (recomputing it per consumer costs
+    # nothing — the tokenizer already ran, once, at checkpoint time)
+    hit_pred = None
+    for term in _BM25_TERMS:
+        p = F.col(f"tf_{term}") > 0
+        hit_pred = p if hit_pred is None else (hit_pred | p)
+    per_doc = narrow.filter(hit_pred)
     # df_t == number of per_doc rows with tf_t > 0 (each doc appears
     # once), off the checkpointed frame — no extra corpus pass
     dfs = per_doc.agg(

@@ -1160,17 +1160,21 @@ def test_unpartitioned_windows_sit_above_aggregates(spark):
     )
 
 
-def test_bm25_is_two_corpus_passes_no_data_join(spark):
-    """text_bm25's only data-scale work is two pushed-down corpus
-    passes (length stats at plan time + the term-hit aggregate at
-    checkpoint time). Pin: the final plan holds exactly ONE parquet
-    scan (corpus stats), two reads of the checkpointed per-doc hit
-    frame, the two one-row stat attaches (broadcast BNLJ), and no
-    data-scale join of any kind."""
+def test_bm25_is_one_corpus_pass_no_data_join(spark):
+    """text_bm25's only data-scale work is ONE tokenize pass over the
+    corpus, run at checkpoint time, reduced scan-side to the narrow
+    (doc_id, dl, tf×terms) frame via higher-order `filter` — no
+    explode, no (doc, token) row ever exists. Pin: the final plan
+    holds ZERO parquet scans (the r4 shape re-tokenized the corpus a
+    second time for the length stats), three reads of the
+    checkpointed narrow frame, the two one-row stat attaches
+    (broadcast BNLJ), no Generate, and no data-scale join of any
+    kind."""
     tree = tree_of(plan_of(all_queries()["text_bm25"](spark, SF_DIR)))
-    assert tree.count("Scan parquet") == 1, tree
-    assert tree.count("Scan ExistingRDD") == 2, tree
+    assert tree.count("Scan parquet") == 0, tree
+    assert tree.count("Scan ExistingRDD") == 3, tree
     assert tree.count("BroadcastNestedLoopJoin Cross") == 2, tree
+    assert tree.count("Generate") == 0, tree
     assert tree.count("SortMergeJoin") == 0, tree
     assert tree.count("BroadcastHashJoin") == 0, tree
 
