@@ -167,11 +167,15 @@ def text_quality_percentiles_by_script(
     return _percentile_frame(spark, sf_dir)
 
 
-def _percentile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _percentile_frame(
+    spark: SparkSession, sf_dir: str, sig: DataFrame | None = None
+) -> DataFrame:
     """The shared builder behind the percentile surface and the
     autotuned gate — ONE implementation of the melt -> count ->
-    cumulative -> conditional-min plan (mirrors _PCT_CORE_SQL)."""
-    q = _quality_signal_frame(spark, sf_dir)
+    cumulative -> conditional-min plan (mirrors _PCT_CORE_SQL).
+    ``sig`` supplies a prebuilt (e.g. checkpointed) signal frame;
+    None computes it fresh."""
+    q = sig if sig is not None else _quality_signal_frame(spark, sf_dir)
     stack_args = ", ".join(f"'{lbl}', {col}" for lbl, col in _SIGNALS)
     m = q.selectExpr(
         "script",
@@ -462,7 +466,21 @@ def _stopword_frame(spark: SparkSession, src: DataFrame) -> DataFrame:
     """The shared builder behind the stopword surface and the
     combined gate — ONE implementation of the census + tokenize +
     broadcast-join + per-doc-count plan (mirrors
-    `_stopword_oracle_sql`'s body over its src2 CTE)."""
+    `_stopword_oracle_sql`'s body over its src2 CTE).
+
+    r10 optimization pass (guide §2.4): ONE census+tokenize pass.
+    The late-wave shape consumed the censused frame twice (the
+    token-explode branch and a per-doc left join back), so every
+    doc paid the script regexes + the unicode tokenizer TWICE and
+    the hit counts re-attached through a doc-keyed join. Now the
+    per-doc columns (script, n_tokens) ride THROUGH the explode —
+    zero-token docs survive via a one-NULL-token sentinel row that
+    can never match the stopword relation — the stop table
+    LEFT-broadcast-joins the stream (a list word is unique per
+    script, so the join never duplicates a token row), and a single
+    groupBy(doc_id) recovers every doc: exchanges 4 → 1 (map-side
+    partial aggregation reduces the exploded stream to ~1 row/doc
+    before it), corpus scans 2 → 1, no doc-keyed join at all."""
     src = src.filter(F.col("text").isNotNull())
     cnts = [
         F.regexp_count("text", F.lit(p)).alias(f"s_{k}")
@@ -487,20 +505,32 @@ def _stopword_frame(spark: SparkSession, src: DataFrame) -> DataFrame:
         F.size("toks").cast("bigint").alias("n_tokens"),
         dom.alias("script"),
     )
-    tk = s.select("doc_id", "script", F.explode("toks").alias("tok"))
-    stop = spark.createDataFrame(
-        [(sc, w) for sc, ws in STOPWORDS.items() for w in ws],
-        "script STRING, tok STRING",
+    tk = s.select(
+        "doc_id",
+        "script",
+        "n_tokens",
+        F.explode(
+            F.when(F.size("toks") > 0, F.col("toks")).otherwise(
+                F.array(F.lit(None).cast("string"))
+            )
+        ).alias("tok"),
     )
-    h = (
-        tk.join(F.broadcast(stop), ["script", "tok"], "inner")
+    stop = spark.createDataFrame(
+        [(sc, w, 1) for sc, ws in STOPWORDS.items() for w in ws],
+        "script STRING, tok STRING, __hit INT",
+    )
+    per = (
+        tk.join(F.broadcast(stop), ["script", "tok"], "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(
+            F.max("script").alias("script"),
+            F.max("n_tokens").alias("n_tokens"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint").alias("c"),
+        )
     )
     has_list = F.col("script").isin(*STOPWORDS)
-    res = s.drop("toks").join(h, "doc_id", "left")
-    n_stop = F.when(has_list, F.coalesce("c", F.lit(0))).cast("bigint")
-    return res.select(
+    n_stop = F.when(has_list, F.col("c")).cast("bigint")
+    return per.select(
         "doc_id",
         "script",
         "n_tokens",
@@ -508,7 +538,7 @@ def _stopword_frame(spark: SparkSession, src: DataFrame) -> DataFrame:
         n_stop.alias("n_stop"),
         F.when(
             has_list & (F.col("n_tokens") > 0),
-            F.expr("(1000 * coalesce(c, 0)) div n_tokens"),
+            F.expr("(1000 * c) div n_tokens"),
         )
         .cast("bigint")
         .alias("stop_milli"),
@@ -595,15 +625,19 @@ def pipeline_quality_gate_autotuned(
     and wraps the signal oracle MATERIALIZED (referenced by both
     the stats chain and the gate scan — pattern 12).
 
-    Scale: the signal relation is computed twice (stats pass + gate
-    pass — 4 scans at toy sf; a production run checkpoints the
-    doc-keyed signal relation once and feeds both, SCALE.md row);
-    the threshold relation is dimension-sized and broadcast; no new
+    Scale (r10 optimization pass, guide §2.4/§5): the doc-keyed
+    signal relation (~80 B/doc of integers) is localCheckpoint'd
+    ONCE and feeds BOTH the stats pass and the gate pass — the
+    late-wave shape computed the whole census+entropy signal plan
+    twice (4 corpus scans; the SCALE.md row documented this exact
+    checkpoint as the production form, now implemented). The
+    threshold relation is dimension-sized and broadcast; no new
     shuffle class.  Planted evidence (GATES class removal): the full
     pure-Python replay in tests/test_script_quality.py recomputes
     signals -> percentiles -> cuts -> keep for EVERY doc
     independently and compares the whole verdict map."""
-    pct = _percentile_frame(spark, sf_dir)
+    sig0 = _quality_signal_frame(spark, sf_dir).localCheckpoint(eager=True)
+    pct = _percentile_frame(spark, sf_dir, sig=sig0)
     thr_cols = [
         F.max(
             F.when(F.col("signal") == sig, F.col(f"p{q}"))
@@ -611,8 +645,7 @@ def pipeline_quality_gate_autotuned(
         for name, (sig, q) in AUTOTUNE_CUTS.items()
     ]
     thr = pct.groupBy("script").agg(*thr_cols)
-    q = _quality_signal_frame(spark, sf_dir)
-    j = q.join(F.broadcast(thr), "script", "left")
+    j = sig0.join(F.broadcast(thr), "script", "left")
     te = F.coalesce("c_entropy", F.lit(QG_MIN_ENTROPY_MILLI).cast("bigint"))
     tp = F.coalesce("c_punct", F.lit(QG_MAX_PUNCT_MILLI).cast("bigint"))
     tr = F.coalesce("c_run", F.lit(QG_MAX_RUN).cast("bigint"))
@@ -732,10 +765,10 @@ def pipeline_quality_gate_combined(
     builders parameterized by the source CTE — zero second copies of
     census/tokenize/entropy/join logic on either engine.
 
-    Scale: signal plan (2 scans) + stopword plan (2 scans) joined on
-    doc_id (doc-keyed integers; the stopword list broadcast) — a
-    production run checkpoints one census projection and feeds both
-    legs (SCALE.md row); no new shuffle class, no corpus sort.
+    Scale: signal plan (2 scans) + stopword plan (1 scan — the r10
+    single-pass rewrite in `_stopword_frame`) joined on doc_id
+    (doc-keyed integers; the stopword list broadcast); no new
+    shuffle class, no corpus sort.
 
     Planted evidence (GATES class removal): -45 drops ONLY via
     pass_stop (all four signal sub-gates true); -46 (CJK) keeps with

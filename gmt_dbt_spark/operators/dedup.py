@@ -198,6 +198,24 @@ def shingle_rows(
     once. With ``min_tokens >= n`` the short-doc whole-text fallback
     is unreachable (those docs are dropped, matching the SQL
     ``len(tokens) >= k`` gate)."""
+    tok, shingles = _shingle_arrays(df, id_col, text_col, n, min_tokens, unicode)
+    return tok.select("__id", F.explode(shingles).alias("__sh"))
+
+
+def _shingle_arrays(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    min_tokens: int | None,
+    unicode: bool,
+):
+    """The shared scan-side shingle construction: returns the
+    token-materialized frame (``__id``, ``__t`` behind the Generate
+    barrier) plus the per-doc shingles-array Column over it.
+    `shingle_rows` explodes it to rows; `shingle_sets` keeps it as a
+    per-doc array (r10: the array form needs NO shuffle at all —
+    per-doc distinct is local by construction)."""
     tok = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.explode(
@@ -214,7 +232,7 @@ def shingle_rows(
             grams, F.slice(t, i + 1, sz - (n - 1)), lambda a, b: F.concat_ws(" ", a, b)
         )
     shingles = F.when(sz >= n, grams).otherwise(F.array(F.concat_ws(" ", t)))
-    return tok.select("__id", F.explode(shingles).alias("__sh"))
+    return tok, shingles
 
 
 def shingle_sets(
@@ -224,13 +242,19 @@ def shingle_sets(
     n: int = 3,
     unicode: bool = False,
 ) -> DataFrame:
-    """(id, distinct-shingle array) via the fast shingle_rows path +
-    collect_set — the verify-stage input for n-gram Jaccard."""
-    return (
-        shingle_rows(df, id_col, text_col, n, unicode=unicode)
-        .groupBy("__id")
-        .agg(F.collect_set("__sh").alias("__shs"))
-    )
+    """(id, distinct-shingle array) — the verify-stage input for
+    n-gram Jaccard. r10 optimization pass (guide §2.4): built
+    scan-side as `array_distinct` over the per-doc shingles array —
+    ZERO shuffles. The r2–r9 form exploded shingle rows and
+    reassembled them with groupBy+collect_set, paying a full
+    exchange of every (id, shingle) string row to rebuild per-doc
+    state that was local all along; at 100 TB that exchange carries
+    the whole re-tokenized candidate text. Consumers only take
+    size/intersect/union of the array, so element order (the one
+    thing collect_set and array_distinct disagree on) is
+    unobservable."""
+    tok, shingles = _shingle_arrays(df, id_col, text_col, n, None, unicode)
+    return tok.select("__id", F.array_distinct(shingles).alias("__shs"))
 
 
 def _hash_family() -> str:
@@ -1176,16 +1200,24 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join's build side is only the duplicated tail. Thresholds are
     integer cross-multiplications — hash-exact."""
     docs = table(spark, sf_dir, "documents")
-    g = (
-        shingle_rows(docs, "doc_id", "text", n=8)
-        .select(F.col("__id").alias("doc_id"), F.md5("__sh").alias("fp"))
-        .distinct()
-        # no checkpoint needed: both consumers sit on the SAME
-        # DataFrame's distinct exchange, which AQE's runtime stage
-        # reuse serves once (same-object subtrees canonicalize equal
-        # — unlike the frequent-buyers self-reference case); measured
-        # at sf0.1: an explicit checkpoint adds nothing
-    )
+    # r10 optimization pass (guide §2.4): per-doc distinct gram
+    # fingerprints are LOCAL by construction — every gram of a doc
+    # lives in its own row's array — so the r2–r9
+    # `shingle_rows(...).distinct()` paid a full exchange of every
+    # (doc_id, fp) gram row for a dedup that needs no repartitioning
+    # at all. Build (doc_id, distinct-fp array) scan-side
+    # (array_distinct AFTER the md5 transform, exactly the oracle's
+    # `DISTINCT doc_id, md5(gram)`) and checkpoint the ~40 B/gram
+    # frame once for both consumers (the gram-frequency build and
+    # the flag-join probe). Exchanges on the gram relation: 2 → 1,
+    # and the remaining one (document-frequency groupBy) is
+    # information-theoretically required.
+    tok, shingles = _shingle_arrays(docs, "doc_id", "text", 8, None, False)
+    g_arr = tok.select(
+        F.col("__id").alias("doc_id"),
+        F.array_distinct(F.transform(shingles, F.md5)).alias("fps"),
+    ).localCheckpoint(eager=True)
+    g = g_arr.select("doc_id", F.explode("fps").alias("fp"))
     dup = (
         g.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("ndocs"))

@@ -1913,7 +1913,11 @@ def test_stopword_ratio_broadcast_join(spark):
     df = all_queries()["text_stopword_ratio_table"](spark, SF_DIR)
     tree = tree_of(plan_of(df))
     assert "BroadcastHashJoin" in tree, tree
-    assert tree.count("Scan parquet") == 2, tree
+    # r10 optimization pass: ONE census+tokenize scan (the per-doc
+    # columns ride through the explode; a NULL-token sentinel keeps
+    # zero-token docs alive), no doc-keyed join back.
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("SortMergeJoin") == 0, tree
     assert "CartesianProduct" not in tree, tree
     assert "BroadcastNestedLoopJoin" not in tree, tree
 
@@ -1950,7 +1954,11 @@ def test_quality_gate_autotuned_two_pass_broadcast(spark):
     df = all_queries()["pipeline_quality_gate_autotuned"](spark, SF_DIR)
     tree = tree_of(plan_of(df))
     assert "BroadcastHashJoin" in tree, tree
-    assert tree.count("Scan parquet") == 4, tree
+    # r10 optimization pass: the doc-keyed signal relation is
+    # checkpointed ONCE and feeds both passes — the final plan holds
+    # ZERO corpus scans (was 4) and two reads of the checkpoint.
+    assert tree.count("Scan parquet") == 0, tree
+    assert tree.count("Scan ExistingRDD") == 2, tree
     assert "Exchange SinglePartition" not in tree, tree
     assert "CartesianProduct" not in tree, tree
     assert "BroadcastNestedLoopJoin" not in tree, tree
@@ -1969,7 +1977,9 @@ def test_quality_gate_combined_plan(spark):
     df = all_queries()["pipeline_quality_gate_combined"](spark, SF_DIR)
     tree = tree_of(plan_of(df))
     assert "BroadcastHashJoin" in tree, tree
-    assert tree.count("Scan parquet") == 4, tree
+    # r10 optimization pass: the stopword leg is single-scan now —
+    # signal leg (2 scans) + stopword leg (1 scan) joined on doc_id.
+    assert tree.count("Scan parquet") == 3, tree
     assert "Exchange SinglePartition" not in tree, tree
     assert "CartesianProduct" not in tree, tree
     assert "BroadcastNestedLoopJoin" not in tree, tree
