@@ -1427,11 +1427,20 @@ def test_semdedup_checkpointed_cluster_join(spark):
     tree = tree_of(plan_of(all_queries()["dedup_semdedup"](spark, SF_DIR)))
     assert tree.count("Scan parquet") == 0, tree
     assert tree.count("Scan ExistingRDD") == 6, tree
-    assert tree.count("SortMergeJoin") == 1, tree
+    # r10 optimization pass: the pair join is a BLOCKED
+    # ShuffledHashJoin on (cluster, __blk) — k·B join keys instead of
+    # k (toy k capped pair generation at k tasks), hash build instead
+    # of the sort-merge that re-buffered 520-byte signature rows per
+    # pair; one Generate = the block explode. The per-drop aggregate
+    # pays its own (tiny, hits-only) exchange now that the join
+    # partitioning carries __blk.
+    assert tree.count("ShuffledHashJoin") == 1, tree
+    assert tree.count("SortMergeJoin") == 0, tree
+    assert tree.count("Generate") == 1, tree
     assert tree.count("BroadcastHashJoin") == 2, tree  # the anti cap
     assert tree.count("BroadcastNestedLoopJoin") == 1, tree  # 1-row audit
     assert tree.count("Union") == 1, tree  # sentinel
-    assert tree.count("Exchange") - tree.count("BroadcastExchange") <= 4, tree
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") <= 5, tree
 
 
 def test_substring_rewrite_one_fp_exchange(spark):
