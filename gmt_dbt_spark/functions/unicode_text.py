@@ -690,11 +690,32 @@ def dedup_cjk_bigram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sig_from_rows(grams, "md5").localCheckpoint(eager=True)
     pairs = lsh_candidates(sig, "md5")
     cand = lsh_candidate_ids(sig, "md5")
+    # r10 optimization pass (guide §2.4, the shingle_sets treatment
+    # at the per-run grain): prune DOCS first (semi-join on the
+    # narrow id), then build each candidate's distinct gram set
+    # scan-side — flatten the per-run bigram arrays and
+    # array_distinct, zero shuffles. The old shape exploded EVERY
+    # doc's gram rows, semi-joined the exploded stream, and
+    # reassembled per-doc sets with groupBy+collect_set (a full
+    # exchange of candidate gram strings). Same set per doc:
+    # collect_set over exploded runs ≡ array_distinct over the
+    # flattened runs, and consumers only take intersect/union sizes.
+    run_grams = F.transform(
+        F.regexp_extract_all(F.col("text"), F.lit(CJK_RUN_RE), F.lit(0)),
+        lambda run: F.when(
+            F.length(run) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.length(run) - 1),
+                lambda i: run.substr(i, F.lit(2)),
+            ),
+        ).otherwise(F.array(run)),
+    )
     sets = (
-        grams.join(cand.toDF("__id"), "__id", "left_semi")
-        .groupBy("__id")
-        .agg(F.collect_set("__sh").alias("__toks"))
-        .select(F.col("__id").alias("__tid"), "__toks")
+        src.join(cand.toDF("doc_id"), "doc_id", "left_semi")
+        .select(
+            F.col("doc_id").alias("__tid"),
+            F.array_distinct(F.flatten(run_grams)).alias("__toks"),
+        )
         .localCheckpoint(eager=True)
     )
     return verify_jaccard(
