@@ -109,6 +109,14 @@ def main() -> None:
                 "queries": timings,
                 "core14_total": core14,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # Scaling observability (VERDICT r10 item 2): echo the
+                # EFFECTIVE parallelism so the driver's low-core bench
+                # leg can verify $SPARK_GRAFT_CPUS is honored rather
+                # than inferring it from ratios that, at sf0.1, mostly
+                # measure fixed overhead. Contract otherwise unchanged
+                # (same HEADLINE, same single JSON line).
+                "cores": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
             }
         )
     )

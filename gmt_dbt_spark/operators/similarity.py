@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmt_dbt_spark.catalog import table
+from gmt_dbt_spark.operators.embeddings import EMBED_DIMS, assert_embed_dims
 from gmt_dbt_spark.registry import query
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors in the demo queries
@@ -33,21 +34,41 @@ def hyperplanes(n_planes: int = _N_PLANES, dim: int = _DIM) -> list[list[float]]
     return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def _plane_cols() -> list[Column]:
-    return [F.array(*[F.lit(x) for x in plane]) for plane in hyperplanes()]
+def _sig_expr_sql() -> str:
+    """The 16-bit hyperplane sign signature of column ``vec`` as ONE
+    Spark SQL string: Σ_p CASE WHEN aggregate(zip_with(vec, plane_p,
+    (x,y) -> x·y), 0.0, +) >= 0 THEN 2^p ELSE 0.
+
+    r11 (guide §1.2 applied to the DRIVER — the r10 dedup_simhash
+    expr-string recipe): the Column-API spelling of this expression
+    cost 0.78 s of py4j round-trips PER PLAN BUILD (measured; the
+    expr string parses JVM-side in 0.086 s), and every invocation of
+    dedup_embed_cosine / sim_topk_lsh / sim_recall_audit rebuilds the
+    plan. The CATALYST expressions are identical to the old Column
+    form (same zip_with+aggregate plane dots, same left-fold order —
+    verified sig-equal on every fixture vector), so runtime execution
+    is unchanged.
+
+    MEASURED-AND-REJECTED here: fully unrolling the dots
+    (Σ_i vec[i]·plane_p[i] as 1024 literal terms) — the generated
+    Java method exceeds Janino's 64 KB limit, whole-stage codegen
+    compilation FAILS, and the entire stage (including the banded
+    join it feeds) falls back to interpreted execution:
+    dedup_embed_cosine 3.6 → 5.1 s back-to-back. The hof plane dots
+    are CodegenFallback themselves but leave the surrounding stage
+    codegen'd — the cheaper regime."""
+    terms = []
+    for p, plane in enumerate(hyperplanes()):
+        arr = "array(" + ",".join(f"{x!r}D" for x in plane) + ")"
+        d = f"aggregate(zip_with(vec, {arr}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+        terms.append(f"(CASE WHEN {d} >= 0D THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
 
 
 def _signature(v: DataFrame) -> DataFrame:
-    """16-bit random-hyperplane sign signature per vector."""
-    planes = _plane_cols()
-    return v.select(
-        "vec_id",
-        "vec",
-        sum(
-            (F.when(dot(F.col("vec"), planes[p]) >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-            for p in range(_N_PLANES)
-        ).alias("sig"),
-    )
+    """16-bit random-hyperplane sign signature per vector (hof dots,
+    single-parse expr string — see `_sig_expr_sql`)."""
+    return v.select("vec_id", "vec", F.expr(_sig_expr_sql()).alias("sig"))
 
 
 def _banded(sig: DataFrame) -> DataFrame:
@@ -480,16 +501,26 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals (`_embed_cosine_oracle`). No float comparison anywhere
     in the output surface."""
     v = _vecs(spark, sf_dir)
+    # r11 (VERDICT r10 item 1 — the semdedup pair-stage treatment,
+    # guide §4.1/§2.3): the per-PAIR dot product was zip_with +
+    # aggregate — higher-order functions are CodegenFallback
+    # (interpreted per element), ~64 lambda evals × 2 × every
+    # candidate pair. The quantized vector is built ONCE per row
+    # behind a Generate barrier (explode of a 1-element array — the
+    # `_wp_word_pieces` pattern; projection collapse would otherwise
+    # re-inline the milli-quantize transform into every qv[i] of the
+    # unrolled dot, the exact failure r10's piecemeal attempt
+    # measured), and n2 + the pair dot unroll over the pinned
+    # EMBED_DIMS contract as single-parse F.expr strings (the
+    # simhash expr-string recipe), staying in whole-stage codegen.
+    # Same bigint arithmetic, same values. assert_embed_dims makes
+    # the unrolled dot fail LOUDLY on an off-contract width
+    # (VERDICT item 8) instead of NULLing the pair away.
     qv = F.transform(F.col("vec"), lambda x: F.floor(x * 1000.0).cast("bigint"))
-    vq = v.select(F.col("vec_id"), qv.alias("qv")).select(
-        "vec_id",
-        "qv",
-        F.aggregate(
-            F.transform(F.col("qv"), lambda x: x * x),
-            F.lit(0).cast("bigint"),
-            lambda acc, y: acc + y,
-        ).alias("n2"),
-    )
+    n2_sql = " + ".join(f"qv[{i}] * qv[{i}]" for i in range(EMBED_DIMS))
+    vq = assert_embed_dims(
+        v.select("vec_id", F.explode(F.array(qv)).alias("qv"))
+    ).select("vec_id", "qv", F.expr(n2_sql).alias("n2"))
     banded = _banded(_signature(v)).select("vec_id", "band", "bkey")
     l, r = banded.alias("l"), banded.alias("r")
     # narrow-id candidate dedup, vectors re-attached after (same
@@ -503,6 +534,15 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l.vec_id").alias("id_a"), F.col("r.vec_id").alias("id_b"))
         .distinct()
+        # re-spread (r11, the semdedup/graph_triangles trap): AQE
+        # coalesces the small distinct exchange to ONE partition, and
+        # the whole verify stage downstream — two hash probes + the
+        # 64-term dot + three DECIMAL(38) multiplies PER PAIR — would
+        # run on a single core. A 16 B/row exchange of the pair ids
+        # buys back the session's full parallelism for the verify
+        # (measured 2.32 → 1.88 s on the execute leg at sf0.1;
+        # scale-adaptive — defaultParallelism, never a constant).
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     pairs = pair_ids.join(
         vq.select(
@@ -519,11 +559,9 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "id_b",
     )
-    dot_mil = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, y: acc + y,
-    )
+    # unrolled Σ qa[i]·qb[i] (codegen; bit-identical bigint sum —
+    # integer addition is associative-order-free)
+    dot_mil = F.expr(" + ".join(f"qa[{i}] * qb[{i}]" for i in range(EMBED_DIMS)))
     dec = "decimal(38,0)"
     return (
         pairs.withColumn("dot_mil", dot_mil)

@@ -155,5 +155,26 @@ def replay_conf(spark):
     unit of state parallelism and cannot change under one
     checkpoint); a bounded replay of a small fixture wants it small.
     The production plan is unchanged — only the harness execution
-    scope."""
-    return scoped_conf(spark, **{"spark.sql.shuffle.partitions": "8"})
+    scope.
+
+    noDataMicroBatches is pinned TRUE (its Spark default) because the
+    r11 single-sentinel replays RELY on it: the engine's final
+    no-data batch is what applies the last watermark advance and
+    flushes expired state/timers — a deployment that had disabled it
+    globally would silently drop the flush, so the replay scope makes
+    the dependency explicit.
+
+    r11: the replay partition count is a CONF
+    (spark.gmt_dbt.replay_state_partitions, default 8) rather than a
+    literal — the deployment knob the docstring above describes is
+    now actually settable without editing code, in both directions
+    (a live deployment raises it; a bounded fixture replay can lower
+    it further)."""
+    n = spark.conf.get("spark.gmt_dbt.replay_state_partitions", "8")
+    return scoped_conf(
+        spark,
+        **{
+            "spark.sql.shuffle.partitions": str(int(n)),
+            "spark.sql.streaming.noDataMicroBatches.enabled": "true",
+        },
+    )

@@ -219,7 +219,7 @@ def _prune_replay_cache(root: str, keep_s: float = 7 * 86400) -> None:
 
 def write_replay(
     ev, src_dir: str, n_batches: int = 2, sf_dir: str | None = None,
-    split: str = "mod",
+    split: str = "mod", tail: list | None = None,
 ) -> None:
     """Author the micro-batch replay files: the events split into
     n_batches NDJSON shards — by event_id modulus (``split="mod"``),
@@ -231,6 +231,17 @@ def write_replay(
     definition every streaming query replays through (driver-side by
     design: test-harness authoring, not a production path — see
     module docstring).
+
+    ``tail`` (r11, VERDICT r10 item 3): sentinel events
+    [(event_id, user_id, iso_ts, event_type), ...] appended INTO the
+    last data shard instead of landing as their own part-9x file — a
+    watermark-advance sentinel only needs to arrive no earlier than
+    the final real rows, and giving it its own file paid a full
+    micro-batch of state machinery (~1.3-1.7 s per batch in these
+    replays). The advanced watermark's flush then happens in the
+    engine's final NO-DATA batch (noDataMicroBatches, pinned true in
+    replay_conf). The tail is part of the cache key: the same frame
+    with different (or no) sentinels must never collide.
 
     CACHED when ``sf_dir`` is given (r3 perf pass): authoring rows
     driver-side costs ~2 s at sf0.1 and was re-paid on EVERY
@@ -258,16 +269,37 @@ def write_replay(
                     ev.filter(F.col("event_id") % n_batches == i),
                     os.path.join(into, f"part-{i}.json"),
                 )
+        if tail:
+            # same line format as write_sentinels, appended to the
+            # FINAL shard (before the mtime pin below — append
+            # refreshes mtime)
+            with open(
+                os.path.join(into, f"part-{n_shards - 1}.json"), "a"
+            ) as f:
+                for eid, uid, ts_s, etype in tail:
+                    f.write(
+                        '{"event_id":%d,"ts":"%s","user_id":%d,'
+                        '"event_type":"%s","value":0.0,"props":"{}"}\n'
+                        % (eid, ts_s, uid, etype)
+                    )
         # pre-pin shard mtimes to the exact values pin_mtimes assigns
         # them in the run dir (shards sort lexicographically before
-        # the part-9x sentinels, so index i is stable)
+        # any part-9x sentinel files, so index i is stable)
         for i in range(n_shards):
             t = 1_700_000_000 + 10 * i
             os.utime(os.path.join(into, f"part-{i}.json"), (t, t))
 
     n_shards = 2 if split == "mid" else n_batches
+    split_key = split
+    if tail:
+        import hashlib as _hashlib
+
+        split_key = (
+            f"{split}+tail:"
+            f"{_hashlib.md5(repr(sorted(tail)).encode()).hexdigest()[:8]}"
+        )
     cache = (
-        _replay_cache_dir(sf_dir, n_batches, split, _frame_fingerprint(ev))
+        _replay_cache_dir(sf_dir, n_batches, split_key, _frame_fingerprint(ev))
         if sf_dir
         else None
     )
@@ -881,21 +913,27 @@ def _stream_stream_outer_replay(
     name = f"sslo_t_{uuid.uuid4().hex[:8]}"
     try:
         ev = table(spark, sf_dir, "events")
-        write_replay(ev, src_dir, sf_dir=sf_dir)
         # Sentinels: one per side-filter so BOTH input streams see
         # their watermark advance; distinct reserved users so they can
         # never join each other or real rows; timestamps DERIVED from
         # max(ts) so the mechanism survives any fixture time span.
-        s1, s2 = sentinel_times(ev, delay_days=40)
-        # one FILE per epoch (not per side): both sides' sentinels
-        # must merely arrive together — same batch advances both
-        # watermarks; separate files would double the micro-batches
-        write_sentinels(
+        #
+        # r11 (VERDICT r10 item 3), two batch cuts with IDENTICAL
+        # output (verified 1-vs-2 epochs at sf0.01; the oracle hash
+        # pins every sf): (a) the second "emit" sentinel epoch is
+        # gone — the engine's final NO-DATA micro-batch
+        # (noDataMicroBatches, pinned true in replay_conf) applies
+        # the watermark s1 advanced and flushes the expired
+        # outer-join state; (b) the remaining sentinel pair rides IN
+        # the last data shard (write_replay's tail) instead of its
+        # own file — it only needs to arrive with the final real
+        # rows. Micro-batches 4 → 2 (+ the no-data flush).
+        s1, _ = sentinel_times(ev, delay_days=40)
+        write_replay(
+            ev,
             src_dir,
-            [
-                [(-1, -999999, s1, "click"), (-2, -999998, s1, "purchase")],
-                [(-3, -999997, s2, "click"), (-4, -999996, s2, "purchase")],
-            ],
+            sf_dir=sf_dir,
+            tail=[(-1, -999999, s1, "click"), (-2, -999998, s1, "purchase")],
         )
         pin_mtimes(src_dir)
         stream = (
@@ -1097,11 +1135,23 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = [pdf for pdf in pdfs if len(pdf)]
         if not rows:
             return
-        batch = pd.concat(rows).sort_values(["ts", "event_id"])
+        # r11 (guide §4.2 — vectorize inside the Python boundary):
+        # the per-event `pd.Timestamp(ts).value` boxing and the
+        # per-group pandas sort ran once PER EVENT per group; the
+        # numpy route extracts the int64 microsecond array in one
+        # shot (datetime64[ns] → int64 // 1000 is the same exact
+        # integer) and lexsorts (ts, event_id) — a UNIQUE total
+        # order, so ordering is identical. Output rows verified
+        # byte-identical at sf0.1 before landing.
+        import numpy as np
+
+        b = rows[0] if len(rows) == 1 else pd.concat(rows)
+        ts_ns = b["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+        order = np.lexsort((b["event_id"].to_numpy(), ts_ns))
+        ts_list = (ts_ns[order] // 1000).tolist()
         start_us, last_us, n = state.get if state.exists else (None, None, 0)
         out = []
-        for ts in batch["ts"]:
-            t_us = int(pd.Timestamp(ts).value) // 1000
+        for t_us in ts_list:
             if start_us is None:
                 start_us, last_us, n = t_us, t_us, 1
             elif t_us - last_us <= GAP_MS * 1000:
@@ -1115,8 +1165,12 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "user_id": [r[0] for r in out],
-                    "session_start": [pd.Timestamp(r[1], unit="us") for r in out],
-                    "session_last": [pd.Timestamp(r[2], unit="us") for r in out],
+                    "session_start": pd.to_datetime(
+                        [r[1] for r in out], unit="us"
+                    ),
+                    "session_last": pd.to_datetime(
+                        [r[2] for r in out], unit="us"
+                    ),
                     "n_events": [r[3] for r in out],
                 }
             )
@@ -1132,14 +1186,25 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         # gap state needs cross-batch event-time order, and a
         # calendar-based split (day-of-month) would interleave months
         # if the fixture's span ever grows (review finding).
-        write_replay(ev, src_dir, sf_dir=sf_dir, split="mid")
-        s1, s2 = sentinel_times(ev, delay_days=40)
-        # two single-event batches: these MUST be separate files —
-        # s1 advances the watermark, s2's batch is when the engine
-        # flushes the state that s1 expired
-        write_sentinels(
+        # r11 (VERDICT r10 item 3), two batch cuts with IDENTICAL
+        # output (verified 1-vs-2 sentinels at sf0.01; the oracle
+        # hash pins every sf): (a) the second sentinel batch is gone
+        # — s1 advances the watermark past every real session's
+        # expiry and the engine's final NO-DATA micro-batch
+        # (noDataMicroBatches, pinned true in replay_conf) fires the
+        # expired timers, which is all the old "flush" batch did;
+        # (b) the remaining sentinel rides IN the second time-half
+        # shard (write_replay's tail) — it is the newest event by
+        # construction, so event-time order within the batch is
+        # preserved and the sentinel user is its own state group.
+        # Micro-batches 4 → 2 (+ the no-data flush).
+        s1, _ = sentinel_times(ev, delay_days=40)
+        write_replay(
+            ev,
             src_dir,
-            [[(-1, -999999, s1, "click")], [(-2, -999998, s2, "click")]],
+            sf_dir=sf_dir,
+            split="mid",
+            tail=[(-1, -999999, s1, "click")],
         )
         pin_mtimes(src_dir)
         stream = (
@@ -1349,9 +1414,7 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_dir = os.path.join(SCRATCH, f"stream_kmv_{uuid.uuid4().hex[:8]}")
     src_dir = os.path.join(run_dir, "src")
-    skstore = os.path.join(run_dir, "sketch")
     hstore = os.path.join(run_dir, "seen")
-    rstore = os.path.join(run_dir, "report")
     ckpt = os.path.join(run_dir, "ckpt")
     os.makedirs(src_dir, exist_ok=True)
     out_schema = (
@@ -1370,11 +1433,8 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(src_dir, f"part-{i}.json"),
             )
         pin_mtimes(src_dir)
-        empty = spark.createDataFrame([], "h bigint")
-        empty.write.mode("overwrite").parquet(skstore)
-        empty.write.mode("overwrite").parquet(hstore)
-        spark.createDataFrame([], out_schema).write.mode("overwrite").parquet(
-            rstore
+        spark.createDataFrame([], "h bigint").write.mode("overwrite").parquet(
+            hstore
         )
 
         stream = (
@@ -1383,51 +1443,76 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .json(src_dir)
         )
 
+        # r11 (VERDICT r10 item 3, guide §1.2/§5): the sketch and the
+        # per-batch report live on the DRIVER between batches — both
+        # are bounded by CONSTRUCTION (the sketch is ≤ KMV_K = 64
+        # hashes, "constant K·8 bytes of state forever"; the report is
+        # one row per micro-batch), i.e. they are the MODEL, the same
+        # class as the BPE argmax collects. The old parquet
+        # round-trips for them cost ~0.5 s PER TINY WRITE (measured:
+        # 64-row sketch overwrite 0.53 s/batch, 1-row report append
+        # 0.49 s/batch — parquet committer setup, not data). Only the
+        # exact-audit hstore — the one store that GROWS with distinct
+        # content — stays executor-side parquet, probed by anti-join.
+        # Per-batch jobs 8 → 5 and the O(|store|) exact recount
+        # becomes a running sum of per-batch novel hashes. Every value
+        # on the report surface is unchanged (driver bottom-k merge ≡
+        # the old distributed distinct-orderBy-limit: same set, same
+        # order).
+        sketch: list[int] = []  # bottom-K distinct hashes so far
+        report_rows: list[tuple] = []  # one row per non-empty batch
+        n_exact_run = [0]  # running exact distinct
+
         def upd(batch: DataFrame, _epoch: int) -> None:
             sp = batch.sparkSession
-            bk = batch.agg(
-                F.min(F.col("doc_id") % _KMV_STREAM_BATCHES).alias("bk")
-            ).collect()[0]["bk"]
+            # hash the batch ONCE: the micro-batch DataFrame re-parses
+            # its JSON shard on EVERY action, and upd's jobs consumed
+            # it three times (sketch merge, batch-key agg, novel-hash
+            # anti-join). The checkpoint is 16 B/row (h, batch-key),
+            # scanned from cached blocks thereafter.
+            pre = batch.select(
+                kmv_hash(F.col("text")).alias("h"),
+                (F.col("doc_id") % _KMV_STREAM_BATCHES).alias("b"),
+            ).localCheckpoint(eager=True)
+            bh = pre.select("h").distinct()
+            # the batch ships ONLY its own bottom-K (what a remote
+            # shard would send); orderBy+limit ≡ the old row_number
+            # filter on the same total order. ONE collect returns the
+            # batch sketch AND the batch key.
+            bsk = bh.orderBy("h").limit(KMV_K)
+            tagged = bsk.select(F.lit("h").alias("t"), F.col("h")).unionByName(
+                pre.agg(F.min("b").alias("h")).select(
+                    F.lit("bk").alias("t"), F.col("h")
+                )
+            )
+            rows = tagged.collect()
+            bk = next(r["h"] for r in rows if r["t"] == "bk")
             if bk is None:
                 return  # empty batch — nothing arrived
-            bh = batch.select(kmv_hash(F.col("text")).alias("h")).distinct()
-            rn = F.row_number().over(Window.orderBy("h"))
-            # the batch ships ONLY its own bottom-K (what a remote
-            # shard would send)
-            bsk = bh.withColumn("rn", rn).filter(F.col("rn") <= KMV_K).drop(
-                "rn"
-            )
-            merged = (
-                sp.read.parquet(skstore)
-                .unionByName(bsk)
-                .distinct()
-                .withColumn("rn", rn)
-                .filter(F.col("rn") <= KMV_K)
-                .drop("rn")
-                .localCheckpoint(eager=True)  # detach before overwrite
-            )
-            merged.write.mode("overwrite").parquet(skstore)
+            # store merge: batch sketch ∪ stored sketch → re-bottom-K
+            merged = sorted(
+                set(sketch) | {int(r["h"]) for r in rows if r["t"] == "h"}
+            )[:KMV_K]
+            sketch[:] = merged
             new = (
                 bh.join(sp.read.parquet(hstore), "h", "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=True)  # detach before append
             )
+            n_exact_run[0] += new.count()  # cached blocks, O(|batch|)
             new.write.mode("append").parquet(hstore)
-            n_exact = sp.read.parquet(hstore).count()
-            st = merged.agg(
-                F.count(F.lit(1)).alias("k_used"), F.max("h").alias("h_k")
-            ).collect()[0]
-            k_used = int(st["k_used"])
+            k_used = len(merged)
             est = (
                 k_used
                 if k_used < KMV_K
-                else ((KMV_K - 1) * (1 << 60)) // int(st["h_k"])
+                else ((KMV_K - 1) * (1 << 60)) // merged[-1]
             )
-            sp.createDataFrame(
-                [(int(bk), k_used, int(st["h_k"]), est, int(n_exact))],
-                out_schema,
-            ).write.mode("append").parquet(rstore)
+            report_rows.append(
+                (int(bk), k_used, merged[-1], est, int(n_exact_run[0]))
+            )
 
         run_replay(stream, ckpt, mode="append", foreach=upd)
-        return spark.read.parquet(rstore).localCheckpoint(eager=True)
+        if not report_rows:
+            return spark.createDataFrame([], out_schema)
+        return spark.createDataFrame(report_rows, out_schema)
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)

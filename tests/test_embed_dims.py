@@ -36,6 +36,50 @@ def test_embeddings_fixed_width_contract(spark, sf_dir):
     assert [r["w"] for r in widths] == [EMBED_DIMS], widths
 
 
+@pytest.fixture(scope="module")
+def narrow_emb_dir(tmp_path_factory):
+    """Embeddings fixture with ONE planted 32-dim row among 64-dim
+    rows — the off-contract input the unrolled dot paths must reject
+    loudly (VERDICT r10 item 8: GetArrayItem past the end is NULL, so
+    without the runtime assert the row's pairs silently vanish)."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(20260818)
+    d = tmp_path_factory.mktemp("narrow_emb")
+    vecs = [
+        [round(rng.uniform(-0.5, 0.5), 4) for _ in range(64)] for _ in range(12)
+    ]
+    vecs[7] = vecs[7][:32]  # the planted off-contract row
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": list(range(len(vecs))),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+                "label": [i % 10 for i in range(len(vecs))],
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["dedup_semdedup", "dedup_embed_cosine"])
+def test_unrolled_dot_raises_on_off_contract_width(spark, narrow_emb_dir, name):
+    """A 32-dim row must RAISE (assert_embed_dims), never silently
+    drop its pairs."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError, Exception),
+        match="EMBED_DIMS contract violated",
+    ):
+        all_queries()[name](spark, narrow_emb_dir).collect()
+
+
 def test_semdedup_block_factor_invariant(spark):
     """blocks=1 and blocks=8 produce the identical surface."""
     q = all_queries()["dedup_semdedup"]
