@@ -489,9 +489,15 @@ def _train_chain_batched(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # LAZY local checkpoints (r11, guide §1.2 — the wordpiece-chain
+    # treatment): every round's fold is immediately consumed by a
+    # full-partition job (the top-K pair-count collect), so
+    # eager=False merges the dedicated materialization job into it —
+    # same rounds, same merge table (reference-pinned), one fewer
+    # driver round-trip per round.
     it = wc.select(
         "word", "cnt", _char_syms(F.col("word")).alias("syms")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     merge_rows: list = []
     learned: set = set()  # concat of every applied merge — the full
     # multi-char symbol universe, fed to the collision guard
@@ -513,7 +519,7 @@ def _train_chain_batched(
             "word",
             "cnt",
             _merge_syms_multi(F.col("syms"), batch).alias("syms"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merge_rows, it
 
 

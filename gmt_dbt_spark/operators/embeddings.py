@@ -480,7 +480,10 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (3 assigns + recomputes + the final assignment) re-reads this
     # table — without the checkpoint each pass would re-scan parquet
     # and re-run the quantizing transform
-    q = e.select("vec_id", _micro_vec().alias("qv")).localCheckpoint(eager=True)
+    # lazy checkpoint (r11): the fused lloyd job is the first
+    # consumer and computes every partition — eager paid a dedicated
+    # materialization job for the same blocks
+    q = e.select("vec_id", _micro_vec().alias("qv")).localCheckpoint(eager=False)
     centroids = lloyd_centroids(q)
     final = kmeans_assign(q, centroids)
     import math
@@ -1304,9 +1307,12 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assert_embed_dims: the pair stage below unrolls the dot over
     # EMBED_DIMS — fail loudly on a foreign width (VERDICT r10 item 8)
     # instead of silently NULLing pairs away.
+    # lazy checkpoint (r11): the fused lloyd job is the first
+    # consumer and computes every partition — eager paid a dedicated
+    # materialization job for the same blocks
     q = assert_embed_dims(
         e.select("vec_id", _micro_vec().alias("qv"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     cents = lloyd_centroids(q)
     final = (
         kmeans_assign(q, cents)
@@ -1320,7 +1326,8 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, y: acc + y,
             ).alias("n2"),
         )
-        .localCheckpoint(eager=True)  # read by both self-join sides
+        .localCheckpoint(eager=False)  # read by both self-join
+        # sides; lazy — the sizes aggregate materializes it (r11)
     )
     sizes = final.groupBy("cluster").agg(F.count(F.lit(1)).alias("cnt"))
     total = final.agg(F.count(F.lit(1)).alias("n"))
@@ -1331,7 +1338,8 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cnt") > SEMDEDUP_HOT_MIN)
         )
         .select("cluster")
-        .localCheckpoint(eager=True)  # ≤ k rows; read twice (audit + anti)
+        .localCheckpoint(eager=False)  # ≤ k rows; read twice
+        # (audit + anti); lazy — the audit aggregate materializes it
     )
     audit = hot.agg(F.count(F.lit(1)).alias("n_hot_clusters"))
     cold = final.join(F.broadcast(hot), "cluster", "left_anti")
